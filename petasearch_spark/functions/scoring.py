@@ -1,0 +1,101 @@
+"""Substitution matrix + Karlin-Altschul scoring.
+
+The reference fits λ/K at runtime via the ALP library
+(/root/reference/lib/mmseqs/src/alignment/EvalueComputation.h:49-153) for its
+default BLOSUM62 / gap 11,1 configuration. We use the published NCBI BLAST
+constants for the same configuration (public Karlin-Altschul parameter
+tables), broadcast as plain Python floats:
+
+* ungapped BLOSUM62:        λ = 0.3176, K = 0.134
+* gapped  BLOSUM62 (11,1):  λ = 0.267,  K = 0.041
+
+Formulae (EvalueComputation.h:18-46):
+    bit(S)    = (λ·S − ln K) / ln 2
+    evalue(S) = K · qLen · dbResidues · exp(−λ·S)
+where dbResidues = total residue count of the target set
+(SRADBReader::getAminoAcidDBSize, /root/reference/src/commons/SRADBReader.cpp:321-331).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from petasearch_spark.functions.kmer import AMINO_ALPHABET
+
+# Standard NCBI BLOSUM62, rows/cols in NCBI order.
+_NCBI_ORDER = "ARNDCQEGHILKMFPSTWYV"
+_BLOSUM62_NCBI = [
+    # A   R   N   D   C   Q   E   G   H   I   L   K   M   F   P   S   T   W   Y   V
+    [4, -1, -2, -2, 0, -1, -1, 0, -2, -1, -1, -1, -1, -2, -1, 1, 0, -3, -2, 0],      # A
+    [-1, 5, 0, -2, -3, 1, 0, -2, 0, -3, -2, 2, -1, -3, -2, -1, -1, -3, -2, -3],      # R
+    [-2, 0, 6, 1, -3, 0, 0, 0, 1, -3, -3, 0, -2, -3, -2, 1, 0, -4, -2, -3],          # N
+    [-2, -2, 1, 6, -3, 0, 2, -1, -1, -3, -4, -1, -3, -3, -1, 0, -1, -4, -3, -3],     # D
+    [0, -3, -3, -3, 9, -3, -4, -3, -3, -1, -1, -3, -1, -2, -3, -1, -1, -2, -2, -1],  # C
+    [-1, 1, 0, 0, -3, 5, 2, -2, 0, -3, -2, 1, 0, -3, -1, 0, -1, -2, -1, -2],         # Q
+    [-1, 0, 0, 2, -4, 2, 5, -2, 0, -3, -3, 1, -2, -3, -1, 0, -1, -3, -2, -2],        # E
+    [0, -2, 0, -1, -3, -2, -2, 6, -2, -4, -4, -2, -3, -3, -2, 0, -2, -2, -3, -3],    # G
+    [-2, 0, 1, -1, -3, 0, 0, -2, 8, -3, -3, -1, -2, -1, -2, -1, -2, -2, 2, -3],      # H
+    [-1, -3, -3, -3, -1, -3, -3, -4, -3, 4, 2, -3, 1, 0, -3, -2, -1, -3, -1, 3],     # I
+    [-1, -2, -3, -4, -1, -2, -3, -4, -3, 2, 4, -2, 2, 0, -3, -2, -1, -2, -1, 1],     # L
+    [-1, 2, 0, -1, -3, 1, 1, -2, -1, -3, -2, 5, -1, -3, -1, 0, -1, -3, -2, -2],      # K
+    [-1, -1, -2, -3, -1, 0, -2, -3, -2, 1, 2, -1, 5, 0, -2, -1, -1, -1, -1, 1],      # M
+    [-2, -3, -3, -3, -2, -3, -3, -3, -1, 0, 0, -3, 0, 6, -4, -2, -2, 1, 3, -1],      # F
+    [-1, -2, -2, -1, -3, -1, -1, -2, -2, -3, -3, -1, -2, -4, 7, -1, -1, -4, -3, -2], # P
+    [1, -1, 1, 0, -1, 0, 0, 0, -1, -2, -2, 0, -1, -2, -1, 4, 1, -3, -2, -2],         # S
+    [0, -1, 0, -1, -1, -1, -1, -2, -2, -1, -1, -1, -1, -2, -1, 1, 5, -2, -2, 0],     # T
+    [-3, -3, -4, -4, -2, -2, -3, -2, -2, -3, -2, -3, -1, 1, -4, -3, -2, 11, 2, -3],  # W
+    [-2, -2, -2, -3, -2, -1, -2, -3, 2, -1, -1, -2, -1, 3, -3, -2, -2, 2, 7, -1],    # Y
+    [0, -3, -3, -3, -1, -2, -2, -3, -3, 3, 1, -2, 1, -1, -2, -2, 0, -3, -1, 4],      # V
+]
+
+
+def _build_matrix(alphabet: str = AMINO_ALPHABET) -> np.ndarray:
+    """BLOSUM62 as a |alphabet|×|alphabet| int matrix indexed by the
+    engine's alphabet codes (index in AMINO_ALPHABET)."""
+    idx = {c: i for i, c in enumerate(_NCBI_ORDER)}
+    m = np.zeros((len(alphabet), len(alphabet)), dtype=np.int32)
+    for i, a in enumerate(alphabet):
+        for j, b in enumerate(alphabet):
+            m[i, j] = _BLOSUM62_NCBI[idx[a]][idx[b]]
+    return m
+
+
+#: BLOSUM62 indexed by AMINO_ALPHABET codes. Small (20×20 int32) — shipped
+#: to executors by closure capture; no broadcast variable needed.
+BLOSUM62: np.ndarray = _build_matrix()
+
+
+@dataclass(frozen=True)
+class KarlinAltschul:
+    """λ/K for one (matrix, gap) configuration."""
+
+    lam: float
+    k: float
+    log_k: float
+
+    def evalue(self, score: float, qlen: int, db_residues: int) -> float:
+        return self.k * qlen * db_residues * math.exp(-self.lam * score)
+
+    def bit_score(self, score: float) -> float:
+        return (self.lam * score - self.log_k) / math.log(2)
+
+
+#: published NCBI constants for BLOSUM62
+KA_UNGAPPED = KarlinAltschul(lam=0.3176, k=0.134, log_k=math.log(0.134))
+KA_GAPPED_11_1 = KarlinAltschul(lam=0.267, k=0.041, log_k=math.log(0.041))
+
+
+def bit_score_expr(raw: Column, ka: KarlinAltschul = KA_GAPPED_11_1) -> Column:
+    """Column-expression bit score (EvalueComputation.h:18-20)."""
+    return (F.lit(ka.lam) * raw - F.lit(ka.log_k)) / F.lit(math.log(2))
+
+
+def evalue_expr(raw: Column, qlen: Column, db_residues: Column | int, ka: KarlinAltschul = KA_GAPPED_11_1) -> Column:
+    """Column-expression e-value (EvalueComputation.h:36-46)."""
+    dbr = F.lit(db_residues) if isinstance(db_residues, int) else db_residues
+    return F.lit(ka.k) * qlen * dbr * F.exp(-F.lit(ka.lam) * raw)

@@ -1,0 +1,4 @@
+from petasearch_spark.operators.kmer_index import build_kmer_index, extract_query_kmers
+from petasearch_spark.operators.prefilter import prefilter
+
+__all__ = ["build_kmer_index", "extract_query_kmers", "prefilter"]

@@ -1,0 +1,81 @@
+"""Target k-mer index build (SURVEY §2: T1 + J2/A2 + O1) and query-side
+k-mer extraction (T1 for queries).
+
+Reference pipeline (`createkmertable`, /root/reference/src/sra/createkmertable.cpp):
+extract k-mers (100-120) -> parallel sort by (kmer ASC, seqLen DESC, seqID
+ASC) (130, 142-162) -> keep ONE representative row per distinct k-mer — the
+first under that sort, i.e. the longest sequence containing it, ties to the
+smallest id (179-190) -> delta-encode + write (229-245).
+
+Spark design:
+* extraction is a codegen'd explode (functions.kmer.extract_kmers — no UDF);
+* the distinct-representative rule (J2) is `max_by` over
+  struct(seq_len, -seq_id) — a single hash aggregation with map-side partial
+  combine, no window/sort needed;
+* the physical sorted layout (O1) becomes `repartitionByRange('kmer')` +
+  `sortWithinPartitions` + parquet: range-partitioned, internally sorted
+  files whose min/max statistics let the search join prune, the exact Spark
+  analogue of the reference's sorted table + streamed merge (SURVEY §4.2).
+  Parquet dictionary/delta encodings + ZSTD replace the 15-bit varint delta
+  codec (createkmertable.cpp:229-245) — a physical codec, not semantics.
+
+At 100 TB: extraction is embarrassingly parallel; the only shuffle is the
+groupBy(kmer), whose key space (20^9 ≈ 5·10^11) hashes uniformly — skew comes
+only from repeated k-mers, which this very aggregation collapses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from petasearch_spark.functions.kmer import AMINO_ALPHABET, extract_kmers
+
+DEFAULT_K = 9  # workflow default, /root/reference/src/workflow/petasearch.cpp:12
+
+
+def build_kmer_index(
+    sequences: DataFrame,
+    k: int = DEFAULT_K,
+    alphabet: str = AMINO_ALPHABET,
+) -> DataFrame:
+    """sequences(seq_id, sequence, ...) ->
+    target_kmer_index(kmer BIGINT, seq_id BIGINT, seq_len INT),
+    one row per DISTINCT k-mer (J2 semantics)."""
+    kmers = sequences.select(
+        "seq_id",
+        F.length("sequence").cast("int").alias("seq_len"),
+        F.explode(extract_kmers("sequence", k=k, alphabet=alphabet, with_pos=False)).alias("kmer"),
+    )
+    # J2: representative = longest sequence, ties -> smallest seq_id.
+    # max_by over a lexicographic struct = single-pass agg w/ partial combine.
+    return kmers.groupBy("kmer").agg(
+        F.max_by(F.struct("seq_id", "seq_len"), F.struct(F.col("seq_len"), (-F.col("seq_id")).alias("neg_id"))).alias("rep")
+    ).select("kmer", F.col("rep.seq_id").alias("seq_id"), F.col("rep.seq_len").alias("seq_len"))
+
+
+def write_kmer_index(index: DataFrame, path: str, num_ranges: int = 32) -> None:
+    """Persist the index range-partitioned and sorted by kmer (O1) so the
+    search join gets pruned, co-located scans."""
+    (
+        index.repartitionByRange(num_ranges, "kmer")
+        .sortWithinPartitions("kmer")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(path)
+    )
+
+
+def extract_query_kmers(
+    sequences: DataFrame,
+    k: int = DEFAULT_K,
+    alphabet: str = AMINO_ALPHABET,
+) -> DataFrame:
+    """Query-side T1 (exact mode, `--exact-kmer-matching 1`,
+    /root/reference/src/sra/comparekmertables.cpp:263):
+    query_kmers(query_id BIGINT, kmer BIGINT, pos INT). All k-mer
+    positions are kept (needed for the diagonal computation in J3)."""
+    return sequences.select(
+        F.col("seq_id").alias("query_id"),
+        F.explode(extract_kmers("sequence", k=k, alphabet=alphabet, with_pos=True)).alias("km"),
+    ).select("query_id", F.col("km.kmer").alias("kmer"), F.col("km.pos").alias("pos"))

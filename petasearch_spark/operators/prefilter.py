@@ -1,0 +1,63 @@
+"""Prefilter: the heart of the engine (SURVEY §2.4 J1 + §2.5 A1 + §2.8 F3/F4).
+
+Reference (`comparekmertables`, /root/reference/src/sra/comparekmertables.cpp):
+sorted-merge equi-join of the in-RAM query k-mer table against the streamed
+target k-mer index ON kmer (473-572), then keep (query, target) groups with
+count(*) > req-kmer-matches (strict >, default 2; removeNotHitSequences
+46-67, LocalParameters.h:144). All rows of surviving groups are kept (61-62)
+because the aligner needs every (kmer, pos) match.
+
+Spark design: a plain inner join — Catalyst picks sort-merge or
+shuffled-hash; the group-count filter is a window count over the join keys so
+we keep the member rows without a second join. When the query side is small
+(the common interactive case; the reference replicates the query table per
+thread, comparekmertables.cpp:387-391) callers pass broadcast=True and the
+join becomes a broadcast-hash join with NO shuffle of the index at all —
+at 100 TB of index this is the difference between a full-index shuffle and a
+map-side-only pass.
+
+Skew: hot k-mers are bounded by construction — the index holds ONE row per
+distinct k-mer (J2), so join fan-out per kmer == #query rows with that kmer;
+residual skew (a low-complexity k-mer shared by many queries) is handled by
+AQE skew-join (enabled in session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: default --req-kmer-matches (strict >), /root/reference/src/commons/LocalParameters.h:144
+DEFAULT_REQ_KMER_MATCHES = 2
+
+
+def prefilter(
+    query_kmers: DataFrame,
+    target_index: DataFrame,
+    req_kmer_matches: int = DEFAULT_REQ_KMER_MATCHES,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """query_kmers(query_id, kmer, pos) ⋈ target_index(kmer, seq_id, seq_len)
+    -> prefilter_pairs(target_id, query_id, kmer, pos, target_len)
+    with every (query_id, target_id) group having > req_kmer_matches rows.
+    """
+    q = F.broadcast(query_kmers) if broadcast_queries else query_kmers
+    joined = q.join(target_index, "kmer", "inner").select(
+        F.col("seq_id").alias("target_id"),
+        "query_id",
+        "kmer",
+        "pos",
+        F.col("seq_len").alias("target_len"),
+    )
+    # A1/F4: HAVING count(*) > θ, keeping member rows (window, not groupBy).
+    w = Window.partitionBy("query_id", "target_id")
+    return (
+        joined.withColumn("match_cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("match_cnt") > req_kmer_matches)
+        .drop("match_cnt")
+    )
+
+
+def prefilter_pair_counts(prefilter_pairs: DataFrame) -> DataFrame:
+    """A4-style funnel stat: surviving (query,target) pairs + match counts."""
+    return prefilter_pairs.groupBy("query_id", "target_id").agg(F.count(F.lit(1)).alias("n_kmer_matches"))

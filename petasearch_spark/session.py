@@ -1,0 +1,43 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on local[N]; the configs below are the ones that also
+matter on a real cluster (AQE, skew-join handling, Arrow batching for the
+pandas-UDF alignment kernel, partition sizing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "petasearch_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime coalescing + skew-join splitting. Hot k-mers (low
+        # complexity sequence) are the classic skew source in the prefilter
+        # join (SURVEY §4.1); the reference bounds skew via its
+        # one-representative-per-kmer index (J2), we additionally let AQE
+        # split any residual skewed partitions.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Alignment UDF rows carry two full sequences (up to ~KBs each);
+        # keep Arrow batches modest so executor memory stays bounded at
+        # 100 TB scale (SURVEY §4.3).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
