@@ -1,0 +1,65 @@
+"""End-to-end search pipeline — the Spark equivalent of the reference's
+`petasearch` workflow (E2 in SURVEY §3; /root/reference/data/petasearch.sh).
+
+Where the reference crosses a process+file boundary per stage
+(comparekmertables -> blockalign -> convertsraalis -> cat), here every stage
+is one lazily-composed DataFrame lineage: Catalyst fuses the projections,
+pushes filters into the parquet scans, and the only materialization points
+are the prefilter shuffle and the Arrow hop into the alignment kernel.
+
+Multi-target orchestration (J5, petasearch.sh:42-65: one shell job per
+target DB, concatenated at the end) becomes a `unionByName` of per-target
+lineages — Spark's scheduler replaces the hand-rolled job fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from petasearch_spark.operators.align import DEFAULT_EVALUE, align_pairs
+from petasearch_spark.operators.kmer_index import (
+    DEFAULT_K,
+    build_kmer_index,
+    extract_query_kmers,
+)
+from petasearch_spark.operators.prefilter import DEFAULT_REQ_KMER_MATCHES, prefilter
+
+
+def search(
+    queries: DataFrame,
+    targets: DataFrame,
+    target_index: DataFrame | None = None,
+    k: int = DEFAULT_K,
+    req_kmer_matches: int = DEFAULT_REQ_KMER_MATCHES,
+    max_evalue: float = DEFAULT_EVALUE,
+) -> DataFrame:
+    """queries/targets: sequences(seq_id, accession, header, sequence).
+
+    Returns the alignments DataFrame (FIXTURES.md §1), sorted query-keyed
+    by (evalue ASC, bits DESC, tlen ASC, target_id ASC) — the reference's
+    O6 ordering (matcherResultsSort, blockalign.cpp:534-550) made *global*
+    instead of per-thread (SURVEY §2.6 notes ours is strictly better).
+    """
+    if target_index is None:
+        target_index = build_kmer_index(targets, k=k)
+    qk = extract_query_kmers(queries, k=k)
+    pairs = prefilter(qk, target_index, req_kmer_matches=req_kmer_matches)
+    alignments = align_pairs(pairs, queries, targets, k=k, max_evalue=max_evalue)
+    return alignments.orderBy(
+        "query_id", "evalue", F.desc("bits"), "tlen", "target_id"
+    )
+
+
+def search_multi_target(
+    queries: DataFrame,
+    target_sets: list[DataFrame],
+    **kwargs,
+) -> DataFrame:
+    """J5: search each target set, UNION ALL the results (§2.7) — the
+    reference's per-DB shell-job fan-out + cat (petasearch.sh:42-65)."""
+    results = [search(queries, t, **kwargs) for t in target_sets]
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out

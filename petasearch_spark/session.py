@@ -13,6 +13,13 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "petasearch_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    # Python workers (pandas-UDF kernels) must be able to import this
+    # package regardless of the caller's cwd: export the package root.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)

@@ -1,0 +1,90 @@
+"""End-to-end: FASTA-style sequence sets -> search() -> m8 (SURVEY §5 plan)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from petasearch_spark.functions.kmer import AMINO_ALPHABET
+from petasearch_spark.plans.search import search, search_multi_target
+from petasearch_spark.sources.fasta import sequences_from_records
+from petasearch_spark.sources.m8 import M8_COLUMNS, to_m8
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice(AMINO_ALPHABET) for _ in range(n))
+
+
+def make_corpus(spark, rng):
+    """FIXTURES.md §1 generator: self-hit pair, mutated homolog,
+    1-2-shared-kmer pair (HAVING-filtered), short seq, unrelated noise."""
+    core = rand_seq(rng, 60)
+    homolog = core[:25] + "W" + core[26:40] + core[41:]  # sub + deletion
+    one_kmer = core[:9] + rand_seq(rng, 40)  # shares ~1-2 kmers with core... maybe more
+    targets = [
+        ("t_self self hit", core),
+        ("t_hom homolog", homolog),
+        ("t_short short", rand_seq(rng, 7)),
+    ] + [(f"t_noise{i} noise", rand_seq(rng, 80)) for i in range(20)]
+    queries = [("q_core the query", core), ("q_alone unrelated", rand_seq(rng, 50))]
+    return (
+        sequences_from_records(spark, queries),
+        sequences_from_records(spark, targets),
+    )
+
+
+def test_search_end_to_end(spark):
+    rng = random.Random(42)
+    q, t = make_corpus(spark, rng)
+    res = search(q, t).cache()
+    rows = res.collect()
+    assert rows, "expected at least the self-hit"
+    by_pair = {(r["query_accession"], r["target_accession"]): r for r in rows}
+    # self hit: q_core vs t_self, near-perfect identity
+    self_hit = by_pair.get(("q_core", "t_self"))
+    assert self_hit is not None
+    assert self_hit["fident"] == 1.0
+    assert self_hit["alnlen"] == 60
+    assert self_hit["qstart"] == 1 and self_hit["qend"] == 60  # 1-based m8 coords
+    # every surviving alignment passes the e-value threshold
+    assert all(r["evalue"] <= 1000.0 for r in rows)
+    # sorted query-keyed, evalue ascending within query
+    for qid in {r["query_id"] for r in rows}:
+        evs = [r["evalue"] for r in rows if r["query_id"] == qid]
+        assert evs == sorted(evs)
+
+
+def test_homolog_found_when_not_shadowed(spark):
+    # J2 shadowing: the homolog shares most kmers with t_self (longer or equal).
+    # Search the homolog target set alone -> must be found.
+    rng = random.Random(7)
+    core = rand_seq(rng, 60)
+    homolog = core[:30] + "W" + core[31:]
+    q = sequences_from_records(spark, [("q0 query", core)])
+    t = sequences_from_records(spark, [("t0 hom", homolog)] + [(f"tn{i}", rand_seq(rng, 80)) for i in range(5)])
+    rows = search(q, t).collect()
+    accs = {r["target_accession"] for r in rows}
+    assert "t0" in accs
+    r = next(r for r in rows if r["target_accession"] == "t0")
+    assert r["mismatch"] >= 1 and r["fident"] < 1.0
+
+
+def test_m8_projection(spark):
+    rng = random.Random(3)
+    q, t = make_corpus(spark, rng)
+    m8 = to_m8(search(q, t))
+    assert m8.columns == M8_COLUMNS
+    head = m8.head()
+    assert isinstance(head["evalue"], str) and "E" in head["evalue"]
+
+
+def test_multi_target_union(spark):
+    rng = random.Random(11)
+    core = rand_seq(rng, 60)
+    q = sequences_from_records(spark, [("q0", core)])
+    t1 = sequences_from_records(spark, [("a0 hit", core)])
+    t2 = sequences_from_records(spark, [("b0 hit", core[:45] + rand_seq(rng, 10))])
+    rows = search_multi_target(q, [t1, t2]).collect()
+    accs = {r["target_accession"] for r in rows}
+    assert "a0" in accs and "b0" in accs
