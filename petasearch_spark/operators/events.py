@@ -1,0 +1,106 @@
+"""Event-stream analytics (batch surface; the Structured Streaming variant
+lives in petasearch_spark/streaming/). Exercises time bucketing, JSON
+extraction, and sessionization — the streaming-adjacent operator classes the
+reference lacks entirely (SURVEY §2.10) but a large-scale pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from petasearch_spark.sources.tables import load_table
+
+SESSION_GAP_SECONDS = 1800
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation by hour × event type."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >30 min idle.
+    Window lag + cumulative sum — the batch shape of stateful streaming
+    session windows."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    with_breaks = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_SECONDS * 1_000_000), 1).otherwise(0),
+    )
+    sessions = with_breaks.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+    return sessions.orderBy("user_id")
+
+
+EVENTS_SESSIONIZE_SQL = f"""
+WITH marked AS (
+    SELECT user_id, value,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {SESSION_GAP_SECONDS * 1_000_000}
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+)
+SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM marked
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull `k` out of the JSON props column."""
+    e = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            (F.sum(k).cast("double") / F.count(k)).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       SUM(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       MIN(json_extract(props, '$.k')::BIGINT) AS min_k,
+       MAX(json_extract(props, '$.k')::BIGINT) AS max_k,
+       CAST(SUM(json_extract(props, '$.k')::BIGINT) AS DOUBLE) / COUNT(json_extract(props, '$.k')::BIGINT) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -1,0 +1,78 @@
+"""Cross-engine-deterministic building blocks.
+
+The driver's correctness gate (t2) runs each Spark query AND its DuckDB
+oracle SQL on the same parquet and compares row counts + values. Floating
+point and engine-specific hash functions are the two places that silently
+diverge; everything here is chosen to be bit-identical across Spark and
+DuckDB:
+
+* ``hash64``: first 15 hex digits of md5 -> BIGINT (60 bits, positive).
+  Spark ``conv(substr(md5(x),1,15),16,10)`` == DuckDB
+  ``('0x'||substr(md5(x),1,15))::BIGINT``. md5 is identical everywhere;
+  engine-native hash functions (murmur vs duckdb hash) are not.
+* money/quantity aggregates: cast to DECIMAL before summing (exact),
+  cast the final sum to DOUBLE (exact for < 2^53).
+* token split: regex ``\\s+`` split + drop empty tokens, identical
+  semantics in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash64(col: Column) -> Column:
+    """Deterministic 60-bit positive hash of a string column (Spark side)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash64_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`hash64` over SQL expression `expr`."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization, empty tokens dropped (array<string>)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+
+
+TOKENS_SQL = "list_filter(regexp_split_to_array({col}, '\\s+'), x -> x <> '')"
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined) from a token array."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(table: str, id_col: str, text_col: str, n: int = 3, extra_cols: str = "", max_tokens: int = 4096) -> str:
+    """DuckDB CTE body producing DISTINCT (id, shingle) rows.
+
+    DuckDB 1.0 can't use a correlated lateral generate_series, so we cross
+    join a constant `range` and filter to the token count (oracle runs at
+    sf<=0.01 only; the bound is generous)."""
+    toks = TOKENS_SQL.format(col=text_col)
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    extra = f", {extra_cols}" if extra_cols else ""
+    return f"""
+        toks AS (SELECT {id_col}, {toks} AS t{extra} FROM {table}),
+        sh AS (
+            SELECT DISTINCT {id_col}, {parts} AS shingle{extra}
+            FROM toks, range(1, {max_tokens}) r(i)
+            WHERE i + {n - 1} <= len(t)
+        )
+    """
+
+
+def decimal_sum(col: Column, scale: str = "decimal(18,4)") -> Column:
+    """Exact cross-engine sum: DECIMAL accumulate, round to scale 4 (both
+    engines round decimals half-away-from-zero), then DOUBLE. Rounding in
+    the decimal domain matters: DuckDB's high-scale decimal->double cast is
+    up to 1 ulp off Spark's correctly-rounded conversion."""
+    return F.round(F.sum(col.cast(scale)), 4).cast("double")

@@ -1,0 +1,264 @@
+"""General relational query surface over the driver's TPC-H-ish tables.
+
+The reference engine has exactly one relational shape (SURVEY intro): scan ->
+flatMap -> sort/dedup -> merge join -> group/HAVING -> sort -> union. These
+queries exercise the same operator classes (plus windows/set-ops the driver's
+north star asks for) as first-class DataFrame plans with DuckDB oracles.
+
+Every computed column is aliased identically in the DataFrame code and the
+oracle SQL; money aggregates go through DECIMAL (see operators/portable.py).
+
+Scale notes (100 TB): every query here is a scan -> (broadcast|shuffle)
+join -> partial-agg shape. Small dims (region/nation/customer/supplier/part)
+are broadcast; only lineitem/orders/events shuffle, on their natural keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from petasearch_spark.operators.portable import decimal_sum
+from petasearch_spark.sources.tables import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + groupBy agg (map-side partial)."""
+    l = load_table(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    charge = disc * (F.lit(1) + F.col("l_tax")).cast("decimal(8,4)")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            decimal_sum(F.col("l_quantity")).alias("sum_qty"),
+            decimal_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.round(F.sum(disc), 4).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(8,4)")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))), 4) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10.
+    customer is broadcast; orders⋈lineitem shuffles on the order key."""
+    c = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    l = load_table(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(disc), 4).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / left-semi join + agg (TPC-H Q4 shape)."""
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    l = load_table(spark, "lineitem", sf_dir)
+    late = o.join(l, (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi")
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count")).orderBy("o_orderpriority")
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join, dims broadcast, agg by nation."""
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, "nation", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    l = load_table(spark, "lineitem", sf_dir)
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(disc), 4).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def parts_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS / left-anti join + agg."""
+    p = load_table(spark, "part", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    unsold = p.join(l, p.p_partkey == l.l_partkey, "left_anti")
+    return unsold.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_unsold")).orderBy("p_brand")
+
+
+PARTS_WITHOUT_LINEITEMS_SQL = """
+SELECT p_brand, COUNT(*) AS n_unsold
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window rank over an aggregated join (dense window coverage)."""
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    rev = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "s_suppkey", "s_name")
+        .agg(F.round(F.sum(disc), 4).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), "s_suppkey")
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "s_suppkey", "s_name", "revenue", "rk")
+        .orderBy("n_name", "rk")
+    )
+
+
+TOP_SUPPLIERS_SQL = """
+WITH rev AS (
+    SELECT n_name, s_suppkey, s_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name, s_suppkey, s_name
+)
+SELECT n_name, s_suppkey, s_name, revenue, rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY revenue DESC, s_suppkey) AS rk FROM rev)
+WHERE rk <= 3
+ORDER BY n_name, rk
+"""
+
+
+def repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: INTERSECT of 1996 and 1997 purchaser key sets."""
+    o = load_table(spark, "orders", sf_dir)
+    y96 = o.filter((F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y97 = o.filter((F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y96.intersect(y97).orderBy("custkey")
+
+
+REPEAT_CUSTOMERS_SQL = """
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+ORDER BY custkey
+"""
+
+
+def customers_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: EXCEPT (customer keys minus purchaser keys)."""
+    c = load_table(spark, "customer", sf_dir).select(F.col("c_custkey").alias("custkey"))
+    o = load_table(spark, "orders", sf_dir).select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o).distinct().orderBy("custkey")
+
+
+CUSTOMERS_NEVER_ORDERED_SQL = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+ORDER BY custkey
+"""
+
+
+def running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-sum window per customer (streaming-style cumulative agg)."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double").alias("running_total"),
+    ).orderBy("o_custkey", "order_seq")
+
+
+RUNNING_ORDER_TOTALS_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+ORDER BY o_custkey, order_seq
+"""

@@ -1,0 +1,170 @@
+"""Text-analysis operators: quality scoring, language-ID heuristic, token
+counting (whitespace + BPE-ish regex), document fingerprinting.
+
+All pure column expressions (JVM-side) with DuckDB-oracle parity. The
+language-ID here is an honest *heuristic* (vowel-ratio + marker stopwords)
+— a real n-gram model would be a broadcast lookup table with the same plan
+shape; the deterministic heuristic keeps the oracle exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from petasearch_spark.operators.portable import hash64, hash64_sql, tokens
+from petasearch_spark.sources.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality aggregates: token counts, mean token length,
+    stopword ratio, short-doc count. The per-doc metrics are exact int
+    ratios -> deterministic doubles."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    per_doc = docs.select(
+        "source",
+        "doc_id",
+        n_toks.alias("n_toks"),
+        n_stop.alias("n_stop"),
+        F.length("text").alias("n_chars_actual"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            (F.sum("n_toks").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            (F.sum("n_stop").cast("double") / F.sum("n_toks")).alias("stopword_ratio"),
+            F.sum(F.when(F.col("n_toks") < 20, 1).otherwise(0)).alias("n_short_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+WITH per_doc AS (
+    SELECT source, doc_id,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_toks,
+           len(list_filter(regexp_split_to_array(text, '\\s+'),
+               x -> x IN ({", ".join("'" + s + "'" for s in STOPWORDS)}))) AS n_stop
+    FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, SUM(n_toks) AS total_tokens,
+       CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       CAST(SUM(n_stop) AS DOUBLE) / SUM(n_toks) AS stopword_ratio,
+       SUM(CASE WHEN n_toks < 20 THEN 1 ELSE 0 END) AS n_short_docs
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language-ID heuristic: vowel-ending-token ratio
+    thresholds. Returns the per-(actual, predicted) confusion counts."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens(F.col("text"))
+    vowel_end = F.size(F.filter(toks, lambda t: t.rlike("[aeiou]$")))
+    ratio = F.round(vowel_end.cast("double") / F.size(toks), 6)
+    pred = (
+        F.when(ratio >= 0.5, "es")
+        .when(ratio >= 0.4, "fr")
+        .when(ratio >= 0.3, "de")
+        .when(ratio >= 0.2, "en")
+        .otherwise("zh")
+    )
+    return (
+        docs.select(F.col("lang").alias("actual_lang"), pred.alias("pred_lang"))
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("actual_lang", "pred_lang")
+    )
+
+
+LANG_ID_SQL = """
+WITH scored AS (
+    SELECT lang AS actual_lang,
+           ROUND(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> regexp_matches(x, '[aeiou]$'))) AS DOUBLE)
+                 / len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), 6) AS ratio
+    FROM documents
+)
+SELECT actual_lang,
+       CASE WHEN ratio >= 0.5 THEN 'es' WHEN ratio >= 0.4 THEN 'fr'
+            WHEN ratio >= 0.3 THEN 'de' WHEN ratio >= 0.2 THEN 'en'
+            ELSE 'zh' END AS pred_lang,
+       COUNT(*) AS n
+FROM scored
+GROUP BY 1, 2
+ORDER BY actual_lang, pred_lang
+"""
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    lexer (letter runs / digit runs / single punctuation)."""
+    docs = load_table(spark, "documents", sf_dir)
+    ws = F.size(tokens(F.col("text")))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(ws).alias("ws_tokens"),
+            F.sum(bpe).alias("bpe_tokens"),
+            (F.sum(bpe).cast("double") / F.sum(ws)).alias("bpe_per_ws"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT lang,
+       SUM(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS ws_tokens,
+       SUM(len(regexp_extract_all(text, '{BPE_RE}'))) AS bpe_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{BPE_RE}'))) AS DOUBLE)
+           / SUM(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS bpe_per_ws
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: min/max 64-bit hash over char 8-gram
+    windows (rolling-hash document signature). Short docs (<8 chars) get
+    the hash of the whole text."""
+    docs = load_table(spark, "documents", sf_dir)
+    n = 8
+    win = F.when(
+        F.length("text") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.length("text") - n),
+            lambda i: hash64(F.col("text").substr(i + 1, F.lit(n))),
+        ),
+    ).otherwise(F.array(hash64(F.col("text"))))
+    return docs.select(
+        "doc_id",
+        F.array_min(win).alias("fp_min"),
+        F.array_max(win).alias("fp_max"),
+    ).orderBy("doc_id")
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH hashes AS (
+    SELECT doc_id, {hash64_sql("substr(text, i, 8)")} AS h
+    FROM documents, range(1, 8192) r(i)
+    WHERE i + 7 <= len(text)
+    UNION ALL
+    SELECT doc_id, {hash64_sql("text")} AS h
+    FROM documents WHERE len(text) < 8
+)
+SELECT doc_id, MIN(h) AS fp_min, MAX(h) AS fp_max
+FROM hashes
+GROUP BY doc_id
+ORDER BY doc_id
+"""

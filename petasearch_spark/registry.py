@@ -1,0 +1,66 @@
+"""Central query registry: every implemented operator from SURVEY §2 plus
+the large-scale-pipeline surface, each mapping to
+
+    (callable(spark, sf_dir) -> DataFrame,  oracle SQL or None)
+
+Consumed by __spark_entry__.py (driver contract) and bench.py.
+Oracle SQL strings run under DuckDB with the parquet tables pre-registered
+as views; queries whose semantics SQL cannot express (the alignment kernel,
+streaming) carry None and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from petasearch_spark.operators import dedup, doc_search, events, relational, similarity, text
+from petasearch_spark.streaming import events_stream
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (query fn, oracle SQL | None)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # --- relational core (joins, aggs, windows, set-ops, sorts) ---
+    "q1_pricing_summary": (relational.q1_pricing_summary, relational.Q1_SQL),
+    "q3_shipping_priority": (relational.q3_shipping_priority, relational.Q3_SQL),
+    "q4_order_priority": (relational.q4_order_priority, relational.Q4_SQL),
+    "q5_local_supplier": (relational.q5_local_supplier, relational.Q5_SQL),
+    "parts_without_lineitems": (relational.parts_without_lineitems, relational.PARTS_WITHOUT_LINEITEMS_SQL),
+    "top_suppliers_per_nation": (relational.top_suppliers_per_nation, relational.TOP_SUPPLIERS_SQL),
+    "repeat_customers": (relational.repeat_customers, relational.REPEAT_CUSTOMERS_SQL),
+    "customers_never_ordered": (relational.customers_never_ordered, relational.CUSTOMERS_NEVER_ORDERED_SQL),
+    "running_order_totals": (relational.running_order_totals, relational.RUNNING_ORDER_TOTALS_SQL),
+    # --- event analytics (time bucketing, sessionization, JSON) ---
+    "events_hourly": (events.events_hourly, events.EVENTS_HOURLY_SQL),
+    "events_sessionize": (events.events_sessionize, events.EVENTS_SESSIONIZE_SQL),
+    "events_json_stats": (events.events_json_stats, events.EVENTS_JSON_SQL),
+    "events_stream_hourly": (events_stream.events_stream_hourly, events_stream.EVENTS_STREAM_HOURLY_SQL),
+    # --- engine semantics under the oracle (J1/J2/A1 on documents) ---
+    "doc_shingle_index": (doc_search.doc_shingle_index, doc_search.DOC_SHINGLE_INDEX_SQL),
+    "doc_prefilter": (doc_search.doc_prefilter, doc_search.DOC_PREFILTER_SQL),
+    "protein_prefilter": (doc_search.protein_prefilter, doc_search.PROTEIN_PREFILTER_SQL),
+    "protein_search": (doc_search.protein_search, None),  # alignment kernel: rows-only
+    # --- dedup family ---
+    "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
+    "dedup_jaccard_pairs": (dedup.dedup_jaccard_pairs, dedup.DEDUP_JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL),
+    # --- similarity search ---
+    "ann_cosine_topk": (similarity.ann_cosine_topk, similarity.ANN_COSINE_TOPK_SQL),
+    "embedding_neardup": (similarity.embedding_neardup, similarity.EMBEDDING_NEARDUP_SQL),
+    # --- text analysis ---
+    "text_quality_stats": (text.text_quality_stats, text.TEXT_QUALITY_SQL),
+    "lang_id_heuristic": (text.lang_id_heuristic, text.LANG_ID_SQL),
+    "token_count_bpe": (text.token_count_bpe, text.TOKEN_COUNT_SQL),
+    "doc_fingerprint": (text.doc_fingerprint, text.DOC_FINGERPRINT_SQL),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
