@@ -33,8 +33,15 @@ def search(
     k: int = DEFAULT_K,
     req_kmer_matches: int = DEFAULT_REQ_KMER_MATCHES,
     max_evalue: float = DEFAULT_EVALUE,
+    expand_similar: bool = False,
+    kmer_threshold: int | None = None,
+    kmer_max_per_pos: int | None = None,
 ) -> DataFrame:
     """queries/targets: sequences(seq_id, accession, header, sequence).
+
+    ``expand_similar=True`` turns on T2 similar-k-mer expansion (the
+    reference's default sensitivity mode, --exact-kmer-matching 0);
+    False is the reference's exact mode (comparekmertables.cpp:263).
 
     Returns the alignments DataFrame (FIXTURES.md §1), sorted query-keyed
     by (evalue ASC, bits DESC, tlen ASC, target_id ASC) — the reference's
@@ -44,6 +51,19 @@ def search(
     if target_index is None:
         target_index = build_kmer_index(targets, k=k)
     qk = extract_query_kmers(queries, k=k)
+    if expand_similar:
+        from petasearch_spark.operators.similar_kmers import (
+            DEFAULT_KMER_THRESHOLD,
+            DEFAULT_MAX_PER_POS,
+            expand_query_kmers,
+        )
+
+        qk = expand_query_kmers(
+            qk,
+            k=k,
+            threshold=kmer_threshold if kmer_threshold is not None else DEFAULT_KMER_THRESHOLD,
+            max_per_pos=kmer_max_per_pos if kmer_max_per_pos is not None else DEFAULT_MAX_PER_POS,
+        )
     pairs = prefilter(qk, target_index, req_kmer_matches=req_kmer_matches)
     alignments = align_pairs(pairs, queries, targets, k=k, max_evalue=max_evalue)
     return alignments.orderBy(
