@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "embedding_neardup",
     "text_quality_stats",
     "doc_fingerprint",

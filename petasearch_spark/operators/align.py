@@ -49,38 +49,33 @@ DEFAULT_GAP_EXTEND = 1
 DIAG_PROXIMITY = 4  # hard-coded N=4, blockalign.cpp:61-69
 
 _CODE = {c: i for i, c in enumerate(AMINO_ALPHABET)}
+_CODE_LUT = np.full(128, -1, dtype=np.int64)
+for _c, _i in _CODE.items():
+    _CODE_LUT[ord(_c)] = _i
 
 
 def _encode(seq: str) -> np.ndarray:
     """residue string -> int codes; invalid residues (X etc.) -> -1."""
-    return np.array([_CODE.get(c, -1) for c in seq], dtype=np.int64)
+    b = np.frombuffer(seq.encode("ascii", "replace"), dtype=np.uint8)
+    return _CODE_LUT[b & 0x7F]
 
 
 def _kmer_positions(codes: np.ndarray, k: int) -> dict[int, int]:
     """kmer code -> FIRST position in the sequence (the reference's
     lower_bound lookup returns the first entry for the kmer,
-    blockalign.cpp:282-287)."""
-    out: dict[int, int] = {}
+    blockalign.cpp:282-287). Vectorized: all windows at once, windows
+    containing an invalid residue dropped (F1)."""
     n = len(codes)
     if n < k:
-        return out
+        return {}
     a = len(AMINO_ALPHABET)
-    code = 0
-    valid = 0  # consecutive valid residues ending at i
-    for i in range(n):
-        c = codes[i]
-        if c < 0:
-            valid = 0
-            code = 0
-            continue
-        code = (code * a + c) % (a ** k)
-        valid += 1
-        if valid >= k:
-            pos = i - k + 1
-            km = code % (a ** k)
-            if km not in out:
-                out[km] = pos
-    return out
+    w = np.lib.stride_tricks.sliding_window_view(codes, k)
+    valid = (w >= 0).all(axis=1)
+    weights = a ** np.arange(k - 1, -1, -1, dtype=np.int64)
+    km = w @ weights
+    idx = np.nonzero(valid)[0]
+    # reversed zip -> earliest position wins for duplicate k-mers
+    return dict(zip(km[idx][::-1].tolist(), idx[::-1].tolist()))
 
 
 def ungapped_score(qc: np.ndarray, tc: np.ndarray, diag: int, matrix: np.ndarray = BLOSUM62) -> tuple[int, int, int]:
@@ -96,18 +91,16 @@ def ungapped_score(qc: np.ndarray, tc: np.ndarray, diag: int, matrix: np.ndarray
     qs = qc[t_lo + diag : t_hi + diag]
     ok = (ts >= 0) & (qs >= 0)
     s = np.where(ok, matrix[np.where(ok, ts, 0), np.where(ok, qs, 0)], -1).astype(np.int64)
-    # Kadane with position tracking
-    best = cur = 0
-    best_s = best_e = cur_s = 0
-    for i, v in enumerate(s):
-        cur += int(v)
-        if cur <= 0:
-            cur = 0
-            cur_s = i + 1
-        elif cur > best:
-            best = cur
-            best_s, best_e = cur_s, i + 1
-    return best, t_lo + diag + best_s, t_lo + diag + best_e
+    # max-subarray via prefix sums: best = max_i (prefix[i] - min_{j<=i-?} prefix[j])
+    prefix = np.concatenate(([0], np.cumsum(s)))
+    run_min = np.minimum.accumulate(prefix[:-1])
+    gains = prefix[1:] - run_min
+    best = int(gains.max(initial=0))
+    if best <= 0:
+        return 0, 0, 0
+    e = int(gains.argmax())  # end index (inclusive) in s
+    st = int(np.argmin(prefix[: e + 1]))  # prefix index of the min before e+1
+    return best, t_lo + diag + st, t_lo + diag + e + 1
 
 
 def banded_sw(
@@ -119,106 +112,160 @@ def banded_sw(
     gap_extend: int = DEFAULT_GAP_EXTEND,
     matrix: np.ndarray = BLOSUM62,
 ):
-    """Banded affine-gap local alignment around `anchor_diag`.
+    """Banded affine-gap local alignment around `anchor_diag` — single-pair
+    convenience wrapper over :func:`banded_sw_batch` (same code path as the
+    pipeline, so the property tests in tests/test_align.py cover it)."""
+    return banded_sw_batch([qc], [tc], [anchor_diag], band, gap_open, gap_extend, matrix)[0]
 
-    Returns None or a dict with raw score, 0-based [qstart,qend) /
-    [tstart,tend), backtrace (M/I/D relative to (query, target): M =
-    aligned pair, I = target gap / query residue consumed, D = query gap).
+
+_NEG = np.int32(-(10 ** 9))
+
+
+def banded_sw_batch(
+    qcs: list,
+    tcs: list,
+    anchors: list,
+    band: int = DEFAULT_BAND,
+    gap_open: int = DEFAULT_GAP_OPEN,
+    gap_extend: int = DEFAULT_GAP_EXTEND,
+    matrix: np.ndarray = BLOSUM62,
+) -> list:
+    """Banded affine-gap local alignment (Gotoh), vectorized ACROSS PAIRS.
+
+    The row loop of a banded DP does O(band) work per step — far too little
+    to amortize numpy call overhead one pair at a time. So P pairs advance
+    row-synchronously: every state array is (P, band+1) and each target row
+    costs ~15 numpy ops for the whole batch. The intra-row E recurrence
+    (E[b] depends on H[b-1] which depends on E[b-1]) is solved lazily:
+    compute H without E, derive all E by one prefix-max scan, raise H,
+    repeat until fixpoint (≥1 pass, ~always ≤2 — same trick as striped SW's
+    lazy-F loop). Traceback needs only a uint8 pointer byte per cell
+    (2 bits H-source, 1 bit E-extend, 1 bit F-extend), so memory stays
+    P × max_tlen × (band+1) bytes.
+
+    Returns a list (len P) of None / dict with raw score, 0-based
+    [qstart,qend) / [tstart,tend), backtrace (M = aligned pair, I = query
+    residue vs target gap, D = target residue vs query gap), and P7 stats.
     """
+    P = len(qcs)
     half = band // 2
-    d_lo, d_hi = anchor_diag - half, anchor_diag + half  # inclusive band of diagonals
-    B = d_hi - d_lo + 1
-    n_t, n_q = len(tc), len(qc)
-    NEG = -(10 ** 9)
+    B = band + 1
+    qlen = np.fromiter((len(q) for q in qcs), dtype=np.int64, count=P)
+    tlen = np.fromiter((len(t) for t in tcs), dtype=np.int64, count=P)
+    d_lo = np.asarray(anchors, dtype=np.int64) - half
+    nqm, ntm = max(1, int(qlen.max())), max(1, int(tlen.max()))
+    qpad = np.full((P, nqm), -1, dtype=np.int64)
+    tpad = np.full((P, ntm), -1, dtype=np.int64)
+    for p in range(P):
+        qpad[p, : qlen[p]] = qcs[p]
+        tpad[p, : tlen[p]] = tcs[p]
 
-    H_prev = np.full(B, 0, dtype=np.int64)
-    F_prev = np.full(B, NEG, dtype=np.int64)
-    # pointers: 0 stop, 1 diag(M), 2 left(E: gap in target→'I'? see below), 3 up(F)
-    ptr_H = np.zeros((n_t, B), dtype=np.uint8)
-    ptr_E = np.zeros((n_t, B), dtype=np.uint8)  # 1 = extended (came from E)
-    ptr_F = np.zeros((n_t, B), dtype=np.uint8)
-    best = 0
-    best_ij = None
+    bidx = np.arange(B, dtype=np.int64)
+    ext_ramp = (bidx * gap_extend).astype(np.int32)
+    e_offset = (gap_open + (bidx - 1) * gap_extend).astype(np.int32)
+    base_j = d_lo[:, None] + bidx[None, :]  # query index at row 0, (P, B)
+    mat32 = matrix.astype(np.int32)
 
-    for i in range(n_t):
-        H_row = np.zeros(B, dtype=np.int64)
-        E = NEG
-        F_row = np.full(B, NEG, dtype=np.int64)
-        tci = tc[i]
-        for b in range(B):
-            j = i + d_lo + b  # query index
-            if j < 0 or j >= n_q:
-                H_row[b] = 0
-                E = NEG
-                continue
-            # E: gap in query? moving j-1 -> j at same i means consuming a
-            # query residue opposite a gap in the target ('I').
-            e_open = H_row[b - 1] - gap_open if b > 0 else NEG
-            e_ext = E - gap_extend
-            E = max(e_open, e_ext)
-            ptr_E[i, b] = 1 if e_ext > e_open else 0
-            # F: consuming a target residue opposite a gap in query ('D');
-            # i-1 -> i at same j is band index b+1 in the previous row.
-            f_open = (H_prev[b + 1] - gap_open) if b + 1 < B else NEG
-            f_ext = (F_prev[b + 1] - gap_extend) if b + 1 < B else NEG
-            F_row[b] = max(f_open, f_ext)
-            ptr_F[i, b] = 1 if f_ext > f_open else 0
-            # H: diagonal move keeps the band index (same b, previous row)
-            sub = matrix[tci, qc[j]] if (tci >= 0 and qc[j] >= 0) else -1
-            diag_sc = H_prev[b] + sub
-            h = max(0, diag_sc, E, F_row[b])
-            H_row[b] = h
-            if h == 0:
-                ptr_H[i, b] = 0
-            elif h == diag_sc:
-                ptr_H[i, b] = 1
-            elif h == E:
-                ptr_H[i, b] = 2
-            else:
-                ptr_H[i, b] = 3
-            if h > best:
-                best = h
-                best_ij = (i, b)
-        H_prev = H_row
-        F_prev = F_row
+    H_prev = np.zeros((P, B), dtype=np.int32)
+    F_prev = np.full((P, B), _NEG, dtype=np.int32)
+    ptr = np.zeros((P, ntm, B), dtype=np.uint8)
+    best = np.zeros(P, dtype=np.int32)
+    best_i = np.zeros(P, dtype=np.int64)
+    best_b = np.zeros(P, dtype=np.int64)
+    prange = np.arange(P)
 
-    if best <= 0 or best_ij is None:
-        return None
+    for i in range(ntm):
+        j = base_j + i
+        valid = (j >= 0) & (j < qlen[:, None]) & (i < tlen)[:, None]
+        qcodes = np.take_along_axis(qpad, np.clip(j, 0, nqm - 1), axis=1)
+        tcode = tpad[:, i]
+        ok = valid & (qcodes >= 0) & (tcode >= 0)[:, None]
+        sub = np.where(
+            ok, mat32[np.clip(tcode, 0, None)[:, None], np.clip(qcodes, 0, None)], -1
+        ).astype(np.int32)
+        # F: previous row, band slot b+1 (same query column)
+        f_open = np.empty_like(H_prev)
+        f_ext = np.empty_like(F_prev)
+        f_open[:, :-1] = H_prev[:, 1:] - gap_open
+        f_ext[:, :-1] = F_prev[:, 1:] - gap_extend
+        f_open[:, -1] = _NEG
+        f_ext[:, -1] = _NEG
+        F_row = np.maximum(f_open, f_ext)
+        fext_bit = f_ext > f_open
+        diag_sc = H_prev + sub
+        H_row = np.maximum(0, np.maximum(diag_sc, F_row)).astype(np.int32)
+        H_row[~valid] = 0
+        # E via prefix-max scan, iterated to fixpoint (lazy-E)
+        while True:
+            run = np.maximum.accumulate(H_row + ext_ramp, axis=1)
+            E_row = np.full((P, B), _NEG, dtype=np.int32)
+            E_row[:, 1:] = run[:, :-1] - e_offset[1:]
+            E_row[~valid] = _NEG
+            improved = (E_row > H_row) & valid
+            if not improved.any():
+                break
+            H_row = np.where(improved, E_row, H_row)
+        # pointer byte: H-source (0 stop, 1 diag, 2 E, 3 F) — same priority
+        # order as the traceback checks — plus gap-extension bits.
+        hsrc = np.where(
+            H_row <= 0, 0, np.where(H_row == diag_sc, 1, np.where(H_row == E_row, 2, 3))
+        ).astype(np.uint8)
+        eext_bit = np.zeros((P, B), dtype=bool)
+        eext_bit[:, 1:] = (E_row[:, :-1] - gap_extend) > (H_row[:, :-1] - gap_open)
+        ptr[:, i, :] = hsrc | (eext_bit.astype(np.uint8) << 2) | (fext_bit.astype(np.uint8) << 3)
+        rb = H_row.argmax(axis=1)
+        rm = H_row[prange, rb]
+        upd = rm > best  # strict: earliest row, then lowest slot, wins ties
+        best[upd] = rm[upd]
+        best_i[upd] = i
+        best_b[upd] = rb[upd]
+        H_prev, F_prev = H_row, F_row
 
-    # backtrace
-    i, b = best_ij
+    out = []
+    for p in range(P):
+        if best[p] <= 0:
+            out.append(None)
+            continue
+        out.append(
+            _traceback(
+                ptr[p], int(best[p]), int(best_i[p]), int(best_b[p]), int(d_lo[p]),
+                qcs[p], tcs[p],
+            )
+        )
+    return out
+
+
+def _traceback(ptr_p, best, end_i, end_b, d_lo, qc, tc):
+    """Walk the pointer bytes from the best cell; compute P7 stats."""
+    i, b = end_i, end_b
+    B = ptr_p.shape[1]
     bt: list[str] = []
     state = "H"
-    while i >= 0:
-        j = i + d_lo + b
+    while i >= 0 and 0 <= b < B:
+        byte = int(ptr_p[i, b])
         if state == "H":
-            p = ptr_H[i, b]
-            if p == 0:
+            hsrc = byte & 3
+            if hsrc == 0:
                 break
-            if p == 1:
+            if hsrc == 1:
                 bt.append("M")
-                i -= 1  # diagonal move keeps the band index
-            elif p == 2:
+                i -= 1  # diagonal move keeps the band slot
+            elif hsrc == 2:
                 state = "E"
             else:
                 state = "F"
         elif state == "E":
             bt.append("I")
-            ext = ptr_E[i, b]
+            state = "E" if (byte >> 2) & 1 else "H"
             b -= 1
-            state = "E" if ext else "H"
         else:  # F
             bt.append("D")
-            ext = ptr_F[i, b]
+            state = "F" if (byte >> 3) & 1 else "H"
             i -= 1
             b += 1
-            state = "F" if ext else "H"
-        if b < 0 or b >= B:
-            break
     bt.reverse()
     if not bt:
         return None
-    end_i, end_b = best_ij
     qend = end_i + d_lo + end_b + 1
     tend = end_i + 1
     n_m = bt.count("M")
@@ -233,19 +280,16 @@ def banded_sw(
         qi, ti = off
         if op == "M" and qc[qstart + qi] == tc[tstart + ti] and qc[qstart + qi] >= 0:
             nident += 1
-    gapopen = _count_gap_opens(backtrace)
-    alnlen = len(backtrace)
-    mismatch = n_m - nident
     return {
         "score": int(best),
         "qstart": int(qstart),
         "qend": int(qend),
         "tstart": int(tstart),
         "tend": int(tend),
-        "alnlen": int(alnlen),
+        "alnlen": len(backtrace),
         "nident": int(nident),
-        "mismatch": int(mismatch),
-        "gapopen": int(gapopen),
+        "mismatch": n_m - nident,
+        "gapopen": _count_gap_opens(backtrace),
         "backtrace": backtrace,
     }
 
@@ -273,22 +317,18 @@ def _count_gap_opens(backtrace: str) -> int:
     return opens
 
 
-def align_pair_kernel(
-    qseq: str,
-    tseq: str,
+def find_anchor_diag(
+    qc: np.ndarray,
+    tc: np.ndarray,
+    tpos: dict[int, int],
     kmers: list[int],
     qpositions: list[int],
-    k: int,
     db_residues: int,
     max_evalue: float = DEFAULT_EVALUE,
-    band: int = DEFAULT_BAND,
-    gap_open: int = DEFAULT_GAP_OPEN,
-    gap_extend: int = DEFAULT_GAP_EXTEND,
-):
-    """Full per-pair cascade F5 -> F6 -> gapped -> F7/F8. Returns None or
-    an alignment dict (adds bits/evalue/fident)."""
-    qc, tc = _encode(qseq), _encode(tseq)
-    tpos = _kmer_positions(tc, k)
+) -> int | None:
+    """J3 + F5 + F6: diagonals from k-mer matches; require ≥2 within 4
+    diagonals of each other; per distinct diagonal ungapped rescore, the
+    first whose ungapped e-value passes becomes the gapped anchor."""
     diags = []
     for km, qp in zip(kmers, qpositions):
         tp = tpos.get(int(km))
@@ -305,24 +345,52 @@ def align_pair_kernel(
     if not (np.diff(darr) <= DIAG_PROXIMITY).any():
         return None
     # F6: ungapped rescore per distinct diagonal, first passing wins
-    anchor = None
     for d in dict.fromkeys(diags):
         sc, _, _ = ungapped_score(qc, tc, d)
-        ev = KA_UNGAPPED.evalue(sc, len(qc), db_residues)
-        if ev <= max_evalue:
-            anchor = d
-            break
-    if anchor is None:
-        return None
-    res = banded_sw(qc, tc, anchor, band=band, gap_open=gap_open, gap_extend=gap_extend)
+        if KA_UNGAPPED.evalue(sc, len(qc), db_residues) <= max_evalue:
+            return d
+    return None
+
+
+def _finalize(res: dict | None, qlen: int, db_residues: int, max_evalue: float):
+    """F7/F8 + Karlin-Altschul scoring on a banded_sw result."""
     if res is None or res["alnlen"] == 0:  # F7
         return None
     res["bits"] = KA_GAPPED_11_1.bit_score(res["score"])
-    res["evalue"] = KA_GAPPED_11_1.evalue(res["score"], len(qc), db_residues)
-    res["fident"] = res["nident"] / res["alnlen"] if res["alnlen"] else 0.0
+    res["evalue"] = KA_GAPPED_11_1.evalue(res["score"], qlen, db_residues)
+    res["fident"] = res["nident"] / res["alnlen"]
     if res["evalue"] > max_evalue:  # F8
         return None
     return res
+
+
+def align_pair_kernel(
+    qseq: str,
+    tseq: str,
+    kmers: list[int],
+    qpositions: list[int],
+    k: int,
+    db_residues: int,
+    max_evalue: float = DEFAULT_EVALUE,
+    band: int = DEFAULT_BAND,
+    gap_open: int = DEFAULT_GAP_OPEN,
+    gap_extend: int = DEFAULT_GAP_EXTEND,
+    _tc: np.ndarray | None = None,
+    _tpos: dict[int, int] | None = None,
+):
+    """Full per-pair cascade F5 -> F6 -> gapped -> F7/F8. Returns None or
+    an alignment dict (adds bits/evalue/fident). `_tc`/`_tpos` let callers
+    reuse the target encoding/k-mer positions across the many pairs that
+    share a target. The distributed path (align_pairs) runs the same
+    helpers but batches the gapped stage across pairs."""
+    qc = _encode(qseq)
+    tc = _tc if _tc is not None else _encode(tseq)
+    tpos = _tpos if _tpos is not None else _kmer_positions(tc, k)
+    anchor = find_anchor_diag(qc, tc, tpos, kmers, qpositions, db_residues, max_evalue)
+    if anchor is None:
+        return None
+    res = banded_sw(qc, tc, anchor, band=band, gap_open=gap_open, gap_extend=gap_extend)
+    return _finalize(res, len(qc), db_residues, max_evalue)
 
 
 ALIGN_SCHEMA = (
@@ -369,7 +437,19 @@ def align_pairs(
         F.col("accession").alias("target_accession"),
         F.col("sequence").alias("tseq"),
     )
-    rows = grouped.join(F.broadcast(q), "query_id").join(t, "target_id")
+    # Kernel rows are tiny relative to the cluster — AQE would coalesce the
+    # post-join stage into very few tasks and serialize the Python kernel.
+    # An explicit repartition keeps the Arrow stage wide; sorting each
+    # partition by target length keeps batch padding tight.
+    rows = (
+        grouped.join(F.broadcast(q), "query_id")
+        .join(t, "target_id")
+        .repartition(64)
+        .sortWithinPartitions(F.length("tseq"))
+    )
+
+    # batch memory budget for the traceback pointer array (P × tlen × band+1)
+    PTR_BUDGET = 64 * 1024 * 1024
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
@@ -377,26 +457,56 @@ def align_pairs(
             "bits", "evalue", "raw", "fident", "alnlen", "mismatch", "gapopen",
             "nident", "qstart", "qend", "qlen", "tstart", "tend", "tlen", "backtrace",
         ]
+        tcache: dict[int, tuple] = {}
+        qcache: dict[int, np.ndarray] = {}
         for pdf in batches:
-            out = []
+            # stage 1 (cheap, per pair): J3 diagonals + F5 + F6 anchor
+            todo = []  # (row, qc, tc, anchor)
             for r in pdf.itertuples(index=False):
-                res = align_pair_kernel(
-                    r.qseq, r.tseq, r.kmers, r.qpositions, k, db_residues,
-                    max_evalue=max_evalue, band=band,
-                    gap_open=gap_open, gap_extend=gap_extend,
+                cached = tcache.get(r.target_id)
+                if cached is None:
+                    tc = _encode(r.tseq)
+                    cached = (tc, _kmer_positions(tc, k))
+                    tcache[r.target_id] = cached
+                qc = qcache.get(r.query_id)
+                if qc is None:
+                    qc = qcache[r.query_id] = _encode(r.qseq)
+                anchor = find_anchor_diag(
+                    qc, cached[0], cached[1], r.kmers, r.qpositions, db_residues, max_evalue
                 )
-                if res is None:
-                    continue
-                out.append(
-                    (
-                        r.query_id, r.target_id, r.query_accession, r.target_accession,
-                        res["bits"], res["evalue"], res["score"], res["fident"],
-                        res["alnlen"], res["mismatch"], res["gapopen"], res["nident"],
-                        res["qstart"] + 1, res["qend"], len(r.qseq),
-                        res["tstart"] + 1, res["tend"], len(r.tseq),
-                        res["backtrace"],
+                if anchor is not None:
+                    todo.append((r, qc, cached[0], anchor))
+            # stage 2: gapped alignment, vectorized across pairs
+            out = []
+            lo = 0
+            while lo < len(todo):
+                hi = lo
+                cells = 0
+                while hi < len(todo):
+                    cells += len(todo[hi][2]) * (band + 1)
+                    if hi > lo and cells > PTR_BUDGET:
+                        break
+                    hi += 1
+                chunk = todo[lo:hi]
+                lo = hi
+                results = banded_sw_batch(
+                    [c[1] for c in chunk], [c[2] for c in chunk], [c[3] for c in chunk],
+                    band=band, gap_open=gap_open, gap_extend=gap_extend,
+                )
+                for (r, qc, tc, _), res in zip(chunk, results):
+                    res = _finalize(res, len(qc), db_residues, max_evalue)
+                    if res is None:
+                        continue
+                    out.append(
+                        (
+                            r.query_id, r.target_id, r.query_accession, r.target_accession,
+                            res["bits"], res["evalue"], res["score"], res["fident"],
+                            res["alnlen"], res["mismatch"], res["gapopen"], res["nident"],
+                            res["qstart"] + 1, res["qend"], len(r.qseq),
+                            res["tstart"] + 1, res["tend"], len(r.tseq),
+                            res["backtrace"],
+                        )
                     )
-                )
             yield pd.DataFrame(out, columns=cols)
 
     return rows.mapInPandas(run, schema=ALIGN_SCHEMA)

@@ -17,6 +17,9 @@ same as DuckDB's list functions), and results are rounded to 6 decimals.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -24,7 +27,10 @@ from petasearch_spark.sources.tables import load_table
 
 TOPK = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
-NEARDUP_COS = 0.95
+# Real deployments use ~0.95; the synthetic embeddings are near-orthogonal
+# (max pairwise cos ≈ 0.6), so the query thresholds at 0.4 to produce a
+# non-trivial, oracle-checkable result set at every SF.
+NEARDUP_COS = 0.4
 
 
 def _as_double(v: Column) -> Column:
@@ -83,19 +89,65 @@ ORDER BY query_id, rk
 """
 
 
+N_BLOCKS = 8  # block-pair tasks = NB*(NB+1)/2; size so a block fits an executor
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine ≥ 0.95 — embedding-space near-duplicate pairs.
-    The embeddings table is orders of magnitude smaller than documents;
-    at larger scale swap in the IVF-bucketed variant (operators/ivf.py)."""
+
+    Blocked matrix multiply: vectors are hashed into N_BLOCKS blocks; each
+    unordered block pair (i ≤ j) is one cogroup key, and its task computes
+    the |bi|×|bj| cosine matrix with ONE numpy matmul (BLAS), masked to
+    id_a < id_b. Per-pair Catalyst lambda folds would be O(n²·d) interpreted
+    ops; this is the same arithmetic at memory bandwidth. Shuffle volume is
+    n·d·(NB+1) rows — each vector is replicated once per partner block —
+    and at larger n you raise NB so blocks stay executor-sized, or cut the
+    candidate space first with the LSH/IVF prefilters (dedup_minhash_lsh,
+    operators/ivf.py). Rounded to 6 decimals before thresholding, matching
+    the DuckDB oracle's expression order."""
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    nb = N_BLOCKS
+    blk = emb.withColumn("bi", F.pmod(F.col("vec_id"), F.lit(nb)).cast("int"))
+    # block i participates in pair (i, j) as LEFT for j ≥ i …
+    left = blk.withColumn("bj", F.explode(F.sequence(F.col("bi"), F.lit(nb - 1)))).select(
+        (F.col("bi") * nb + F.col("bj")).alias("pkey"), "vec_id", "v"
+    )
+    # … and in pair (i2, i) as RIGHT for i2 ≤ i.
+    right = blk.withColumn("bi2", F.explode(F.sequence(F.lit(0), F.col("bi")))).select(
+        (F.col("bi2") * nb + F.col("bi")).alias("pkey"), "vec_id", "v"
+    )
+
+    def block_pairs(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["id_a", "id_b", "cos"]
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame(columns=cols)
+        diagonal = key[0] % (nb + 1) == 0  # pkey = bi*nb+bj, bi == bj
+        ida = lpdf["vec_id"].to_numpy()
+        idb = rpdf["vec_id"].to_numpy()
+        A = np.array(lpdf["v"].tolist(), dtype=np.float64)
+        B = np.array(rpdf["v"].tolist(), dtype=np.float64)
+        G = A @ B.T
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nbn = np.sqrt(np.einsum("ij,ij->i", B, B))
+        cos = G / np.outer(na, nbn)
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6  # HALF_UP like Spark/DuckDB ROUND
+        hit = cos >= NEARDUP_COS
+        if diagonal:
+            # both sides are the same block: (u,v) and (v,u) both present,
+            # keep one orientation
+            hit &= ida[:, None] < idb[None, :]
+        ii, jj = np.nonzero(hit)
+        a, b = ida[ii], idb[jj]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b), "cos": cos[ii, jj]}
+        )
+
     return (
-        pairs.select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
-        .filter(F.col("cos") >= NEARDUP_COS)
+        left.groupBy("pkey")
+        .cogroup(right.groupBy("pkey"))
+        .applyInPandas(block_pairs, "id_a long, id_b long, cos double")
         .orderBy("id_a", "id_b")
     )
 

@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from petasearch_spark.operators import dedup, doc_search, events, relational, similarity, text
+from petasearch_spark.operators import dedup, doc_search, events, ivf, relational, similarity, text
 from petasearch_spark.streaming import events_stream
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -49,6 +49,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_simhash": (dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL),
     # --- similarity search ---
     "ann_cosine_topk": (similarity.ann_cosine_topk, similarity.ANN_COSINE_TOPK_SQL),
+    "ann_ivf_topk": (ivf.ann_ivf_topk, ivf.ANN_IVF_TOPK_SQL),
     "embedding_neardup": (similarity.embedding_neardup, similarity.EMBEDDING_NEARDUP_SQL),
     # --- text analysis ---
     "text_quality_stats": (text.text_quality_stats, text.TEXT_QUALITY_SQL),
