@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "embedding_neardup",
+    "image_stats",
+    "video_frame_sample",
     "text_quality_stats",
     "doc_fingerprint",
 ]

@@ -15,7 +15,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from petasearch_spark.operators import dedup, doc_search, events, ivf, relational, similarity, text
+from petasearch_spark.operators import (
+    dedup,
+    doc_search,
+    events,
+    ivf,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
 from petasearch_spark.streaming import events_stream
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -51,6 +60,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_cosine_topk": (similarity.ann_cosine_topk, similarity.ANN_COSINE_TOPK_SQL),
     "ann_ivf_topk": (ivf.ann_ivf_topk, ivf.ANN_IVF_TOPK_SQL),
     "embedding_neardup": (similarity.embedding_neardup, similarity.EMBEDDING_NEARDUP_SQL),
+    # --- multimodal (binary payload + typed metadata, mapInPandas codecs) ---
+    "media_catalog": (multimodal.media_catalog, multimodal.MEDIA_CATALOG_SQL),
+    "image_stats": (multimodal.image_stats, multimodal.IMAGE_STATS_SQL),
+    "image_resize": (multimodal.image_resize, multimodal.IMAGE_RESIZE_SQL),
+    "audio_features": (multimodal.audio_features, multimodal.AUDIO_FEATURES_SQL),
+    "video_frame_sample": (multimodal.video_frame_sample, multimodal.VIDEO_FRAME_SAMPLE_SQL),
     # --- text analysis ---
     "text_quality_stats": (text.text_quality_stats, text.TEXT_QUALITY_SQL),
     "lang_id_heuristic": (text.lang_id_heuristic, text.LANG_ID_SQL),
