@@ -9,8 +9,9 @@ Four families, each a first-class oracle-checked query:
 * MinHash+LSH — 16 min-hashes, 4 bands × 4 rows; candidates = band-bucket
                 join, then exact-Jaccard verification. The scale path: cost
                 is bounded by bucket collisions, not O(n²).
-* SimHash     — 32-bit token-majority fingerprint, banded by 4 × 8-bit
-                sub-keys, Hamming-distance verify. Same banding trick.
+* SimHash     — 60-bit shingle-majority fingerprint, banded by 4 × 15-bit
+                sub-keys, Hamming-distance ≤ 3 verify (any pair that close
+                agrees exactly on at least one band). Same banding trick.
 
 All hashing is the portable md5-based hash64 (operators/portable.py), so
 the DuckDB oracle computes bit-identical signatures.
@@ -26,14 +27,25 @@ from petasearch_spark.sources.tables import load_table
 
 N_HASHES = 16
 BAND_ROWS = 4  # 4 bands × 4 rows
-SIMHASH_BITS = 32
-SIMHASH_MAX_HAMMING = 6
+SIMHASH_BITS = 60  # full width of the portable hash64
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BAND_BITS = 15  # 4 bands x 15 bits: any pair within hamming 3 shares >=1 band
 JACCARD_THRESHOLD = 0.5
+
+# MinHash signature family: sig_i = (a_i * (h % 2^30) + b_i) % (2^31-1)
+# over ONE md5-based base hash per shingle. One cheap affine transform per
+# signature replaces hashing the shingle N_HASHES times (and the N_HASHES-x
+# row blowup that would shuffle). Constants are fixed odd multipliers
+# (Knuth 2654435761) so both engines evaluate identical integer arithmetic;
+# products stay < 2^61, inside BIGINT for Spark and DuckDB alike.
+MH_PRIME = 2147483647
+MH_MOD30 = 1 << 30
+MH_AB = [((i * 2654435761 + 1) % MH_PRIME | 1, (i * 40503 + 17) % MH_PRIME) for i in range(N_HASHES)]
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: canonical = smallest doc_id per content hash."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     return (
         docs.groupBy(F.md5("text").alias("content_hash"))
         .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
@@ -58,13 +70,21 @@ def _distinct_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.5. Candidates come
     from the shingle self-join (no O(n²) scan); Jaccard is exact int
-    arithmetic — deterministic across engines."""
-    sh = _distinct_shingles(load_table(spark, "documents", sf_dir))
+    arithmetic — deterministic across engines. The join key is the 60-bit
+    shingle hash, not the ~25-char shingle string: the self-join shuffles
+    8-byte keys instead of strings (any md5 collision would affect Spark
+    and the oracle identically, so parity is unaffected)."""
+    sh = _distinct_shingles(load_table(spark, "documents", sf_dir, widen_scan=True)).select(
+        "doc_id", hash64(F.col("shingle")).alias("sh_h")
+    )
+    # the shingle set feeds the candidate join AND both verify sides —
+    # persist so the explode+distinct+md5 lineage runs once per action
+    sh = sh.persist()
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -82,10 +102,11 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_JACCARD_SQL = f"""
 WITH {shingles_sql("documents", "doc_id", "text", n=3)}
-, cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+, shh AS (SELECT doc_id, {hash64_sql("shingle")} AS sh_h FROM sh)
+, cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id)
 , pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM shh a JOIN shh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -101,30 +122,36 @@ ORDER BY doc_a, doc_b
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding + exact verify.
 
-    signature_i(doc) = min over shingles of hash64(i || '|' || shingle);
-    band key = comma-joined 4 consecutive signature values; candidates share
-    any band; survivors verified with exact Jaccard ≥ 0.5.
+    signature_i(doc) = min over shingles of the i-th affine transform of
+    the shingle's base hash (MH_AB above); band key = comma-joined 4
+    consecutive signature values; candidates share any band; survivors
+    verified with exact Jaccard ≥ 0.5.
     """
-    docs = load_table(spark, "documents", sf_dir)
-    sh = _distinct_shingles(docs)
-    seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("seed"))
-    mh = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(hash64(F.concat_ws("|", F.col("seed"), F.col("shingle")))).alias("mh"))
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    sh = _distinct_shingles(docs).select("doc_id", hash64(F.col("shingle")).alias("sh_h"))
+    sh = sh.persist()  # reused by sigs, cnt and both verify-join sides
+    h30 = F.col("sh_h") % MH_MOD30
+    # all N_HASHES signature minima in ONE map-side-combining aggregation:
+    # no seed cross-join, no N_HASHES-fold shuffle blowup.
+    sigs = sh.groupBy("doc_id").agg(
+        *[F.min((F.lit(a) * h30 + F.lit(b)) % MH_PRIME).alias(f"s{i}") for i, (a, b) in enumerate(MH_AB)]
     )
-    bands = (
-        mh.withColumn("band", F.floor(F.col("seed") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"].cast("string")
-                ),
-            ).alias("band_key")
-        )
-    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col(f"s{p * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+                        ).alias("band_key"),
+                    )
+                    for p in range(N_HASHES // BAND_ROWS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -139,10 +166,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact verify on the (small) candidate set
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh_h")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh_h")
     shared = (
-        cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"]).groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("shared"))
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "sh_h"]).groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("shared"))
     )
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
@@ -156,29 +183,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MH_SIG_COLS = ",\n           ".join(
+    f"MIN(({a} * (sh_h % {MH_MOD30}) + {b}) % {MH_PRIME}) AS s{i}" for i, (a, b) in enumerate(MH_AB)
+)
+_MH_BAND_ROWS = "\n    UNION ALL\n".join(
+    "    SELECT doc_id, {p} AS band, {key} AS band_key FROM sigs".format(
+        p=p,
+        key=" || ',' || ".join(f"s{p * BAND_ROWS + r}::VARCHAR" for r in range(BAND_ROWS)),
+    )
+    for p in range(N_HASHES // BAND_ROWS)
+)
+
 DEDUP_MINHASH_SQL = f"""
 WITH {shingles_sql("documents", "doc_id", "text", n=3)}
-, mh AS (
-    SELECT doc_id, r.i AS seed, MIN({hash64_sql("r.i::VARCHAR || '|' || shingle")}) AS mh
-    FROM sh, range(0, {N_HASHES}) r(i)
-    GROUP BY doc_id, r.i
+, shh AS (SELECT doc_id, {hash64_sql("shingle")} AS sh_h FROM sh)
+, sigs AS (
+    SELECT doc_id,
+           {_MH_SIG_COLS}
+    FROM shh GROUP BY doc_id
 )
 , bands AS (
-    SELECT doc_id, FLOOR(seed / {BAND_ROWS})::INT AS band,
-           string_agg(mh::VARCHAR, ',' ORDER BY seed) AS band_key
-    FROM mh GROUP BY doc_id, FLOOR(seed / {BAND_ROWS})::INT
+{_MH_BAND_ROWS}
 )
 , cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
-, cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+, cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id)
 , shared AS (
     SELECT doc_a, doc_b, COUNT(*) AS shared
     FROM cand
-    JOIN sh sa ON sa.doc_id = doc_a
-    JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle
+    JOIN shh sa ON sa.doc_id = doc_a
+    JOIN shh sb ON sb.doc_id = doc_b AND sb.sh_h = sa.sh_h
     GROUP BY doc_a, doc_b
 )
 SELECT doc_a, doc_b,
@@ -192,28 +229,36 @@ ORDER BY doc_a, doc_b
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 32-bit majority fingerprint over distinct token
-    hashes; candidate pairs share one of four 8-bit sub-keys; verified by
-    Hamming distance ≤ 6. bit j of simhash = 1 iff more tokens have bit j
-    set than not (strict majority)."""
-    docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).distinct()
-    th = toks.select("doc_id", hash64(F.col("tok")).alias("h"))
-    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("j"))
-    contrib = (
-        th.crossJoin(F.broadcast(bits))
-        .select(
-            "doc_id",
-            "j",
-            F.when(F.expr("(h >> j) & 1") == 1, 1).otherwise(-1).alias("c"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.sum("c").alias("s"))
+    """SimHash near-dup: 60-bit majority fingerprint over distinct word
+    3-gram shingle hashes; candidate pairs share one of four 15-bit
+    sub-keys (pigeonhole:
+    hamming ≤ 3 over 4 bands forces an exact match in ≥1 band); verified
+    by Hamming distance ≤ 3. bit j of simhash = 1 iff more tokens have
+    bit j set than not (strict majority)."""
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    # features = word 3-gram shingles, not unigrams: the synthetic corpus
+    # draws every doc from one small vocabulary, so distinct-token SETS are
+    # near-identical across docs and unigram simhash cannot discriminate;
+    # shingles capture ordering, the thing that actually differs.
+    th = _distinct_shingles(docs).select("doc_id", hash64(F.col("shingle")).alias("h"))
+    th = th.persist()  # feeds the 60-bit aggregation once, not per branch
+    # all 32 bit-majority sums in ONE aggregation (map-side combined):
+    # sum over tokens of ±1 per bit, no 32-fold row blowup.
+    contrib = th.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
     )
-    sim = contrib.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+    sim = contrib.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+                for j in range(SIMHASH_BITS)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
     )
     keyed = sim.select(
         "doc_id",
@@ -223,7 +268,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(p).alias("p"),
-                        F.shiftright(F.col("simhash"), p * 8).bitwiseAND(F.lit(255)).alias("subkey"),
+                        F.shiftright(F.col("simhash"), p * SIMHASH_BAND_BITS).bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1)).alias("subkey"),
                     )
                     for p in range(4)
                 ]
@@ -248,24 +293,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_SIMHASH_SQL = f"""
-WITH toks AS (
-    SELECT DISTINCT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
-    FROM documents
-)
-, th AS (SELECT doc_id, {hash64_sql("tok")} AS h FROM toks)
+WITH {shingles_sql("documents", "doc_id", "text", n=3)}
+, th AS (SELECT doc_id, {hash64_sql("shingle")} AS h FROM sh)
 , contrib AS (
-    SELECT doc_id, r.j AS j,
-           SUM(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-    FROM th, range(0, {SIMHASH_BITS}) r(j)
-    GROUP BY doc_id, r.j
+    SELECT doc_id,
+           {", ".join(f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(SIMHASH_BITS))}
+    FROM th GROUP BY doc_id
 )
 , sim AS (
     SELECT doc_id,
-           SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
-    FROM contrib GROUP BY doc_id
+           {" + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END" for j in range(SIMHASH_BITS))} AS simhash
+    FROM contrib
 )
 , keyed AS (
-    SELECT doc_id, simhash, r.p AS p, (simhash >> (r.p * 8)) & 255 AS subkey
+    SELECT doc_id, simhash, r.p AS p, (simhash >> (r.p * 15)) & 32767 AS subkey
     FROM sim, range(0, 4) r(p)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

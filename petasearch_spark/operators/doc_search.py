@@ -40,7 +40,7 @@ def doc_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 index over word 3-shingles: one row per distinct shingle,
     representative = longest doc (n_chars DESC, doc_id ASC), plus the
     number of docs containing it."""
-    sh = _doc_shingles(load_table(spark, "documents", sf_dir))
+    sh = _doc_shingles(load_table(spark, "documents", sf_dir, widen_scan=True))
     agg = sh.groupBy("shingle").agg(
         F.max_by(
             F.col("doc_id"), F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
@@ -69,7 +69,7 @@ def doc_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     J2 index over all OTHER docs is the target; keep pairs sharing
     > REQ_MATCHES distinct shingles. Query side broadcast — identical join
     strategy to the protein prefilter."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     sh = _doc_shingles(docs)
     queries = sh.filter(F.col("source") == "src0").select(F.col("doc_id").alias("query_doc"), "shingle")
     targets = sh.filter(F.col("source") != "src0")
@@ -139,7 +139,7 @@ def protein_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     of functions/kmer.py is a bijection, so semantics are identical).
     Queries: every 20th doc. Targets: all docs. Matches the reference's
     count>2 HAVING."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     seqs = derived_sequences(docs)
     k = 9
     win = F.when(
@@ -193,7 +193,7 @@ def protein_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests cover the kernel (tests/test_align.py)."""
     from petasearch_spark.plans.search import search
 
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     seqs = derived_sequences(docs).drop("source")
     queries = seqs.filter(F.col("seq_id") % 20 == 0)
     res = search(queries, seqs)

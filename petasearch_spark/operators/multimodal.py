@@ -65,7 +65,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Payload = printable-ASCII bytes of the text, cycled to the length the
     metadata implies. Pure column expressions — Catalyst evaluates the
     whole derivation JVM-side; nothing here needs Python."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     clean = F.regexp_replace(F.col("text"), "[^ -~]", "")
     clean = F.when(F.length(clean) > 0, clean).otherwise(F.lit("x"))
     kind = F.element_at(F.array(*[F.lit(k) for k in _KIND]), (F.col("doc_id") % 3 + 1).cast("int"))

@@ -23,7 +23,7 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality aggregates: token counts, mean token length,
     stopword ratio, short-doc count. The per-doc metrics are exact int
     ratios -> deterministic doubles."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     toks = tokens(F.col("text"))
     n_toks = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
@@ -68,7 +68,7 @@ ORDER BY source
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic language-ID heuristic: vowel-ending-token ratio
     thresholds. Returns the per-(actual, predicted) confusion counts."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     toks = tokens(F.col("text"))
     vowel_end = F.size(F.filter(toks, lambda t: t.rlike("[aeiou]$")))
     ratio = F.round(vowel_end.cast("double") / F.size(toks), 6)
@@ -108,7 +108,7 @@ ORDER BY actual_lang, pred_lang
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and a BPE-ish regex
     lexer (letter runs / digit runs / single punctuation)."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     ws = F.size(tokens(F.col("text")))
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
     return (
@@ -138,7 +138,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: min/max 64-bit hash over char 8-gram
     windows (rolling-hash document signature). Short docs (<8 chars) get
     the hash of the whole text."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     n = 8
     win = F.when(
         F.length("text") >= n,

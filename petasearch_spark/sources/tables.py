@@ -26,7 +26,25 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+def widen(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a narrow scan up to cluster parallelism.
+
+    Small parquet files arrive as one or two input splits, which serializes
+    any CPU-heavy per-row work (explodes, HOF transforms, pandas UDFs)
+    downstream of the scan. At real scale the scan has thousands of splits
+    and this is a no-op; the repartition only fires when the source is
+    narrower than the cluster."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def load_table(
+    spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR, widen_scan: bool = False
+) -> DataFrame:
+    if widen_scan:
+        return widen(spark, load_table(spark, name, sf_dir))
     if name == "events":
         # events.ts is physically TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects; read it as raw nanos and truncate to micros —
