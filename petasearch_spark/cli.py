@@ -1,0 +1,112 @@
+"""Command-line entry points mirroring the reference's workflows
+(SURVEY §3: E1 easy-petasearch, E2 petasearch, E3 expert modules).
+
+    python -m petasearch_spark easy-search  query.fasta target.fasta out_m8_dir
+    python -m petasearch_spark search       query.fasta targetlist.txt out_m8_dir
+    python -m petasearch_spark createindex  target.fasta index_dir
+    python -m petasearch_spark searchindex  query.fasta index_dir target.fasta out_m8_dir
+
+Where the reference hashes params into a tmp dir and execs a generated
+shell script per stage (src/workflow/easypetasearch.cpp:17-43), here every
+stage is one DataFrame lineage in one driver process; the only
+materialization between "modules" is an optional parquet index
+(createindex/searchindex, the E3 split)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from petasearch_spark.session import get_spark
+
+
+def _add_search_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--k", type=int, default=9, help="k-mer size (reference default 9)")
+    p.add_argument("--req-kmer-matches", type=int, default=2, help="HAVING count > N (default 2)")
+    p.add_argument("-e", "--max-evalue", type=float, default=1000.0, help="e-value cutoff (default 1000)")
+    p.add_argument("--exact-kmer-matching", type=int, default=0, choices=[0, 1],
+                   help="1 = exact k-mers only; 0 = similar-k-mer expansion (reference default)")
+    p.add_argument("--mask", type=int, default=1, choices=[0, 1],
+                   help="low-complexity-mask query sequences (reference default 1)")
+    p.add_argument("--format-output-lengths", action="store_true",
+                   help="emit the 14-column BLAST-TAB+len variant")
+
+
+def _search_kwargs(args: argparse.Namespace) -> dict:
+    return dict(
+        k=args.k,
+        req_kmer_matches=args.req_kmer_matches,
+        max_evalue=args.max_evalue,
+        expand_similar=args.exact_kmer_matching == 0,
+        mask=args.mask == 1,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    top = argparse.ArgumentParser(prog="petasearch_spark")
+    sub = top.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("easy-search", help="E1: FASTA vs FASTA -> m8")
+    p.add_argument("query_fasta")
+    p.add_argument("target_fasta")
+    p.add_argument("out_dir")
+    _add_search_args(p)
+
+    p = sub.add_parser("search", help="E2: FASTA vs targetlist -> m8")
+    p.add_argument("query_fasta")
+    p.add_argument("target_list")
+    p.add_argument("out_dir")
+    _add_search_args(p)
+
+    p = sub.add_parser("createindex", help="E3: build + persist the k-mer index")
+    p.add_argument("target_fasta")
+    p.add_argument("index_dir")
+    p.add_argument("--k", type=int, default=9)
+
+    p = sub.add_parser("searchindex", help="E3: search against a persisted index")
+    p.add_argument("query_fasta")
+    p.add_argument("index_dir")
+    p.add_argument("target_fasta")
+    p.add_argument("out_dir")
+    _add_search_args(p)
+
+    args = top.parse_args(argv)
+    spark = get_spark("petasearch-cli")
+
+    from petasearch_spark.sources.fasta import read_fasta
+    from petasearch_spark.sources.m8 import write_m8
+
+    if args.cmd == "createindex":
+        from petasearch_spark.operators.kmer_index import build_kmer_index, write_kmer_index
+
+        seqs = read_fasta(spark, args.target_fasta)
+        write_kmer_index(build_kmer_index(seqs, k=args.k), args.index_dir)
+        print(json.dumps({"index": args.index_dir, "k": args.k}))
+        return 0
+
+    from petasearch_spark.plans.search import search, search_multi_target
+
+    queries = read_fasta(spark, args.query_fasta)
+    if args.cmd == "easy-search":
+        res = search(queries, read_fasta(spark, args.target_fasta), **_search_kwargs(args))
+    elif args.cmd == "searchindex":
+        res = search(
+            queries,
+            read_fasta(spark, args.target_fasta),
+            target_index=spark.read.parquet(args.index_dir),
+            **_search_kwargs(args),
+        )
+    else:  # search (E2)
+        from petasearch_spark.sources.targetlist import load_target_sets
+
+        res = search_multi_target(
+            queries, load_target_sets(spark, args.target_list), **_search_kwargs(args)
+        )
+    write_m8(res, args.out_dir, with_lengths=args.format_output_lengths)
+    print(json.dumps({"m8": args.out_dir}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

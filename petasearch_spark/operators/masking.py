@@ -1,0 +1,108 @@
+"""Low-complexity masking (SURVEY §2.3 T3) — suppress repeat-driven
+k-mer hits before query k-mer extraction.
+
+Reference: queries are tantan-masked before extraction (`--mask` default 1;
+/root/reference/src/sra/comparekmertables.cpp:214-231), masked residues
+become X, and X-containing k-mer windows are skipped (F1). tantan itself is
+an HMM over repeat periods; this module implements a deterministic
+approximation with the same intent and the same interface — residues inside
+detected repeats are replaced by X so downstream k-mer extraction (which
+already skips X windows) suppresses them:
+
+* period-p tandem repeats, p in 1..MAX_PERIOD: a position is masked when it
+  sits inside a run where seq[i] == seq[i-p] for >= MIN_REPEAT consecutive
+  positions (covering >= 2p residues, i.e. at least two full copies);
+* low-entropy windows: a window of WINDOW residues whose dominant residue
+  frequency >= DOMINANT_FRAC is masked entirely.
+
+Pure per-sequence numpy — runs under mapInPandas like every other scalar
+kernel here; no shuffle, embarrassingly parallel at any scale. Not
+SQL-expressible (RE2-based engines have no backreferences), so the
+registry query carries no oracle and is covered by golden unit tests
+(tests/test_masking.py) plus the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_PERIOD = 4
+MIN_REPEAT = 8  # run length (in matched positions) to call a tandem repeat
+WINDOW = 12
+DOMINANT_FRAC = 0.75
+
+
+def mask_seq(seq: str) -> str:
+    """Return `seq` with low-complexity/repeat residues replaced by X."""
+    n = len(seq)
+    if n == 0:
+        return seq
+    b = np.frombuffer(seq.encode("ascii", "replace"), dtype=np.uint8).copy()
+    cover = np.zeros(n + 1, dtype=np.int64)  # difference array of masked intervals
+    # tandem repeats of period p: runs of (b[i+p] == b[i]) found vectorized
+    for p in range(1, MAX_PERIOD + 1):
+        if n <= p:
+            break
+        eq = (b[p:] == b[:-p]).astype(np.int8)
+        d = np.diff(np.concatenate(([0], eq, [0])))
+        starts = np.nonzero(d == 1)[0]
+        ends = np.nonzero(d == -1)[0]
+        for s, e in zip(starts, ends):  # few runs per sequence
+            if e - s >= MIN_REPEAT:
+                cover[s] += 1  # mask the tract incl. the leading copy
+                cover[min(n, e + p)] -= 1
+    # low-entropy windows: dominant residue >= DOMINANT_FRAC of WINDOW
+    if n >= WINDOW:
+        w = np.lib.stride_tricks.sliding_window_view(b, WINDOW)
+        # dominant count per window = longest equal run in the sorted window
+        sw = np.sort(w, axis=1)
+        same = sw[:, 1:] == sw[:, :-1]
+        dom = np.ones(len(sw), dtype=np.int64)
+        run = np.ones(len(sw), dtype=np.int64)
+        for j in range(same.shape[1]):  # WINDOW-1 vector ops
+            run = np.where(same[:, j], run + 1, 1)
+            dom = np.maximum(dom, run)
+        hit = np.nonzero(dom >= int(np.ceil(DOMINANT_FRAC * WINDOW)))[0]
+        np.add.at(cover, hit, 1)
+        np.add.at(cover, np.minimum(n, hit + WINDOW), -1)
+    masked = np.cumsum(cover[:-1]) > 0
+    if not masked.any():
+        return seq
+    b[masked] = ord("X")
+    return b.tobytes().decode("ascii")
+
+
+def mask_sequences(sequences: DataFrame, col: str = "sequence") -> DataFrame:
+    """T3 over a sequences DF: replace `col` with its masked form."""
+    schema = ", ".join(f"{name} {dtype}" for name, dtype in sequences.dtypes)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[col] = [mask_seq(s) for s in pdf[col]]
+            yield pdf
+
+    return sequences.mapInPandas(run, schema=schema)
+
+
+def protein_mask_stats(spark, sf_dir: str) -> DataFrame:
+    """Registry query: masked-residue counts over the derived protein
+    sequences — exercises T3 end to end (rows-only driver check; the
+    kernel has golden unit tests)."""
+    from petasearch_spark.operators.doc_search import derived_sequences
+    from petasearch_spark.sources.tables import load_table
+
+    seqs = derived_sequences(load_table(spark, "documents", sf_dir, widen_scan=True))
+    masked = mask_sequences(seqs)
+    n_x = F.length("sequence") - F.length(F.regexp_replace("sequence", "X", ""))
+    return (
+        masked.select("seq_id", F.length("sequence").alias("seq_len"), n_x.alias("n_masked"))
+        .filter(F.col("n_masked") > 0)
+        .orderBy("seq_id")
+    )

@@ -36,12 +36,18 @@ def search(
     expand_similar: bool = False,
     kmer_threshold: int | None = None,
     kmer_max_per_pos: int | None = None,
+    mask: bool = False,
 ) -> DataFrame:
     """queries/targets: sequences(seq_id, accession, header, sequence).
 
     ``expand_similar=True`` turns on T2 similar-k-mer expansion (the
     reference's default sensitivity mode, --exact-kmer-matching 0);
     False is the reference's exact mode (comparekmertables.cpp:263).
+    ``mask=True`` runs T3 low-complexity masking over the QUERY sequences
+    before k-mer extraction (the reference's --mask 1,
+    comparekmertables.cpp:214-231) — extraction's X-window skip then
+    suppresses repeat-driven probes. Alignment still uses the unmasked
+    residues, as in the reference.
 
     Returns the alignments DataFrame (FIXTURES.md §1), sorted query-keyed
     by (evalue ASC, bits DESC, tlen ASC, target_id ASC) — the reference's
@@ -50,7 +56,12 @@ def search(
     """
     if target_index is None:
         target_index = build_kmer_index(targets, k=k)
-    qk = extract_query_kmers(queries, k=k)
+    if mask:
+        from petasearch_spark.operators.masking import mask_sequences
+
+        qk = extract_query_kmers(mask_sequences(queries), k=k)
+    else:
+        qk = extract_query_kmers(queries, k=k)
     if expand_similar:
         from petasearch_spark.operators.similar_kmers import (
             DEFAULT_KMER_THRESHOLD,
@@ -83,3 +94,38 @@ def search_multi_target(
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+def funnel_report(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = DEFAULT_K,
+    req_kmer_matches: int = DEFAULT_REQ_KMER_MATCHES,
+    max_evalue: float = DEFAULT_EVALUE,
+    **kwargs,
+) -> dict:
+    """A4: the reference's runtime funnel counters as a run report.
+
+    Mirrors comparekmertables.cpp:463,495,587,619 (equal k-mers, hit rows,
+    rows after HAVING) and blockalign.cpp:465-481 (alignments passed,
+    hits/query). Each number is one lazily-planned count over the shared
+    lineage — Spark computes them as separate narrow jobs; use for
+    diagnostics, not in the hot path."""
+    index = build_kmer_index(targets, k=k)
+    qk = extract_query_kmers(queries, k=k)
+    matches = qk.join(index.select("kmer", F.col("seq_id").alias("target_id")), "kmer")
+    pairs = prefilter(qk, index, req_kmer_matches=req_kmer_matches)
+    ali = search(queries, targets, target_index=index, k=k,
+                 req_kmer_matches=req_kmer_matches, max_evalue=max_evalue, **kwargs)
+    n_queries = queries.count()
+    report = {
+        "query_kmers": qk.count(),
+        "index_kmers": index.count(),
+        "equal_kmers": matches.count(),
+        "prefilter_rows": pairs.count(),
+        "prefilter_pairs": pairs.select("query_id", "target_id").distinct().count(),
+        "alignments_passed": ali.count(),
+        "n_queries": n_queries,
+    }
+    report["hits_per_query"] = report["alignments_passed"] / max(1, n_queries)
+    return report

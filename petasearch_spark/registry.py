@@ -20,6 +20,7 @@ from petasearch_spark.operators import (
     doc_search,
     events,
     ivf,
+    masking,
     multimodal,
     relational,
     similarity,
@@ -51,6 +52,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_prefilter": (doc_search.doc_prefilter, doc_search.DOC_PREFILTER_SQL),
     "protein_prefilter": (doc_search.protein_prefilter, doc_search.PROTEIN_PREFILTER_SQL),
     "protein_search": (doc_search.protein_search, None),  # alignment kernel: rows-only
+    "protein_mask_stats": (masking.protein_mask_stats, None),  # T3: no backrefs in RE2, rows-only
     # --- dedup family ---
     "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
     "dedup_jaccard_pairs": (dedup.dedup_jaccard_pairs, dedup.DEDUP_JACCARD_SQL),

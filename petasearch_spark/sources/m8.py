@@ -57,3 +57,54 @@ def write_m8(alignments: DataFrame, path: str, with_lengths: bool = False) -> No
     reference's per-thread shards + cat (SRADBWriter merge,
     /root/reference/src/commons/SRADBWriter.cpp:150-176)."""
     to_m8(alignments, with_lengths).write.mode("overwrite").option("sep", "\t").csv(path)
+
+
+def _gapped(seq: str, start1: int, backtrace: str, gap_op: str) -> str:
+    """Replay `backtrace` over `seq` from 1-based `start1`, inserting '-'
+    where `gap_op` says this side doesn't consume a residue (P8,
+    printAlnSeq /root/reference/src/sra/convertsraalignments.cpp:59-87)."""
+    out = []
+    i = start1 - 1
+    for op in backtrace:
+        if op == gap_op:
+            out.append("-")
+        else:
+            out.append(seq[i])
+            i += 1
+    return "".join(out)
+
+
+def with_alignment_strings(
+    alignments: DataFrame, queries: DataFrame, targets: DataFrame
+) -> DataFrame:
+    """P8: add `qaln`/`taln` gap-inserted alignment strings. Only joins the
+    sequence text back in when these outfmt columns are requested — the
+    m8 default never pays for it. Backtrace ops are relative to (query,
+    target): M consumes both, I consumes query only (gap in target),
+    D consumes target only (gap in query)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    q = queries.select(F.col("seq_id").alias("query_id"), F.col("sequence").alias("_qseq"))
+    t = targets.select(F.col("seq_id").alias("target_id"), F.col("sequence").alias("_tseq"))
+    rows = alignments.join(F.broadcast(q), "query_id").join(t, "target_id")
+    out_schema = ", ".join(
+        [f"{n} {d}" for n, d in alignments.dtypes] + ["qaln string", "taln string"]
+    )
+    keep = [n for n, _ in alignments.dtypes]
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["qaln"] = [
+                _gapped(s, st, bt, "D")
+                for s, st, bt in zip(pdf["_qseq"], pdf["qstart"], pdf["backtrace"])
+            ]
+            pdf["taln"] = [
+                _gapped(s, st, bt, "I")
+                for s, st, bt in zip(pdf["_tseq"], pdf["tstart"], pdf["backtrace"])
+            ]
+            yield pdf[keep + ["qaln", "taln"]]
+
+    return rows.mapInPandas(run, schema=out_schema)

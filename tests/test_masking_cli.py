@@ -1,0 +1,130 @@
+"""T3 masking goldens, A4 funnel report, P8 alignment strings, S5
+targetlist, and the CLI end-to-end."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from petasearch_spark.operators.masking import mask_seq, mask_sequences, protein_mask_stats
+
+
+class TestMaskSeq:
+    def test_homopolymer_masked(self):
+        s = "ACDEFGHIKLMNPQRST" + "L" * 20 + "ACDEFGHIKLMNPQRST"
+        m = mask_seq(s)
+        assert "L" * 20 not in m
+        # low-entropy windows may eat <= WINDOW - ceil(0.75*WINDOW) = 3
+        # residues of each flank; the diverse core must survive
+        assert m.startswith("ACDEFGHIKLMNPQ")
+        assert m.endswith("EFGHIKLMNPQRST")
+
+    def test_dipeptide_repeat_masked(self):
+        s = "WYWYWYWYWYWYWYWYWYWY"
+        assert set(mask_seq(s)) == {"X"}
+
+    def test_period3_repeat_masked(self):
+        s = "MKVACDEFGHIKLQW" + "AGT" * 8 + "MKVACDEFGHIKLQW"
+        m = mask_seq(s)
+        assert "AGTAGTAGT" not in m
+
+    def test_diverse_sequence_untouched(self):
+        s = "ACDEFGHIKLMNPQRSTVWYLKMHNQERTVACDFGHIW"
+        assert mask_seq(s) == s
+
+    def test_empty_and_short(self):
+        assert mask_seq("") == ""
+        assert mask_seq("ACD") == "ACD"
+
+
+def test_mask_sequences_df(spark):
+    from petasearch_spark.sources.fasta import sequences_from_records
+
+    seqs = sequences_from_records(
+        spark,
+        [("s0 rep", "ACDEFGHIKLMNPQRST" + "P" * 30), ("s1 ok", "ACDEFGHIKLMNPQRSTVWY")],
+    )
+    rows = {r["seq_id"]: r["sequence"] for r in mask_sequences(seqs).collect()}
+    assert "P" * 30 not in rows[0] and "X" in rows[0]
+    assert rows[1] == "ACDEFGHIKLMNPQRSTVWY"
+
+
+def test_protein_mask_stats_runs(spark):
+    df = protein_mask_stats(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert all(0 < r["n_masked"] <= r["seq_len"] for r in rows)
+
+
+def test_funnel_report(spark):
+    from petasearch_spark.plans.search import funnel_report
+    from petasearch_spark.sources.fasta import sequences_from_records
+
+    q = sequences_from_records(spark, [("q0", "ACDEFGHIKLMNPQRSTVWY")])
+    t = sequences_from_records(
+        spark,
+        [("t0", "WWWWACDEFGHIKLMNPQRSTVWYAAAA"), ("t1", "YYYYYYYYYYYYYYYYYYYY")],
+    )
+    rep = funnel_report(q, t)
+    assert rep["n_queries"] == 1
+    assert rep["query_kmers"] == 12
+    assert rep["equal_kmers"] == 12  # every query k-mer is in t0
+    assert rep["prefilter_pairs"] == 1
+    assert rep["alignments_passed"] == 1
+    assert rep["hits_per_query"] == 1.0
+
+
+def test_alignment_strings(spark):
+    from petasearch_spark.plans.search import search
+    from petasearch_spark.sources.fasta import sequences_from_records
+    from petasearch_spark.sources.m8 import with_alignment_strings
+
+    q = sequences_from_records(spark, [("q0", "ACDEFGHIKLMNPQRSTVWY")])
+    t = sequences_from_records(spark, [("t0", "WWWWACDEFGHIKLMNPQRSTVWYAAAA")])
+    ali = search(q, t)
+    rows = with_alignment_strings(ali, q, t).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["qaln"] == r["taln"] == "ACDEFGHIKLMNPQRSTVWY"  # exact overlap, no gaps
+    assert len(r["qaln"]) == r["alnlen"]
+
+
+def test_cli_easy_search(spark, tmp_path):
+    from petasearch_spark.cli import main
+
+    qf = tmp_path / "q.fa"
+    tf = tmp_path / "t.fa"
+    qf.write_text(">q0\nACDEFGHIKLMNPQRSTVWY\n")
+    tf.write_text(">t0 hit\nWWWWACDEFGHIKLMNPQRSTVWYAAAA\n>t1 miss\nGGGGGGGGGGGG\n")
+    out = tmp_path / "out_m8"
+    rc = main(["easy-search", str(qf), str(tf), str(out), "--exact-kmer-matching", "1", "--mask", "0"])
+    assert rc == 0
+    lines = []
+    for part in glob.glob(os.path.join(str(out), "part-*")):
+        lines += [ln for ln in open(part).read().splitlines() if ln]
+    assert len(lines) == 1
+    fields = lines[0].split("\t")
+    assert fields[0] == "q0" and fields[1] == "t0"
+    assert len(fields) == 12
+
+
+def test_cli_targetlist_search(spark, tmp_path):
+    from petasearch_spark.cli import main
+
+    qf = tmp_path / "q.fa"
+    qf.write_text(">q0\nACDEFGHIKLMNPQRSTVWY\n")
+    t1 = tmp_path / "t1.fa"
+    t1.write_text(">t0 one\nWWWWACDEFGHIKLMNPQRSTVWYAAAA\n")
+    t2 = tmp_path / "t2.fa"
+    t2.write_text(">u0 two\nHHHHACDEFGHIKLMNPQRSTVWYHHHH\n")
+    tl = tmp_path / "targets.txt"
+    tl.write_text(f"{t1}\n# comment\n{t2}\n")
+    out = tmp_path / "out_m8"
+    rc = main(["search", str(qf), str(tl), str(out), "--exact-kmer-matching", "1", "--mask", "0"])
+    assert rc == 0
+    lines = []
+    for part in glob.glob(os.path.join(str(out), "part-*")):
+        lines += [ln for ln in open(part).read().splitlines() if ln]
+    targets_hit = {ln.split("\t")[1] for ln in lines}
+    assert targets_hit == {"t0", "u0"}  # J5: both listed sets searched
