@@ -37,6 +37,7 @@ def search(
     kmer_threshold: int | None = None,
     kmer_max_per_pos: int | None = None,
     mask: bool = False,
+    compo_bias: bool = False,
 ) -> DataFrame:
     """queries/targets: sequences(seq_id, accession, header, sequence).
 
@@ -66,6 +67,7 @@ def search(
         from petasearch_spark.operators.similar_kmers import (
             DEFAULT_KMER_THRESHOLD,
             DEFAULT_MAX_PER_POS,
+            composition_bias_kmer,
             expand_query_kmers,
         )
 
@@ -74,6 +76,9 @@ def search(
             k=k,
             threshold=kmer_threshold if kmer_threshold is not None else DEFAULT_KMER_THRESHOLD,
             max_per_pos=kmer_max_per_pos if kmer_max_per_pos is not None else DEFAULT_MAX_PER_POS,
+            # T4: per-position composition bias raises the similar-k-mer
+            # threshold inside biased regions (comparekmertables.cpp:196-253)
+            bias=composition_bias_kmer(queries, k=k) if compo_bias else None,
         )
     pairs = prefilter(qk, target_index, req_kmer_matches=req_kmer_matches)
     alignments = align_pairs(pairs, queries, targets, k=k, max_evalue=max_evalue)

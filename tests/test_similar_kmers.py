@@ -90,3 +90,45 @@ def test_sensitivity_flip_e2e(spark):
         qdf, tdf, expand_similar=True, kmer_threshold=30, kmer_max_per_pos=200
     ).collect()
     assert any(r["target_accession"] == "t0" for r in sens)
+
+
+class TestCompositionBias:
+    def test_bias_positive_in_homopolymer(self, spark):
+        from petasearch_spark.operators.similar_kmers import composition_bias_kmer
+        from petasearch_spark.sources.fasta import sequences_from_records
+
+        seqs = sequences_from_records(
+            spark,
+            [("rep", "L" * 40), ("div", "ACDEFGHIKLMNPQRSTVWYACDEFGHIKLMNPQRSTVWY")],
+        )
+        rows = composition_bias_kmer(seqs).collect()
+        rep = [r["kbias"] for r in rows if r["query_id"] == 0]
+        div = [r["kbias"] for r in rows if r["query_id"] == 1]
+        # homopolymer: every window residue scores matrix[L][L]=4 vs itself
+        assert min(rep) > 20
+        # diverse sequence: near-zero or negative bias
+        assert max(div) <= 5
+
+    def test_bias_suppresses_expansion(self, spark):
+        from pyspark.sql import functions as F
+
+        from petasearch_spark.operators.kmer_index import extract_query_kmers
+        from petasearch_spark.operators.similar_kmers import (
+            composition_bias_kmer,
+            expand_query_kmers,
+        )
+        from petasearch_spark.sources.fasta import sequences_from_records
+
+        seqs = sequences_from_records(
+            spark, [("rep", "L" * 20), ("div", "ACDEFGHIKWMNPQRSTVWY")]
+        )
+        qk = extract_query_kmers(seqs)
+        plain = expand_query_kmers(qk, threshold=30, max_per_pos=10)
+        biased = expand_query_kmers(
+            qk, threshold=30, max_per_pos=10, bias=composition_bias_kmer(seqs)
+        )
+        n_plain = {r["query_id"]: r["n"] for r in plain.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+        n_biased = {r["query_id"]: r["n"] for r in biased.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # the repeat query loses expansions under bias; the diverse one keeps ~all
+        assert n_biased.get(0, 0) < n_plain[0]
+        assert n_biased.get(1, 0) >= 0.8 * n_plain[1]
