@@ -26,7 +26,7 @@ from petasearch_spark.operators import (
     similarity,
     text,
 )
-from petasearch_spark.streaming import events_stream
+from petasearch_spark.streaming import events_stream, stateful
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -47,6 +47,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_sessionize": (events.events_sessionize, events.EVENTS_SESSIONIZE_SQL),
     "events_json_stats": (events.events_json_stats, events.EVENTS_JSON_SQL),
     "events_stream_hourly": (events_stream.events_stream_hourly, events_stream.EVENTS_STREAM_HOURLY_SQL),
+    "events_stream_user_totals": (stateful.events_stream_user_totals, stateful.EVENTS_STREAM_USER_TOTALS_SQL),
+    "docs_stream_dedup": (stateful.docs_stream_dedup, stateful.DOCS_STREAM_DEDUP_SQL),
     # --- engine semantics under the oracle (J1/J2/A1 on documents) ---
     "doc_shingle_index": (doc_search.doc_shingle_index, doc_search.DOC_SHINGLE_INDEX_SQL),
     "doc_prefilter": (doc_search.doc_prefilter, doc_search.DOC_PREFILTER_SQL),
