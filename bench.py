@@ -48,6 +48,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark("petasearch_bench")
+    # JVM/codegen warmup so the first timed query isn't charged for session
+    # startup (a real deployment's session is long-lived)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn, _ = REGISTRY[name]

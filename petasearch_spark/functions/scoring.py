@@ -90,6 +90,19 @@ KA_UNGAPPED = KarlinAltschul(lam=0.3176, k=0.134, log_k=math.log(0.134))
 KA_GAPPED_11_1 = KarlinAltschul(lam=0.267, k=0.041, log_k=math.log(0.041))
 
 
+# --- nucleotide mode (the reference's DBTYPE_NUCLEOTIDES branch,
+# /root/reference/src/sra/comparekmertables.cpp:129-143: alphabet of 5,
+# match/mismatch scoring instead of BLOSUM) -----------------------------
+NUCL_ALPHABET = "ACGT"  # N and anything else encode to -1 = invalid (F1)
+
+#: blastn-style +2/-3 match/mismatch matrix over ACGT codes
+NUCL_MATRIX: np.ndarray = np.where(np.eye(4, dtype=bool), 2, -3).astype(np.int32)
+
+#: published NCBI megablast-family constants for +2/-3, gap 5/2
+KA_NUCL_UNGAPPED = KarlinAltschul(lam=0.625, k=0.41, log_k=math.log(0.41))
+KA_NUCL_GAPPED = KarlinAltschul(lam=0.625, k=0.41, log_k=math.log(0.41))
+
+
 def bit_score_expr(raw: Column, ka: KarlinAltschul = KA_GAPPED_11_1) -> Column:
     """Column-expression bit score (EvalueComputation.h:18-20)."""
     return (F.lit(ka.lam) * raw - F.lit(ka.log_k)) / F.lit(math.log(2))

@@ -48,19 +48,26 @@ DEFAULT_GAP_OPEN = 11
 DEFAULT_GAP_EXTEND = 1
 DIAG_PROXIMITY = 4  # hard-coded N=4, blockalign.cpp:61-69
 
-_CODE = {c: i for i, c in enumerate(AMINO_ALPHABET)}
-_CODE_LUT = np.full(128, -1, dtype=np.int64)
-for _c, _i in _CODE.items():
-    _CODE_LUT[ord(_c)] = _i
+_LUTS: dict[str, np.ndarray] = {}
 
 
-def _encode(seq: str) -> np.ndarray:
+def _lut(alphabet: str) -> np.ndarray:
+    lut = _LUTS.get(alphabet)
+    if lut is None:
+        lut = np.full(128, -1, dtype=np.int64)
+        for i, c in enumerate(alphabet):
+            lut[ord(c)] = i
+        _LUTS[alphabet] = lut
+    return lut
+
+
+def _encode(seq: str, alphabet: str = AMINO_ALPHABET) -> np.ndarray:
     """residue string -> int codes; invalid residues (X etc.) -> -1."""
     b = np.frombuffer(seq.encode("ascii", "replace"), dtype=np.uint8)
-    return _CODE_LUT[b & 0x7F]
+    return _lut(alphabet)[b & 0x7F]
 
 
-def _kmer_positions(codes: np.ndarray, k: int) -> dict[int, int]:
+def _kmer_positions(codes: np.ndarray, k: int, alphabet_size: int = len(AMINO_ALPHABET)) -> dict[int, int]:
     """kmer code -> FIRST position in the sequence (the reference's
     lower_bound lookup returns the first entry for the kmer,
     blockalign.cpp:282-287). Vectorized: all windows at once, windows
@@ -68,7 +75,7 @@ def _kmer_positions(codes: np.ndarray, k: int) -> dict[int, int]:
     n = len(codes)
     if n < k:
         return {}
-    a = len(AMINO_ALPHABET)
+    a = alphabet_size
     w = np.lib.stride_tricks.sliding_window_view(codes, k)
     valid = (w >= 0).all(axis=1)
     weights = a ** np.arange(k - 1, -1, -1, dtype=np.int64)
@@ -325,6 +332,8 @@ def find_anchor_diag(
     qpositions: list[int],
     db_residues: int,
     max_evalue: float = DEFAULT_EVALUE,
+    matrix: np.ndarray = BLOSUM62,
+    ka_ungapped=KA_UNGAPPED,
 ) -> int | None:
     """J3 + F5 + F6: diagonals from k-mer matches; require ≥2 within 4
     diagonals of each other; per distinct diagonal ungapped rescore, the
@@ -346,18 +355,18 @@ def find_anchor_diag(
         return None
     # F6: ungapped rescore per distinct diagonal, first passing wins
     for d in dict.fromkeys(diags):
-        sc, _, _ = ungapped_score(qc, tc, d)
-        if KA_UNGAPPED.evalue(sc, len(qc), db_residues) <= max_evalue:
+        sc, _, _ = ungapped_score(qc, tc, d, matrix=matrix)
+        if ka_ungapped.evalue(sc, len(qc), db_residues) <= max_evalue:
             return d
     return None
 
 
-def _finalize(res: dict | None, qlen: int, db_residues: int, max_evalue: float):
+def _finalize(res: dict | None, qlen: int, db_residues: int, max_evalue: float, ka=KA_GAPPED_11_1):
     """F7/F8 + Karlin-Altschul scoring on a banded_sw result."""
     if res is None or res["alnlen"] == 0:  # F7
         return None
-    res["bits"] = KA_GAPPED_11_1.bit_score(res["score"])
-    res["evalue"] = KA_GAPPED_11_1.evalue(res["score"], qlen, db_residues)
+    res["bits"] = ka.bit_score(res["score"])
+    res["evalue"] = ka.evalue(res["score"], qlen, db_residues)
     res["fident"] = res["nident"] / res["alnlen"]
     if res["evalue"] > max_evalue:  # F8
         return None
@@ -377,20 +386,25 @@ def align_pair_kernel(
     gap_extend: int = DEFAULT_GAP_EXTEND,
     _tc: np.ndarray | None = None,
     _tpos: dict[int, int] | None = None,
+    alphabet: str = AMINO_ALPHABET,
+    matrix: np.ndarray = BLOSUM62,
+    ka_ungapped=KA_UNGAPPED,
+    ka_gapped=KA_GAPPED_11_1,
 ):
     """Full per-pair cascade F5 -> F6 -> gapped -> F7/F8. Returns None or
     an alignment dict (adds bits/evalue/fident). `_tc`/`_tpos` let callers
     reuse the target encoding/k-mer positions across the many pairs that
     share a target. The distributed path (align_pairs) runs the same
     helpers but batches the gapped stage across pairs."""
-    qc = _encode(qseq)
-    tc = _tc if _tc is not None else _encode(tseq)
-    tpos = _tpos if _tpos is not None else _kmer_positions(tc, k)
-    anchor = find_anchor_diag(qc, tc, tpos, kmers, qpositions, db_residues, max_evalue)
+    qc = _encode(qseq, alphabet)
+    tc = _tc if _tc is not None else _encode(tseq, alphabet)
+    tpos = _tpos if _tpos is not None else _kmer_positions(tc, k, len(alphabet))
+    anchor = find_anchor_diag(qc, tc, tpos, kmers, qpositions, db_residues, max_evalue,
+                              matrix=matrix, ka_ungapped=ka_ungapped)
     if anchor is None:
         return None
-    res = banded_sw(qc, tc, anchor, band=band, gap_open=gap_open, gap_extend=gap_extend)
-    return _finalize(res, len(qc), db_residues, max_evalue)
+    res = banded_sw(qc, tc, anchor, band=band, gap_open=gap_open, gap_extend=gap_extend, matrix=matrix)
+    return _finalize(res, len(qc), db_residues, max_evalue, ka=ka_gapped)
 
 
 ALIGN_SCHEMA = (
@@ -411,6 +425,10 @@ def align_pairs(
     gap_open: int = DEFAULT_GAP_OPEN,
     gap_extend: int = DEFAULT_GAP_EXTEND,
     db_residues: int | None = None,
+    alphabet: str = AMINO_ALPHABET,
+    matrix: np.ndarray = BLOSUM62,
+    ka_ungapped=KA_UNGAPPED,
+    ka_gapped=KA_GAPPED_11_1,
 ) -> DataFrame:
     """prefilter_pairs(target_id, query_id, kmer, pos) + sequence tables ->
     alignments (FIXTURES.md §1 schema, 1-based coords, query-keyed).
@@ -465,14 +483,15 @@ def align_pairs(
             for r in pdf.itertuples(index=False):
                 cached = tcache.get(r.target_id)
                 if cached is None:
-                    tc = _encode(r.tseq)
-                    cached = (tc, _kmer_positions(tc, k))
+                    tc = _encode(r.tseq, alphabet)
+                    cached = (tc, _kmer_positions(tc, k, len(alphabet)))
                     tcache[r.target_id] = cached
                 qc = qcache.get(r.query_id)
                 if qc is None:
-                    qc = qcache[r.query_id] = _encode(r.qseq)
+                    qc = qcache[r.query_id] = _encode(r.qseq, alphabet)
                 anchor = find_anchor_diag(
-                    qc, cached[0], cached[1], r.kmers, r.qpositions, db_residues, max_evalue
+                    qc, cached[0], cached[1], r.kmers, r.qpositions, db_residues, max_evalue,
+                    matrix=matrix, ka_ungapped=ka_ungapped,
                 )
                 if anchor is not None:
                     todo.append((r, qc, cached[0], anchor))
@@ -491,10 +510,10 @@ def align_pairs(
                 lo = hi
                 results = banded_sw_batch(
                     [c[1] for c in chunk], [c[2] for c in chunk], [c[3] for c in chunk],
-                    band=band, gap_open=gap_open, gap_extend=gap_extend,
+                    band=band, gap_open=gap_open, gap_extend=gap_extend, matrix=matrix,
                 )
                 for (r, qc, tc, _), res in zip(chunk, results):
-                    res = _finalize(res, len(qc), db_residues, max_evalue)
+                    res = _finalize(res, len(qc), db_residues, max_evalue, ka=ka_gapped)
                     if res is None:
                         continue
                     out.append(

@@ -38,6 +38,7 @@ def search(
     kmer_max_per_pos: int | None = None,
     mask: bool = False,
     compo_bias: bool = False,
+    alphabet: str = "amino",
 ) -> DataFrame:
     """queries/targets: sequences(seq_id, accession, header, sequence).
 
@@ -55,14 +56,34 @@ def search(
     O6 ordering (matcherResultsSort, blockalign.cpp:534-550) made *global*
     instead of per-thread (SURVEY §2.6 notes ours is strictly better).
     """
+    # alphabet mode: the reference's dbtype branch
+    # (comparekmertables.cpp:129-143) — amino (BLOSUM62, 11/1 gaps) or
+    # nucleotide (+2/-3 match/mismatch, ACGT codes, N invalid).
+    if alphabet == "nucl":
+        from petasearch_spark.functions.scoring import (
+            KA_NUCL_GAPPED,
+            KA_NUCL_UNGAPPED,
+            NUCL_ALPHABET,
+            NUCL_MATRIX,
+        )
+
+        alpha, matrix = NUCL_ALPHABET, NUCL_MATRIX
+        ka_u, ka_g = KA_NUCL_UNGAPPED, KA_NUCL_GAPPED
+    else:
+        from petasearch_spark.functions.kmer import AMINO_ALPHABET
+        from petasearch_spark.functions.scoring import BLOSUM62, KA_GAPPED_11_1, KA_UNGAPPED
+
+        alpha, matrix = AMINO_ALPHABET, BLOSUM62
+        ka_u, ka_g = KA_UNGAPPED, KA_GAPPED_11_1
+
     if target_index is None:
-        target_index = build_kmer_index(targets, k=k)
+        target_index = build_kmer_index(targets, k=k, alphabet=alpha)
     if mask:
         from petasearch_spark.operators.masking import mask_sequences
 
-        qk = extract_query_kmers(mask_sequences(queries), k=k)
+        qk = extract_query_kmers(mask_sequences(queries), k=k, alphabet=alpha)
     else:
-        qk = extract_query_kmers(queries, k=k)
+        qk = extract_query_kmers(queries, k=k, alphabet=alpha)
     if expand_similar:
         from petasearch_spark.operators.similar_kmers import (
             DEFAULT_KMER_THRESHOLD,
@@ -81,7 +102,10 @@ def search(
             bias=composition_bias_kmer(queries, k=k) if compo_bias else None,
         )
     pairs = prefilter(qk, target_index, req_kmer_matches=req_kmer_matches)
-    alignments = align_pairs(pairs, queries, targets, k=k, max_evalue=max_evalue)
+    alignments = align_pairs(
+        pairs, queries, targets, k=k, max_evalue=max_evalue,
+        alphabet=alpha, matrix=matrix, ka_ungapped=ka_u, ka_gapped=ka_g,
+    )
     return alignments.orderBy(
         "query_id", "evalue", F.desc("bits"), "tlen", "target_id"
     )
