@@ -39,6 +39,7 @@ def search(
     mask: bool = False,
     compo_bias: bool = False,
     alphabet: str = "amino",
+    max_seqs: int | None = None,
 ) -> DataFrame:
     """queries/targets: sequences(seq_id, accession, header, sequence).
 
@@ -106,6 +107,18 @@ def search(
         pairs, queries, targets, k=k, max_evalue=max_evalue,
         alphabet=alpha, matrix=matrix, ka_ungapped=ka_u, ka_gapped=ka_g,
     )
+    if max_seqs is not None:
+        # per-query top-k — ABSENT in the reference (every passing hit is
+        # emitted, blockalign.cpp:411-414); offered as an engine feature
+        # (SURVEY §2.6). Window rank over the O6 ordering.
+        w = Window.partitionBy("query_id").orderBy(
+            "evalue", F.desc("bits"), "tlen", "target_id"
+        )
+        alignments = (
+            alignments.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_seqs)
+            .drop("_rk")
+        )
     return alignments.orderBy(
         "query_id", "evalue", F.desc("bits"), "tlen", "target_id"
     )

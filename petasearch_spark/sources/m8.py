@@ -59,6 +59,38 @@ def write_m8(alignments: DataFrame, path: str, with_lengths: bool = False) -> No
     to_m8(alignments, with_lengths).write.mode("overwrite").option("sep", "\t").csv(path)
 
 
+def swap_alignments(alignments: DataFrame, query_db_residues: int) -> DataFrame:
+    """P6 (Matcher::result_t::swapResult,
+    /root/reference/lib/mmseqs/src/alignment/Matcher.h:93-115, invoked
+    blockalign.cpp:435-440): re-key query<->target, flip I<->D in the
+    backtrace, and recompute the e-value against the NEW database side
+    (the query set's total residues). A pure projection — no UDF, no
+    shuffle. Our pipeline emits query-keyed rows natively; this produces
+    the target-keyed view."""
+    from petasearch_spark.functions.scoring import evalue_expr
+
+    swaps = {
+        "query_id": "target_id", "target_id": "query_id",
+        "query_accession": "target_accession", "target_accession": "query_accession",
+        "qstart": "tstart", "tstart": "qstart",
+        "qend": "tend", "tend": "qend",
+        "qlen": "tlen", "tlen": "qlen",
+    }
+    cols = []
+    for name in alignments.columns:
+        if name in swaps:
+            cols.append(F.col(swaps[name]).alias(name))
+        elif name == "backtrace":
+            cols.append(F.translate("backtrace", "ID", "DI").alias("backtrace"))
+        elif name == "evalue":
+            cols.append(
+                evalue_expr(F.col("raw"), F.col("tlen"), query_db_residues).alias("evalue")
+            )
+        else:
+            cols.append(F.col(name))
+    return alignments.select(*cols)
+
+
 def _gapped(seq: str, start1: int, backtrace: str, gap_op: str) -> str:
     """Replay `backtrace` over `seq` from 1-based `start1`, inserting '-'
     where `gap_op` says this side doesn't consume a residue (P8,
