@@ -104,3 +104,39 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation in one pass: ROLLUP over (day, event_type)
+    gives per-(day,type), per-day, and grand-total rows — one shuffle,
+    grouping-id disambiguates levels. (Absent in the reference — SURVEY
+    §2.5 notes no grouping sets exist there — but table stakes for an
+    analytics engine.)"""
+    e = load_table(spark, "events", sf_dir)
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    return (
+        e.select(day.alias("day"), "event_type", "value")
+        .rollup("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+       COALESCE(event_type, 'ALL') AS event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+ORDER BY day, event_type
+"""

@@ -9,10 +9,10 @@ shape; the deterministic heuristic keeps the oracle exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from petasearch_spark.operators.portable import hash64, hash64_sql, tokens
+from petasearch_spark.operators.portable import TOKENS_SQL, hash64, hash64_sql, tokens
 from petasearch_spark.sources.tables import load_table
 
 STOPWORDS = ("the", "a", "of", "and", "to")
@@ -167,4 +167,56 @@ SELECT doc_id, MIN(h) AS fp_min, MAX(h) AS fp_max
 FROM hashes
 GROUP BY doc_id
 ORDER BY doc_id
+"""
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (first 100 docs for output size).
+
+    tf = term count in doc; idf = ln(N / df) over the full corpus;
+    deterministic ranking (score DESC, term ASC) on 6-decimal rounding.
+    Two shuffles total: term counts, then df join + per-doc top-k window.
+    """
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.filter(F.col("doc_id") < 100)
+        .join(df_, "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .orderBy("doc_id", "rk")
+    )
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({TOKENS_SQL.format(col="text")}) AS term FROM documents
+)
+, tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term)
+, df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+, n AS (SELECT COUNT(*) AS n_docs FROM documents)
+, scored AS (
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    WHERE tf.doc_id < 100
+)
+SELECT doc_id, term, tfidf, rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk FROM scored)
+WHERE rk <= {TFIDF_TOP_K}
+ORDER BY doc_id, rk
 """

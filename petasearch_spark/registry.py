@@ -46,6 +46,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_hourly": (events.events_hourly, events.EVENTS_HOURLY_SQL),
     "events_sessionize": (events.events_sessionize, events.EVENTS_SESSIONIZE_SQL),
     "events_json_stats": (events.events_json_stats, events.EVENTS_JSON_SQL),
+    "events_rollup": (events.events_rollup, events.EVENTS_ROLLUP_SQL),
     "events_stream_hourly": (events_stream.events_stream_hourly, events_stream.EVENTS_STREAM_HOURLY_SQL),
     "events_stream_user_totals": (stateful.events_stream_user_totals, stateful.EVENTS_STREAM_USER_TOTALS_SQL),
     "docs_stream_dedup": (stateful.docs_stream_dedup, stateful.DOCS_STREAM_DEDUP_SQL),
@@ -75,6 +76,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "lang_id_heuristic": (text.lang_id_heuristic, text.LANG_ID_SQL),
     "token_count_bpe": (text.token_count_bpe, text.TOKEN_COUNT_SQL),
     "doc_fingerprint": (text.doc_fingerprint, text.DOC_FINGERPRINT_SQL),
+    "tfidf_top_terms": (text.tfidf_top_terms, text.TFIDF_SQL),
 }
 
 
