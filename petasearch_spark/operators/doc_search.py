@@ -194,7 +194,11 @@ def protein_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petasearch_spark.plans.search import search
 
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
-    seqs = derived_sequences(docs).drop("source")
+    # the sequences table feeds index build, query k-mer extraction, both
+    # alignment fetch joins AND the db-residue count — persist so the
+    # regexp derivation runs once (at real scale this table is a parquet
+    # ingest artifact, persisted by definition)
+    seqs = derived_sequences(docs).drop("source").persist()
     queries = seqs.filter(F.col("seq_id") % 20 == 0)
     res = search(queries, seqs)
     # drop the self-hit-dominated float columns that are stable but bulky
