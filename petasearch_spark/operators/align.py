@@ -28,7 +28,6 @@ groupBy that collects each pair's k-mer matches. Batches are kept small
 
 from __future__ import annotations
 
-import math
 from typing import Iterator
 
 import numpy as np

@@ -14,7 +14,7 @@ engine join/index semantics are oracle-verified, not just pytest-verified.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from petasearch_spark.operators.portable import shingles_sql, tokens, word_shingles

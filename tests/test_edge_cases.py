@@ -1,0 +1,72 @@
+"""Edge-case robustness: degenerate inputs must produce empty results or
+sane parses, never exceptions."""
+
+from __future__ import annotations
+
+from petasearch_spark.plans.search import search
+from petasearch_spark.sources.fasta import read_fasta, sequences_from_records
+
+
+def test_empty_query_set(spark):
+    q = sequences_from_records(spark, [])
+    t = sequences_from_records(spark, [("t0", "ACDEFGHIKLMNPQRSTVWY")])
+    assert search(q, t).count() == 0
+
+
+def test_all_x_query_yields_no_kmers(spark):
+    q = sequences_from_records(spark, [("q0", "X" * 30)])
+    t = sequences_from_records(spark, [("t0", "ACDEFGHIKLMNPQRSTVWYACDEFGHIKL")])
+    assert search(q, t).count() == 0
+
+
+def test_query_shorter_than_k(spark):
+    q = sequences_from_records(spark, [("q0", "ACDEF")])
+    t = sequences_from_records(spark, [("t0", "ACDEFGHIKLMNPQRSTVWY")])
+    assert search(q, t).count() == 0
+
+
+def test_fasta_edge_records(spark, tmp_path):
+    f = tmp_path / "edge.fa"
+    f.write_text(
+        ">only-header no sequence\n"
+        ">short\nACD\n"
+        ">multi line record\nACDEF\nGHIKL\nMNPQR\n"
+        ">lowercase and star\nacd*ef\n"
+        ">unicode header ümlaut £\nACDEFGHIKL\n"
+    )
+    rows = {r["accession"]: r for r in read_fasta(spark, str(f)).collect()}
+    assert rows["only-header"]["sequence"] == ""
+    assert rows["multi"]["sequence"] == "ACDEFGHIKLMNPQR"
+    assert rows["lowercase"]["sequence"] == "ACDXEF"  # '*' -> X, uppercased
+    assert rows["unicode"]["header"].startswith("unicode header")
+    # dense 0-based load-order ids
+    assert sorted(r["seq_id"] for r in rows.values()) == [0, 1, 2, 3, 4]
+
+
+def test_empty_fasta(spark, tmp_path):
+    f = tmp_path / "empty.fa"
+    f.write_text("")
+    assert read_fasta(spark, str(f)).count() == 0
+
+
+def test_duplicate_accessions_preserved(spark):
+    q = sequences_from_records(
+        spark, [("dup same", "ACDEFGHIKLMNPQRSTVWY"), ("dup again", "ACDEFGHIKLMNPQRSTVWY")]
+    )
+    # ids stay distinct even when accessions collide
+    assert q.select("seq_id").distinct().count() == 2
+
+
+def test_prefilter_plan_broadcasts_query_side(spark):
+    """Plan-shape regression: the prefilter must broadcast the query k-mer
+    side, never shuffle the index for a small query set."""
+    from petasearch_spark.operators.kmer_index import build_kmer_index, extract_query_kmers
+    from petasearch_spark.operators.prefilter import prefilter
+
+    t = sequences_from_records(
+        spark, [(f"t{i}", "ACDEFGHIKLMNPQRSTVWY" * 3) for i in range(5)]
+    )
+    q = sequences_from_records(spark, [("q0", "ACDEFGHIKLMNPQRSTVWY")])
+    pairs = prefilter(extract_query_kmers(q), build_kmer_index(t))
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
