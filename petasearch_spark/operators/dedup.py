@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from petasearch_spark.operators.portable import hash64, hash64_sql, shingles_sql, tokens, word_shingles
+from petasearch_spark.operators.portable import hash64, hash64_sql, shingle_hashes_sql, shingles_sql, tokens, word_shingles
 from petasearch_spark.sources.tables import load_table
 
 N_HASHES = 16
@@ -67,6 +67,13 @@ def _distinct_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     ).distinct()
 
 
+def _shingle_hashes(docs: DataFrame, n: int = 3, col: str = "sh_h") -> DataFrame:
+    """DISTINCT (doc_id, shingle-hash): hashing BEFORE the distinct means
+    the dedup shuffle moves 8-byte keys, not ~25-char strings."""
+    raw = docs.select("doc_id", F.explode(word_shingles(tokens(F.col("text")), n)).alias("shingle"))
+    return raw.select("doc_id", hash64(F.col("shingle")).alias(col)).distinct()
+
+
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.5. Candidates come
     from the shingle self-join (no O(n²) scan); Jaccard is exact int
@@ -74,9 +81,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle hash, not the ~25-char shingle string: the self-join shuffles
     8-byte keys instead of strings (any md5 collision would affect Spark
     and the oracle identically, so parity is unaffected)."""
-    sh = _distinct_shingles(load_table(spark, "documents", sf_dir, widen_scan=True)).select(
-        "doc_id", hash64(F.col("shingle")).alias("sh_h")
-    )
+    sh = _shingle_hashes(load_table(spark, "documents", sf_dir, widen_scan=True))
     # the shingle set feeds the candidate join AND both verify sides —
     # persist so the explode+distinct+md5 lineage runs once per action
     sh = sh.persist()
@@ -101,8 +106,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_JACCARD_SQL = f"""
-WITH {shingles_sql("documents", "doc_id", "text", n=3)}
-, shh AS (SELECT doc_id, {hash64_sql("shingle")} AS sh_h FROM sh)
+WITH {shingle_hashes_sql("documents", "doc_id", "text", n=3)}
 , cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id)
 , pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
@@ -128,7 +132,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified with exact Jaccard ≥ 0.5.
     """
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
-    sh = _distinct_shingles(docs).select("doc_id", hash64(F.col("shingle")).alias("sh_h"))
+    sh = _shingle_hashes(docs)
     sh = sh.persist()  # reused by sigs, cnt and both verify-join sides
     h30 = F.col("sh_h") % MH_MOD30
     # all N_HASHES signature minima in ONE map-side-combining aggregation:
@@ -195,8 +199,7 @@ _MH_BAND_ROWS = "\n    UNION ALL\n".join(
 )
 
 DEDUP_MINHASH_SQL = f"""
-WITH {shingles_sql("documents", "doc_id", "text", n=3)}
-, shh AS (SELECT doc_id, {hash64_sql("shingle")} AS sh_h FROM sh)
+WITH {shingle_hashes_sql("documents", "doc_id", "text", n=3)}
 , sigs AS (
     SELECT doc_id,
            {_MH_SIG_COLS}
@@ -240,7 +243,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # draws every doc from one small vocabulary, so distinct-token SETS are
     # near-identical across docs and unigram simhash cannot discriminate;
     # shingles capture ordering, the thing that actually differs.
-    th = _distinct_shingles(docs).select("doc_id", hash64(F.col("shingle")).alias("h"))
+    th = _shingle_hashes(docs, col="h")
     th = th.persist()  # feeds the 60-bit aggregation once, not per branch
     # all 32 bit-majority sums in ONE aggregation (map-side combined):
     # sum over tokens of ±1 per bit, no 32-fold row blowup.
@@ -293,8 +296,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_SIMHASH_SQL = f"""
-WITH {shingles_sql("documents", "doc_id", "text", n=3)}
-, th AS (SELECT doc_id, {hash64_sql("shingle")} AS h FROM sh)
+WITH {shingle_hashes_sql("documents", "doc_id", "text", n=3, hash_col="h")}
+, th AS (SELECT doc_id, h FROM shh)
 , contrib AS (
     SELECT doc_id,
            {", ".join(f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(SIMHASH_BITS))}

@@ -51,8 +51,8 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def shingles_sql(table: str, id_col: str, text_col: str, n: int = 3, extra_cols: str = "", max_tokens: int = 4096) -> str:
-    """DuckDB CTE body producing DISTINCT (id, shingle) rows.
+def shingles_sql(table: str, id_col: str, text_col: str, n: int = 3, extra_cols: str = "", max_tokens: int = 4096, distinct: bool = True) -> str:
+    """DuckDB CTE body producing (id, shingle) rows (DISTINCT by default).
 
     DuckDB 1.0 can't use a correlated lateral generate_series, so we cross
     join a constant `range` and filter to the token count (oracle runs at
@@ -60,14 +60,23 @@ def shingles_sql(table: str, id_col: str, text_col: str, n: int = 3, extra_cols:
     toks = TOKENS_SQL.format(col=text_col)
     parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
     extra = f", {extra_cols}" if extra_cols else ""
+    d = "DISTINCT " if distinct else ""
     return f"""
         toks AS (SELECT {id_col}, {toks} AS t{extra} FROM {table}),
         sh AS (
-            SELECT DISTINCT {id_col}, {parts} AS shingle{extra}
+            SELECT {d}{id_col}, {parts} AS shingle{extra}
             FROM toks, range(1, {max_tokens}) r(i)
             WHERE i + {n - 1} <= len(t)
         )
     """
+
+
+def shingle_hashes_sql(table: str, id_col: str, text_col: str, n: int = 3, hash_col: str = "sh_h") -> str:
+    """CTE chain ending in `shh(id, hash_col)`: DISTINCT applied on the
+    8-byte hash, not the shingle string — the cheap-shuffle form the Spark
+    side uses."""
+    return f"""{shingles_sql(table, id_col, text_col, n=n, distinct=False)}
+, shh AS (SELECT DISTINCT {id_col}, {hash64_sql("shingle")} AS {hash_col} FROM sh)"""
 
 
 def decimal_sum(col: Column, scale: str = "decimal(18,4)") -> Column:
