@@ -116,6 +116,39 @@ def write_kmer_index(index: DataFrame, path: str, num_ranges: int = 32) -> None:
     )
 
 
+def write_kmer_index_bucketed(
+    index: DataFrame, table: str, num_buckets: int = 32
+) -> None:
+    """Persist the index BUCKETED by kmer (saveAsTable — bucketing needs
+    catalog metadata). A probe side bucketed the same way joins with NO
+    shuffle on the index at all: each task reads its bucket from both
+    sides. This is the Spark analogue of the reference's sorted
+    table + streamed merge join, and the layout you want when the same
+    100 TB index serves many query batches."""
+    (
+        index.write.mode("overwrite")
+        .format("parquet")
+        .option("compression", "zstd")
+        .bucketBy(num_buckets, "kmer")
+        .sortBy("kmer")
+        .saveAsTable(table)
+    )
+
+
+def write_query_kmers_bucketed(
+    query_kmers: DataFrame, table: str, num_buckets: int = 32
+) -> None:
+    """Bucket the probe side identically so the prefilter join is
+    bucket-local (zero shuffle on either side)."""
+    (
+        query_kmers.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, "kmer")
+        .sortBy("kmer")
+        .saveAsTable(table)
+    )
+
+
 def extract_query_kmers(
     sequences: DataFrame,
     k: int = DEFAULT_K,

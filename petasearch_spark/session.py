@@ -42,6 +42,9 @@ def get_spark(app_name: str = "petasearch_spark", shuffle_partitions: int | None
         # 100 TB scale (SURVEY §4.3).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # bucketed tables (write_kmer_index_bucketed) need a catalog
+        # warehouse; keep it out of the source tree
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/petasearch_warehouse"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # events.parquet carries TIMESTAMP(NANOS); read as long, converted

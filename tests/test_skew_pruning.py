@@ -56,3 +56,48 @@ def test_kmer_index_write_prunes_on_range(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThan(kmer" in plan  # filter pushed to the scan
     assert q.count() > 0
+
+
+def test_bucketed_index_join_has_no_index_shuffle(spark, tmp_path):
+    """Bucketed index x bucketed probe: the prefilter equi-join must run
+    bucket-local - no Exchange above either scan."""
+    import random
+
+    from petasearch_spark.operators.kmer_index import (
+        build_kmer_index,
+        extract_query_kmers,
+        write_kmer_index_bucketed,
+        write_query_kmers_bucketed,
+    )
+    from petasearch_spark.sources.fasta import sequences_from_records
+
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("idx_b", "qk_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    rng = random.Random(11)
+    seqs = sequences_from_records(
+        spark,
+        [
+            (f"s{i}", "".join(rng.choice("ACDEFGHIKLMNPQRSTVWY") for _ in range(120)))
+            for i in range(30)
+        ],
+    )
+    write_kmer_index_bucketed(build_kmer_index(seqs), "idx_b", num_buckets=8)
+    write_query_kmers_bucketed(
+        extract_query_kmers(seqs.filter("seq_id < 3")), "qk_b", num_buckets=8
+    )
+    idx = spark.table("idx_b")
+    qk = spark.table("qk_b")
+    # hint merge: at real scale neither side broadcasts; the point is the
+    # SMJ over co-bucketed scans needs NO shuffle on either side
+    joined = qk.hint("merge").join(idx.withColumnRenamed("seq_id", "target_id"), "kmer")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+    assert joined.count() > 0
+    spark.sql("DROP TABLE IF EXISTS idx_b")
+    spark.sql("DROP TABLE IF EXISTS qk_b")
