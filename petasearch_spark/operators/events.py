@@ -140,3 +140,47 @@ FROM events
 GROUP BY ROLLUP (date_trunc('day', ts), event_type)
 ORDER BY day, event_type
 """
+
+
+def users_purchase_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: users who both purchased and hit an error (§2.7 — the
+    reference has only UNION ALL; intersect/except round out the set-op
+    surface)."""
+    e = load_table(spark, "events", sf_dir)
+    a = e.filter(F.col("event_type") == "purchase").select("user_id")
+    b = e.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b).orderBy("user_id")
+
+
+USERS_PURCHASE_AND_ERROR_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+ORDER BY user_id
+"""
+
+
+def clean_purchase_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): (user, day) pairs with a purchase but no error
+    that day. Granularity matters: at user level every synthetic user
+    eventually errors and the difference is empty at every SF — a
+    trivially-passing oracle check; per-day it is non-trivial. `subtract`
+    is distinct EXCEPT (EXCEPT ALL would keep days where purchases merely
+    outnumber errors)."""
+    e = load_table(spark, "events", sf_dir)
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    return (
+        e.filter(F.col("event_type") == "purchase").select("user_id", day.alias("day"))
+        .subtract(e.filter(F.col("event_type") == "error").select("user_id", day.alias("day")))
+        .orderBy("user_id", "day")
+    )
+
+
+CLEAN_PURCHASE_DAYS_SQL = """
+SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d')
+FROM events WHERE event_type = 'error'
+ORDER BY user_id, day
+"""

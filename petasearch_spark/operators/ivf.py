@@ -73,7 +73,118 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_ITERS = 2
+
+
+def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by cosine (broadcast join + argmin)."""
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "cent_id", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cs")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), "cent_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cent_id")
+    )
+
+
+def _recenter(assign: DataFrame) -> DataFrame:
+    """New centroid = component-wise mean of assigned vectors. Sums run in
+    DECIMAL so the mean is exact and engine-order-independent (float sums
+    would differ between Spark's and DuckDB's reduction orders)."""
+    comp = assign.select("cent_id", F.posexplode("v").alias("pos", "val"))
+    means = comp.groupBy("cent_id", "pos").agg(
+        (F.sum(F.col("val").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)))
+        .alias("m")
+    )
+    return (
+        means.groupBy("cent_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cent_id", F.transform("pm", lambda s: s["m"]).alias("cv"))
+    )
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iterative-batch pattern: 2 Lloyd iterations refining the IVF
+    coarse quantizer (assign -> decimal-exact recenter), then per-centroid
+    population and a rounded component-sum checksum. Fixed iteration count
+    -> a static lazily-composed plan; at scale each iteration is one
+    broadcast join + one aggregation (checkpoint between iterations to cut
+    lineage if you push iters higher)."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    for _ in range(KMEANS_ITERS):
+        cent = _recenter(_assign(emb, cent))
+    final = _assign(emb, cent)
+    return (
+        final.groupBy("cent_id")
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+        .join(
+            cent.select(
+                "cent_id",
+                F.round(
+                    F.aggregate(F.transform("cv", lambda x: F.round(x, 6)), F.lit(0.0), lambda a, x: a + x), 6
+                ).alias("checksum"),
+            ),
+            "cent_id",
+        )
+        .orderBy("cent_id")
+    )
+
+
 _COS = "ROUND(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+
+DIM = 64  # driver embeddings are 64-dim at every SF
+
+
+def _kmeans_sql() -> str:
+    s = f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+, cent0 AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < {N_CENTROIDS})"""
+    prev = "cent0"
+    for it in range(1, KMEANS_ITERS + 1):
+        s += f"""
+, assign{it} AS (
+    SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS.format(a="e.v", b="c.cv")} DESC, c.cent_id) AS rn
+        FROM emb e CROSS JOIN {prev} c
+    ) WHERE rn = 1
+)
+, cent{it} AS (
+    SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
+        SELECT cent_id, r.i AS pos,
+               CAST(SUM(CAST(v[r.i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM assign{it}, range(1, {DIM + 1}) r(i)
+        GROUP BY cent_id, r.i)
+    GROUP BY cent_id
+)"""
+        prev = f"cent{it}"
+    s += f"""
+, fin AS (
+    SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS.format(a="e.v", b="c.cv")} DESC, c.cent_id) AS rn
+        FROM emb e CROSS JOIN {prev} c
+    ) WHERE rn = 1
+)
+SELECT f.cent_id, COUNT(*) AS n_assigned, ANY_VALUE(c.checksum) AS checksum
+FROM fin f
+JOIN (SELECT cent_id, ROUND(list_sum(list_transform(cv, x -> ROUND(x, 6))), 6) AS checksum FROM {prev}) c
+  ON c.cent_id = f.cent_id
+GROUP BY f.cent_id
+ORDER BY f.cent_id
+"""
+    return s
+
+
+ANN_IVF_KMEANS_SQL = _kmeans_sql()
 
 ANN_IVF_TOPK_SQL = f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -47,6 +47,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_sessionize": (events.events_sessionize, events.EVENTS_SESSIONIZE_SQL),
     "events_json_stats": (events.events_json_stats, events.EVENTS_JSON_SQL),
     "events_rollup": (events.events_rollup, events.EVENTS_ROLLUP_SQL),
+    "users_purchase_and_error": (events.users_purchase_and_error, events.USERS_PURCHASE_AND_ERROR_SQL),
+    "clean_purchase_days": (events.clean_purchase_days, events.CLEAN_PURCHASE_DAYS_SQL),
     "events_stream_hourly": (events_stream.events_stream_hourly, events_stream.EVENTS_STREAM_HOURLY_SQL),
     "events_stream_user_totals": (stateful.events_stream_user_totals, stateful.EVENTS_STREAM_USER_TOTALS_SQL),
     "docs_stream_dedup": (stateful.docs_stream_dedup, stateful.DOCS_STREAM_DEDUP_SQL),
@@ -64,6 +66,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- similarity search ---
     "ann_cosine_topk": (similarity.ann_cosine_topk, similarity.ANN_COSINE_TOPK_SQL),
     "ann_ivf_topk": (ivf.ann_ivf_topk, ivf.ANN_IVF_TOPK_SQL),
+    "ann_ivf_kmeans": (ivf.ann_ivf_kmeans, ivf.ANN_IVF_KMEANS_SQL),
     "embedding_neardup": (similarity.embedding_neardup, similarity.EMBEDDING_NEARDUP_SQL),
     # --- multimodal (binary payload + typed metadata, mapInPandas codecs) ---
     "media_catalog": (multimodal.media_catalog, multimodal.MEDIA_CATALOG_SQL),
