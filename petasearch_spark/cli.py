@@ -74,26 +74,27 @@ def main(argv: list[str] | None = None) -> int:
     args = top.parse_args(argv)
     spark = get_spark("petasearch-cli")
 
-    from petasearch_spark.sources.fasta import read_fasta
     from petasearch_spark.sources.m8 import write_m8
+    from petasearch_spark.sources.targetlist import load_target
 
     if args.cmd == "createindex":
         from petasearch_spark.operators.kmer_index import build_kmer_index, write_kmer_index
 
-        seqs = read_fasta(spark, args.target_fasta)
+        seqs = load_target(spark, args.target_fasta)
         write_kmer_index(build_kmer_index(seqs, k=args.k), args.index_dir)
         print(json.dumps({"index": args.index_dir, "k": args.k}))
         return 0
 
     from petasearch_spark.plans.search import search, search_multi_target
 
-    queries = read_fasta(spark, args.query_fasta)
+    # load_target dispatches FASTA / FASTQ / parquet by extension
+    queries = load_target(spark, args.query_fasta)
     if args.cmd == "easy-search":
-        res = search(queries, read_fasta(spark, args.target_fasta), **_search_kwargs(args))
+        res = search(queries, load_target(spark, args.target_fasta), **_search_kwargs(args))
     elif args.cmd == "searchindex":
         res = search(
             queries,
-            read_fasta(spark, args.target_fasta),
+            load_target(spark, args.target_fasta),
             target_index=spark.read.parquet(args.index_dir),
             **_search_kwargs(args),
         )

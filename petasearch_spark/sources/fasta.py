@@ -73,6 +73,43 @@ def read_fasta(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_fastq(spark: SparkSession, path: str) -> DataFrame:
+    """Parse FASTQ (4-line records: @header / seq / + / quality) into the
+    same sequences schema as :func:`read_fasta`, plus a `quality` column.
+
+    Reference parity: kseq reads both formats through one interface
+    (KSeqWrapper, /root/reference/src/sra/convert2sradb.cpp:96-110);
+    quality strings are carried but unused by the search pipeline.
+
+    FASTQ cannot be split on a '\\n@' delimiter — quality lines may start
+    with '@' — so records are rebuilt by LINE INDEX (idx // 4), which is
+    exact for well-formed 4-line-per-record files (multi-file inputs:
+    every file must itself be well-formed, the standard assumption)."""
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    df = spark.createDataFrame(
+        rdd.map(lambda li: (li[1] // 4, int(li[1] % 4), li[0])), "rid long, pos int, line string"
+    )
+    rec = df.groupBy("rid").agg(
+        F.max(F.when(F.col("pos") == 0, F.col("line"))).alias("h"),
+        F.max(F.when(F.col("pos") == 1, F.col("line"))).alias("s"),
+        F.max(F.when(F.col("pos") == 3, F.col("line"))).alias("q"),
+    )
+    parsed = rec.filter(F.col("h").startswith("@")).select(
+        "rid",
+        F.regexp_replace("h", r"^@", "").alias("header"),
+        sanitize_seq(F.upper(F.col("s"))).alias("sequence"),
+        F.col("q").alias("quality"),
+    )
+    w = Window.orderBy("rid")
+    return parsed.select(
+        (F.row_number().over(w) - 1).cast("long").alias("seq_id"),
+        F.regexp_extract("header", r"^(\S+)", 1).alias("accession"),
+        "header",
+        "sequence",
+        "quality",
+    )
+
+
 def sequences_from_records(spark: SparkSession, records: list[tuple[str, str]]) -> DataFrame:
     """Build a sequences DF from in-memory (header, sequence) pairs — test
     and small-query convenience; same schema/keys as :func:`read_fasta`."""

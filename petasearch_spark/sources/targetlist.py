@@ -16,7 +16,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from petasearch_spark.sources.fasta import read_fasta
+from petasearch_spark.sources.fasta import read_fasta, read_fastq
 
 
 def read_target_list(path: str) -> list[str]:
@@ -31,10 +31,13 @@ def read_target_list(path: str) -> list[str]:
 
 
 def load_target(spark: SparkSession, path: str) -> DataFrame:
-    """Load one target set: .parquet -> sequences table as-is; anything
-    else is parsed as FASTA."""
+    """Load one target set by extension: .parquet -> sequences table
+    as-is; .fq/.fastq (optionally .gz) -> FASTQ; anything else FASTA."""
     if path.endswith(".parquet") or os.path.isdir(path):
         return spark.read.parquet(path)
+    base = path.removesuffix(".gz")
+    if base.endswith((".fq", ".fastq")):
+        return read_fastq(spark, path).drop("quality")
     return read_fasta(spark, path)
 
 

@@ -70,3 +70,41 @@ def test_prefilter_plan_broadcasts_query_side(spark):
     pairs = prefilter(extract_query_kmers(q), build_kmer_index(t))
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_read_fastq(spark, tmp_path):
+    from petasearch_spark.sources.fasta import read_fastq
+
+    f = tmp_path / "r.fq"
+    f.write_text(
+        "@r0 first\nACDEFGHIKL\n+\n@IIIIIIIII\n"  # quality starts with '@'
+        "@r1 second\nMNPQRSTVWY\n+r1\nJJJJJJJJJJ\n"
+    )
+    rows = {r["accession"]: r for r in read_fastq(spark, str(f)).collect()}
+    assert rows["r0"]["sequence"] == "ACDEFGHIKL"
+    assert rows["r0"]["quality"] == "@IIIIIIIII"  # not mis-split
+    assert rows["r1"]["sequence"] == "MNPQRSTVWY"
+    assert rows["r0"]["seq_id"] == 0 and rows["r1"]["seq_id"] == 1
+
+
+def test_fastq_feeds_search(spark, tmp_path):
+    from petasearch_spark.plans.search import search
+    from petasearch_spark.sources.fasta import read_fastq, sequences_from_records
+
+    f = tmp_path / "q.fq"
+    f.write_text("@q0\nACDEFGHIKLMNPQRSTVWY\n+\nIIIIIIIIIIIIIIIIIIII\n")
+    q = read_fastq(spark, str(f)).drop("quality")
+    t = sequences_from_records(spark, [("t0", "WWWWACDEFGHIKLMNPQRSTVWYAAAA")])
+    assert search(q, t).count() == 1
+
+
+def test_gzipped_fasta(spark, tmp_path):
+    import gzip
+
+    from petasearch_spark.sources.fasta import read_fasta
+
+    f = tmp_path / "z.fa.gz"
+    with gzip.open(f, "wt") as fh:
+        fh.write(">g0 zipped\nACDEFGHIKL\nMNPQRSTVWY\n")
+    rows = read_fasta(spark, str(f)).collect()
+    assert rows[0]["sequence"] == "ACDEFGHIKLMNPQRSTVWY"
