@@ -26,6 +26,8 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sessionize",
     "events_json_stats",
+    "events_rollup",
+    "clean_purchase_days",
     "doc_shingle_index",
     "doc_prefilter",
     "protein_prefilter",
@@ -36,11 +38,13 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_ivf_kmeans",
     "embedding_neardup",
     "image_stats",
     "video_frame_sample",
     "text_quality_stats",
     "doc_fingerprint",
+    "tfidf_top_terms",
 ]
 
 
