@@ -59,7 +59,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("out_dir")
     _add_search_args(p)
 
-    p = sub.add_parser("createindex", help="E3: build + persist the k-mer index")
+    p = sub.add_parser("createdb", help="E3 (convert2sradb): FASTA/FASTQ -> parquet sequences table")
+    p.add_argument("input_fasta")
+    p.add_argument("db_dir")
+
+    p = sub.add_parser("createindex", help="E3 (createkmertable): build + persist the k-mer index")
     p.add_argument("target_fasta")
     p.add_argument("index_dir")
     p.add_argument("--k", type=int, default=9)
@@ -76,6 +80,14 @@ def main(argv: list[str] | None = None) -> int:
 
     from petasearch_spark.sources.m8 import write_m8
     from petasearch_spark.sources.targetlist import load_target
+
+    if args.cmd == "createdb":
+        # the reference's convert2sradb: ingest once, scan many times.
+        # Parquet + ZSTD replaces the 5-bit packed SRA codec (SURVEY §1.4).
+        seqs = load_target(spark, args.input_fasta)
+        seqs.write.mode("overwrite").option("compression", "zstd").parquet(args.db_dir)
+        print(json.dumps({"db": args.db_dir, "n_sequences": spark.read.parquet(args.db_dir).count()}))
+        return 0
 
     if args.cmd == "createindex":
         from petasearch_spark.operators.kmer_index import build_kmer_index, write_kmer_index

@@ -52,3 +52,66 @@ def test_docs_stream_dedup_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Watermark semantics demo: batch 2 delivers an event whose timestamp
+    is far behind the watermark advanced by batch 1 -> the late row is
+    DROPPED from its (already emitted) window in append mode."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    # Watermark propagation lags one batch (batch N filters with stats
+    # from batch N-1), so the demonstration needs THREE batches: b0 loads
+    # the 10:00 window and advances event time to 13:00; b1's arrival
+    # (wm now 12:00) closes and EMITS the 10:00 window; b2 delivers a
+    # 10:07 event long after — its window state is gone and the row is
+    # dropped, never re-emitted.
+    stage = str(tmp_path / "wm_in")
+    os.makedirs(stage)
+    rows0 = [("2024-01-01 10:00:00", 1.0), ("2024-01-01 10:05:00", 2.0), ("2024-01-01 13:00:00", 4.0)]
+    rows1 = [("2024-01-01 14:00:00", 8.0)]
+    rows2 = [("2024-01-01 10:07:00", 100.0)]
+    for i, rows in enumerate([rows0, rows1, rows2]):
+        spark.createDataFrame(rows, "ts_s string, value double").selectExpr(
+            "CAST(ts_s AS TIMESTAMP) AS ts", "value"
+        ).coalesce(1).write.parquet(os.path.join(stage, f"b{i}"))
+    flat = str(tmp_path / "wm_flat")
+    os.makedirs(flat)
+    n = 0
+    for i in range(3):
+        d = os.path.join(stage, f"b{i}")
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                src = os.path.join(d, f)
+                # the file source orders by modification time: force b0
+                # strictly older than b1 so the batches arrive in order
+                os.utime(src, (1_700_000_000 + i * 3600, 1_700_000_000 + i * 3600))
+                os.symlink(src, os.path.join(flat, f"p{n}.parquet"))
+                n += 1
+    schema = spark.read.parquet(flat).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(flat)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("value").alias("total"))
+        .select(F.date_format("w.start", "HH:mm").alias("hour"), "total")
+    )
+    name = "wm_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.outputMode("append").format("memory").queryName(name)
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    got = {r["hour"]: r["total"] for r in spark.table(name).collect()}
+    # 10:00 window closed with only batch-0 rows; the late 100.0 from
+    # batch 2 was dropped and never appears anywhere.
+    assert got.get("10:00") == 3.0
+    assert 100.0 not in got.values()
+    assert sum(got.values()) <= 15.0
