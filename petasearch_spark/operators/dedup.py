@@ -319,3 +319,84 @@ FROM keyed a JOIN keyed b
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 ORDER BY doc_a, doc_b
 """
+
+
+CC_ITERS = 4  # min-label propagation rounds; path diameter at the
+              # synthetic near-dup density is ~2, 4 gives safety margin
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the Jaccard
+    pair graph — the canonical last step of dedup at scale (emit one
+    canonical doc per component, drop the rest).
+
+    Components via iterative min-label propagation: every doc starts
+    labeled with its own id; each round, label <- min(label, neighbour
+    labels) over the undirected pair edges. A fixed CC_ITERS unroll keeps
+    the plan static and lets the DuckDB oracle run the identical
+    iterations; converged when no labels change (diameter < CC_ITERS —
+    true for near-dup graphs, whose components are tiny cliques; raise
+    CC_ITERS or loop-with-checkpoint for general graphs). Returns
+    (cluster_id = min doc_id of the component, doc_id) for every doc in
+    any near-dup pair, plus component sizes."""
+    pairs = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = pairs.persist()
+    # undirected edge list, both orientations
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    for _ in range(CC_ITERS):
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(edges.doc_a)
+            .agg(F.min("label").alias("nmin"))
+            .select(F.col("doc_a").alias("doc_id"), "nmin")
+        )
+        labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+        )
+    out = labels.select(F.col("label").alias("cluster_id"), "doc_id")
+    sizes = out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return out.join(sizes, "cluster_id").orderBy("cluster_id", "doc_id")
+
+
+def _cc_sql() -> str:
+    base = DEDUP_JACCARD_SQL.strip().rstrip(";")
+    # reuse the jaccard query as a CTE, then unroll the same iterations
+    s = f"""WITH jp AS ({base})
+, edges AS (
+    SELECT doc_a, doc_b FROM jp
+    UNION ALL
+    SELECT doc_b AS doc_a, doc_a AS doc_b FROM jp
+)
+, l0 AS (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges)"""
+    prev = "l0"
+    for it in range(1, CC_ITERS + 1):
+        s += f"""
+, l{it} AS (
+    SELECT l.doc_id,
+           LEAST(l.label, COALESCE(n.nmin, l.label)) AS label
+    FROM {prev} l
+    LEFT JOIN (
+        SELECT e.doc_a AS doc_id, MIN(p.label) AS nmin
+        FROM edges e JOIN {prev} p ON p.doc_id = e.doc_b
+        GROUP BY e.doc_a
+    ) n USING (doc_id)
+)"""
+        prev = f"l{it}"
+    s += f"""
+SELECT label AS cluster_id, doc_id, COUNT(*) OVER (PARTITION BY label) AS cluster_size
+FROM {prev}
+ORDER BY cluster_id, doc_id
+"""
+    return s
+
+
+DEDUP_CLUSTERS_SQL = _cc_sql()

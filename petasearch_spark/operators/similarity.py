@@ -160,3 +160,59 @@ FROM emb a JOIN emb b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {NEARDUP_COS}
 ORDER BY id_a, id_b
 """
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization — the storage/serving form of an
+    embedding corpus (4x smaller, SIMD-dot-friendly). Per vector:
+    scale = max|v| / 127, q_i = round(v_i / scale) clamped to [-127,127],
+    reconstruction error reported per vector. Pure column expressions;
+    quantization uses FLOOR(x + 0.5) (exact IEEE semantics in both
+    engines) so the codes agree exactly."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    amax = F.aggregate(F.transform("v", lambda x: F.abs(x)), F.lit(0.0), lambda a, x: F.greatest(a, x))
+    scaled = emb.select("vec_id", "v", (amax / F.lit(127.0)).alias("scale"))
+    # FLOOR(x + 0.5) instead of ROUND: floor on IEEE doubles is exact and
+    # identical across engines, while ROUND-to-integer can disagree on
+    # decimal-vs-binary boundary representations
+    q = F.transform(
+        "v",
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"))
+        ),
+    )
+    qd = scaled.select("vec_id", "v", "scale", q.alias("q"))
+    err = F.zip_with("v", "q", lambda x, c: F.abs(x - c.cast("double") * F.col("scale")))
+    # compute the error BEFORE the projection that renames `scale` to its
+    # rounded form: referencing scale inside the lambda in the same select
+    # would resolve against the rounded output column
+    qd = qd.withColumn("_max_err", F.aggregate(err, F.lit(0.0), lambda a, x: F.greatest(a, x)))
+    return qd.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("l1_code"),
+        F.round("_max_err", 6).alias("max_err"),
+    ).orderBy("vec_id")
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+, s AS (
+    SELECT vec_id, v,
+           list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+    FROM emb
+)
+, qd AS (
+    SELECT vec_id, v, scale,
+           list_transform(v, x -> GREATEST(-127, LEAST(127, CAST(FLOOR(x / scale + 0.5) AS INT)))) AS q
+    FROM s
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale,
+       list_aggregate(list_transform(q, x -> abs(x)), 'sum')::BIGINT AS l1_code,
+       ROUND(list_aggregate(list_transform(list_zip(v, q), p -> abs(p[1] - p[2] * scale)), 'max'), 6) AS max_err
+FROM qd
+ORDER BY vec_id
+"""

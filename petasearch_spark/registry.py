@@ -63,11 +63,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_jaccard_pairs": (dedup.dedup_jaccard_pairs, dedup.DEDUP_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL),
+    "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
     # --- similarity search ---
     "ann_cosine_topk": (similarity.ann_cosine_topk, similarity.ANN_COSINE_TOPK_SQL),
     "ann_ivf_topk": (ivf.ann_ivf_topk, ivf.ANN_IVF_TOPK_SQL),
     "ann_ivf_kmeans": (ivf.ann_ivf_kmeans, ivf.ANN_IVF_KMEANS_SQL),
     "embedding_neardup": (similarity.embedding_neardup, similarity.EMBEDDING_NEARDUP_SQL),
+    "embedding_quantize_int8": (similarity.embedding_quantize_int8, similarity.EMBEDDING_QUANTIZE_SQL),
     # --- multimodal (binary payload + typed metadata, mapInPandas codecs) ---
     "media_catalog": (multimodal.media_catalog, multimodal.MEDIA_CATALOG_SQL),
     "image_stats": (multimodal.image_stats, multimodal.IMAGE_STATS_SQL),
