@@ -36,12 +36,16 @@ BENCH_QUERIES = [
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_ivf_kmeans",
     "embedding_neardup",
+    "embedding_quantize_int8",
     "image_stats",
     "video_frame_sample",
+    "corpus_sample_stratified",
+    "decontaminate_ngram_overlap",
     "text_quality_stats",
     "doc_fingerprint",
     "tfidf_top_terms",

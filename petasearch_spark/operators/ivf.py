@@ -119,7 +119,10 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
     for _ in range(KMEANS_ITERS):
-        cent = _recenter(_assign(emb, cent))
+        # persist: each round's centroids are read by the next assign AND
+        # (for the last round) by the checksum branch — without it the
+        # interpreted-HOF cosine join re-executes once per downstream branch
+        cent = _recenter(_assign(emb, cent)).persist()
     final = _assign(emb, cent)
     return (
         final.groupBy("cent_id")

@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from petasearch_spark.operators import (
+    corpus,
     dedup,
     doc_search,
     events,
@@ -76,6 +77,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "image_resize": (multimodal.image_resize, multimodal.IMAGE_RESIZE_SQL),
     "audio_features": (multimodal.audio_features, multimodal.AUDIO_FEATURES_SQL),
     "video_frame_sample": (multimodal.video_frame_sample, multimodal.VIDEO_FRAME_SAMPLE_SQL),
+    # --- corpus curation (sampling / decontamination) ---
+    "corpus_sample_stratified": (corpus.corpus_sample_stratified, corpus.CORPUS_SAMPLE_SQL),
+    "decontaminate_ngram_overlap": (corpus.decontaminate_ngram_overlap, corpus.DECONTAMINATE_SQL),
     # --- text analysis ---
     "text_quality_stats": (text.text_quality_stats, text.TEXT_QUALITY_SQL),
     "lang_id_heuristic": (text.lang_id_heuristic, text.LANG_ID_SQL),
