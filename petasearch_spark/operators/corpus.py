@@ -27,8 +27,6 @@ from petasearch_spark.operators.portable import (
     hash64,
     hash64_sql,
     shingle_hashes_sql,
-    tokens,
-    word_shingles,
 )
 from petasearch_spark.sources.tables import load_table
 
@@ -87,11 +85,12 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (doc_id, n_collisions = distinct shared n-grams,
     n_eval_docs = distinct eval docs hit), contaminated docs only."""
+    from petasearch_spark.operators.dedup import _shingle_hashes
+
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
-    sh = docs.select(
-        "doc_id",
-        F.explode(word_shingles(tokens(F.col("text")), DECON_NGRAM)).alias("shingle"),
-    ).select("doc_id", hash64(F.col("shingle")).alias("h")).distinct()
+    # persisted: the train filter and the (broadcast) eval filter are two
+    # branches over the same kernel output
+    sh = _shingle_hashes(docs, n=DECON_NGRAM, col="h").persist()
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     train = sh.filter(~is_eval)
     # the eval side is small by construction -> broadcast, so corpus-side

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from petasearch_spark.operators.portable import hash64, hash64_sql, shingle_hashes_sql, shingles_sql, tokens, word_shingles
+from petasearch_spark.operators.portable import hash64_sql, shingle_hashes_sql, shingles_sql
 from petasearch_spark.sources.tables import load_table
 
 N_HASHES = 16
@@ -61,17 +61,39 @@ ORDER BY canonical_doc_id
 """
 
 
-def _distinct_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    return docs.select(
-        "doc_id", F.explode(word_shingles(tokens(F.col("text")), n)).alias("shingle")
-    ).distinct()
-
-
 def _shingle_hashes(docs: DataFrame, n: int = 3, col: str = "sh_h") -> DataFrame:
-    """DISTINCT (doc_id, shingle-hash): hashing BEFORE the distinct means
-    the dedup shuffle moves 8-byte keys, not ~25-char strings."""
-    raw = docs.select("doc_id", F.explode(word_shingles(tokens(F.col("text")), n)).alias("shingle"))
-    return raw.select("doc_id", hash64(F.col("shingle")).alias(col)).distinct()
+    """DISTINCT (doc_id, shingle-hash) via an Arrow-batched kernel.
+
+    Two wins over the column-expression form (kept in
+    portable.word_shingles as the SQL-parity twin): Catalyst evaluates
+    transform()/concat_ws lambdas interpreted per element, and the
+    per-doc DISTINCT needed a full shuffle. The kernel tokenizes, joins
+    and md5-hashes in one Python pass AND dedups inside the doc's own row
+    (a shingle set lives wholly within its doc), so the stage emits
+    already-distinct 8-byte keys with no shuffle at all. Hash = first 15
+    md5 hex digits as BIGINT == portable.hash64 == the DuckDB oracles."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+")
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            hs: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+                toks = [t for t in ws.split(text) if t]
+                seen = {
+                    int(hashlib.md5(" ".join(toks[i : i + n]).encode()).hexdigest()[:15], 16)
+                    for i in range(len(toks) - n + 1)
+                }
+                ids.extend([doc_id] * len(seen))
+                hs.extend(seen)
+            yield pd.DataFrame({"doc_id": ids, col: hs})
+
+    return docs.select("doc_id", "text").mapInPandas(gen, f"doc_id long, {col} long")
 
 
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
