@@ -1,0 +1,66 @@
+"""Corpus curation invariants (operators/corpus.py) beyond the hash-parity
+gate: sampling determinism and rate/weight math, decontamination's
+train/eval separation."""
+
+from __future__ import annotations
+
+import pytest
+
+from petasearch_spark.operators.corpus import (
+    DECON_NGRAM,
+    EVAL_MOD,
+    corpus_sample_stratified,
+    decontaminate_ngram_overlap,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_sampling_deterministic_and_weighted(spark):
+    a = corpus_sample_stratified(spark, SF_SMOKE).collect()
+    b = corpus_sample_stratified(spark, SF_SMOKE).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]  # same draw every run
+    assert len(a) > 0
+    for r in a:
+        n = int(r["source"][3:])
+        assert r["rate_permille"] == 50 * (n % 10 + 1)
+        assert r["weight"] == pytest.approx(1000.0 / r["rate_permille"], abs=1e-6)
+
+
+def test_sampling_rate_is_roughly_honored(spark):
+    rows = corpus_sample_stratified(spark, SF_SMOKE).collect()
+    # expected keep fraction = mean(50*(n%10+1))/1000 = 0.275 over uniform sources
+    assert 0.15 < len(rows) / 500 < 0.40
+
+
+def test_decontamination_flags_only_train_docs(spark):
+    rows = decontaminate_ngram_overlap(spark, SF_SMOKE).collect()
+    assert len(rows) > 0  # guard: an empty result checks nothing
+    for r in rows:
+        assert r["doc_id"] % EVAL_MOD != 0  # eval docs are never flagged
+        assert r["n_collisions"] >= 1 and r["n_eval_docs"] >= 1
+
+
+def test_decontamination_matches_brute_force(spark):
+    """Cross-check one flagged doc against a driver-side shingle set."""
+    import re
+
+    rows = decontaminate_ngram_overlap(spark, SF_SMOKE).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+
+    def shingles(text: str) -> set[str]:
+        toks = [t for t in re.split(r"\s+", text) if t]
+        return {
+            " ".join(toks[i : i + DECON_NGRAM])
+            for i in range(len(toks) - DECON_NGRAM + 1)
+        }
+
+    ev = {d: shingles(t) for d, t in docs.items() if d % EVAL_MOD == 0}
+    got = rows[0]
+    mine = shingles(docs[got["doc_id"]])
+    hits = {d for d, s in ev.items() if mine & s}
+    n_coll = len(mine & set().union(*(ev[d] for d in hits)))
+    assert got["n_eval_docs"] == len(hits)
+    assert got["n_collisions"] == n_coll
