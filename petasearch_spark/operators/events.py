@@ -70,7 +70,7 @@ WITH marked AS (
                 THEN 1 ELSE 0 END AS new_session
     FROM events
 )
-SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events,
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM marked
 GROUP BY user_id
@@ -96,7 +96,7 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_SQL = """
 SELECT event_type,
-       SUM(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       CAST(SUM(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
        MIN(json_extract(props, '$.k')::BIGINT) AS min_k,
        MAX(json_extract(props, '$.k')::BIGINT) AS max_k,
        CAST(SUM(json_extract(props, '$.k')::BIGINT) AS DOUBLE) / COUNT(json_extract(props, '$.k')::BIGINT) AS avg_k

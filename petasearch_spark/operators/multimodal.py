@@ -137,7 +137,7 @@ def media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MEDIA_CATALOG_SQL = f"""
 WITH {MEDIA_SQL}
-SELECT kind, COUNT(*) AS n, SUM(len(payload_str)) AS total_bytes,
+SELECT kind, COUNT(*) AS n, CAST(SUM(len(payload_str)) AS BIGINT) AS total_bytes,
        MAX(width) AS max_width, MAX(n_frames) AS max_frames
 FROM media GROUP BY kind ORDER BY kind
 """

@@ -55,10 +55,10 @@ WITH per_doc AS (
                x -> x IN ({", ".join("'" + s + "'" for s in STOPWORDS)}))) AS n_stop
     FROM documents
 )
-SELECT source, COUNT(*) AS n_docs, SUM(n_toks) AS total_tokens,
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
        CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS avg_tokens,
        CAST(SUM(n_stop) AS DOUBLE) / SUM(n_toks) AS stopword_ratio,
-       SUM(CASE WHEN n_toks < 20 THEN 1 ELSE 0 END) AS n_short_docs
+       CAST(SUM(CASE WHEN n_toks < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs
 FROM per_doc
 GROUP BY source
 ORDER BY source
@@ -124,8 +124,8 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_COUNT_SQL = f"""
 SELECT lang,
-       SUM(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS ws_tokens,
-       SUM(len(regexp_extract_all(text, '{BPE_RE}'))) AS bpe_tokens,
+       CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{BPE_RE}'))) AS BIGINT) AS bpe_tokens,
        CAST(SUM(len(regexp_extract_all(text, '{BPE_RE}'))) AS DOUBLE)
            / SUM(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS bpe_per_ws
 FROM documents

@@ -66,6 +66,18 @@ def test_query_matches_oracle(spark, name, fn, sql):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
+@pytest.mark.parametrize("name,fn,sql", ORACLE_CASES, ids=[c[0] for c in ORACLE_CASES])
+def test_oracle_output_types_are_hashable(name, fn, sql):
+    """DuckDB returns HUGEINT (arrow decimal128) for bare SUM(BIGINT); the
+    driver's value hash serializes that differently from Spark's BIGINT even
+    when values agree (round-1 failure mode). Every oracle projection must
+    come out as a <=64-bit type."""
+    con = duck_con(SF_DIR)
+    schema = con.execute(sql).fetch_arrow_table().schema
+    bad = [f"{f.name}:{f.type}" for f in schema if "decimal" in str(f.type)]
+    assert not bad, f"{name}: oracle output has 128-bit columns {bad} — add CAST(... AS BIGINT/DOUBLE)"
+
+
 def test_rows_only_queries_run(spark):
     for name, (fn, sql) in REGISTRY.items():
         if sql is None:
