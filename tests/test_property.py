@@ -91,11 +91,13 @@ def test_kmer_positions_match_bruteforce(s):
 
 
 @settings(max_examples=60, deadline=None)
-@given(st.text(alphabet=residues, min_size=9, max_size=9), st.integers(10, 45))
+@given(st.text(alphabet=residues, min_size=9, max_size=9), st.integers(40, 170))
 def test_expansion_invariants(kmer_str, threshold):
+    from petasearch_spark.functions.scoring import KMER_SEED_MATRIX
+
     km = encode_py(kmer_str)
     out = expand_kmer_scored(km, 9, threshold=threshold, max_n=20)
-    self_score = sum(int(BLOSUM62[c, c]) for c in _encode(kmer_str))
+    self_score = sum(int(KMER_SEED_MATRIX[c, c]) for c in _encode(kmer_str))
     scores = [s for _, s in out]
     # scores sorted descending, all >= threshold, none above self-score
     assert scores == sorted(scores, reverse=True)
