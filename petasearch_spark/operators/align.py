@@ -406,6 +406,74 @@ def align_pair_kernel(
     return _finalize(res, len(qc), db_residues, max_evalue, ka=ka_gapped)
 
 
+UNGAPPED_SCHEMA = (
+    "query_id long, target_id long, n_matches int, n_diags int, "
+    "best_diag int, best_score int, qstart int, qend int"
+)
+
+
+def ungapped_rescore_pairs(
+    prefilter_pairs: DataFrame,
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 9,
+    alphabet: str = AMINO_ALPHABET,
+    matrix: np.ndarray = BLOSUM62,
+) -> DataFrame:
+    """The J3+F5+F6 sub-cascade as a standalone, ORACLE-CHECKABLE query:
+    per surviving prefilter pair, recompute match diagonals
+    (diag = qpos - first target occurrence of the kmer; blockalign.cpp
+    :282-289), gate on >=2 matches within 4 diagonals (isWithinNDiagonals,
+    61-69), then per DISTINCT diagonal run the ungapped max-subarray
+    rescore (DistanceCalculator::computeUngappedAlignment semantics,
+    lib/mmseqs/src/alignment/DistanceCalculator.h:94-149) and keep the
+    best (score DESC, diag ASC). Every number here is integer arithmetic
+    over substitution scores — exactly reproducible by a window-prefix-sum
+    SQL oracle (doc_search.PROTEIN_UNGAPPED_SQL), which is what upgrades
+    the alignment cascade from a rows-only check to a value-checked one.
+
+    Coordinates are 1-based inclusive [qstart, qend] in the query.
+    Uses the same kernels (_encode/_kmer_positions/ungapped_score) as the
+    full alignment path, so a green oracle row certifies those kernels.
+    """
+
+    grouped = prefilter_pairs.groupBy("query_id", "target_id").agg(
+        F.collect_list("kmer").alias("kmers"),
+        F.collect_list("pos").alias("qpositions"),
+    )
+    q = queries.select(F.col("seq_id").alias("query_id"), F.col("sequence").alias("qseq"))
+    t = targets.select(F.col("seq_id").alias("target_id"), F.col("sequence").alias("tseq"))
+    rows = grouped.join(F.broadcast(q), "query_id").join(t, "target_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["query_id", "target_id", "n_matches", "n_diags",
+                "best_diag", "best_score", "qstart", "qend"]
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                tc = _encode(r.tseq, alphabet)
+                qc = _encode(r.qseq, alphabet)
+                tpos = _kmer_positions(tc, k, len(alphabet))
+                diags = sorted(
+                    int(qp) - int(tpos[int(km)])
+                    for km, qp in zip(r.kmers, r.qpositions)
+                    if int(km) in tpos
+                )
+                if len(diags) < 2 or not (np.diff(np.array(diags)) <= DIAG_PROXIMITY).any():
+                    continue  # F5
+                best = None  # (score, diag, qs, qe)
+                distinct = list(dict.fromkeys(diags))
+                for d in distinct:
+                    sc, qs, qe = ungapped_score(qc, tc, d, matrix=matrix)
+                    if best is None or sc > best[0]:
+                        best = (sc, d, qs, qe)
+                out.append((r.query_id, r.target_id, len(diags), len(distinct),
+                            best[1], best[0], best[2] + 1, best[3]))
+            yield pd.DataFrame(out, columns=cols)
+
+    return rows.mapInPandas(run, schema=UNGAPPED_SCHEMA)
+
+
 ALIGN_SCHEMA = (
     "query_id long, target_id long, query_accession string, target_accession string, "
     "bits double, evalue double, raw int, fident double, alnlen int, mismatch int, "

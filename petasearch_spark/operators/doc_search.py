@@ -186,6 +186,151 @@ ORDER BY query_id, target_id
 """
 
 
+def _blosum_values_sql() -> str:
+    """BLOSUM62 as a 400-row VALUES list (a CHAR, b CHAR, s INT) — the
+    substitution scores the ungapped-rescore oracle joins against."""
+    from petasearch_spark.functions.kmer import AMINO_ALPHABET
+    from petasearch_spark.functions.scoring import BLOSUM62
+
+    rows = ", ".join(
+        f"('{a}','{b}',{int(BLOSUM62[i, j])})"
+        for i, a in enumerate(AMINO_ALPHABET)
+        for j, b in enumerate(AMINO_ALPHABET)
+    )
+    return f"blosum(a, b, s) AS (FROM (VALUES {rows}) v(a, b, s) SELECT *)"
+
+
+def protein_ungapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The alignment cascade's J3+F5+F6 stages under the DuckDB oracle:
+    engine k-mer index + prefilter (integer-coded kmers, Arrow kernels)
+    feeding operators.align.ungapped_rescore_pairs. The oracle recomputes
+    the identical integers (diagonal derivation, proximity gate, per-
+    diagonal max-subarray with first-argmax/argmin endpoints) from scratch
+    in SQL with window prefix sums — no engine code involved."""
+    from petasearch_spark.operators.align import ungapped_rescore_pairs
+    from petasearch_spark.operators.kmer_index import build_kmer_index, extract_query_kmers
+    from petasearch_spark.operators.prefilter import prefilter
+
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source").persist()
+    queries = seqs.filter(F.col("seq_id") % 20 == 0)
+    pairs = prefilter(extract_query_kmers(queries), build_kmer_index(seqs))
+    return ungapped_rescore_pairs(pairs, queries, seqs).orderBy("query_id", "target_id")
+
+
+PROTEIN_UNGAPPED_SQL = f"""
+WITH {DERIVED_SEQ_SQL}
+, {_blosum_values_sql()}
+, kmers AS (
+    SELECT seq_id, len(sequence) AS seq_len, i - 1 AS pos, substr(sequence, i, 9) AS kmer
+    FROM seqs, range(1, 8192) r(i)
+    WHERE i + 8 <= len(sequence)
+)
+, idx AS (
+    SELECT kmer, seq_id AS target_id
+    FROM (SELECT kmer, seq_id,
+                 ROW_NUMBER() OVER (PARTITION BY kmer ORDER BY seq_len DESC, seq_id ASC) AS rn
+          FROM kmers)
+    WHERE rn = 1
+)
+, qk AS (SELECT seq_id AS query_id, kmer, pos FROM kmers WHERE seq_id % 20 = 0)
+, hits AS (SELECT qk.query_id, idx.target_id, qk.kmer, qk.pos FROM qk JOIN idx USING (kmer))
+, pairs AS (
+    SELECT * FROM (
+        SELECT h.*, COUNT(*) OVER (PARTITION BY query_id, target_id) AS n_matches FROM hits h
+    ) WHERE n_matches > {REQ_MATCHES}
+)
+, tpos AS (SELECT seq_id AS target_id, kmer, MIN(pos) AS tpos FROM kmers GROUP BY 1, 2)
+, m AS (
+    SELECT p.query_id, p.target_id, p.n_matches, p.pos - t.tpos AS diag
+    FROM pairs p JOIN tpos t ON p.target_id = t.target_id AND p.kmer = t.kmer
+)
+-- F5: >=2 matches within 4 diagonals of each other (over the match
+-- multiset, duplicates included — gap 0 passes), blockalign.cpp:61-69
+, f5 AS (
+    SELECT query_id, target_id FROM (
+        SELECT query_id, target_id,
+               diag - LAG(diag) OVER (PARTITION BY query_id, target_id ORDER BY diag) AS gap
+        FROM m
+    ) WHERE gap IS NOT NULL GROUP BY 1, 2 HAVING MIN(gap) <= 4
+)
+, diags AS (
+    SELECT DISTINCT mm.query_id, mm.target_id, mm.n_matches, mm.diag
+    FROM m mm JOIN f5 USING (query_id, target_id)
+)
+, dd AS (
+    SELECT d.*, q.sequence AS qseq, t.sequence AS tseq,
+           len(q.sequence) AS qlen, len(t.sequence) AS tlen,
+           GREATEST(0, -d.diag) AS t_lo,
+           LEAST(len(t.sequence), len(q.sequence) - d.diag) AS t_hi
+    FROM diags d
+    JOIN seqs q ON q.seq_id = d.query_id
+    JOIN seqs t ON t.seq_id = d.target_id
+)
+-- F6 core: substitution score per cell of the diagonal overlap
+-- (prune the position range BEFORE looking up scores so the blosum join
+-- is a plain hash join, not a lateral nested loop)
+, cells0 AS (
+    SELECT dd.query_id, dd.target_id, dd.n_matches, dd.diag, dd.t_lo,
+           dd.t_lo + j AS i,
+           substr(dd.qseq, dd.t_lo + j + dd.diag + 1, 1) AS qa,
+           substr(dd.tseq, dd.t_lo + j + 1, 1) AS ta
+    FROM dd, range(0, 8192) r2(j)
+    WHERE j < dd.t_hi - dd.t_lo
+)
+, cells AS (
+    SELECT c.query_id, c.target_id, c.n_matches, c.diag, c.t_lo, c.i, b.s
+    FROM cells0 c JOIN blosum b ON b.a = c.qa AND b.b = c.ta
+)
+-- max-subarray via prefix sums: gain(i) = prefix(i+1) - min(prefix(0..i))
+, prefixes AS (
+    SELECT *, SUM(s) OVER (PARTITION BY query_id, target_id, diag ORDER BY i
+                           ROWS UNBOUNDED PRECEDING) AS cum
+    FROM cells
+)
+, gains AS (
+    SELECT *, cum - run_min AS gain FROM (
+        SELECT *,
+               LEAST(0, COALESCE(MIN(cum) OVER (PARTITION BY query_id, target_id, diag ORDER BY i
+                                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS run_min
+        FROM prefixes
+    )
+)
+-- first argmax of gain (numpy argmax tie rule), remember min prefix value
+, best_per_diag AS (
+    SELECT query_id, target_id, n_matches, diag, t_lo,
+           gain AS score, i AS e_abs, run_min AS minv
+    FROM gains
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id, target_id, diag
+                               ORDER BY gain DESC, i ASC) = 1
+)
+-- first argmin of prefix(0..e): position 0 holds prefix 0
+, starts AS (
+    SELECT b.query_id, b.target_id, b.diag, MIN(g.i - b.t_lo + 1) AS st1
+    FROM best_per_diag b
+    JOIN gains g ON g.query_id = b.query_id AND g.target_id = b.target_id
+                AND g.diag = b.diag AND g.i < b.e_abs AND g.cum = b.minv
+    WHERE b.minv < 0
+    GROUP BY 1, 2, 3
+)
+, scored_diags AS (
+    SELECT b.query_id, b.target_id, b.n_matches, b.diag, b.score,
+           b.t_lo + b.diag + (CASE WHEN b.minv = 0 THEN 0 ELSE s.st1 END) + 1 AS qstart,
+           b.diag + b.e_abs + 1 AS qend,
+           COUNT(*) OVER (PARTITION BY b.query_id, b.target_id) AS n_diags
+    FROM best_per_diag b
+    LEFT JOIN starts s ON s.query_id = b.query_id AND s.target_id = b.target_id AND s.diag = b.diag
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(target_id AS BIGINT) AS target_id,
+       CAST(n_matches AS INT) AS n_matches, CAST(n_diags AS INT) AS n_diags,
+       CAST(diag AS INT) AS best_diag, CAST(score AS INT) AS best_score,
+       CAST(qstart AS INT) AS qstart, CAST(qend AS INT) AS qend
+FROM scored_diags
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id, target_id ORDER BY score DESC, diag ASC) = 1
+ORDER BY query_id, target_id
+"""
+
+
 def protein_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine end-to-end on derived sequences: index -> prefilter ->
     banded gapped alignment -> e-value filter. Not SQL-expressible (the

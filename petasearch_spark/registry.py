@@ -57,6 +57,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_shingle_index": (doc_search.doc_shingle_index, doc_search.DOC_SHINGLE_INDEX_SQL),
     "doc_prefilter": (doc_search.doc_prefilter, doc_search.DOC_PREFILTER_SQL),
     "protein_prefilter": (doc_search.protein_prefilter, doc_search.PROTEIN_PREFILTER_SQL),
+    "protein_ungapped": (doc_search.protein_ungapped, doc_search.PROTEIN_UNGAPPED_SQL),
     "protein_search": (doc_search.protein_search, None),  # alignment kernel: rows-only
     "protein_mask_stats": (masking.protein_mask_stats, None),  # T3: no backrefs in RE2, rows-only
     # --- dedup family ---
