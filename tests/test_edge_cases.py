@@ -4,7 +4,7 @@ sane parses, never exceptions."""
 from __future__ import annotations
 
 from petasearch_spark.plans.search import search
-from petasearch_spark.sources.fasta import read_fasta, sequences_from_records
+from petasearch_spark.sources.fasta import read_fasta, read_fastq, sequences_from_records
 
 
 def test_empty_query_set(spark):
@@ -41,6 +41,34 @@ def test_fasta_edge_records(spark, tmp_path):
     assert rows["unicode"]["header"].startswith("unicode header")
     # dense 0-based load-order ids
     assert sorted(r["seq_id"] for r in rows.values()) == [0, 1, 2, 3, 4]
+
+
+def test_multifile_fasta_ids_deterministic_load_order(spark, tmp_path):
+    """Multi-file ingest: ids follow (file path, intra-file offset) and are
+    identical run to run — the round-1 ADVICE nondeterminism (per-file byte
+    offsets repeat across files) is gone."""
+    (tmp_path / "a.fa").write_text(">a1\nAAACCC\n>a2\nCCCAAA\n")
+    (tmp_path / "b.fa").write_text(">b1\nGGG\n")
+    (tmp_path / "c.fa").write_text(">c1\nTTT\n>c2\nTTTT\n>c3\nT\n")
+    paths = [str(tmp_path / n) for n in ["c.fa", "a.fa", "b.fa"]]  # shuffled arg order
+    got = {
+        r["accession"]: r["seq_id"]
+        for r in read_fasta(spark, paths).collect()
+    }
+    # path-sorted file order, intra-file record order
+    assert got == {"a1": 0, "a2": 1, "b1": 2, "c1": 3, "c2": 4, "c3": 5}
+    again = {r["accession"]: r["seq_id"] for r in read_fasta(spark, paths).collect()}
+    assert again == got
+
+
+def test_fasta_fastq_plans_have_no_global_window(spark, tmp_path):
+    """VERDICT r1 item 4 'done' criterion: no unpartitioned window (single
+    partition exchange) in either reader's plan."""
+    (tmp_path / "x.fa").write_text(">x\nACGT\n")
+    (tmp_path / "x.fq").write_text("@x\nACGT\n+\nIIII\n")
+    for df in [read_fasta(spark, str(tmp_path / "x.fa")), read_fastq(spark, str(tmp_path / "x.fq"))]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
 
 
 def test_empty_fasta(spark, tmp_path):
