@@ -524,13 +524,18 @@ def align_pairs(
     )
     # Kernel rows are tiny relative to the cluster — AQE would coalesce the
     # post-join stage into very few tasks and serialize the Python kernel.
-    # An explicit repartition keeps the Arrow stage wide; sorting each
-    # partition by target length keeps batch padding tight.
+    # An explicit repartition keeps the Arrow stage wide (derived from the
+    # session's parallelism, not a constant — a 1000-core cluster gets
+    # 2000 kernel tasks, local[32] gets 64). Partitioning BY target_id
+    # co-locates each target's pairs; sorting by (length, target_id) keeps
+    # batch padding tight AND same-target rows adjacent, so the per-batch
+    # encode/k-mer-position cache below hits without growing unboundedly.
+    n_parts = 2 * max(1, prefilter_pairs.sparkSession.sparkContext.defaultParallelism)
     rows = (
         grouped.join(F.broadcast(q), "query_id")
         .join(t, "target_id")
-        .repartition(64)
-        .sortWithinPartitions(F.length("tseq"))
+        .repartition(n_parts, "target_id")
+        .sortWithinPartitions(F.length("tseq"), "target_id")
     )
 
     # batch memory budget for the traceback pointer array (P × tlen × band+1)
@@ -542,9 +547,14 @@ def align_pairs(
             "bits", "evalue", "raw", "fident", "alnlen", "mismatch", "gapopen",
             "nident", "qstart", "qend", "qlen", "tstart", "tend", "tlen", "backtrace",
         ]
-        tcache: dict[int, tuple] = {}
-        qcache: dict[int, np.ndarray] = {}
         for pdf in batches:
+            # Per-BATCH caches: same-target rows arrive adjacent (the
+            # repartition/sort above), so a batch-lifetime cache captures
+            # almost all reuse while executor memory stays bounded by the
+            # Arrow batch size — not by the partition's total distinct
+            # sequences (the round-1 ADVICE unbounded-growth finding).
+            tcache: dict[int, tuple] = {}
+            qcache: dict[int, np.ndarray] = {}
             # stage 1 (cheap, per pair): J3 diagonals + F5 + F6 anchor
             todo = []  # (row, qc, tc, anchor)
             for r in pdf.itertuples(index=False):

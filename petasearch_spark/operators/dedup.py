@@ -96,23 +96,55 @@ def _shingle_hashes(docs: DataFrame, n: int = 3, col: str = "sh_h") -> DataFrame
     return docs.select("doc_id", "text").mapInPandas(gen, f"doc_id long, {col} long")
 
 
+#: document-frequency cap for CANDIDATE GENERATION: a shingle present in
+#: more docs carries no dedup signal but generates O(df²) candidate pairs
+#: (a corpus-common 3-gram with df=10⁶ would yield ~10¹² pairs — the
+#: round-1 VERDICT's named scale-killer). Hot shingles are still counted
+#: by the exact verification, so surviving pairs' Jaccard is unchanged; a
+#: true near-dup pair is lost only if EVERY shingle it shares is hot —
+#: the documented recall trade (LSH banding makes the same one implicitly).
+MAX_SHINGLE_DF = 100
+
+
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.5. Candidates come
-    from the shingle self-join (no O(n²) scan); Jaccard is exact int
-    arithmetic — deterministic across engines. The join key is the 60-bit
-    shingle hash, not the ~25-char shingle string: the self-join shuffles
-    8-byte keys instead of strings (any md5 collision would affect Spark
-    and the oracle identically, so parity is unaffected)."""
+    from the self-join of df-capped shingles (no O(n²) scan, no hot-key
+    blowup); survivors are verified with exact Jaccard over the FULL
+    shingle sets — deterministic int arithmetic, same in the oracle. The
+    join key is the 60-bit shingle hash, not the ~25-char shingle string:
+    the self-join shuffles 8-byte keys (any md5 collision would affect
+    Spark and the oracle identically, so parity is unaffected).
+
+    Scale shape: the hot-shingle set (df > cap) is tiny under any
+    power-law corpus — broadcast anti-join, no extra shuffle; candidates
+    are bounded by rare-shingle collisions and broadcast through the two
+    verify joins exactly like the LSH path."""
     sh = _shingle_hashes(load_table(spark, "documents", sf_dir, widen_scan=True))
-    # the shingle set feeds the candidate join AND both verify sides —
+    # the shingle set feeds candidate generation AND both verify sides —
     # persist so the explode+distinct+md5 lineage runs once per action
     sh = sh.persist()
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
+    hot = (
+        sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("sh_h")
+    )
+    rare = sh.join(F.broadcast(hot), "sh_h", "left_anti")
+    a = rare.alias("a")
+    b = rare.alias("b")
+    cand = (
         a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verify: |intersection| over the full (uncapped) shingle sets
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh_h")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh_h")
+    shared = (
+        F.broadcast(cand)
+        .join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh_h"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -130,10 +162,18 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_JACCARD_SQL = f"""
 WITH {shingle_hashes_sql("documents", "doc_id", "text", n=3)}
 , cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id)
+, hot AS (SELECT sh_h FROM shh GROUP BY sh_h HAVING COUNT(*) > {MAX_SHINGLE_DF})
+, rare AS (SELECT * FROM shh WHERE sh_h NOT IN (SELECT sh_h FROM hot))
+, cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM rare a JOIN rare b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+)
 , pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-    FROM shh a JOIN shh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+    FROM cand c
+    JOIN shh a ON a.doc_id = c.doc_a
+    JOIN shh b ON b.doc_id = c.doc_b AND b.sh_h = a.sh_h
+    GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b,
        ROUND(CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared), 6) AS jaccard
@@ -378,9 +418,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Checkpointing truncates lineage so each round plans against a flat
     # scan. On a cluster, swap localCheckpoint for checkpoint() with a
     # reliable checkpoint dir (executor loss otherwise loses the blocks).
+    n_parts = max(2, spark.sparkContext.defaultParallelism // 4)  # edge lists are small vs the corpus
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).repartition(8).localCheckpoint()
+    ).repartition(n_parts).localCheckpoint()
     labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("label")
     )

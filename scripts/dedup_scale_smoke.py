@@ -42,11 +42,16 @@ from petasearch_spark.session import get_spark
 WORDS_PER_DOC = 60
 VOCAB = 30_000
 DUP_STRIDE = 50  # doc_id % DUP_STRIDE == 1 duplicates doc_id - 1
+#: every doc gets this templated boilerplate prefix — its 3-gram shingles
+#: have df == n_docs, the hot-shingle scenario the MAX_SHINGLE_DF candidate
+#: cap exists for (an uncapped self-join would try ~n² pairs on them)
+HOT_PREFIX = "common boilerplate header shared by every document"
 
 
 def synth_documents(spark, n: int):
     """n deterministic word-soup docs; every (k*STRIDE, k*STRIDE+1) pair is
-    a near-dup differing in exactly one word position."""
+    a near-dup differing in exactly one word position. All docs share the
+    HOT_PREFIX boilerplate (injected corpus-wide hot shingles)."""
     base = spark.range(n).repartition(spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -61,7 +66,7 @@ def synth_documents(spark, n: int):
                 if is_dup:  # mutate one deterministic position
                     pos = int(doc_id) % WORDS_PER_DOC
                     words[pos] = (words[pos] + 1) % VOCAB
-                texts.append(" ".join(f"w{w}" for w in words))
+                texts.append(HOT_PREFIX + " " + " ".join(f"w{w}" for w in words))
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
