@@ -31,7 +31,10 @@ BENCH_QUERIES = [
     "doc_shingle_index",
     "doc_prefilter",
     "protein_prefilter",
+    "protein_prefilter_bucketed",
     "protein_search",
+    "protein_ungapped",
+    "protein_expand_prefilter",
     "dedup_exact",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",

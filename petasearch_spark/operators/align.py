@@ -19,6 +19,19 @@ Reference (`blockalign`, /root/reference/src/sra/blockalign.cpp): per
    threshold (411-414; F8), then swap to query-keyed output
    (Matcher::result_t::swapResult semantics, 435-440; P6).
 
+ACCEPTED DIVERGENCE from the reference aligner (round-2 evidence,
+tests/test_align.py x-drop section): the reference's gapped stage is a
+two-pass x-drop extension (--xdrop 10, BlockAligner.cpp:60-93) that
+STOPS once the frontier falls more than 10 below the running best; our
+kernel is banded Gotoh over the same ±band/2 diagonals with no early
+termination. Consequence: on pairs with two high-scoring segments
+separated by a deep score dip we bridge and report the higher combined
+score where the reference reports only the anchor-side segment — we are
+never LESS sensitive, and on conservatively mutated pairs (the shape of
+real hits) the two rules agree on 50/50 seeded trials
+(test_xdrop_agreement_rate_on_realistic_pairs). The divergence is
+directional, quantified, and confined to deep-dip constructions.
+
 Spark design: the kernel is a pure numpy function over one (qseq, tseq,
 matches) row — no cross-row state — so it runs under ``mapInPandas``:
 Arrow-batched, embarrassingly parallel, no shuffle beyond the one

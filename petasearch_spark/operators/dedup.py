@@ -120,7 +120,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bounded by rare-shingle collisions and broadcast through the two
     verify joins exactly like the LSH path."""
     sh = _shingle_hashes(load_table(spark, "documents", sf_dir, widen_scan=True))
-    # the shingle set feeds candidate generation AND both verify sides —
+    # the shingle set feeds candidate generation AND the hot correction —
     # persist so the explode+distinct+md5 lineage runs once per action
     sh = sh.persist()
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -132,28 +132,63 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = sh.join(F.broadcast(hot), "sh_h", "left_anti")
     a = rare.alias("a")
     b = rare.alias("b")
-    cand = (
+    # rare-shingle intersection counts straight off the self-join — one
+    # shuffle, no candidate materialization/broadcast (candidate keys ARE
+    # these group keys)
+    shared_rare = (
         a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_rare"))
     )
-    # exact verify: |intersection| over the full (uncapped) shingle sets
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh_h")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh_h")
-    shared = (
-        F.broadcast(cand)
-        .join(sa, "doc_a")
-        .join(sb, ["doc_b", "sh_h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    # Upper-bound pre-filter: total shared <= shared_rare + min(hot_a,
+    # hot_b) (a pair can share at most min of the docs' hot-shingle
+    # counts), and Jaccard is monotone in shared — so pairs whose BOUND
+    # misses the threshold are dropped before the correction joins. The
+    # rare-pair set can be millions of rows; threshold-viable pairs are
+    # the output scale. 1e-9 slack keeps borderline float noise inclusive
+    # (the final filter is on the exact corrected value).
+    sh_hot = sh.join(F.broadcast(hot), "sh_h")
+    hcnt = sh_hot.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hot"))
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    hca = hcnt.select(F.col("doc_id").alias("doc_a"), F.col("n_hot").alias("h_a"))
+    hcb = hcnt.select(F.col("doc_id").alias("doc_b"), F.col("n_hot").alias("h_b"))
+    s_ub = F.col("shared_rare") + F.least(
+        F.coalesce(F.col("h_a"), F.lit(0)), F.coalesce(F.col("h_b"), F.lit(0))
+    )
+    viable = (
+        shared_rare.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .join(F.broadcast(hca), "doc_a", "left")
+        .join(F.broadcast(hcb), "doc_b", "left")
+        .withColumn("s_ub", s_ub)
+        .filter(
+            F.col("s_ub").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("s_ub"))
+            >= JACCARD_THRESHOLD - 1e-9
+        )
+    )
+    # exact-verify correction on the viable pairs only: add back hot
+    # overlaps (hot occurrences join candidate keys, never each other —
+    # no df² blowup)
+    ha = sh_hot.select(F.col("doc_id").alias("doc_a"), "sh_h")
+    hb = sh_hot.select(F.col("doc_id").alias("doc_b"), "sh_h")
+    shared_hot = (
+        viable.select("doc_a", "doc_b")
+        .join(ha, "doc_a")
+        .join(hb, ["doc_b", "sh_h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_hot"))
+    )
+    shared = viable.join(F.broadcast(shared_hot), ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "n_a",
+        "n_b",
+        (F.col("shared_rare") + F.coalesce(F.col("shared_hot"), F.lit(0))).alias("shared"),
+    )
     j = F.col("shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return (
-        shared.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
-        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+        shared.select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
@@ -164,23 +199,39 @@ WITH {shingle_hashes_sql("documents", "doc_id", "text", n=3)}
 , cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id)
 , hot AS (SELECT sh_h FROM shh GROUP BY sh_h HAVING COUNT(*) > {MAX_SHINGLE_DF})
 , rare AS (SELECT * FROM shh WHERE sh_h NOT IN (SELECT sh_h FROM hot))
-, cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+, pairs_rare AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_rare
     FROM rare a JOIN rare b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+, hotsh AS (SELECT s.doc_id, s.sh_h FROM shh s JOIN hot USING (sh_h))
+, hcnt AS (SELECT doc_id, COUNT(*) AS n_hot FROM hotsh GROUP BY doc_id)
+, viable AS (
+    SELECT p.doc_a, p.doc_b, p.shared_rare, ca.n_sh AS n_a, cb.n_sh AS n_b
+    FROM pairs_rare p
+    JOIN cnt ca ON ca.doc_id = p.doc_a
+    JOIN cnt cb ON cb.doc_id = p.doc_b
+    LEFT JOIN hcnt ha ON ha.doc_id = p.doc_a
+    LEFT JOIN hcnt hb ON hb.doc_id = p.doc_b
+    WHERE CAST(p.shared_rare + LEAST(COALESCE(ha.n_hot, 0), COALESCE(hb.n_hot, 0)) AS DOUBLE)
+          / (ca.n_sh + cb.n_sh - (p.shared_rare + LEAST(COALESCE(ha.n_hot, 0), COALESCE(hb.n_hot, 0))))
+          >= {JACCARD_THRESHOLD} - 1e-9
+)
+, pairs_hot AS (
+    SELECT v.doc_a, v.doc_b, COUNT(*) AS shared_hot
+    FROM viable v
+    JOIN hotsh a ON a.doc_id = v.doc_a
+    JOIN hotsh b ON b.doc_id = v.doc_b AND b.sh_h = a.sh_h
+    GROUP BY v.doc_a, v.doc_b
 )
 , pairs AS (
-    SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
-    FROM cand c
-    JOIN shh a ON a.doc_id = c.doc_a
-    JOIN shh b ON b.doc_id = c.doc_b AND b.sh_h = a.sh_h
-    GROUP BY c.doc_a, c.doc_b
+    SELECT v.doc_a, v.doc_b, v.n_a, v.n_b, v.shared_rare + COALESCE(h.shared_hot, 0) AS shared
+    FROM viable v LEFT JOIN pairs_hot h USING (doc_a, doc_b)
 )
 SELECT doc_a, doc_b,
-       ROUND(CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared), 6) AS jaccard
+       ROUND(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6) AS jaccard
 FROM pairs
-JOIN cnt ca ON ca.doc_id = doc_a
-JOIN cnt cb ON cb.doc_id = doc_b
-WHERE ROUND(CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared), 6) >= {JACCARD_THRESHOLD}
+WHERE ROUND(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
 
@@ -451,9 +502,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cc_sql() -> str:
     base = DEDUP_JACCARD_SQL.strip().rstrip(";")
-    # reuse the jaccard query as a CTE, then unroll the same iterations
-    s = f"""WITH jp AS ({base})
-, edges AS (
+    # reuse the jaccard query as a CTE, then unroll the same iterations.
+    # MATERIALIZED is load-bearing: each unrolled iteration references
+    # edges (hence jp) again, and DuckDB would otherwise re-inline the
+    # whole jaccard pipeline per iteration (measured 178s vs 0.4s).
+    s = f"""WITH jp AS MATERIALIZED ({base})
+, edges AS MATERIALIZED (
     SELECT doc_a, doc_b FROM jp
     UNION ALL
     SELECT doc_b AS doc_a, doc_a AS doc_b FROM jp

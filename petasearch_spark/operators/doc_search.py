@@ -188,6 +188,42 @@ ORDER BY query_id, target_id
 """
 
 
+def protein_prefilter_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefilter through the BUCKETED physical layout — the plan the
+    100 TB story actually ships (SURVEY §4.2): index and query k-mers are
+    written bucketBy(kmer)+sortBy (write_kmer_index_bucketed /
+    write_query_kmers_bucketed) and the J1 equi-join reads both
+    bucket-locally — a sort-merge join with NO Exchange above either scan
+    (tests/test_skew_pruning.py pins that plan property; at a real
+    deployment the one-time index write amortizes over every query
+    batch). Logical output is identical to protein_prefilter, so it
+    shares that query's DuckDB oracle — the engine integer-kmer path and
+    the oracle's string-kmer path are bijective."""
+    from petasearch_spark.operators.kmer_index import (
+        build_kmer_index,
+        extract_query_kmers,
+        write_kmer_index_bucketed,
+        write_query_kmers_bucketed,
+    )
+    from petasearch_spark.operators.prefilter import prefilter
+
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source").persist()
+    queries = seqs.filter(F.col("seq_id") % 20 == 0)
+    write_kmer_index_bucketed(build_kmer_index(seqs), "ps_bench_index_b")
+    write_query_kmers_bucketed(extract_query_kmers(queries), "ps_bench_qk_b")
+    pairs = prefilter(
+        spark.table("ps_bench_qk_b"),
+        spark.table("ps_bench_index_b"),
+        broadcast_queries=False,  # bucket-local SMJ, not broadcast
+    )
+    return (
+        pairs.groupBy("query_id", "target_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("query_id", "target_id")
+    )
+
+
 #: committed golden parquets (regenerate: python scripts/gen_goldens.py)
 GOLDEN_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),

@@ -116,6 +116,19 @@ def write_kmer_index(index: DataFrame, path: str, num_ranges: int = 32) -> None:
     )
 
 
+def _drop_managed_table(spark, table: str) -> None:
+    """DROP TABLE IF EXISTS plus local-warehouse orphan cleanup: an
+    in-memory catalog forgets tables between sessions but their location
+    dirs persist, and saveAsTable then fails with LOCATION_ALREADY_EXISTS.
+    (On a cluster with a real metastore the DROP alone suffices.)"""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        shutil.rmtree(f"{wh.removeprefix('file:')}/{table.lower()}", ignore_errors=True)
+
+
 def write_kmer_index_bucketed(
     index: DataFrame, table: str, num_buckets: int = 32
 ) -> None:
@@ -125,6 +138,7 @@ def write_kmer_index_bucketed(
     sides. This is the Spark analogue of the reference's sorted
     table + streamed merge join, and the layout you want when the same
     100 TB index serves many query batches."""
+    _drop_managed_table(index.sparkSession, table)
     (
         index.write.mode("overwrite")
         .format("parquet")
@@ -140,6 +154,7 @@ def write_query_kmers_bucketed(
 ) -> None:
     """Bucket the probe side identically so the prefilter join is
     bucket-local (zero shuffle on either side)."""
+    _drop_managed_table(query_kmers.sparkSession, table)
     (
         query_kmers.write.mode("overwrite")
         .format("parquet")

@@ -88,6 +88,7 @@ def expand_kmer_scored(
     threshold: int = DEFAULT_KMER_THRESHOLD,
     max_n: int = DEFAULT_MAX_PER_POS,
     matrix: np.ndarray = KMER_SEED_MATRIX,
+    _chunk_cache: dict | None = None,
 ) -> list[tuple[int, int]]:
     """Top-`max_n` (k-mer, score) by substitution score vs `kmer`, score
     **>=** `threshold` (generateKmerList's filter, FixedKmerGenerator.cpp
@@ -102,10 +103,23 @@ def expand_kmer_scored(
     for s in sizes:
         chunks.append(codes[off : off + s])
         off += s
-    vecs = [_chunk_scores(c, matrix) for c in chunks]
-    orders = [np.argsort(-v, kind="stable") for v in vecs]
-    sorted_scores = [v[o] for v, o in zip(vecs, orders)]
-    g = len(vecs)
+    # per-chunk sorted score tables — the reference precomputes these once
+    # as ExtendedSubstitutionMatrix; we memoize per distinct chunk (the
+    # same 3-mers recur across a query set's k-mers constantly)
+    orders = []
+    sorted_scores = []
+    for c in chunks:
+        key = tuple(c)
+        hit = _chunk_cache.get(key) if _chunk_cache is not None else None
+        if hit is None:
+            v = _chunk_scores(c, matrix)
+            o = np.argsort(-v, kind="stable")
+            hit = (o, v[o])
+            if _chunk_cache is not None:
+                _chunk_cache[key] = hit
+        orders.append(hit[0])
+        sorted_scores.append(hit[1])
+    g = len(chunks)
     # multipliers to recompose the full kmer code from chunk codes
     mults = []
     m = 1
@@ -254,12 +268,15 @@ def expand_query_kmers(
     distinct = query_kmers.select("kmer").distinct()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunk_cache: dict = {}  # ≤ 8000 entries of 2×8000 int arrays
         for pdf in batches:
             kmers = []
             sims = []
             scores = []
             for km in pdf["kmer"]:
-                for s, sc in expand_kmer_scored(int(km), k, threshold, max_per_pos):
+                for s, sc in expand_kmer_scored(
+                    int(km), k, threshold, max_per_pos, _chunk_cache=chunk_cache
+                ):
                     kmers.append(km)
                     sims.append(s)
                     scores.append(sc)

@@ -59,6 +59,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "protein_prefilter": (doc_search.protein_prefilter, doc_search.PROTEIN_PREFILTER_SQL),
     "protein_ungapped": (doc_search.protein_ungapped, doc_search.PROTEIN_UNGAPPED_SQL),
     "protein_expand_prefilter": (doc_search.protein_expand_prefilter, doc_search.PROTEIN_EXPAND_PREFILTER_SQL),
+    # same logical output as protein_prefilter via the bucketed layout —
+    # shares its oracle; what the 100 TB deployment ships
+    "protein_prefilter_bucketed": (doc_search.protein_prefilter_bucketed, doc_search.PROTEIN_PREFILTER_SQL),
     # alignment kernel is not SQL-derivable: oracle = committed regression
     # golden (scripts/gen_goldens.py), value-hash pins the full cascade
     "protein_search": (doc_search.protein_search, doc_search.PROTEIN_SEARCH_SQL),
