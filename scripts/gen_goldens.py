@@ -91,7 +91,35 @@ def gen_protein_search():
     print("wrote", out)
 
 
+def gen_mask_stats():
+    """protein_mask_stats golden from the INDEPENDENT scalar masking twin
+    (tests.golden_tools.mask_seq_scalar) — cross-checks the vectorized
+    kernel and puts T3 under the value-hash gate."""
+    from tests.golden_tools import mask_seq_scalar
+
+    rows = {"corpus_chars": [], "seq_id": [], "seq_len": [], "n_masked": []}
+    for sf in SFS:
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"]).to_pandas()
+        corpus_chars = int(docs.text.str.len().sum())
+        n = 0
+        for _, r in docs.iterrows():
+            seq = derive_sequence(r.text)
+            masked = mask_seq_scalar(seq)
+            n_x = masked.count("X")
+            if n_x > 0:
+                rows["corpus_chars"].append(corpus_chars)
+                rows["seq_id"].append(int(r.doc_id))
+                rows["seq_len"].append(len(seq))
+                rows["n_masked"].append(n_x)
+                n += 1
+        print(f"{sf}: {n} masked sequences")
+    out = os.path.join(GOLDEN_DIR, "mask_stats_golden.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False), out)
+    print("wrote", out)
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_expansion()
+    gen_mask_stats()
     gen_protein_search()

@@ -91,3 +91,38 @@ def decode_kmer(code: int, k: int) -> str:
         out.append(AMINO_ALPHABET[code % _A])
         code //= _A
     return "".join(reversed(out))
+
+
+def mask_seq_scalar(seq: str, max_period: int = 4, min_repeat: int = 8,
+                    window: int = 12, dominant_frac: float = 0.75) -> str:
+    """Independent plain-loop twin of operators.masking.mask_seq (same
+    spec: period-p tandem tracts and dominant-residue windows -> X).
+    Used to generate the protein_mask_stats golden."""
+    import math
+
+    n = len(seq)
+    if n == 0:
+        return seq
+    masked = [False] * n
+    for p in range(1, max_period + 1):
+        if n <= p:
+            break
+        eq = [seq[j + p] == seq[j] for j in range(n - p)]
+        j = 0
+        while j < len(eq):
+            if eq[j]:
+                s = j
+                while j < len(eq) and eq[j]:
+                    j += 1
+                if j - s >= min_repeat:
+                    for i in range(s, min(n, j + p)):
+                        masked[i] = True
+            else:
+                j += 1
+    need = math.ceil(dominant_frac * window)
+    for i in range(0, n - window + 1):
+        win = seq[i : i + window]
+        if max(win.count(c) for c in set(win)) >= need:
+            for t in range(i, i + window):
+                masked[t] = True
+    return "".join("X" if m else c for c, m in zip(seq, masked))
