@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_ivf_kmeans",
     "embedding_neardup",
+    "embedding_neardup_lsh",
     "embedding_quantize_int8",
     "image_stats",
     "video_frame_sample",

@@ -251,6 +251,136 @@ ORDER BY id_a, id_b
 """
 
 
+#: random-hyperplane LSH configuration for the near-dup SCALE path:
+#: 16 sign bits, 4 bands × 4 bits (pigeonhole: Hamming ≤ 3 → ≥1 shared
+#: band). Hyperplane weights are deterministic integers derived from the
+#: portable md5 hash so BOTH engines construct identical planes.
+RP_BITS = 16
+RP_BAND_BITS = 4
+RP_DIM = 64  # driver embeddings are 64-dim at every SF
+
+
+def _rp_planes() -> np.ndarray:
+    """(RP_BITS, RP_DIM) integer weights in [-1000, 1000]:
+    hash64('rp{p}:{d}') % 2001 - 1000 — the exact arithmetic the oracle
+    runs in SQL."""
+    import hashlib
+
+    w = np.empty((RP_BITS, RP_DIM), dtype=np.float64)
+    for p in range(RP_BITS):
+        for d in range(RP_DIM):
+            h = int(hashlib.md5(f"rp{p}:{d}".encode()).hexdigest()[:15], 16)
+            w[p, d] = (h % 2001) - 1000
+    return w
+
+
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via random-hyperplane LSH + exact-cosine verify —
+    the SCALE path for embedding near-dup (the blocked all-pairs
+    embedding_neardup above is O(n²/NB) by design; this one's cost is
+    bucket collisions + candidates). sig bit p = [v·w_p >= 0]; candidates
+    share any 4-bit band of the 16-bit signature; survivors are verified
+    with exact rounded cosine >= threshold. Signature computation is one
+    narrow Arrow map (dimension-sequential fold — bit-identical to the
+    oracle's list_dot_product); the band self-join shuffles 8-byte keys.
+
+    Candidate recall is the standard hyperplane-LSH curve: at the real
+    deployment threshold 0.95 a 4x4 banding recovers ~0.99 of true
+    pairs; the synthetic corpus thresholds at {NEARDUP_COS} (vectors are
+    near-orthogonal) where the same banding is a much looser prefilter —
+    the oracle mirrors the IDENTICAL candidate set, so the gate checks
+    the construction, not the recall."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    W = _rp_planes()
+
+    @F.pandas_udf("long")
+    def sig_udf(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        X = np.stack(v.values)
+        acc = np.zeros((len(X), RP_BITS))
+        for d in range(RP_DIM):
+            acc += np.outer(X[:, d], W[:, d])
+        bits = (acc >= 0).astype(np.int64)
+        return pd.Series(bits @ (1 << np.arange(RP_BITS, dtype=np.int64)))
+
+    emb = emb.persist()  # feeds signatures AND both verify fetch joins
+    sig = emb.select("vec_id", sig_udf("v").alias("sig"))
+    n_bands = RP_BITS // RP_BAND_BITS
+    mask = (1 << RP_BAND_BITS) - 1
+    # band keys carry IDS ONLY — the self-join shuffles 8-byte keys, not
+    # 64-dim vectors; vectors are fetched per surviving candidate
+    keyed = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("sig", b * RP_BAND_BITS).bitwiseAND(F.lit(mask)).alias("subkey"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.subkey")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.subkey") == F.col("b.subkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", cosine_pair_udf(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= NEARDUP_COS)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_COS6 = "ROUND(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+
+EMBEDDING_NEARDUP_LSH_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+, w AS (
+    SELECT p, d,
+           (('0x' || substr(md5('rp' || p || ':' || d), 1, 15))::BIGINT % 2001) - 1000 AS wv
+    FROM range(0, {RP_BITS}) r1(p), range(0, {RP_DIM}) r2(d)
+)
+, wl AS (SELECT p, list(CAST(wv AS DOUBLE) ORDER BY d) AS wvec FROM w GROUP BY p)
+, bits AS (
+    SELECT e.vec_id, wl.p,
+           CASE WHEN list_dot_product(e.v, wl.wvec) >= 0 THEN 1 ELSE 0 END AS bit
+    FROM emb e CROSS JOIN wl
+)
+, sig AS (SELECT vec_id, CAST(SUM(bit * (1::BIGINT << p)) AS BIGINT) AS sig FROM bits GROUP BY vec_id)
+, keyed AS (
+    SELECT vec_id, r.b AS band, (sig >> (r.b * {RP_BAND_BITS})) & {(1 << RP_BAND_BITS) - 1} AS subkey
+    FROM sig, range(0, {RP_BITS // RP_BAND_BITS}) r(b)
+)
+, cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM keyed a JOIN keyed b
+      ON a.band = b.band AND a.subkey = b.subkey AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, {_COS6.format(a="ea.v", b="eb.v")} AS cos
+FROM cand c
+JOIN emb ea ON ea.vec_id = c.id_a
+JOIN emb eb ON eb.vec_id = c.id_b
+WHERE {_COS6.format(a="ea.v", b="eb.v")} >= {NEARDUP_COS}
+ORDER BY id_a, id_b
+"""
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization — the storage/serving form of an
     embedding corpus (4x smaller, SIMD-dot-friendly). Per vector:

@@ -79,6 +79,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_ivf_topk": (ivf.ann_ivf_topk, ivf.ANN_IVF_TOPK_SQL),
     "ann_ivf_kmeans": (ivf.ann_ivf_kmeans, ivf.ANN_IVF_KMEANS_SQL),
     "embedding_neardup": (similarity.embedding_neardup, similarity.EMBEDDING_NEARDUP_SQL),
+    "embedding_neardup_lsh": (similarity.embedding_neardup_lsh, similarity.EMBEDDING_NEARDUP_LSH_SQL),
     "embedding_quantize_int8": (similarity.embedding_quantize_int8, similarity.EMBEDDING_QUANTIZE_SQL),
     # --- multimodal (binary payload + typed metadata, mapInPandas codecs) ---
     "media_catalog": (multimodal.media_catalog, multimodal.MEDIA_CATALOG_SQL),
