@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "protein_prefilter",
     "protein_prefilter_bucketed",
     "protein_search",
+    "protein_search_expanded",
     "protein_ungapped",
     "protein_expand_prefilter",
     "dedup_exact",

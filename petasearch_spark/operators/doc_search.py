@@ -476,3 +476,32 @@ FROM '{GOLDEN_DIR}/protein_search_golden.parquet'
 WHERE corpus_chars = (SELECT SUM(len(text)) FROM documents)
 ORDER BY query_id, target_id
 """
+
+
+def protein_search_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cascade in the reference's DEFAULT sensitivity mode
+    (--exact-kmer-matching 0): expansion -> prefilter -> alignment,
+    queries every 100th doc. Gated by a committed regression golden
+    (scripts/gen_goldens.py) like protein_search; the expansion table
+    itself is independently verified by protein_expand_prefilter."""
+    from petasearch_spark.plans.search import search
+
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source").persist()
+    queries = seqs.filter(F.col("seq_id") % 100 == 0)
+    res = search(queries, seqs, expand_similar=True)
+    return res.select(
+        "query_id", "target_id", "query_accession", "target_accession",
+        "raw", "alnlen", "nident", "mismatch", "gapopen",
+        "qstart", "qend", "qlen", "tstart", "tend", "tlen",
+    )
+
+
+PROTEIN_SEARCH_EXPANDED_SQL = f"""
+SELECT query_id, target_id, query_accession, target_accession,
+       raw, alnlen, nident, mismatch, gapopen,
+       qstart, qend, qlen, tstart, tend, tlen
+FROM '{GOLDEN_DIR}/protein_search_expanded_golden.parquet'
+WHERE corpus_chars = (SELECT SUM(len(text)) FROM documents)
+ORDER BY query_id, target_id
+"""

@@ -65,6 +65,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # alignment kernel is not SQL-derivable: oracle = committed regression
     # golden (scripts/gen_goldens.py), value-hash pins the full cascade
     "protein_search": (doc_search.protein_search, doc_search.PROTEIN_SEARCH_SQL),
+    "protein_search_expanded": (doc_search.protein_search_expanded, doc_search.PROTEIN_SEARCH_EXPANDED_SQL),
     # T3 isn't SQL-expressible (no backrefs in RE2): oracle replays a
     # golden from an independent scalar masking implementation
     "protein_mask_stats": (masking.protein_mask_stats, masking.PROTEIN_MASK_STATS_SQL),

@@ -73,22 +73,26 @@ def gen_expansion():
 
 def gen_protein_search():
     from petasearch_spark import get_spark
-    from petasearch_spark.operators.doc_search import protein_search
+    from petasearch_spark.operators.doc_search import protein_search, protein_search_expanded
 
     spark = get_spark("gen-goldens")
-    parts = []
-    for sf in SFS:
-        corpus_chars = int(
-            pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
-            .to_pandas().text.str.len().sum()
-        )
-        pdf = protein_search(spark, sf).toPandas()
-        pdf.insert(0, "corpus_chars", corpus_chars)
-        parts.append(pdf)
-        print(f"{sf}: protein_search -> {len(pdf)} rows")
-    out = os.path.join(GOLDEN_DIR, "protein_search_golden.parquet")
-    pq.write_table(pa.Table.from_pandas(pd.concat(parts), preserve_index=False), out)
-    print("wrote", out)
+    for fn, fname in [
+        (protein_search, "protein_search_golden.parquet"),
+        (protein_search_expanded, "protein_search_expanded_golden.parquet"),
+    ]:
+        parts = []
+        for sf in SFS:
+            corpus_chars = int(
+                pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+                .to_pandas().text.str.len().sum()
+            )
+            pdf = fn(spark, sf).toPandas()
+            pdf.insert(0, "corpus_chars", corpus_chars)
+            parts.append(pdf)
+            print(f"{sf}: {fn.__name__} -> {len(pdf)} rows")
+        out = os.path.join(GOLDEN_DIR, fname)
+        pq.write_table(pa.Table.from_pandas(pd.concat(parts), preserve_index=False), out)
+        print("wrote", out)
 
 
 def gen_mask_stats():
