@@ -1,0 +1,65 @@
+"""Physical-plan properties the 100 TB story depends on: filters reach
+the parquet scans (PushedFilters) and scans read only the projected
+columns (ReadSchema pruning). Representative queries, exact plan-string
+assertions."""
+
+from __future__ import annotations
+
+import re
+
+from petasearch_spark.registry import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    fn, _ = REGISTRY[name]
+    return fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def scans(plan: str) -> list[str]:
+    """One line per FileScan with its PushedFilters/ReadSchema blobs."""
+    return [ln for ln in plan.splitlines() if "FileScan parquet" in ln or "PushedFilters" in ln]
+
+
+def test_q3_filters_pushed_to_scans(spark):
+    """q3 filters on mktsegment and two date bounds — each must appear as
+    a pushed parquet filter, not a post-scan Filter only."""
+    plan = plan_of(spark, "q3_shipping_priority")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    joined = "; ".join(pushed)
+    assert "EqualTo(c_mktsegment" in joined, joined
+    assert "LessThan(o_orderdate" in joined, joined
+    assert "GreaterThan(l_shipdate" in joined, joined
+
+
+def test_events_hourly_scan_prunes_props(spark):
+    """events_hourly touches ts/event_type/user_id/value — the scan must
+    NOT read the wide JSON props column."""
+    plan = plan_of(spark, "events_hourly")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    for s in schemas:
+        assert "props" not in s, s
+        assert "ts" in s and "event_type" in s
+
+
+def test_ann_ivf_centroid_scan_pushes_id_filter(spark):
+    """The IVF centroid branch reads vec_id < 16 — pushed to parquet so a
+    100 TB corpus never scans for its 16 coarse centroids."""
+    plan = plan_of(spark, "ann_ivf_topk")
+    pushed = "; ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "LessThan(vec_id,16)" in pushed.replace(" ", ""), pushed
+
+
+def test_doc_queries_prune_text_free_columns(spark):
+    """doc_shingle_index needs doc_id/n_chars/source/text only — embedding
+    or timestamp columns must not be read."""
+    plan = plan_of(spark, "doc_shingle_index")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    read_cols = set()
+    for s in schemas:
+        read_cols |= {c.split(":")[0] for c in s.split(",") if c}
+    assert "text" in read_cols
+    assert read_cols <= {"doc_id", "n_chars", "source", "text", "lang"}, read_cols
