@@ -203,9 +203,17 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = blk.withColumn("bj", F.explode(F.sequence(F.col("bi"), F.lit(nb - 1)))).select(
         (F.col("bi") * nb + F.col("bj")).alias("pkey"), "vec_id", "v"
     )
-    # … and in pair (i2, i) as RIGHT for i2 ≤ i.
+    # … and in pair (i2, i) as RIGHT for i2 ≤ i. The right side's data
+    # columns are RENAMED (vec_id_r, v_r): both sides descend from the
+    # same scan, so without the aliases they share attribute exprIds and
+    # the analyzer's self-cogroup deduplication can rewrite the right
+    # side out from under FlatMapCoGroupsInPandas — the kernel then
+    # receives a right frame holding only the grouping key. Distinct
+    # names force fresh exprIds and make the plan unambiguous.
     right = blk.withColumn("bi2", F.explode(F.sequence(F.lit(0), F.col("bi")))).select(
-        (F.col("bi2") * nb + F.col("bi")).alias("pkey"), "vec_id", "v"
+        (F.col("bi2") * nb + F.col("bi")).alias("pkey"),
+        F.col("vec_id").alias("vec_id_r"),
+        F.col("v").alias("v_r"),
     )
 
     def block_pairs(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
@@ -214,9 +222,9 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(columns=cols)
         diagonal = key[0] % (nb + 1) == 0  # pkey = bi*nb+bj, bi == bj
         ida = lpdf["vec_id"].to_numpy()
-        idb = rpdf["vec_id"].to_numpy()
+        idb = rpdf["vec_id_r"].to_numpy()
         A = np.array(lpdf["v"].tolist(), dtype=np.float64)
-        B = np.array(rpdf["v"].tolist(), dtype=np.float64)
+        B = np.array(rpdf["v_r"].tolist(), dtype=np.float64)
         G = A @ B.T
         na = np.sqrt(np.einsum("ij,ij->i", A, A))
         nbn = np.sqrt(np.einsum("ij,ij->i", B, B))

@@ -13,6 +13,12 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
+    # Earlier tests may have materialized persisted fragments (e.g. the
+    # embedding projection in embedding_neardup); the cache manager would
+    # then substitute InMemoryRelation for the scans under inspection and
+    # the printed FileScan (inside the cached plan) shows no pushdown.
+    # These assertions are about the fresh-scan plan, so clear the cache.
+    spark.catalog.clearCache()
     fn, _ = REGISTRY[name]
     return fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
 
