@@ -175,7 +175,10 @@ def funnel_report(
         from petasearch_spark.operators.masking import mask_sequences
 
         qk = extract_query_kmers(mask_sequences(queries), k=k, alphabet=alpha)
-    if kwargs.get("expand_similar"):
+    if kwargs.get("expand_similar") and kwargs.get("alphabet") != "nucl":
+        # nucl-mode expansion degenerates to exact matching (see search());
+        # mirror that here so the funnel counts the same k-mer table the
+        # reported search actually probes
         from petasearch_spark.operators.similar_kmers import expand_query_kmers
 
         qk = expand_query_kmers(
