@@ -69,6 +69,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # T3 isn't SQL-expressible (no backrefs in RE2): oracle replays a
     # golden from an independent scalar masking implementation
     "protein_mask_stats": (masking.protein_mask_stats, masking.PROTEIN_MASK_STATS_SQL),
+    # T3 reference parity: REAL tantan (operators/tantan.py) with the
+    # reference's invocation constants; golden from the independent
+    # scalar transliteration of the tantan loop
+    "protein_mask_tantan": (masking.protein_mask_tantan, masking.PROTEIN_MASK_TANTAN_SQL),
     # --- dedup family ---
     "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
     "dedup_jaccard_pairs": (dedup.dedup_jaccard_pairs, dedup.DEDUP_JACCARD_SQL),

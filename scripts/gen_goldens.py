@@ -122,8 +122,37 @@ def gen_mask_stats():
     print("wrote", out)
 
 
+def gen_mask_tantan():
+    """protein_mask_tantan golden from tests.golden_tools.tantan_mask_scalar
+    — a plain scalar transliteration of the reference's tantan loop
+    (lib/mmseqs/src/commons/tantan.cpp), independent of the
+    batch-vectorized kernel in operators/tantan.py."""
+    from tests.golden_tools import tantan_mask_scalar
+
+    rows = {"corpus_chars": [], "seq_id": [], "seq_len": [], "n_masked": []}
+    for sf in SFS:
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"]).to_pandas()
+        corpus_chars = int(docs.text.str.len().sum())
+        n = 0
+        for _, r in docs.iterrows():
+            seq = derive_sequence(r.text)
+            masked = tantan_mask_scalar(seq)
+            n_x = masked.count("X")  # total X, matching the query's filter
+            if n_x > 0:
+                rows["corpus_chars"].append(corpus_chars)
+                rows["seq_id"].append(int(r.doc_id))
+                rows["seq_len"].append(len(seq))
+                rows["n_masked"].append(n_x)
+                n += 1
+        print(f"{sf}: {n} tantan-masked sequences")
+    out = os.path.join(GOLDEN_DIR, "mask_tantan_golden.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False), out)
+    print("wrote", out)
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen_expansion()
     gen_mask_stats()
+    gen_mask_tantan()
     gen_protein_search()

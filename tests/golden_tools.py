@@ -126,3 +126,74 @@ def mask_seq_scalar(seq: str, max_period: int = 4, min_repeat: int = 8,
             for t in range(i, i + window):
                 masked[t] = True
     return "".join("X" if m else c for c, m in zip(seq, masked))
+
+
+# --- tantan scalar twin ---------------------------------------------------
+# Direct scalar transliteration of the reference's gapless tantan path
+# (lib/mmseqs/src/commons/tantan.cpp:302-345, 369-398) with the reference
+# invocation constants (comparekmertables.cpp:218-223, maskProb 0.9).
+# INDEPENDENT of operators.tantan's batch-vectorized kernel: plain Python
+# loops, per-offset scalars, used to generate the tantan masking golden
+# and to cross-check the kernel in tests.
+
+def tantan_probs_scalar(seq: str) -> list[float]:
+    from petasearch_spark.operators.tantan import (
+        _B2B,
+        _B2F,
+        _F2B,
+        _F2F0,
+        _LR,
+        MAX_REPEAT_OFFSET,
+        SCALE_STEP,
+        _encode_x,
+    )
+
+    n = len(seq)
+    if n == 0:
+        return []
+    codes = _encode_x(seq).tolist()
+    P = MAX_REPEAT_OFFSET
+    bg = 1.0
+    fg = [0.0] * P
+    letter = [np.float32(0)] * n
+    scales = [1.0] * ((n + SCALE_STEP - 1) // SCALE_STEP)
+    for idx in range(n):
+        m = min(idx, P)
+        from_f = 0.0
+        for i in range(m):
+            f = fg[i]
+            from_f += f
+            fg[i] = (bg * _B2F[i] + f * _F2F0) * _LR[codes[idx], codes[idx - i - 1]]
+        bg = bg * _B2B + from_f * _F2B
+        if idx % SCALE_STEP == SCALE_STEP - 1:
+            s = 1.0 / bg
+            scales[idx // SCALE_STEP] = s
+            bg *= s
+            fg = [v * s for v in fg]
+        letter[idx] = np.float32(bg)
+    z = bg * _B2B + sum(fg) * _F2B
+    bg = _B2B
+    fg = [_F2B] * P
+    out = [np.float32(0)] * n
+    for idx in range(n - 1, -1, -1):
+        non_rep = float(letter[idx]) * bg / z
+        out[idx] = np.float32(1.0) - np.float32(non_rep)
+        if idx % SCALE_STEP == SCALE_STEP - 1:
+            s = scales[idx // SCALE_STEP]
+            bg *= s
+            fg = [v * s for v in fg]
+        m = min(idx, P)
+        to_f = 0.0
+        for i in range(m):
+            f = fg[i] * _LR[codes[idx], codes[idx - i - 1]]
+            to_f += _B2F[i] * f
+            fg[i] = _F2B * bg + _F2F0 * f
+        bg = _B2B * bg + to_f
+    return [float(v) for v in out]
+
+
+def tantan_mask_scalar(seq: str, min_mask_prob: float = 0.9) -> str:
+    probs = tantan_probs_scalar(seq)
+    return "".join(
+        "X" if p >= min_mask_prob else c for c, p in zip(seq, probs)
+    )

@@ -128,3 +128,59 @@ def test_cli_targetlist_search(spark, tmp_path):
         lines += [ln for ln in open(part).read().splitlines() if ln]
     targets_hit = {ln.split("\t")[1] for ln in lines}
     assert targets_hit == {"t0", "u0"}  # J5: both listed sets searched
+
+
+# --- tantan (T3 reference parity) ----------------------------------------
+
+class TestTantan:
+    """operators/tantan.py batch kernel vs the independent scalar twin
+    (tests.golden_tools.tantan_probs_scalar) and behavioral sanity."""
+
+    def test_kernel_matches_scalar_twin_random(self):
+        import random
+
+        import numpy as np
+
+        from petasearch_spark.operators.tantan import repeat_probs_batch
+        from tests.golden_tools import tantan_probs_scalar
+
+        rng = random.Random(7)
+        alpha = "ACDEFGHIKLMNPQRSTVWY"
+        seqs = []
+        for _ in range(12):
+            n = rng.randrange(0, 120)
+            s = "".join(rng.choice(alpha) for _ in range(n))
+            # splice in a tandem repeat half the time so both branches run
+            if n > 30 and rng.random() < 0.5:
+                unit = s[: rng.randrange(1, 6)]
+                rep = unit * (30 // max(1, len(unit)))
+                s = s[:10] + rep + s[10 + len(rep):]
+            seqs.append(s)
+        seqs += ["", "A", "QQQQQQQQQQQQQQQQQQQQQQQQ", "ACDEFGHIKLMNPQRSTVWY" * 4]
+
+        batch = repeat_probs_batch(seqs)
+        for s, got in zip(seqs, batch):
+            want = np.array(tantan_probs_scalar(s), dtype=np.float32)
+            assert got.dtype == np.float32
+            np.testing.assert_array_equal(got, want)
+
+    def test_repeats_masked_diverse_untouched(self):
+        from petasearch_spark.operators.tantan import tantan_mask_batch
+
+        rep = "ACDEFGHIKW" + "LM" * 25 + "ACDEFGHIKW"
+        # genuinely aperiodic (a period-20 duplication WOULD be masked:
+        # tantan's offsets go to 50)
+        diverse = "MKVLTAQERHGDNPWYFCISEQHDKTVRGANLYWMFPCID"
+        out = tantan_mask_batch([rep, diverse, ""])
+        assert "LMLMLMLMLM" not in out[0] and "X" in out[0]
+        assert out[0][:8] == "ACDEFGHI"  # flanks survive
+        assert out[1] == diverse
+        assert out[2] == ""
+
+    def test_mask_prob_threshold_monotone(self):
+        from petasearch_spark.operators.tantan import tantan_mask_batch
+
+        s = "ACDEFGHIKW" + "QN" * 30 + "ACDEFGHIKW"
+        loose = tantan_mask_batch([s], min_mask_prob=0.5)[0].count("X")
+        tight = tantan_mask_batch([s], min_mask_prob=0.99)[0].count("X")
+        assert loose >= tight > 0
