@@ -188,6 +188,81 @@ ORDER BY query_id, target_id
 """
 
 
+# Derived DNA: deterministic text -> nucleotide mapping so the engine's
+# DBTYPE_NUCLEOTIDES branch (4-letter codes, N invalid) can run under the
+# oracle. a..x cycles through ACGT; y/z become N — a real invalid residue,
+# so F1's window-skip rule is exercised in nucleotide mode too.
+_DNA_FROM = "abcdefghijklmnopqrstuvwxyz"
+_DNA_TO = "ACGTACGTACGTACGTACGTACGTNN"
+
+
+def derived_dna(docs: DataFrame) -> DataFrame:
+    """documents -> nucleotide sequences(seq_id, sequence)."""
+    seq = F.regexp_replace(F.translate(F.lower(F.col("text")), _DNA_FROM, _DNA_TO), "[^ACGTN]", "")
+    return docs.select(F.col("doc_id").alias("seq_id"), seq.alias("sequence"))
+
+
+DERIVED_DNA_SQL = f"""
+    seqs AS (
+        SELECT doc_id AS seq_id,
+               regexp_replace(translate(lower(text), '{_DNA_FROM}', '{_DNA_TO}'), '[^ACGTN]', '', 'g') AS sequence
+        FROM documents
+    )
+"""
+
+
+def dna_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefilter in NUCLEOTIDE mode (the reference's DBTYPE_NUCLEOTIDES
+    branch): the engine's integer-coded path — Arrow k-mer extraction with
+    the 4-letter alphabet (N breaks windows, F1), J2 one-representative
+    index, J1 equi-join, strict > HAVING — over deterministically derived
+    DNA. The oracle re-derives everything with string k-mers in SQL
+    (base-4 integer encoding is a bijection on valid windows), which gives
+    the nucleotide mode its own green CORRECTNESS row; previously it was
+    pytest-only (tests/test_nucleotide.py)."""
+    from petasearch_spark.functions.scoring import NUCL_ALPHABET
+    from petasearch_spark.operators.kmer_index import build_kmer_index, extract_query_kmers
+    from petasearch_spark.operators.prefilter import prefilter
+
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_dna(docs).persist()
+    queries = seqs.filter(F.col("seq_id") % 20 == 0)
+    pairs = prefilter(
+        extract_query_kmers(queries, alphabet=NUCL_ALPHABET),
+        build_kmer_index(seqs, alphabet=NUCL_ALPHABET),
+    )
+    return (
+        pairs.groupBy("query_id", "target_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("query_id", "target_id")
+    )
+
+
+DNA_PREFILTER_SQL = f"""
+WITH {DERIVED_DNA_SQL}
+, kmers AS (
+    SELECT seq_id, len(sequence) AS seq_len, substr(sequence, i, 9) AS kmer
+    FROM seqs, range(1, 8192) r(i)
+    WHERE i + 8 <= len(sequence)
+)
+-- F1: windows containing N (the invalid nucleotide) are skipped
+, valid AS (SELECT * FROM kmers WHERE kmer NOT LIKE '%N%')
+, idx AS (
+    SELECT kmer, seq_id AS target_id
+    FROM (SELECT kmer, seq_id,
+                 ROW_NUMBER() OVER (PARTITION BY kmer ORDER BY seq_len DESC, seq_id ASC) AS rn
+          FROM valid)
+    WHERE rn = 1
+)
+, qk AS (SELECT seq_id AS query_id, kmer FROM valid WHERE seq_id % 20 = 0)
+SELECT query_id, target_id, COUNT(*) AS n_matches
+FROM qk JOIN idx USING (kmer)
+GROUP BY query_id, target_id
+HAVING COUNT(*) > {REQ_MATCHES}
+ORDER BY query_id, target_id
+"""
+
+
 def protein_prefilter_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The prefilter through the BUCKETED physical layout — the plan the
     100 TB story actually ships (SURVEY §4.2): index and query k-mers are

@@ -62,6 +62,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # same logical output as protein_prefilter via the bucketed layout —
     # shares its oracle; what the 100 TB deployment ships
     "protein_prefilter_bucketed": (doc_search.protein_prefilter_bucketed, doc_search.PROTEIN_PREFILTER_SQL),
+    # the DBTYPE_NUCLEOTIDES branch (4-letter codes, N invalid) under the
+    # oracle — string-kmer SQL twin of the engine's base-4 integer path
+    "dna_prefilter": (doc_search.dna_prefilter, doc_search.DNA_PREFILTER_SQL),
     # alignment kernel is not SQL-derivable: oracle = committed regression
     # golden (scripts/gen_goldens.py), value-hash pins the full cascade
     "protein_search": (doc_search.protein_search, doc_search.PROTEIN_SEARCH_SQL),
