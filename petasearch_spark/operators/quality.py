@@ -1,0 +1,205 @@
+"""Corpus-quality operators for training-data curation.
+
+Two standard signals a 100 TB text pipeline computes before training:
+
+* ``dup_span_coverage`` — exact duplicated-span detection: for every
+  document, the fraction of token positions covered by a ``SPAN_W``-token
+  window that also occurs verbatim in ANOTHER document. This is the
+  hash-windowed (distributed) form of suffix-array exact-substring dedup:
+  a suffix array is a single-node structure, but the spans it finds are
+  exactly the fixed-width windows whose hash collides across documents,
+  and windowed hashing is one groupBy + one join in Spark.
+* ``gopher_quality`` — per-document repetition/quality signals in the
+  style of the Gopher rules (most-frequent-2-gram mass, duplicate-3-gram
+  mass, mean word length) plus the resulting keep/drop flag.
+
+The reference engine has no document-curation surface; these extend the
+pipeline family (dedup/corpus/text) and are oracle-checked cell-exact
+against DuckDB.
+
+Scale notes (100 TB): ``dup_span_coverage`` shuffles once to count
+per-window document frequency and once to join the duplicate flags back;
+join output is bounded by TRUE duplicate occurrences (one row per
+occurrence, no fan-out — the dup side is one row per distinct window
+hash). A boilerplate window shared by millions of docs contributes
+linearly (its occurrences), not quadratically, unlike pair-generation —
+so no df-cap is needed here. ``gopher_quality`` is a per-document
+explode/re-aggregate keyed on doc_id: partial aggregation (map-side
+combine) applies, and nothing is ever joined across documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from petasearch_spark.operators.portable import TOKENS_SQL, hash64, hash64_sql, tokens
+from petasearch_spark.sources.tables import load_table
+
+#: duplicated-span window width (tokens). Lee et al. use 50 BPE tokens on
+#: real corpora; the synthetic docs are 10-99 tokens, so 8 keeps the same
+#: window-to-document ratio.
+SPAN_W = 8
+
+#: Gopher-style keep thresholds (Rae et al. 2021 App. A uses 0.20 for the
+#: top-2-gram and 0.18 for dup-3-gram character mass; we measure token
+#: mass on synthetic text, same semantics).
+TOP2_MAX = 0.20
+DUP3_MAX = 0.30
+
+
+def _windows(ts, width: int):
+    """Array of hash64(space-joined token window) for every start offset
+    (1-based), empty when the doc is shorter than the window."""
+    return F.when(
+        F.size(ts) >= width,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - width + 1),
+            lambda i: hash64(F.concat_ws(" ", F.slice(ts, i, width))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage: tokens covered by any
+    SPAN_W-window occurring in >= 2 distinct documents. Only documents
+    with nonzero coverage are returned (the dedup-actionable set)."""
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    wins = toks.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_toks"),
+        F.posexplode(_windows(F.col("ts"), SPAN_W)).alias("idx", "wh"),
+    )
+    # one row per DISTINCT duplicated window hash -> the join back has no
+    # fan-out; its output is bounded by true duplicate occurrences.
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("ddf"))
+        .filter(F.col("ddf") >= 2)
+        .select("wh")
+    )
+    covered = (
+        wins.join(dup, "wh")
+        # window at 0-based idx covers 1-based token positions [idx+1, idx+SPAN_W]
+        .select(
+            "doc_id",
+            "n_toks",
+            F.explode(F.sequence(F.col("idx") + 1, F.col("idx") + SPAN_W)).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id", "n_toks")
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    return covered.select(
+        "doc_id",
+        "n_toks",
+        "covered_tokens",
+        F.round(F.col("covered_tokens").cast("double") / F.col("n_toks"), 6).alias("dup_fraction"),
+    ).orderBy("doc_id")
+
+
+DUP_SPAN_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL.format(col="text")} AS ts FROM documents
+), wins AS (
+    SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks, i,
+           {hash64_sql(f"array_to_string(ts[i:i+{SPAN_W - 1}], ' ')")} AS wh
+    FROM toks, range(1, 8192) r(i)
+    WHERE i + {SPAN_W - 1} <= len(ts)
+), dup AS (
+    SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2
+), pos AS (
+    SELECT DISTINCT doc_id, n_toks, i + o AS p
+    FROM wins JOIN dup USING (wh), range(0, {SPAN_W}) t(o)
+)
+SELECT doc_id, n_toks, COUNT(*) AS covered_tokens,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / n_toks, 6) AS dup_fraction
+FROM pos
+GROUP BY doc_id, n_toks
+ORDER BY doc_id
+"""
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher-style repetition/quality signals:
+
+    * ``top_2gram_frac``  — mass of the most frequent 2-gram / all 2-grams
+    * ``dup_3gram_frac``  — mass of 3-grams occurring more than once
+    * ``mean_word_len``   — mean token length
+    * ``keep``            — passes the repetition thresholds
+
+    Every signal is an exact integer ratio rounded to 6 decimals, so the
+    doubles are cross-engine deterministic.
+    """
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    toks = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("ts"),
+    ).select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_toks"),
+        (
+            F.aggregate(F.col("ts"), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast("double")
+            / F.size("ts")
+        ).alias("raw_mwl"),
+        F.explode(_windows(F.col("ts"), 2)).alias("_idx", "g2"),
+    )
+    # per-(doc, 2-gram) counts -> per-doc top-2-gram mass; 3-grams ride the
+    # same pass via a second explode off the cached token arrays
+    g2_counts = toks.groupBy("doc_id", "n_toks", "raw_mwl", "g2").agg(F.count(F.lit(1)).alias("c2"))
+    top2 = g2_counts.groupBy("doc_id", "n_toks", "raw_mwl").agg(
+        (F.max("c2").cast("double") / F.sum("c2")).alias("raw_top2")
+    )
+    g3 = docs.select(
+        "doc_id",
+        F.explode(_windows(tokens(F.col("text")), 3)).alias("_idx", "g3"),
+    )
+    g3_counts = g3.groupBy("doc_id", "g3").agg(F.count(F.lit(1)).alias("c3"))
+    dup3 = g3_counts.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("c3") > 1, F.col("c3")).otherwise(0)).cast("double") / F.sum("c3")
+        ).alias("raw_dup3")
+    )
+    out = top2.join(dup3, "doc_id")
+    return out.select(
+        "doc_id",
+        "n_toks",
+        F.round("raw_top2", 6).alias("top_2gram_frac"),
+        F.round("raw_dup3", 6).alias("dup_3gram_frac"),
+        F.round("raw_mwl", 6).alias("mean_word_len"),
+        ((F.col("raw_top2") <= TOP2_MAX) & (F.col("raw_dup3") <= DUP3_MAX)).alias("keep"),
+    ).orderBy("doc_id")
+
+
+GOPHER_QUALITY_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL.format(col="text")} AS ts FROM documents
+), base AS (
+    SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks,
+           CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE) / len(ts) AS raw_mwl,
+           ts
+    FROM toks
+), g2 AS (
+    SELECT doc_id, {hash64_sql("array_to_string(ts[i:i+1], ' ')")} AS g, COUNT(*) AS c
+    FROM base, range(1, 8192) r(i) WHERE i + 1 <= len(ts)
+    GROUP BY doc_id, g
+), top2 AS (
+    SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS raw_top2 FROM g2 GROUP BY doc_id
+), g3 AS (
+    SELECT doc_id, {hash64_sql("array_to_string(ts[i:i+2], ' ')")} AS g, COUNT(*) AS c
+    FROM base, range(1, 8192) r(i) WHERE i + 2 <= len(ts)
+    GROUP BY doc_id, g
+), dup3 AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS raw_dup3
+    FROM g3 GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_toks,
+       ROUND(t.raw_top2, 6) AS top_2gram_frac,
+       ROUND(d.raw_dup3, 6) AS dup_3gram_frac,
+       ROUND(b.raw_mwl, 6) AS mean_word_len,
+       (t.raw_top2 <= {TOP2_MAX} AND d.raw_dup3 <= {DUP3_MAX}) AS keep
+FROM base b JOIN top2 t USING (doc_id) JOIN dup3 d USING (doc_id)
+ORDER BY b.doc_id
+"""

@@ -23,6 +23,7 @@ from petasearch_spark.operators import (
     ivf,
     masking,
     multimodal,
+    quality,
     relational,
     similarity,
     text,
@@ -104,6 +105,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "token_count_bpe": (text.token_count_bpe, text.TOKEN_COUNT_SQL),
     "doc_fingerprint": (text.doc_fingerprint, text.DOC_FINGERPRINT_SQL),
     "tfidf_top_terms": (text.tfidf_top_terms, text.TFIDF_SQL),
+    # --- corpus quality (exact-substring dup coverage, Gopher signals) ---
+    "dup_span_coverage": (quality.dup_span_coverage, quality.DUP_SPAN_SQL),
+    "gopher_quality": (quality.gopher_quality, quality.GOPHER_QUALITY_SQL),
 }
 
 
