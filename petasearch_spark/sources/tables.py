@@ -46,13 +46,19 @@ def load_table(
     if widen_scan:
         return widen(spark, load_table(spark, name, sf_dir))
     if name == "events":
-        # events.ts is physically TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects; read it as raw nanos and truncate to micros —
-        # exactly what DuckDB's reader does, so oracles agree.
+        # events.ts has shipped as TIMESTAMP(NANOS) (Spark's reader rejects
+        # it — read as raw nanos, truncate to micros) and as timestamp[us]
+        # with no timezone (Spark reads TIMESTAMP_NTZ, which time-arithmetic
+        # builtins like unix_micros reject). Normalize both to the session
+        # TIMESTAMP type; session tz is UTC, so the wall-clock values DuckDB
+        # sees are preserved and oracles agree.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
