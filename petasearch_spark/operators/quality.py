@@ -143,7 +143,7 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(F.col("ts"), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast("double")
             / F.size("ts")
         ).alias("raw_mwl"),
-        F.explode(_windows(F.col("ts"), 2)).alias("_idx", "g2"),
+        F.explode(_windows(F.col("ts"), 2)).alias("g2"),
     )
     # per-(doc, 2-gram) counts -> per-doc top-2-gram mass; 3-grams ride the
     # same pass via a second explode off the cached token arrays
@@ -153,7 +153,7 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g3 = docs.select(
         "doc_id",
-        F.explode(_windows(tokens(F.col("text")), 3)).alias("_idx", "g3"),
+        F.explode(_windows(tokens(F.col("text")), 3)).alias("g3"),
     )
     g3_counts = g3.groupBy("doc_id", "g3").agg(F.count(F.lit(1)).alias("c3"))
     dup3 = g3_counts.groupBy("doc_id").agg(
