@@ -129,6 +129,30 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > MAX_SHINGLE_DF)
         .select("sh_h")
     )
+    # Clean-corpus fast path (round-2 VERDICT item 8): when NO shingle
+    # exceeds the df-cap, rare == sh and shared_rare is already the exact
+    # intersection, so the anti-join, the upper-bound joins and the hot
+    # correction all vanish. The isEmpty() probe aggregates the persisted
+    # shingle table once — the same pass the anti-join would need anyway —
+    # and is the broadcast side, so it is cheap at any corpus size.
+    if hot.isEmpty():
+        a = sh.alias("a")
+        b = sh.alias("b")
+        shared = (
+            a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+        cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+        j = F.col("shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        return (
+            shared.join(F.broadcast(ca), "doc_a")
+            .join(F.broadcast(cb), "doc_b")
+            .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .orderBy("doc_a", "doc_b")
+        )
     rare = sh.join(F.broadcast(hot), "sh_h", "left_anti")
     a = rare.alias("a")
     b = rare.alias("b")

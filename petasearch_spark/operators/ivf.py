@@ -62,13 +62,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "qv", F.col("cent_id").alias("bucket"))
     )
     # probe only the selected buckets (equi-join on bucket id); candidate
-    # scoring through the pair kernel — this is the per-query hot path
+    # scoring through the pair kernel — this is the per-query hot path.
+    # No dedup needed: every vector sits in exactly ONE bucket (nearest
+    # centroid), so (query_id, vec_id) pairs are unique by construction —
+    # a distinct here would add a full shuffle of the scored candidates
+    # for nothing (round-2 VERDICT item 3). Revisit only if multi-probe
+    # bucket overlap is ever introduced.
     cand = qprobe.join(buckets, "bucket").filter(F.col("vec_id") != F.col("query_id"))
     scored_c = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         cosine_pair_udf(F.col("qv"), F.col("v")).alias("cos"),
-    ).distinct()
+    )
     w_top = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
         scored_c.withColumn("rk", F.row_number().over(w_top))
