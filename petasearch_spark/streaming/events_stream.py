@@ -30,14 +30,10 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directory new files arrive in).
     stage = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), os.path.join(stage, "events.parquet"))
-    stream = spark.readStream.schema(batch_schema).parquet(stage)
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
-        # TIMESTAMP(NANOS) read as long; truncate to micros (= DuckDB)
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # timestamp[us] with no tz: normalize to session TIMESTAMP (UTC)
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    from petasearch_spark.sources.tables import normalize_events_ts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = normalize_events_ts(spark.readStream.schema(batch_schema).parquet(stage))
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
