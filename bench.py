@@ -14,8 +14,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from petasearch_spark.operators import doc_search  # noqa: E402
 from petasearch_spark.registry import REGISTRY  # noqa: E402
 from petasearch_spark.session import get_spark  # noqa: E402
+
+#: bench-only entries: the bucketed prefilter's ONE-TIME layout build and
+#: its STEADY-STATE bucket-local join, timed separately (the combined
+#: registry query conflated the amortized write with the per-batch join
+#: cost — round-2 VERDICT item 7)
+BENCH_ONLY = {
+    "protein_prefilter_bucketed_build": doc_search.protein_prefilter_bucketed_build,
+    "protein_prefilter_bucketed_query": doc_search.protein_prefilter_bucketed_query,
+}
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -31,7 +41,8 @@ BENCH_QUERIES = [
     "doc_shingle_index",
     "doc_prefilter",
     "protein_prefilter",
-    "protein_prefilter_bucketed",
+    "protein_prefilter_bucketed_build",
+    "protein_prefilter_bucketed_query",
     "protein_search",
     "protein_search_expanded",
     "protein_ungapped",
@@ -66,7 +77,7 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        fn, _ = REGISTRY[name]
+        fn = BENCH_ONLY[name] if name in BENCH_ONLY else REGISTRY[name][0]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -263,30 +263,41 @@ ORDER BY query_id, target_id
 """
 
 
-def protein_prefilter_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The prefilter through the BUCKETED physical layout — the plan the
-    100 TB story actually ships (SURVEY §4.2): index and query k-mers are
-    written bucketBy(kmer)+sortBy (write_kmer_index_bucketed /
-    write_query_kmers_bucketed) and the J1 equi-join reads both
-    bucket-locally — a sort-merge join with NO Exchange above either scan
-    (tests/test_skew_pruning.py pins that plan property; at a real
-    deployment the one-time index write amortizes over every query
-    batch). Logical output is identical to protein_prefilter, so it
-    shares that query's DuckDB oracle — the engine integer-kmer path and
-    the oracle's string-kmer path are bijective."""
+def protein_prefilter_bucketed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-TIME physical layout build for the bucketed prefilter: index and
+    query k-mers written bucketBy(kmer)+sortBy via saveAsTable. At a real
+    deployment this write amortizes over every subsequent query batch —
+    benchmarked separately from the steady-state join (round-2 VERDICT
+    item 7: the combined entry misread as 11 s of join cost)."""
     from petasearch_spark.operators.kmer_index import (
         build_kmer_index,
         extract_query_kmers,
         write_kmer_index_bucketed,
         write_query_kmers_bucketed,
     )
-    from petasearch_spark.operators.prefilter import prefilter
 
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     seqs = derived_sequences(docs).drop("source").persist()
     queries = seqs.filter(F.col("seq_id") % 20 == 0)
     write_kmer_index_bucketed(build_kmer_index(seqs), "ps_bench_index_b")
     write_query_kmers_bucketed(extract_query_kmers(queries), "ps_bench_qk_b")
+    # the writes above are eager; return a trivial catalog listing so the
+    # bench's noop sink has something to drain without recomputation
+    return spark.createDataFrame(
+        [("ps_bench_index_b",), ("ps_bench_qk_b",)], "table_name string"
+    )
+
+
+def protein_prefilter_bucketed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEADY-STATE bucketed prefilter: the J1 equi-join reading both
+    bucketed tables bucket-locally — a sort-merge join with NO Exchange
+    above either scan (tests/test_skew_pruning.py pins that plan
+    property). This is the per-query-batch cost the 100 TB deployment
+    pays; builds the layout first if missing."""
+    from petasearch_spark.operators.prefilter import prefilter
+
+    if not spark.catalog.tableExists("ps_bench_qk_b") or not spark.catalog.tableExists("ps_bench_index_b"):
+        protein_prefilter_bucketed_build(spark, sf_dir)
     pairs = prefilter(
         spark.table("ps_bench_qk_b"),
         spark.table("ps_bench_index_b"),
@@ -297,6 +308,18 @@ def protein_prefilter_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_matches"))
         .orderBy("query_id", "target_id")
     )
+
+
+def protein_prefilter_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefilter through the BUCKETED physical layout — the plan the
+    100 TB story actually ships (SURVEY §4.2): build + steady-state query
+    (split above so the bench can time the one-time write and the
+    per-batch join separately). Logical output is identical to
+    protein_prefilter, so it shares that query's DuckDB oracle — the
+    engine integer-kmer path and the oracle's string-kmer path are
+    bijective."""
+    protein_prefilter_bucketed_build(spark, sf_dir)
+    return protein_prefilter_bucketed_query(spark, sf_dir)
 
 
 #: committed golden parquets (regenerate: python scripts/gen_goldens.py)
@@ -549,6 +572,112 @@ SELECT query_id, target_id, query_accession, target_accession,
        qstart, qend, qlen, tstart, tend, tlen
 FROM '{GOLDEN_DIR}/protein_search_golden.parquet'
 WHERE corpus_chars = (SELECT SUM(len(text)) FROM documents)
+ORDER BY query_id, target_id
+"""
+
+
+def protein_search_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cascade with T3 masking ON — the reference's DEFAULT
+    `--mask 1` (/root/reference/src/sra/comparekmertables.cpp:214-231):
+    query sequences are tantan-masked before k-mer extraction, so F1's
+    X-window skip suppresses repeat-driven probes; alignment still runs
+    over the unmasked residues (as in the reference). Gated by a committed
+    regression golden like protein_search (scripts/gen_goldens.py); T3
+    itself is independently oracle-checked by protein_mask_tantan."""
+    from petasearch_spark.plans.search import search
+
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source").persist()
+    queries = seqs.filter(F.col("seq_id") % 20 == 0)
+    res = search(queries, seqs, mask=True)
+    return res.select(
+        "query_id", "target_id", "query_accession", "target_accession",
+        "raw", "alnlen", "nident", "mismatch", "gapopen",
+        "qstart", "qend", "qlen", "tstart", "tend", "tlen",
+    )
+
+
+PROTEIN_SEARCH_MASKED_SQL = f"""
+SELECT query_id, target_id, query_accession, target_accession,
+       raw, alnlen, nident, mismatch, gapopen,
+       qstart, qend, qlen, tstart, tend, tlen
+FROM '{GOLDEN_DIR}/protein_search_masked_golden.parquet'
+WHERE corpus_chars = (SELECT SUM(len(text)) FROM documents)
+ORDER BY query_id, target_id
+"""
+
+
+def protein_prefilter_biased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 composition-bias correction under the oracle (the first gated
+    query executing compo_bias=True — round-2 VERDICT item 5): expansion
+    at the calibrated --k-score 225 where each occurrence's threshold is
+    RAISED by its non-positive k-mer bias (effective = max(225 - kbias, 0);
+    comparekmertables.cpp:239-253), then prefilter + HAVING. The oracle
+    derives exact k-mers in SQL, takes similar k-mers from the committed
+    expansion golden (independent enumerator) and the per-(query,pos)
+    kbias integers from the committed bias golden — generated by
+    tests.golden_tools.composition_bias_scalar, a plain-loop twin
+    independent of the numpy cumsum/einsum kernel. Queries every 100th
+    doc, reusing the expansion golden's k-mer universe."""
+    from petasearch_spark.operators.kmer_index import build_kmer_index, extract_query_kmers
+    from petasearch_spark.operators.prefilter import prefilter
+    from petasearch_spark.operators.similar_kmers import (
+        composition_bias_kmer,
+        expand_query_kmers,
+    )
+
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source").persist()
+    queries = seqs.filter(F.col("seq_id") % 100 == 0)
+    eqk = expand_query_kmers(
+        extract_query_kmers(queries), bias=composition_bias_kmer(queries)
+    )
+    pairs = prefilter(eqk, build_kmer_index(seqs))
+    return (
+        pairs.groupBy("query_id", "target_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("query_id", "target_id")
+    )
+
+
+PROTEIN_PREFILTER_BIASED_SQL = f"""
+WITH {DERIVED_SEQ_SQL}
+, kmers AS (
+    SELECT seq_id, len(sequence) AS seq_len, i - 1 AS pos, substr(sequence, i, 9) AS kmer
+    FROM seqs, range(1, 8192) r(i)
+    WHERE i + 8 <= len(sequence)
+)
+, idx AS (
+    SELECT kmer, seq_id AS target_id
+    FROM (SELECT kmer, seq_id,
+                 ROW_NUMBER() OVER (PARTITION BY kmer ORDER BY seq_len DESC, seq_id ASC) AS rn
+          FROM kmers)
+    WHERE rn = 1
+)
+, qk AS (SELECT seq_id AS query_id, kmer, pos FROM kmers WHERE seq_id % 100 = 0)
+, expansion AS (
+    SELECT kmer, sim_kmer, score FROM '{GOLDEN_DIR}/expansion_golden.parquet'
+    WHERE corpus_chars = (SELECT SUM(len(text)) FROM documents)
+)
+, bias AS (
+    SELECT query_id, pos, kbias FROM '{GOLDEN_DIR}/bias_golden.parquet'
+    WHERE corpus_chars = (SELECT SUM(len(text)) FROM documents)
+)
+-- exact k-mer always probes regardless of bias (comparekmertables.cpp:
+-- 256-262); similar k-mers pass score >= max(225 - kbias, 0), kbias <= 0
+, eqk AS (
+    SELECT query_id, kmer, pos FROM qk
+    UNION ALL
+    SELECT q.query_id, e.sim_kmer AS kmer, q.pos
+    FROM qk q
+    JOIN expansion e USING (kmer)
+    LEFT JOIN bias b ON b.query_id = q.query_id AND b.pos = q.pos
+    WHERE e.score >= GREATEST(225 - COALESCE(b.kbias, 0), 0)
+)
+SELECT query_id, target_id, COUNT(*) AS n_matches
+FROM eqk JOIN idx USING (kmer)
+GROUP BY query_id, target_id
+HAVING COUNT(*) > {REQ_MATCHES}
 ORDER BY query_id, target_id
 """
 

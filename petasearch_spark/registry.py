@@ -66,10 +66,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # the DBTYPE_NUCLEOTIDES branch (4-letter codes, N invalid) under the
     # oracle — string-kmer SQL twin of the engine's base-4 integer path
     "dna_prefilter": (doc_search.dna_prefilter, doc_search.DNA_PREFILTER_SQL),
+    # T4 composition bias under the gate: expansion thresholds raised by
+    # per-(query,pos) kbias from an independent scalar-twin golden
+    "protein_prefilter_biased": (doc_search.protein_prefilter_biased, doc_search.PROTEIN_PREFILTER_BIASED_SQL),
     # alignment kernel is not SQL-derivable: oracle = committed regression
     # golden (scripts/gen_goldens.py), value-hash pins the full cascade
     "protein_search": (doc_search.protein_search, doc_search.PROTEIN_SEARCH_SQL),
     "protein_search_expanded": (doc_search.protein_search_expanded, doc_search.PROTEIN_SEARCH_EXPANDED_SQL),
+    # the full cascade under the reference's DEFAULT --mask 1: tantan ->
+    # F1 suppression -> extract -> align, pinned by a regression golden
+    "protein_search_masked": (doc_search.protein_search_masked, doc_search.PROTEIN_SEARCH_MASKED_SQL),
     # T3 isn't SQL-expressible (no backrefs in RE2): oracle replays a
     # golden from an independent scalar masking implementation
     "protein_mask_stats": (masking.protein_mask_stats, masking.PROTEIN_MASK_STATS_SQL),
@@ -111,9 +117,49 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
+#: The driver's correctness gate hashes exactly the FIRST 50 queries()
+#: entries (CORRECTNESS_r0N truncates at 50). Round 2 registered 54 and
+#: silently lost hard-signal coverage for the overflow (VERDICT r2 item 1).
+#: Fix: the driver sees an EXPLICIT <=50 subset; the entries below stay in
+#: REGISTRY — same DuckDB comparison via tests/test_oracle_parity.py, and
+#: bench.py still times them — but yield their driver slot to a
+#: non-redundant query. Each carries its redundancy rationale.
+UNGATED: dict[str, str] = {
+    "protein_prefilter_bucketed": (
+        "logical output duplicates protein_prefilter (shares its oracle); the bucketed"
+        " no-Exchange plan property is pinned by tests/test_skew_pruning.py and the"
+        " build/query costs are separate bench entries"
+    ),
+    "customers_never_ordered": (
+        "anti-join semantics already gated by parts_without_lineitems; both return 0"
+        " rows at the gate SF, so the second row adds no value signal"
+    ),
+    "media_catalog": (
+        "3-row metadata group-count; the mapInPandas codec surface stays gated via"
+        " image_stats / audio_features / video_frame_sample"
+    ),
+    "events_stream_hourly": (
+        "streaming twin whose output (and oracle) is exactly events_hourly; streaming"
+        " state stays gated via events_stream_user_totals + docs_stream_dedup"
+    ),
+    "embedding_quantize_int8": (
+        "pure column-expression cast arithmetic, lowest-risk op in the family"
+    ),
+    "image_resize": (
+        "same decode path as image_stats plus a resize transform; the transform is"
+        " pytest-parity-verified"
+    ),
+}
+
+#: driver-gated queries, in registry order
+GATED: list[str] = [n for n in REGISTRY if n not in UNGATED]
+assert len(GATED) <= 50, f"driver gate truncates at 50; GATED has {len(GATED)}"
+assert not set(UNGATED) - set(REGISTRY), "UNGATED names must exist in REGISTRY"
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in GATED}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+    return {name: REGISTRY[name][1] for name in GATED if REGISTRY[name][1] is not None}

@@ -71,14 +71,50 @@ def gen_expansion():
     print("wrote", out)
 
 
+def gen_bias():
+    """bias_golden.parquet — per (SF, query doc, k-mer position) the
+    non-positive kbias integer from tests.golden_tools.
+    composition_bias_scalar (plain loops — independent of the numpy
+    cumsum/einsum kernel in operators/similar_kmers.py). Zero-bias
+    positions are omitted (the oracle LEFT JOINs with COALESCE 0).
+    Backs the protein_prefilter_biased oracle (T4)."""
+    from tests.golden_tools import composition_bias_scalar
+
+    rows = {"corpus_chars": [], "query_id": [], "pos": [], "kbias": []}
+    for sf in SFS:
+        docs = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"]).to_pandas()
+        corpus_chars = int(docs.text.str.len().sum())
+        n = 0
+        for _, r in docs[docs.doc_id % QUERY_MOD == 0].iterrows():
+            seq = derive_sequence(r.text)
+            if len(seq) < K:
+                continue
+            for pos, kb in enumerate(composition_bias_scalar(seq, K)):
+                if kb != 0:
+                    rows["corpus_chars"].append(corpus_chars)
+                    rows["query_id"].append(int(r.doc_id))
+                    rows["pos"].append(pos)
+                    rows["kbias"].append(kb)
+                    n += 1
+        print(f"{sf}: {n} nonzero kbias positions")
+    out = os.path.join(GOLDEN_DIR, "bias_golden.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False), out)
+    print("wrote", out)
+
+
 def gen_protein_search():
     from petasearch_spark import get_spark
-    from petasearch_spark.operators.doc_search import protein_search, protein_search_expanded
+    from petasearch_spark.operators.doc_search import (
+        protein_search,
+        protein_search_expanded,
+        protein_search_masked,
+    )
 
     spark = get_spark("gen-goldens")
     for fn, fname in [
         (protein_search, "protein_search_golden.parquet"),
         (protein_search_expanded, "protein_search_expanded_golden.parquet"),
+        (protein_search_masked, "protein_search_masked_golden.parquet"),
     ]:
         parts = []
         for sf in SFS:
@@ -151,8 +187,16 @@ def gen_mask_tantan():
 
 
 if __name__ == "__main__":
+    import sys as _sys
+
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    gen_expansion()
-    gen_mask_stats()
-    gen_mask_tantan()
-    gen_protein_search()
+    only = set(_sys.argv[1:])  # e.g. `python scripts/gen_goldens.py bias search`
+    if not only or "expansion" in only:
+        gen_expansion()
+    if not only or "mask" in only:
+        gen_mask_stats()
+        gen_mask_tantan()
+    if not only or "bias" in only:
+        gen_bias()
+    if not only or "search" in only:
+        gen_protein_search()

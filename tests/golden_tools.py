@@ -93,6 +93,39 @@ def decode_kmer(code: int, k: int) -> str:
     return "".join(reversed(out))
 
 
+def composition_bias_scalar(seq: str, k: int = 9) -> list[int]:
+    """Plain-loop scalar twin of operators.similar_kmers.composition_bias
+    + composition_bias_kmer (T4, the reference's calcLocalAaBiasCorrection,
+    lib/mmseqs/src/commons/SubstitutionMatrix.cpp:92-123 followed by the
+    per-k-mer clamp at comparekmertables.cpp:239-253): per k-mer start
+    position, kbias = min(0, round_half_away(sum of per-position bias over
+    the k window)). Independent of the numpy cumsum/einsum kernel — used
+    to generate the committed bias golden (scripts/gen_goldens.py)."""
+    import math
+
+    from petasearch_spark.functions.scoring import SEED_PBACK
+
+    M = KMER_SEED_MATRIX
+    pb = SEED_PBACK
+    codes = [AMINO_ALPHABET.index(c) for c in seq]
+    n = len(codes)
+    half = 20  # BIAS_WINDOW // 2
+    delta = []
+    for i in range(n):
+        lo = max(0, i - half)
+        hi = min(n, i + half)  # [i-20, i+20): maxPos excluded
+        wl = max(1, hi - lo)
+        tot = sum(int(M[codes[i], codes[j]]) for j in range(lo, hi)) - int(M[codes[i], codes[i]])
+        bg = sum(float(pb[a]) * float(M[codes[i], a]) for a in range(len(pb)))
+        delta.append(-tot / wl + bg)
+    out = []
+    for p in range(n - k + 1):
+        s = sum(delta[p : p + k])
+        r = math.floor(s + 0.5) if s >= 0 else math.ceil(s - 0.5)
+        out.append(min(0, int(r)))
+    return out
+
+
 def mask_seq_scalar(seq: str, max_period: int = 4, min_repeat: int = 8,
                     window: int = 12, dominant_frac: float = 0.75) -> str:
     """Independent plain-loop twin of operators.masking.mask_seq (same
