@@ -19,12 +19,16 @@ Reference (`blockalign`, /root/reference/src/sra/blockalign.cpp): per
    threshold (411-414; F8), then swap to query-keyed output
    (Matcher::result_t::swapResult semantics, 435-440; P6).
 
-ACCEPTED DIVERGENCE from the reference aligner (round-2 evidence,
+DEFAULT DIVERGENCE from the reference aligner (round-2 evidence,
 tests/test_align.py x-drop section): the reference's gapped stage is a
 two-pass x-drop extension (--xdrop 10, BlockAligner.cpp:60-93) that
 STOPS once the frontier falls more than 10 below the running best; our
-kernel is banded Gotoh over the same ±band/2 diagonals with no early
-termination. Consequence: on pairs with two high-scoring segments
+DEFAULT is banded Gotoh over the same ±band/2 diagonals with no early
+termination. The reference rule IS implemented — pass ``xdrop=10``
+(``DEFAULT_XDROP``) to banded_sw_batch/align_pairs/search for frontier
+termination, kernel-vs-scalar pinned by
+test_xdrop_kernel_option_matches_reference_*. Gotoh stays the default
+(written decision): on pairs with two high-scoring segments
 separated by a deep score dip we bridge and report the higher combined
 score where the reference reports only the anchor-side segment — we are
 never LESS sensitive, and on conservatively mutated pairs (the shape of
@@ -122,6 +126,18 @@ def ungapped_score(qc: np.ndarray, tc: np.ndarray, diag: int, matrix: np.ndarray
     return best, t_lo + diag + st, t_lo + diag + e + 1
 
 
+#: the reference's --xdrop default (/root/reference/src/commons/LocalParameters.h:145),
+#: used by BlockAligner's two-pass extension (BlockAligner.cpp:60-93).
+#: ENGINE DEFAULT IS None (no early termination — plain banded Gotoh), a
+#: WRITTEN DECISION (round-2 VERDICT item 6): Gotoh is never less
+#: sensitive than x-drop (tests/test_align.py pins the direction), agrees
+#: 50/50 on realistic mutated pairs, and keeps the committed m8 goldens
+#: stable; pass xdrop=DEFAULT_XDROP through search()/align_pairs() for
+#: reference-exact termination (test_xdrop_kernel_option_matches_reference
+#: pins kernel-vs-scalar equality on the constructed divergence pairs).
+DEFAULT_XDROP = 10
+
+
 def banded_sw(
     qc: np.ndarray,
     tc: np.ndarray,
@@ -130,11 +146,12 @@ def banded_sw(
     gap_open: int = DEFAULT_GAP_OPEN,
     gap_extend: int = DEFAULT_GAP_EXTEND,
     matrix: np.ndarray = BLOSUM62,
+    xdrop: int | None = None,
 ):
     """Banded affine-gap local alignment around `anchor_diag` — single-pair
     convenience wrapper over :func:`banded_sw_batch` (same code path as the
     pipeline, so the property tests in tests/test_align.py cover it)."""
-    return banded_sw_batch([qc], [tc], [anchor_diag], band, gap_open, gap_extend, matrix)[0]
+    return banded_sw_batch([qc], [tc], [anchor_diag], band, gap_open, gap_extend, matrix, xdrop)[0]
 
 
 _NEG = np.int32(-(10 ** 9))
@@ -148,6 +165,7 @@ def banded_sw_batch(
     gap_open: int = DEFAULT_GAP_OPEN,
     gap_extend: int = DEFAULT_GAP_EXTEND,
     matrix: np.ndarray = BLOSUM62,
+    xdrop: int | None = None,
 ) -> list:
     """Banded affine-gap local alignment (Gotoh), vectorized ACROSS PAIRS.
 
@@ -161,6 +179,12 @@ def banded_sw_batch(
     lazy-F loop). Traceback needs only a uint8 pointer byte per cell
     (2 bits H-source, 1 bit E-extend, 1 bit F-extend), so memory stays
     P × max_tlen × (band+1) bytes.
+
+    ``xdrop``: the reference's frontier rule (BlockAligner.cpp:60-93) —
+    a pair stops extending at the first target row whose best band cell
+    falls more than ``xdrop`` below that pair's running best; its result
+    is the best cell seen before termination. None (engine default, see
+    DEFAULT_XDROP) = full banded Gotoh, never less sensitive.
 
     Returns a list (len P) of None / dict with raw score, 0-based
     [qstart,qend) / [tstart,tend), backtrace (M = aligned pair, I = query
@@ -192,6 +216,7 @@ def banded_sw_batch(
     best_i = np.zeros(P, dtype=np.int64)
     best_b = np.zeros(P, dtype=np.int64)
     prange = np.arange(P)
+    active = np.ones(P, dtype=bool)  # pairs still extending (x-drop mode)
 
     for i in range(ntm):
         j = base_j + i
@@ -235,9 +260,18 @@ def banded_sw_batch(
         rb = H_row.argmax(axis=1)
         rm = H_row[prange, rb]
         upd = rm > best  # strict: earliest row, then lowest slot, wins ties
+        if xdrop is not None:
+            upd &= active
         best[upd] = rm[upd]
         best_i[upd] = i
         best_b[upd] = rb[upd]
+        if xdrop is not None:
+            # frontier rule AFTER the best update (the reference raises
+            # best, then tests the drop) — terminated pairs keep their
+            # recorded best cell and never update again
+            active &= ~(rm < best - xdrop)
+            if not active.any():
+                break
         H_prev, F_prev = H_row, F_row
 
     out = []
@@ -402,6 +436,7 @@ def align_pair_kernel(
     matrix: np.ndarray = BLOSUM62,
     ka_ungapped=KA_UNGAPPED,
     ka_gapped=KA_GAPPED_11_1,
+    xdrop: int | None = None,
 ):
     """Full per-pair cascade F5 -> F6 -> gapped -> F7/F8. Returns None or
     an alignment dict (adds bits/evalue/fident). `_tc`/`_tpos` let callers
@@ -415,7 +450,8 @@ def align_pair_kernel(
                               matrix=matrix, ka_ungapped=ka_ungapped)
     if anchor is None:
         return None
-    res = banded_sw(qc, tc, anchor, band=band, gap_open=gap_open, gap_extend=gap_extend, matrix=matrix)
+    res = banded_sw(qc, tc, anchor, band=band, gap_open=gap_open, gap_extend=gap_extend,
+                    matrix=matrix, xdrop=xdrop)
     return _finalize(res, len(qc), db_residues, max_evalue, ka=ka_gapped)
 
 
@@ -509,6 +545,7 @@ def align_pairs(
     matrix: np.ndarray = BLOSUM62,
     ka_ungapped=KA_UNGAPPED,
     ka_gapped=KA_GAPPED_11_1,
+    xdrop: int | None = None,
 ) -> DataFrame:
     """prefilter_pairs(target_id, query_id, kmer, pos) + sequence tables ->
     alignments (FIXTURES.md §1 schema, 1-based coords, query-keyed).
@@ -601,6 +638,7 @@ def align_pairs(
                 results = banded_sw_batch(
                     [c[1] for c in chunk], [c[2] for c in chunk], [c[3] for c in chunk],
                     band=band, gap_open=gap_open, gap_extend=gap_extend, matrix=matrix,
+                    xdrop=xdrop,
                 )
                 for (r, qc, tc, _), res in zip(chunk, results):
                     res = _finalize(res, len(qc), db_residues, max_evalue, ka=ka_gapped)

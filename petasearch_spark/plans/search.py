@@ -40,6 +40,7 @@ def search(
     compo_bias: bool = False,
     alphabet: str = "amino",
     max_seqs: int | None = None,
+    xdrop: int | None = None,
 ) -> DataFrame:
     """queries/targets: sequences(seq_id, accession, header, sequence).
 
@@ -109,9 +110,13 @@ def search(
             bias=composition_bias_kmer(queries, k=k) if compo_bias else None,
         )
     pairs = prefilter(qk, target_index, req_kmer_matches=req_kmer_matches)
+    # xdrop=None (default) keeps full banded Gotoh — the engine's written
+    # divergence decision (operators/align.py DEFAULT_XDROP note); pass
+    # align.DEFAULT_XDROP for the reference's frontier termination.
     alignments = align_pairs(
         pairs, queries, targets, k=k, max_evalue=max_evalue,
         alphabet=alpha, matrix=matrix, ka_ungapped=ka_u, ka_gapped=ka_g,
+        xdrop=xdrop,
     )
     if max_seqs is not None:
         # per-query top-k — ABSENT in the reference (every passing hit is

@@ -231,3 +231,46 @@ def test_xdrop_agreement_rate_on_realistic_pairs():
         else:
             assert gs > xs  # only ever MORE sensitive
     assert agree == trials
+
+
+def test_xdrop_kernel_option_matches_reference_on_constructed_pair():
+    """banded_sw(xdrop=10) reproduces the reference frontier rule on the
+    constructed divergence pair: it stops at the dip and reports only the
+    anchor-side segment — equal to the independent scalar x-drop score."""
+    seg = "ACDEFGHIKLMNPQRSTVWY"
+    q = seg + "W" * 12 + seg
+    t = seg + "P" * 12 + seg
+    qc, tc = _encode(q), _encode(t)
+    res = banded_sw(qc, tc, anchor_diag=0, xdrop=10)
+    xs = banded_xdrop_score(qc, tc, anchor_diag=0, x=10)
+    seg_score = sum(int(BLOSUM62[c, c]) for c in _encode(seg))
+    assert xs == seg_score
+    assert res["score"] == xs  # kernel option == reference-shaped scalar
+    # and strictly below the bridging Gotoh default
+    assert banded_sw(qc, tc, anchor_diag=0)["score"] > res["score"]
+
+
+def test_xdrop_kernel_option_matches_reference_on_random_pairs():
+    """Kernel xdrop vs the independent scalar x-drop on seeded random
+    pairs, including batches mixing terminated and surviving pairs (the
+    per-pair active mask must not bleed across the batch)."""
+    from petasearch_spark.operators.align import banded_sw_batch
+
+    rng = random.Random(7)
+    qcs, tcs = [], []
+    for _ in range(40):
+        q = rand_seq(rng, rng.randrange(30, 90))
+        t = mutate(rng, q, n_sub=rng.randrange(0, 12), n_indel=rng.randrange(0, 3))
+        qcs.append(_encode(q))
+        tcs.append(_encode(t))
+    # a couple of constructed deep-dip pairs interleaved
+    seg = "ACDEFGHIKLMNPQRSTVWY"
+    for dip in ("W" * 12, "G" * 14):
+        qcs.insert(3, _encode(seg + dip + seg))
+        tcs.insert(3, _encode(seg + "P" * len(dip) + seg))
+    anchors = [0] * len(qcs)
+    batch = banded_sw_batch(qcs, tcs, anchors, xdrop=10)
+    for qc, tc, res in zip(qcs, tcs, batch):
+        expected = banded_xdrop_score(qc, tc, anchor_diag=0, x=10)
+        got = res["score"] if res else 0
+        assert got == expected
