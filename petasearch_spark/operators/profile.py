@@ -57,3 +57,140 @@ def search_profiles(profiles: DataFrame, targets: DataFrame, **kwargs) -> DataFr
     from petasearch_spark.plans.search import search
 
     return search(profile_consensus(profiles), targets, **kwargs)
+
+
+#: ±residues contributing to each derived PSSM column (see derived_profiles)
+PROFILE_WINDOW = 2
+
+
+def derived_profiles(sequences: DataFrame) -> DataFrame:
+    """Deterministic sequences -> profiles derivation for oracle-checked
+    profile-mode testing: PSSM column i = sum over the residue window
+    [i-W, i+W] of that residue's BLOSUM62 row — a real position-specific
+    score mixture (the consensus argmax genuinely differs from the
+    sequence), yet exact integer arithmetic both engines reproduce.
+    Output schema matches profile_consensus input:
+    (seq_id, accession, header, profile array<array<float>>)."""
+    from petasearch_spark.functions.scoring import BLOSUM62
+
+    lut = np.full(128, -1, dtype=np.int64)
+    for i, c in enumerate(AMINO_ALPHABET):
+        lut[ord(c)] = i
+    M = BLOSUM62.astype(np.float64)
+    A = len(AMINO_ALPHABET)
+    W = PROFILE_WINDOW
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            profs = []
+            for seq in pdf["sequence"]:
+                codes = lut[np.frombuffer(seq.encode("ascii", "replace"), dtype=np.uint8) & 0x7F]
+                n = len(codes)
+                if n == 0:
+                    profs.append([])
+                    continue
+                onehot = np.zeros((n + 1, A), dtype=np.int64)
+                onehot[np.arange(1, n + 1), np.where(codes >= 0, codes, 0)] = codes >= 0
+                csum = np.cumsum(onehot, axis=0)
+                lo = np.maximum(0, np.arange(n) - W)
+                hi = np.minimum(n, np.arange(n) + W + 1)  # window inclusive
+                counts = csum[hi] - csum[lo]  # (n, A) residue counts per window
+                profs.append((counts @ M).tolist())
+            out = pdf[["seq_id", "accession", "header"]].copy()
+            out["profile"] = profs
+            yield out
+
+    return sequences.mapInPandas(
+        run, schema="seq_id long, accession string, header string, profile array<array<double>>"
+    )
+
+
+def profile_search_consensus(spark, sf_dir: str) -> DataFrame:
+    """P5 profile mode under the DuckDB oracle (the §7 stretch, round-2
+    VERDICT item 9): deterministic window-sum PSSMs over every-100th
+    derived sequence -> profile_consensus (the argmax kernel the
+    reference runs at /root/reference/src/sra/blockalign.cpp:313-323) ->
+    standard k=9 prefilter vs the full index. The oracle recomputes the
+    PSSM sums, the tie-canonical argmax consensus AND the prefilter
+    entirely in SQL — so P5 gets a green value-checked row with no
+    committed golden involved."""
+    from pyspark.sql import functions as F
+
+    from petasearch_spark.operators.doc_search import REQ_MATCHES, derived_sequences
+    from petasearch_spark.operators.kmer_index import build_kmer_index, extract_query_kmers
+    from petasearch_spark.operators.prefilter import prefilter
+    from petasearch_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source").persist()
+    qprof = derived_profiles(seqs.filter(F.col("seq_id") % 100 == 0))
+    cons = profile_consensus(qprof)
+    pairs = prefilter(extract_query_kmers(cons), build_kmer_index(seqs))
+    return (
+        pairs.groupBy("query_id", "target_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .filter(F.col("n_matches") > REQ_MATCHES)
+        .orderBy("query_id", "target_id")
+    )
+
+
+def _profile_search_sql() -> str:
+    from petasearch_spark.operators.doc_search import (
+        DERIVED_SEQ_SQL,
+        REQ_MATCHES,
+        _blosum_values_sql,
+    )
+
+    alpha_rows = ", ".join(f"('{c}', {i})" for i, c in enumerate(AMINO_ALPHABET))
+    return f"""
+WITH {DERIVED_SEQ_SQL}
+, {_blosum_values_sql()}
+, alpha(ch, code) AS (FROM (VALUES {alpha_rows}) v(ch, code) SELECT *)
+, qchars AS (
+    SELECT seq_id, i AS pos, substr(sequence, i, 1) AS c
+    FROM seqs, range(1, 8192) r(i)
+    WHERE seq_id % 100 = 0 AND i <= len(sequence)
+)
+-- PSSM column = window-summed BLOSUM rows; consensus = argmax with ties
+-- to the lowest residue code (numpy argmax first-occurrence rule)
+, prof AS (
+    SELECT c1.seq_id, c1.pos, b.b AS cand, al.code, SUM(b.s) AS sc
+    FROM qchars c1
+    JOIN qchars c2 ON c2.seq_id = c1.seq_id
+                  AND c2.pos BETWEEN c1.pos - {PROFILE_WINDOW} AND c1.pos + {PROFILE_WINDOW}
+    JOIN blosum b ON b.a = c2.c
+    JOIN alpha al ON al.ch = b.b
+    GROUP BY c1.seq_id, c1.pos, b.b, al.code
+)
+, cons AS (
+    SELECT seq_id, string_agg(cand, '' ORDER BY pos) AS sequence
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY seq_id, pos ORDER BY sc DESC, code ASC) AS rn
+          FROM prof)
+    WHERE rn = 1 GROUP BY seq_id
+)
+, kmers AS (
+    SELECT seq_id, len(sequence) AS seq_len, substr(sequence, i, 9) AS kmer
+    FROM seqs, range(1, 8192) r(i)
+    WHERE i + 8 <= len(sequence)
+)
+, idx AS (
+    SELECT kmer, seq_id AS target_id
+    FROM (SELECT kmer, seq_id,
+                 ROW_NUMBER() OVER (PARTITION BY kmer ORDER BY seq_len DESC, seq_id ASC) AS rn
+          FROM kmers)
+    WHERE rn = 1
+)
+, qk AS (
+    SELECT seq_id AS query_id, substr(sequence, i, 9) AS kmer
+    FROM cons, range(1, 8192) r(i)
+    WHERE i + 8 <= len(sequence)
+)
+SELECT query_id, target_id, COUNT(*) AS n_matches
+FROM qk JOIN idx USING (kmer)
+GROUP BY query_id, target_id
+HAVING COUNT(*) > {REQ_MATCHES}
+ORDER BY query_id, target_id
+"""
+
+
+PROFILE_SEARCH_CONSENSUS_SQL = _profile_search_sql()

@@ -23,6 +23,7 @@ from petasearch_spark.operators import (
     ivf,
     masking,
     multimodal,
+    profile,
     quality,
     relational,
     similarity,
@@ -76,6 +77,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # the full cascade under the reference's DEFAULT --mask 1: tantan ->
     # F1 suppression -> extract -> align, pinned by a regression golden
     "protein_search_masked": (doc_search.protein_search_masked, doc_search.PROTEIN_SEARCH_MASKED_SQL),
+    # P5 profile mode (§7 stretch): derived PSSMs -> argmax consensus ->
+    # prefilter, consensus + prefilter fully recomputed by the SQL oracle
+    "profile_search_consensus": (profile.profile_search_consensus, profile.PROFILE_SEARCH_CONSENSUS_SQL),
     # T3 isn't SQL-expressible (no backrefs in RE2): oracle replays a
     # golden from an independent scalar masking implementation
     "protein_mask_stats": (masking.protein_mask_stats, masking.PROTEIN_MASK_STATS_SQL),
@@ -148,6 +152,11 @@ UNGATED: dict[str, str] = {
     "image_resize": (
         "same decode path as image_stats plus a resize transform; the transform is"
         " pytest-parity-verified"
+    ),
+    "protein_mask_stats": (
+        "the engine's HEURISTIC masking alternative, not the reference algorithm;"
+        " T3 reference parity stays gated via protein_mask_tantan, and the heuristic"
+        " keeps its independent-scalar-golden parity in pytest"
     ),
 }
 
