@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "text_quality_stats",
     "doc_fingerprint",
     "tfidf_top_terms",
+    "unigram_logprob_score",
 ]
 
 

@@ -172,6 +172,52 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-proxy quality score: per-document mean token negative
+    log-likelihood under the corpus's own unigram distribution — the
+    cheap first-pass perplexity filter of LLM data pipelines (docs whose
+    tokens are globally rare/implausible score high). Two shuffles at any
+    scale: corpus term frequencies (map-side combined), then a frequency
+    join back (the unigram table is vocabulary-sized — broadcast).
+
+    Determinism: each token's -ln(p) is truncated to DECIMAL(28,12)
+    before summing, so the per-doc sum is exact integer arithmetic and
+    independent of partition/reduction order in both engines (ln itself
+    is cross-engine IEEE-stable here — the same precedent tfidf_top_terms
+    relies on)."""
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    tf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("ctf"))
+    total = tf.agg(F.sum("ctf")).collect()[0][0] or 1
+    nll = (-F.log(F.col("ctf").cast("double") / F.lit(float(total)))).cast("decimal(28,12)")
+    return (
+        tok.join(F.broadcast(tf), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round((F.sum(nll).cast("double") / F.count(F.lit(1))), 6).alias("mean_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+UNIGRAM_LOGPROB_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL.format(col="text")} AS ts FROM documents
+), tok AS (
+    SELECT doc_id, unnest(ts) AS t FROM toks
+), tf AS (
+    SELECT t, COUNT(*) AS ctf FROM tok GROUP BY t
+), tot AS (SELECT SUM(ctf) AS total FROM tf)
+SELECT doc_id, COUNT(*) AS n_toks,
+       ROUND(CAST(SUM(CAST(-ln(CAST(ctf AS DOUBLE) / total) AS DECIMAL(28,12))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_nll
+FROM tok JOIN tf USING (t) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 GOPHER_QUALITY_SQL = f"""
 WITH toks AS (
     SELECT doc_id, {TOKENS_SQL.format(col="text")} AS ts FROM documents

@@ -118,6 +118,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- corpus quality (exact-substring dup coverage, Gopher signals) ---
     "dup_span_coverage": (quality.dup_span_coverage, quality.DUP_SPAN_SQL),
     "gopher_quality": (quality.gopher_quality, quality.GOPHER_QUALITY_SQL),
+    "unigram_logprob_score": (quality.unigram_logprob_score, quality.UNIGRAM_LOGPROB_SQL),
 }
 
 
@@ -157,6 +158,10 @@ UNGATED: dict[str, str] = {
         "the engine's HEURISTIC masking alternative, not the reference algorithm;"
         " T3 reference parity stays gated via protein_mask_tantan, and the heuristic"
         " keeps its independent-scalar-golden parity in pytest"
+    ),
+    "unigram_logprob_score": (
+        "added after the gate filled; full DuckDB parity in pytest and timed in"
+        " bench.py — promote next time a gated slot frees up"
     ),
 }
 
