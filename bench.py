@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_ivf_kmeans",
+    "ann_pq_topk",
     "embedding_neardup",
     "embedding_neardup_lsh",
     "embedding_quantize_int8",

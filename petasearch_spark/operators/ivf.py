@@ -150,6 +150,93 @@ _COS = "ROUND(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * s
 
 DIM = 64  # driver embeddings are 64-dim at every SF
 
+# --- product quantization (ADC) -----------------------------------------
+PQ_M = 8  # subvectors per vector (64 dims -> 8 x 8-dim subspaces)
+PQ_SUB = DIM // PQ_M
+PQ_K = 16  # codewords per subspace -> 8 x 4 bits = 4 bytes/vector
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: each vector is compressed to PQ_M
+    codebook indices (4 bytes here vs 256 bytes of float32 — the memory
+    lever that lets a 100 TB embedding corpus live in RAM), queries score
+    candidates with asymmetric distance computation (ADC): approx
+    dot(q, v) = sum over subspaces of LUT[m][code_m(v)], where LUT[m] =
+    dot(q_m, codebook_m) is 8x16 values computed once per query.
+
+    Scale shape: encoding is one narrow Arrow map over the corpus
+    (codebooks broadcast); scoring is another narrow map with the
+    query LUTs broadcast — no shuffle until the final per-query top-k.
+    Composes with the IVF coarse stage (probe buckets, then ADC-score
+    only bucket members). Deterministic for the oracle: codebooks are
+    the subvectors of the first PQ_K vectors (a deployment k-means-
+    refines per subspace — same plan shape as ann_ivf_kmeans);
+    distances/ties canonicalized like the rest of the family.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    cb_rows = (
+        emb.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").select("vec_id", "v").collect()
+    )
+    # codebooks[m]: (PQ_K, PQ_SUB) — subvector m of the first PQ_K vectors
+    cbs = np.array([r["v"] for r in cb_rows], dtype=np.float64).reshape(PQ_K, PQ_M, PQ_SUB)
+    codebooks = np.ascontiguousarray(np.swapaxes(cbs, 0, 1))  # (PQ_M, PQ_K, PQ_SUB)
+    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").select("vec_id", "v").collect()
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qvs = np.array([r["v"] for r in q_rows], dtype=np.float64).reshape(len(qids), PQ_M, PQ_SUB)
+
+    # All dot products below accumulate over the subspace dims with an
+    # explicit s-ascending elementwise loop (separate mul + add, no BLAS):
+    # bit-identical to the oracle's left-associative 8-term SQL
+    # expressions — BLAS kernels may contract with FMA and break the
+    # value-hash on ULPs.
+    def _dot_s(a, b):  # a (..., PQ_SUB) x b (..., PQ_SUB) -> (...)
+        acc = np.zeros(np.broadcast_shapes(a.shape[:-1], b.shape[:-1]))
+        for s in range(PQ_SUB):
+            acc = acc + a[..., s] * b[..., s]
+        return acc
+
+    # LUT[q, m, j] = dot(q_m, codebook[m][j])
+    lut = _dot_s(qvs[:, :, None, :], codebooks[None, :, :, :])
+
+    def run(batches):
+        for pdf in batches:
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            if len(V) == 0:
+                yield pd.DataFrame({"query_id": [], "neighbor_id": [], "approx_dot": []})
+                continue
+            P = len(V)
+            sub = V.reshape(P, PQ_M, PQ_SUB)
+            # encode: per subspace argmin L2 to the codewords (first-
+            # occurrence tie rule). ||s-c||^2 = ||s||^2 - 2<s,c> + ||c||^2
+            # (the ||s||^2 term is constant per (p,m) — dropped)
+            dots = _dot_s(sub[:, :, None, :], codebooks[None, :, :, :])
+            cnorm = _dot_s(codebooks, codebooks)
+            codes = np.argmin(cnorm[None, :, :] - 2.0 * dots, axis=2)  # (P, PQ_M)
+            # ADC: scores[q, p] = sum_m lut[q, m, codes[p, m]]
+            scores_qp = np.zeros((len(qids), P))
+            for m in range(PQ_M):
+                scores_qp += lut[:, m, :][:, codes[:, m]]  # (Q, P)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame({
+                "query_id": np.repeat(qids, P),
+                "neighbor_id": np.tile(ids, len(qids)),
+                "approx_dot": np.round(scores_qp.reshape(-1), 6),
+            })
+
+    scored = emb.mapInPandas(run, schema="query_id long, neighbor_id long, approx_dot double")
+    scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("approx_dot"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= TOPK)
+        .orderBy("query_id", "rk")
+    )
+
 
 def _kmeans_sql() -> str:
     s = f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -194,6 +281,71 @@ ORDER BY f.cent_id
 
 
 ANN_IVF_KMEANS_SQL = _kmeans_sql()
+
+def _pq_sql() -> str:
+    """ADC product-quantization oracle. Every dot product is an explicit
+    left-associative 8-term expression and the final ADC sum is a pivoted
+    m0+..+m7 fold, matching the engine kernel's fixed accumulation order
+    exactly (no SUM() over rows anywhere floats are involved)."""
+    def dot_expr(a: str, b: str) -> str:
+        return " + ".join(f"{a}{s} * {b}{s}" for s in range(1, PQ_SUB + 1))
+
+    sub_cols = lambda src, pfx: ", ".join(  # noqa: E731
+        f"{src}[r.m * {PQ_SUB} + {s}] AS {pfx}{s}" for s in range(1, PQ_SUB + 1)
+    )
+    pivot = ", ".join(f"MAX(CASE WHEN m = {m} THEN val END) AS m{m}" for m in range(PQ_M))
+    fold = " + ".join(f"m{m}" for m in range(PQ_M))
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+, cb AS (
+    SELECT r.m, e.vec_id AS j, {sub_cols('e.v', 'c')}
+    FROM emb e, range(0, {PQ_M}) r(m) WHERE e.vec_id < {PQ_K}
+)
+, cnorm AS (SELECT m, j, {dot_expr('c', 'c')} AS nrm FROM cb)
+, sub AS (
+    SELECT e.vec_id, r.m, {sub_cols('e.v', 's')}
+    FROM emb e, range(0, {PQ_M}) r(m)
+)
+, enc AS (
+    SELECT vec_id, m, j AS code FROM (
+        SELECT s.vec_id, s.m, c.j,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY cn.nrm - 2 * ({dot_expr('s.s', 'c.c')}) ASC, c.j ASC
+               ) AS rn
+        FROM sub s
+        JOIN cb c ON c.m = s.m
+        JOIN cnorm cn ON cn.m = c.m AND cn.j = c.j
+    ) WHERE rn = 1
+)
+, qsub AS (
+    SELECT e.vec_id AS query_id, r.m, {sub_cols('e.v', 's')}
+    FROM emb e, range(0, {PQ_M}) r(m) WHERE e.vec_id < {N_QUERIES}
+)
+, lut AS (
+    SELECT qs.query_id, qs.m, c.j, {dot_expr('qs.s', 'c.c')} AS val
+    FROM qsub qs JOIN cb c ON c.m = qs.m
+)
+, contrib AS (
+    SELECT l.query_id, e.vec_id AS neighbor_id, e.m, l.val
+    FROM enc e JOIN lut l ON l.m = e.m AND l.j = e.code
+)
+, scored AS (
+    SELECT query_id, neighbor_id, ROUND({fold}, 6) AS approx_dot
+    FROM (SELECT query_id, neighbor_id, {pivot}
+          FROM contrib GROUP BY query_id, neighbor_id)
+    WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, approx_dot, rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY approx_dot DESC, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= {TOPK}
+ORDER BY query_id, rk
+"""
+
+
+ANN_PQ_TOPK_SQL = _pq_sql()
 
 ANN_IVF_TOPK_SQL = f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -97,6 +97,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_cosine_topk": (similarity.ann_cosine_topk, similarity.ANN_COSINE_TOPK_SQL),
     "ann_ivf_topk": (ivf.ann_ivf_topk, ivf.ANN_IVF_TOPK_SQL),
     "ann_ivf_kmeans": (ivf.ann_ivf_kmeans, ivf.ANN_IVF_KMEANS_SQL),
+    "ann_pq_topk": (ivf.ann_pq_topk, ivf.ANN_PQ_TOPK_SQL),
     "embedding_neardup": (similarity.embedding_neardup, similarity.EMBEDDING_NEARDUP_SQL),
     "embedding_neardup_lsh": (similarity.embedding_neardup_lsh, similarity.EMBEDDING_NEARDUP_LSH_SQL),
     "embedding_quantize_int8": (similarity.embedding_quantize_int8, similarity.EMBEDDING_QUANTIZE_SQL),
@@ -160,6 +161,10 @@ UNGATED: dict[str, str] = {
         " keeps its independent-scalar-golden parity in pytest"
     ),
     "unigram_logprob_score": (
+        "added after the gate filled; full DuckDB parity in pytest and timed in"
+        " bench.py — promote next time a gated slot frees up"
+    ),
+    "ann_pq_topk": (
         "added after the gate filled; full DuckDB parity in pytest and timed in"
         " bench.py — promote next time a gated slot frees up"
     ),
