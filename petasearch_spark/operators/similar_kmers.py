@@ -285,7 +285,12 @@ def expand_query_kmers(
     expansion = distinct.mapInPandas(run, schema="kmer long, sim_kmer long, score int")
     sim = query_kmers.join(F.broadcast(expansion), "kmer", "inner")
     if bias is not None:
-        sim = sim.join(bias, ["query_id", "pos"], "left").filter(
+        # bias has one row per (query, pos) — the same order as the query
+        # k-mer table, 1/max_per_pos of the expanded stream it joins.
+        # Broadcast explicitly so the 20x-expanded sim rows never shuffle
+        # (query batches are the broadcast-sized side by design — the
+        # reference replicates the whole query table per thread).
+        sim = sim.join(F.broadcast(bias), ["query_id", "pos"], "left").filter(
             F.col("score")
             >= F.greatest(
                 F.lit(threshold) - F.coalesce(F.col("kbias"), F.lit(0)), F.lit(0)
