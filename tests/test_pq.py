@@ -1,0 +1,62 @@
+"""Unit tests for the product-quantization kernels (operators/ivf.py):
+encode = per-subspace argmin L2 with first-occurrence ties, ADC = exact
+LUT-sum reconstruction of dot(q, decode(codes))."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from petasearch_spark.operators.ivf import PQ_K, PQ_M, PQ_SUB
+
+
+def _brute_encode(vec: np.ndarray, codebooks: np.ndarray) -> list[int]:
+    codes = []
+    for m in range(PQ_M):
+        sub = vec[m * PQ_SUB : (m + 1) * PQ_SUB]
+        d = [float(((sub - codebooks[m, j]) ** 2).sum()) for j in range(PQ_K)]
+        codes.append(int(np.argmin(d)))
+    return codes
+
+
+def test_pq_encode_and_adc_match_brute_force():
+    rng = np.random.default_rng(11)
+    corpus = rng.normal(size=(50, PQ_M * PQ_SUB))
+    codebooks = corpus[:PQ_K].reshape(PQ_K, PQ_M, PQ_SUB).swapaxes(0, 1).copy()
+
+    # engine-side accumulation (mirrors ann_pq_topk's _dot_s)
+    def dot_s(a, b):
+        acc = np.zeros(np.broadcast_shapes(a.shape[:-1], b.shape[:-1]))
+        for s in range(PQ_SUB):
+            acc = acc + a[..., s] * b[..., s]
+        return acc
+
+    sub = corpus.reshape(len(corpus), PQ_M, PQ_SUB)
+    dots = dot_s(sub[:, :, None, :], codebooks[None, :, :, :])
+    cnorm = dot_s(codebooks, codebooks)
+    codes = np.argmin(cnorm[None, :, :] - 2.0 * dots, axis=2)
+    for p in range(len(corpus)):
+        assert codes[p].tolist() == _brute_encode(corpus[p], codebooks), p
+
+    # ADC score == dot(q, reconstructed vector) exactly (same additions)
+    q = corpus[3].reshape(PQ_M, PQ_SUB)
+    lut = dot_s(q[:, None, :], codebooks)  # (M, K)
+    for p in (0, 7, 20, 49):
+        adc = 0.0
+        recon_dot = 0.0
+        for m in range(PQ_M):
+            adc = adc + lut[m, codes[p, m]]
+            recon_dot = recon_dot + dot_s(q[m], codebooks[m, codes[p, m]])
+        assert adc == recon_dot
+
+    # first PQ_K vectors encode to themselves (distance 0, lowest j wins)
+    for p in range(PQ_K):
+        assert codes[p].tolist() == [p] * PQ_M
+
+
+def test_pq_encode_tie_breaks_to_lowest_code():
+    # duplicate codewords: argmin must pick the first occurrence
+    cb = np.zeros((PQ_M, PQ_K, PQ_SUB))
+    cb[:, 5] = 1.0
+    cb[:, 9] = 1.0  # identical to codeword 5
+    vec = np.ones(PQ_M * PQ_SUB)
+    assert _brute_encode(vec, cb) == [5] * PQ_M
