@@ -29,6 +29,19 @@ def _add_search_args(p: argparse.ArgumentParser) -> None:
                    help="1 = exact k-mers only; 0 = similar-k-mer expansion (reference default)")
     p.add_argument("--mask", type=int, default=1, choices=[0, 1],
                    help="low-complexity-mask query sequences (reference default 1)")
+    p.add_argument("--k-score", type=int, default=None,
+                   help="similar-k-mer score threshold in the seed-matrix scale (reference default 225)")
+    p.add_argument("--max-kmer-per-pos", type=int, default=None,
+                   help="max similar k-mers emitted per position (reference default 20)")
+    p.add_argument("--comp-bias-corr", type=int, default=0, choices=[0, 1],
+                   help="1 = raise expansion thresholds by per-position composition bias (T4)")
+    p.add_argument("--xdrop", type=int, default=None,
+                   help="x-drop frontier termination for the gapped stage (reference default 10; "
+                        "engine default = full banded Gotoh, never less sensitive)")
+    p.add_argument("--max-seqs", type=int, default=None,
+                   help="per-query top-k cap (absent in the reference; engine extra)")
+    p.add_argument("--alphabet", choices=["amino", "nucl"], default="amino",
+                   help="residue alphabet (the reference branches on dbtype)")
     p.add_argument("--format-output-lengths", action="store_true",
                    help="emit the 14-column BLAST-TAB+len variant")
 
@@ -40,6 +53,12 @@ def _search_kwargs(args: argparse.Namespace) -> dict:
         max_evalue=args.max_evalue,
         expand_similar=args.exact_kmer_matching == 0,
         mask=args.mask == 1,
+        kmer_threshold=args.k_score,
+        kmer_max_per_pos=args.max_kmer_per_pos,
+        compo_bias=args.comp_bias_corr == 1,
+        xdrop=args.xdrop,
+        max_seqs=args.max_seqs,
+        alphabet=args.alphabet,
     )
 
 
