@@ -265,7 +265,17 @@ def expand_query_kmers(
     With `bias` (T4, :func:`composition_bias_kmer`): kbias <= 0 and each
     occurrence keeps similar k-mers scoring >= max(threshold - kbias, 0).
     """
-    distinct = query_kmers.select("kmer").distinct()
+    # Keep the expansion stage WIDE: the distinct-kmer shuffle output is
+    # tiny in bytes, so AQE coalesces it to one or two partitions — which
+    # would serialize the CPU-heavy per-kmer heap into a single Python
+    # worker (observed as 2x run-to-run variance on protein_search_
+    # expanded). An explicit repartition to cluster parallelism costs a
+    # round-trip of 8-byte keys and buys full-width expansion.
+    spark = query_kmers.sparkSession
+    distinct = (
+        query_kmers.select("kmer").distinct()
+        .repartition(max(1, spark.sparkContext.defaultParallelism))
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunk_cache: dict = {}  # ≤ 8000 entries of 2×8000 int arrays
