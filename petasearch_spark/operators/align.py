@@ -492,7 +492,15 @@ def ungapped_rescore_pairs(
     )
     q = queries.select(F.col("seq_id").alias("query_id"), F.col("sequence").alias("qseq"))
     t = targets.select(F.col("seq_id").alias("target_id"), F.col("sequence").alias("tseq"))
-    rows = grouped.join(F.broadcast(q), "query_id").join(t, "target_id")
+    # explicit repartition: the grouped pair set is small in bytes, so AQE
+    # would coalesce the post-join stage and serialize the Python rescore
+    # kernel (same hazard as align_pairs, which uses the same fix)
+    n_parts = 2 * max(1, prefilter_pairs.sparkSession.sparkContext.defaultParallelism)
+    rows = (
+        grouped.join(F.broadcast(q), "query_id")
+        .join(t, "target_id")
+        .repartition(n_parts, "target_id")
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["query_id", "target_id", "n_matches", "n_diags",
