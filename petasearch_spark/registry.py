@@ -160,13 +160,17 @@ UNGATED: dict[str, str] = {
         " T3 reference parity stays gated via protein_mask_tantan, and the heuristic"
         " keeps its independent-scalar-golden parity in pytest"
     ),
-    "unigram_logprob_score": (
-        "added after the gate filled; full DuckDB parity in pytest and timed in"
-        " bench.py — promote next time a gated slot frees up"
+    "parts_without_lineitems": (
+        "returns 0 rows at every driver SF, so its hash row carries schema-only"
+        " signal (anti-join VALUE correctness is untestable on empty output);"
+        " slot given to unigram_logprob_score's 500 value-rich rows — anti-join"
+        " semantics keep pytest parity here and in customers_never_ordered"
     ),
-    "ann_pq_topk": (
-        "added after the gate filled; full DuckDB parity in pytest and timed in"
-        " bench.py — promote next time a gated slot frees up"
+    "token_count_bpe": (
+        "5-row aggregate with the weakest hash signal of the text family"
+        " (text_quality_stats + lang_id_heuristic + doc_fingerprint +"
+        " tfidf_top_terms stay gated); slot given to ann_pq_topk's 50-row"
+        " float-exact ADC output"
     ),
 }
 
