@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "events_json_stats",
     "events_rollup",
     "clean_purchase_days",
+    "events_asof_join",
     "doc_shingle_index",
     "doc_prefilter",
     "protein_prefilter",

@@ -184,3 +184,86 @@ SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d')
 FROM events WHERE event_type = 'error'
 ORDER BY user_id, day
 """
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN as a composition of built-in ops (the canonical
+    "operator Spark lacks" — implemented with zero custom code, SURVEY
+    §Spark-first): each purchase is joined to the same user's most recent
+    click at or before its timestamp.
+
+    Plan: tag both sides, UNION, one window pass per user ordered by
+    (ts, side) carrying the last click forward (`last(..., ignorenulls)`
+    over unbounded-preceding rows), filter back to purchases — exactly
+    ONE shuffle on user_id, no per-row Python, no range explosion; at
+    100 TB this is the merge-scan an ASOF join compiles to anywhere.
+    Clicks are pre-deduped to one row per (user, ts) — max event_id —
+    so equal-timestamp ties are deterministic in both engines; all
+    outputs are integers (unix micros), immune to timestamp
+    serialization differences in the value hash."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id", "ts",
+            F.lit(0).alias("is_p"),
+            "click_id",
+            F.lit(None).cast("long").alias("purchase_id"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.lit(1).alias("is_p"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    u = clicks.unionByName(purchases)
+    # clicks sort BEFORE purchases at equal ts (is_p ascending), so an
+    # equal-timestamp click is visible to the purchase — ts >= click_ts
+    # inclusive, matching DuckDB's ASOF >= semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lc_id = F.last("click_id", ignorenulls=True).over(w)
+    lc_us = F.last(
+        F.when(F.col("is_p") == 0, F.unix_micros("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        u.withColumn("last_click_id", lc_id)
+        .withColumn("last_click_us", lc_us)
+        .filter(F.col("is_p") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.unix_micros("ts").alias("purchase_us"),
+            "last_click_id",
+            "last_click_us",
+            (F.unix_micros("ts") - F.col("last_click_us")).alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+EVENTS_ASOF_SQL = """
+WITH clicks AS (
+    SELECT user_id, ts, MAX(event_id) AS click_id
+    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), p AS (
+    SELECT event_id AS purchase_id, user_id, ts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       c.click_id AS last_click_id,
+       epoch_us(c.ts) AS last_click_us,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.purchase_id
+"""

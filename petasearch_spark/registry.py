@@ -52,6 +52,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_rollup": (events.events_rollup, events.EVENTS_ROLLUP_SQL),
     "users_purchase_and_error": (events.users_purchase_and_error, events.USERS_PURCHASE_AND_ERROR_SQL),
     "clean_purchase_days": (events.clean_purchase_days, events.CLEAN_PURCHASE_DAYS_SQL),
+    "events_asof_join": (events.events_asof_join, events.EVENTS_ASOF_SQL),
     "events_stream_hourly": (events_stream.events_stream_hourly, events_stream.EVENTS_STREAM_HOURLY_SQL),
     "events_stream_user_totals": (stateful.events_stream_user_totals, stateful.EVENTS_STREAM_USER_TOTALS_SQL),
     "docs_stream_dedup": (stateful.docs_stream_dedup, stateful.DOCS_STREAM_DEDUP_SQL),
@@ -171,6 +172,10 @@ UNGATED: dict[str, str] = {
         " (text_quality_stats + lang_id_heuristic + doc_fingerprint +"
         " tfidf_top_terms stay gated); slot given to ann_pq_topk's 50-row"
         " float-exact ADC output"
+    ),
+    "events_asof_join": (
+        "added after the gate filled; full DuckDB parity in pytest (native ASOF"
+        " JOIN oracle) and timed in bench.py"
     ),
 }
 
