@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "events_rollup",
     "clean_purchase_days",
     "events_asof_join",
+    "events_proximity_pairs",
     "doc_shingle_index",
     "doc_prefilter",
     "protein_prefilter",

@@ -267,3 +267,69 @@ FROM p ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 ORDER BY p.purchase_id
 """
+
+
+#: proximity-pair window (6 h in micros) — see events_proximity_pairs
+PROXIMITY_US = 6 * 3600 * 1_000_000
+
+
+def events_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN at scale, by time-binning: ordered pairs of events of
+    the same user within PROXIMITY_US of each other.
+
+    A naive theta-join (b.ts - a.ts BETWEEN 0 AND W) degenerates to a
+    per-user nested loop; the distributed strategy is the classic
+    interval-binning trick: bucket events into W-wide bins, join each
+    left event to bins {bin, bin+1} (any right event within W of ts_a
+    must land there, since ts_b ∈ [ts_a, ts_a+W]), then apply the exact
+    range predicate. The join is a plain EQUI-join on (user_id, bin) —
+    shuffle-partitionable, AQE-skew-splittable, output-bounded by true
+    pairs, the same shape Spark's own optimizer rewrites range joins to
+    on systems that support it. Ordering ties (equal ts) break by
+    event_id so each unordered pair is emitted exactly once."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    a = ev.select(
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        F.col("us").alias("a_us"),
+        F.explode(
+            F.array(
+                F.expr(f"us div {PROXIMITY_US}"),
+                F.expr(f"us div {PROXIMITY_US}") + 1,
+            )
+        ).alias("bin"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("b_id"),
+        "user_id",
+        F.col("us").alias("b_us"),
+        F.expr(f"us div {PROXIMITY_US}").alias("bin"),
+    )
+    return (
+        a.join(b, ["user_id", "bin"])
+        .filter(
+            (F.col("b_us") - F.col("a_us") >= 0)
+            & (F.col("b_us") - F.col("a_us") <= PROXIMITY_US)
+            & (
+                (F.col("a_us") < F.col("b_us"))
+                | ((F.col("a_us") == F.col("b_us")) & (F.col("a_id") < F.col("b_id")))
+            )
+        )
+        .select("user_id", "a_id", "b_id", (F.col("b_us") - F.col("a_us")).alias("gap_us"))
+        .orderBy("user_id", "a_id", "b_id")
+    )
+
+
+EVENTS_PROXIMITY_SQL = f"""
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) - epoch_us(a.ts) >= 0
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= {PROXIMITY_US}
+ AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+ORDER BY a.user_id, a_id, b_id
+"""

@@ -53,6 +53,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "users_purchase_and_error": (events.users_purchase_and_error, events.USERS_PURCHASE_AND_ERROR_SQL),
     "clean_purchase_days": (events.clean_purchase_days, events.CLEAN_PURCHASE_DAYS_SQL),
     "events_asof_join": (events.events_asof_join, events.EVENTS_ASOF_SQL),
+    "events_proximity_pairs": (events.events_proximity_pairs, events.EVENTS_PROXIMITY_SQL),
     "events_stream_hourly": (events_stream.events_stream_hourly, events_stream.EVENTS_STREAM_HOURLY_SQL),
     "events_stream_user_totals": (stateful.events_stream_user_totals, stateful.EVENTS_STREAM_USER_TOTALS_SQL),
     "docs_stream_dedup": (stateful.docs_stream_dedup, stateful.DOCS_STREAM_DEDUP_SQL),
@@ -176,6 +177,10 @@ UNGATED: dict[str, str] = {
     "events_asof_join": (
         "added after the gate filled; full DuckDB parity in pytest (native ASOF"
         " JOIN oracle) and timed in bench.py"
+    ),
+    "events_proximity_pairs": (
+        "added after the gate filled; full DuckDB parity in pytest (theta-join"
+        " oracle vs the engine's binned equi-join) and timed in bench.py"
     ),
 }
 
