@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "video_frame_sample",
     "corpus_sample_stratified",
     "decontaminate_ngram_overlap",
+    "sequence_packing",
+    "bm25_search",
     "text_quality_stats",
     "doc_fingerprint",
     "tfidf_top_terms",

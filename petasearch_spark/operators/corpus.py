@@ -24,9 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from petasearch_spark.operators.portable import (
+    TOKENS_SQL,
     hash64,
     hash64_sql,
     shingle_hashes_sql,
+    tokens,
 )
 from petasearch_spark.sources.tables import load_table
 
@@ -118,4 +120,119 @@ FROM shh t JOIN shh e ON t.h = e.h
 WHERE t.doc_id % {EVAL_MOD} <> 0 AND e.doc_id % {EVAL_MOD} = 0
 GROUP BY t.doc_id
 ORDER BY t.doc_id
+"""
+
+
+# --- sequence packing (training-example assembly) --------------------------
+
+CTX_LEN = 64     # tokens per training example (synthetic docs are 10-99
+                 # tokens, so packs mix several docs and split others —
+                 # both packing cases exist at every SF)
+PACK_BUCKET = 64  # docs per prefix-sum bucket (phase-1 granularity)
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in doc_id order
+    into a single token stream and cut it into fixed ``CTX_LEN`` training
+    examples; report per-pack composition (docs touched, docs fully
+    contained, boundary splits, fill).
+
+    The core is a GLOBAL prefix sum of token counts — the textbook
+    single-partition-window trap. A bare
+    ``Window.orderBy("doc_id").rowsBetween(unboundedPreceding, current)``
+    funnels 100 TB through one task. Instead this runs the two-phase
+    distributed prefix sum:
+
+    1. bucket docs by ``doc_id DIV PACK_BUCKET`` and aggregate per-bucket
+       token subtotals (map-side combined; one small shuffle);
+    2. collect ONLY the bucket subtotals (corpus_size / PACK_BUCKET rows —
+       thousands, not billions), exclusive-scan them on the driver, and
+       broadcast the offsets back;
+    3. per-bucket windows (partitionBy bucket — parallel) add the local
+       running sum to the bucket offset.
+
+    Every quantity is integer arithmetic — bit-exact against the oracle's
+    single-window SUM() OVER (ORDER BY doc_id).
+    """
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    d = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+        F.expr(f"doc_id DIV {PACK_BUCKET}").alias("bucket"),
+    )
+    # phase 1+2: bucket subtotals -> driver exclusive scan -> broadcast
+    totals = sorted(
+        (r["bucket"], r["subtotal"])
+        for r in d.groupBy("bucket").agg(F.sum("n_toks").alias("subtotal")).collect()
+    )
+    offsets, acc = [], 0
+    for b, sub in totals:
+        offsets.append((b, acc))
+        acc += sub
+    off = F.broadcast(spark.createDataFrame(offsets, "bucket long, bucket_off long"))
+    # phase 3: per-bucket running sum (parallel windows) + offset
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    spans = (
+        d.join(off, "bucket")
+        .select(
+            "doc_id",
+            "n_toks",
+            (F.col("bucket_off") + F.sum("n_toks").over(win)).alias("cum"),
+        )
+        .select("doc_id", "n_toks", (F.col("cum") - F.col("n_toks")).alias("start"), "cum")
+    )
+    packs = spans.select(
+        "doc_id",
+        "n_toks",
+        "start",
+        "cum",
+        F.explode(
+            F.sequence(F.expr(f"start DIV {CTX_LEN}"), F.expr(f"(cum - 1) DIV {CTX_LEN}"))
+        ).alias("pack_id"),
+    )
+    contrib = F.least(F.col("cum"), (F.col("pack_id") + 1) * CTX_LEN) - F.greatest(
+        F.col("start"), F.col("pack_id") * CTX_LEN
+    )
+    full = (F.col("start") >= F.col("pack_id") * CTX_LEN) & (
+        F.col("cum") <= (F.col("pack_id") + 1) * CTX_LEN
+    )
+    return (
+        packs.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(full.cast("long")).alias("n_full_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum(contrib).alias("fill_tokens"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(len({TOKENS_SQL.format(col="text")}) AS BIGINT) AS n_toks
+    FROM documents
+), c AS (
+    SELECT doc_id, n_toks,
+           CAST(SUM(n_toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM d
+), spans AS (
+    SELECT doc_id, n_toks, cum - n_toks AS start, cum FROM c
+), x AS (
+    SELECT doc_id, n_toks, start, cum,
+           unnest(generate_series(start // {CTX_LEN}, (cum - 1) // {CTX_LEN})) AS pack_id
+    FROM spans
+)
+SELECT pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN start >= pack_id * {CTX_LEN} AND cum <= (pack_id + 1) * {CTX_LEN}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_full_docs,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       CAST(SUM(LEAST(cum, (pack_id + 1) * {CTX_LEN}) - GREATEST(start, pack_id * {CTX_LEN})) AS BIGINT) AS fill_tokens
+FROM x
+GROUP BY pack_id
+ORDER BY pack_id
 """

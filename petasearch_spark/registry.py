@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from petasearch_spark.operators import (
+    bm25,
     corpus,
     dedup,
     doc_search,
@@ -109,10 +110,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "image_resize": (multimodal.image_resize, multimodal.IMAGE_RESIZE_SQL),
     "audio_features": (multimodal.audio_features, multimodal.AUDIO_FEATURES_SQL),
     "video_frame_sample": (multimodal.video_frame_sample, multimodal.VIDEO_FRAME_SAMPLE_SQL),
-    # --- corpus curation (sampling / decontamination) ---
+    # --- corpus curation (sampling / decontamination / packing) ---
     "corpus_sample_stratified": (corpus.corpus_sample_stratified, corpus.CORPUS_SAMPLE_SQL),
     "decontaminate_ngram_overlap": (corpus.decontaminate_ngram_overlap, corpus.DECONTAMINATE_SQL),
-    # --- text analysis ---
+    # training-example assembly: global token prefix-sum via the two-phase
+    # distributed scan (bucket subtotals -> driver exclusive scan ->
+    # per-bucket windows), oracle = single-window SUM() OVER
+    "sequence_packing": (corpus.sequence_packing, corpus.SEQUENCE_PACKING_SQL),
+    # --- text analysis / retrieval ---
+    # inverted-index BM25 top-k: the text analogue of the k-mer funnel
+    # (postings build = one corpus shuffle; query side fully broadcast)
+    "bm25_search": (bm25.bm25_search, bm25.BM25_SQL),
     "text_quality_stats": (text.text_quality_stats, text.TEXT_QUALITY_SQL),
     "lang_id_heuristic": (text.lang_id_heuristic, text.LANG_ID_SQL),
     "token_count_bpe": (text.token_count_bpe, text.TOKEN_COUNT_SQL),
@@ -170,9 +178,19 @@ UNGATED: dict[str, str] = {
     ),
     "token_count_bpe": (
         "5-row aggregate with the weakest hash signal of the text family"
-        " (text_quality_stats + lang_id_heuristic + doc_fingerprint +"
+        " (text_quality_stats + doc_fingerprint +"
         " tfidf_top_terms stay gated); slot given to ann_pq_topk's 50-row"
         " float-exact ADC output"
+    ),
+    "q4_order_priority": (
+        "5-row EXISTS/semi-join aggregate — weakest relational hash row; the"
+        " semi-join keeps full DuckDB parity in pytest; slot given to"
+        " bm25_search's 40-row ranked retrieval output"
+    ),
+    "lang_id_heuristic": (
+        "20-row confusion matrix over the same tokenize/filter/aggregate"
+        " machinery as text_quality_stats (which stays gated); thresholds keep"
+        " pytest parity; slot given to sequence_packing's ~4k value-rich rows"
     ),
     "events_asof_join": (
         "added after the gate filled; full DuckDB parity in pytest (native ASOF"
