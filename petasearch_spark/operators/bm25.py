@@ -51,6 +51,15 @@ QUERIES: dict[str, tuple[str, ...]] = {
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TOP_K} BM25 hits per standing query over ``documents``."""
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    return bm25_rank(docs, QUERIES)
+
+
+def bm25_rank(
+    docs: DataFrame, queries: dict[str, tuple[str, ...]], top_k: int = TOP_K
+) -> DataFrame:
+    """Core of :func:`bm25_search` over a ``(doc_id, text)`` frame
+    (separated so constructed corpora can be ranked in tests)."""
+    spark = docs.sparkSession
     toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
     # posting list: one corpus shuffle, map-side combined; dl rides along
     # (functionally dependent on doc_id, so it does not widen the key)
@@ -66,7 +75,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     avgdl = total_tokens / n_docs  # one IEEE division, mirrored in SQL
 
     qterms = spark.createDataFrame(
-        [(qid, t) for qid, ts in QUERIES.items() for t in ts], "query_id string, term string"
+        [(qid, t) for qid, ts in queries.items() for t in ts], "query_id string, term string"
     )
     # broadcast semi-prune: only postings for query terms are ever scored
     cand = posting.join(F.broadcast(qterms), "term")
@@ -89,7 +98,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
+        .filter(F.col("rk") <= top_k)
         .orderBy("query_id", "rk")
     )
 

@@ -155,10 +155,18 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-window SUM() OVER (ORDER BY doc_id).
     """
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
-    d = docs.select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
-        F.expr(f"doc_id DIV {PACK_BUCKET}").alias("bucket"),
+    lengths = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_toks")
+    )
+    return pack_token_lengths(lengths, ctx_len=CTX_LEN)
+
+
+def pack_token_lengths(lengths: DataFrame, ctx_len: int = CTX_LEN) -> DataFrame:
+    """Core of :func:`sequence_packing` over a ``(doc_id, n_toks)`` frame
+    (separated so constructed corpora can be packed in tests)."""
+    spark = lengths.sparkSession
+    d = lengths.select(
+        "doc_id", "n_toks", F.expr(f"doc_id DIV {PACK_BUCKET}").alias("bucket")
     )
     # phase 1+2: bucket subtotals -> driver exclusive scan -> broadcast
     totals = sorted(
@@ -183,20 +191,23 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_toks", (F.col("cum") - F.col("n_toks")).alias("start"), "cum")
     )
-    packs = spans.select(
+    # zero-token docs must not reach the explode: Spark's sequence(a, b)
+    # DESCENDS when b < a (here start == cum -> b = a-1), which would emit
+    # spurious packs where DuckDB's generate_series returns empty
+    packs = spans.filter(F.col("n_toks") > 0).select(
         "doc_id",
         "n_toks",
         "start",
         "cum",
         F.explode(
-            F.sequence(F.expr(f"start DIV {CTX_LEN}"), F.expr(f"(cum - 1) DIV {CTX_LEN}"))
+            F.sequence(F.expr(f"start DIV {ctx_len}"), F.expr(f"(cum - 1) DIV {ctx_len}"))
         ).alias("pack_id"),
     )
-    contrib = F.least(F.col("cum"), (F.col("pack_id") + 1) * CTX_LEN) - F.greatest(
-        F.col("start"), F.col("pack_id") * CTX_LEN
+    contrib = F.least(F.col("cum"), (F.col("pack_id") + 1) * ctx_len) - F.greatest(
+        F.col("start"), F.col("pack_id") * ctx_len
     )
-    full = (F.col("start") >= F.col("pack_id") * CTX_LEN) & (
-        F.col("cum") <= (F.col("pack_id") + 1) * CTX_LEN
+    full = (F.col("start") >= F.col("pack_id") * ctx_len) & (
+        F.col("cum") <= (F.col("pack_id") + 1) * ctx_len
     )
     return (
         packs.groupBy("pack_id")
@@ -226,6 +237,7 @@ WITH d AS (
     SELECT doc_id, n_toks, start, cum,
            unnest(generate_series(start // {CTX_LEN}, (cum - 1) // {CTX_LEN})) AS pack_id
     FROM spans
+    WHERE n_toks > 0
 )
 SELECT pack_id, COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN start >= pack_id * {CTX_LEN} AND cum <= (pack_id + 1) * {CTX_LEN}

@@ -70,3 +70,93 @@ class TestSequencePacking:
         scan exists to avoid)."""
         plan = corpus.sequence_packing(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan, plan
+
+
+def _brute_packs(lengths: list[tuple[int, int]], ctx: int):
+    """Token-at-a-time reference packing over (doc_id, n_toks) sorted rows."""
+    out: dict[int, list] = {}
+    pos = 0
+    for doc_id, n in lengths:
+        start, end = pos, pos + n
+        pos = end
+        if n == 0:
+            continue
+        for p in range(start // ctx, (end - 1) // ctx + 1):
+            e = out.setdefault(p, [0, 0, [], 0])
+            e[0] += 1
+            if start >= p * ctx and end <= (p + 1) * ctx:
+                e[1] += 1
+            e[2].append(doc_id)
+            e[3] += min(end, (p + 1) * ctx) - max(start, p * ctx)
+    return [
+        (p, v[0], v[1], min(v[2]), max(v[2]), v[3]) for p, v in sorted(out.items())
+    ]
+
+
+class TestPackingConstructed:
+    def test_matches_brute_force(self, spark):
+        """Random corpora with gaps in doc_id, zero-token docs, and docs
+        longer than several contexts — vs the token-at-a-time reference."""
+        import random
+
+        rng = random.Random(7)
+        for case in range(3):
+            ids = sorted(rng.sample(range(1000), 120))
+            lengths = [
+                (i, rng.choice([0, 1, 2, 7, 63, 64, 65, 200, rng.randrange(0, 150)]))
+                for i in ids
+            ]
+            df = spark.createDataFrame(lengths, "doc_id long, n_toks long")
+            got = [
+                (r["pack_id"], r["n_docs"], r["n_full_docs"], r["first_doc"], r["last_doc"], r["fill_tokens"])
+                for r in corpus.pack_token_lengths(df, ctx_len=64).collect()
+            ]
+            assert got == _brute_packs(lengths, 64), f"case {case}"
+
+
+def _brute_bm25(docs: dict[int, list[str]], queries: dict[str, tuple[str, ...]], k1=1.2, b=0.75):
+    import math
+
+    n_docs = len(docs)
+    avgdl = sum(len(ts) for ts in docs.values()) / n_docs
+    df: dict[str, int] = {}
+    for ts in docs.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for qid, terms in queries.items():
+        for doc_id, ts in docs.items():
+            dl = len(ts)
+            s, hit = 0.0, 0
+            for t in terms:
+                tf = ts.count(t)
+                if not tf:
+                    continue
+                hit += 1
+                idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
+            if hit:
+                out[(qid, doc_id)] = (s, hit)
+    return out
+
+
+class TestBM25Constructed:
+    def test_matches_reference_scoring(self, spark):
+        import random
+
+        rng = random.Random(11)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+        docs = {
+            i: [rng.choice(vocab) for _ in range(rng.randrange(3, 40))] for i in range(60)
+        }
+        queries = {"qa": ("alpha", "beta"), "qb": ("gamma", "zeta", "eta"), "qc": ("theta",)}
+        df = spark.createDataFrame(
+            [(i, " ".join(ts)) for i, ts in docs.items()], "doc_id long, text string"
+        )
+        expected = _brute_bm25(docs, queries)
+        rows = bm25.bm25_rank(df, queries, top_k=10**9).collect()
+        assert len(rows) == len(expected)
+        for r in rows:
+            exp_s, exp_hit = expected[(r["query_id"], r["doc_id"])]
+            assert abs(r["score"] - exp_s) < 1e-5, (r, exp_s)
+            assert r["n_terms_hit"] == exp_hit
