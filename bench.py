@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "video_frame_sample",
     "corpus_sample_stratified",
     "decontaminate_ngram_overlap",
+    "decontaminate_minhash",
     "sequence_packing",
     "bm25_search",
     "text_quality_stats",

@@ -248,3 +248,136 @@ FROM x
 GROUP BY pack_id
 ORDER BY pack_id
 """
+
+
+# --- fuzzy (MinHash) decontamination ---------------------------------------
+
+
+def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy train/eval decontamination: exact n-gram overlap
+    (:func:`decontaminate_ngram_overlap`) misses eval text that was lightly
+    edited before landing in the training corpus; this rides the MinHash
+    LSH machinery of the dedup family to flag TRAIN docs whose shingle-set
+    Jaccard similarity with any EVAL doc (``doc_id % EVAL_MOD == 0``)
+    reaches the dedup threshold.
+
+    Plan (100 TB): one corpus pass builds all 16 signature minima in a
+    single map-side-combining aggregation (shared with dedup_minhash_lsh);
+    the EVAL side's bands are broadcast (held-out benchmarks are tiny by
+    construction), so candidate generation never shuffles the corpus;
+    exact-Jaccard verification broadcasts the candidate pairs through the
+    shingle fetch joins exactly like dedup_minhash_lsh.
+
+    Returns (doc_id = contaminated train doc, eval_id, jaccard ≥ 0.5).
+    """
+    from petasearch_spark.operators.dedup import (
+        BAND_ROWS,
+        JACCARD_THRESHOLD,
+        MH_AB,
+        MH_MOD30,
+        MH_PRIME,
+        N_HASHES,
+        _shingle_hashes,
+    )
+
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    sh = _shingle_hashes(docs).persist()
+    h30 = F.col("sh_h") % MH_MOD30
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * h30 + F.lit(b)) % MH_PRIME).alias(f"s{i}")
+            for i, (a, b) in enumerate(MH_AB)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col(f"s{p * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+                        ).alias("band_key"),
+                    )
+                    for p in range(N_HASHES // BAND_ROWS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    train_b = bands.filter(~is_eval)
+    eval_b = F.broadcast(
+        bands.filter(is_eval).select(
+            F.col("doc_id").alias("eval_id"), "band", "band_key"
+        )
+    )
+    cand = (
+        train_b.join(eval_b, ["band", "band_key"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    st = sh  # train-side shingles (fetch by candidate doc_id)
+    se = sh.select(F.col("doc_id").alias("eval_id"), "sh_h")
+    t_side = st.join(F.broadcast(cand), "doc_id")
+    shared = (
+        se.join(F.broadcast(t_side), ["eval_id", "sh_h"])
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ct = cnt.select("doc_id", F.col("n_sh").alias("n_t"))
+    ce = cnt.select(F.col("doc_id").alias("eval_id"), F.col("n_sh").alias("n_e"))
+    j = F.col("shared").cast("double") / (F.col("n_t") + F.col("n_e") - F.col("shared"))
+    return (
+        shared.join(F.broadcast(ct), "doc_id")
+        .join(F.broadcast(ce), "eval_id")
+        .select("doc_id", "eval_id", F.round(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_id", "eval_id")
+    )
+
+
+def _decontaminate_minhash_sql() -> str:
+    from petasearch_spark.operators.dedup import (
+        _MH_BAND_ROWS,
+        _MH_SIG_COLS,
+        JACCARD_THRESHOLD,
+    )
+    from petasearch_spark.operators.portable import shingle_hashes_sql
+
+    return f"""
+WITH {shingle_hashes_sql("documents", "doc_id", "text", n=3)}
+, sigs AS (
+    SELECT doc_id,
+           {_MH_SIG_COLS}
+    FROM shh GROUP BY doc_id
+)
+, bands AS (
+{_MH_BAND_ROWS}
+)
+, cand AS (
+    SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_id
+    FROM bands t JOIN bands e
+      ON t.band = e.band AND t.band_key = e.band_key
+     AND t.doc_id % {EVAL_MOD} <> 0 AND e.doc_id % {EVAL_MOD} = 0
+)
+, cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id)
+, shared AS (
+    SELECT c.doc_id, c.eval_id, COUNT(*) AS shared
+    FROM cand c
+    JOIN shh st ON st.doc_id = c.doc_id
+    JOIN shh se ON se.doc_id = c.eval_id AND se.sh_h = st.sh_h
+    GROUP BY c.doc_id, c.eval_id
+)
+SELECT s.doc_id, s.eval_id,
+       ROUND(CAST(shared AS DOUBLE) / (ct.n_sh + ce.n_sh - shared), 6) AS jaccard
+FROM shared s
+JOIN cnt ct ON ct.doc_id = s.doc_id
+JOIN cnt ce ON ce.doc_id = s.eval_id
+WHERE ROUND(CAST(shared AS DOUBLE) / (ct.n_sh + ce.n_sh - shared), 6) >= {JACCARD_THRESHOLD}
+ORDER BY s.doc_id, s.eval_id
+"""
+
+
+DECONTAMINATE_MINHASH_SQL = _decontaminate_minhash_sql()

@@ -117,6 +117,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # distributed scan (bucket subtotals -> driver exclusive scan ->
     # per-bucket windows), oracle = single-window SUM() OVER
     "sequence_packing": (corpus.sequence_packing, corpus.SEQUENCE_PACKING_SQL),
+    # fuzzy eval-set decontamination: MinHash LSH candidates (eval bands
+    # broadcast) -> exact-Jaccard verify, the near-match complement of the
+    # exact n-gram membership test above
+    "decontaminate_minhash": (corpus.decontaminate_minhash, corpus.DECONTAMINATE_MINHASH_SQL),
     # --- text analysis / retrieval ---
     # inverted-index BM25 top-k: the text analogue of the k-mer funnel
     # (postings build = one corpus shuffle; query side fully broadcast)
@@ -191,6 +195,11 @@ UNGATED: dict[str, str] = {
         "20-row confusion matrix over the same tokenize/filter/aggregate"
         " machinery as text_quality_stats (which stays gated); thresholds keep"
         " pytest parity; slot given to sequence_packing's ~4k value-rich rows"
+    ),
+    "decontaminate_minhash": (
+        "added after the gate filled; full DuckDB parity in pytest, and its two"
+        " building blocks hold gate rows (dedup_minhash_lsh for the signature/band"
+        " machinery, decontaminate_ngram_overlap for the train/eval split)"
     ),
     "events_asof_join": (
         "added after the gate filled; full DuckDB parity in pytest (native ASOF"
