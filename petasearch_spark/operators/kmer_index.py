@@ -180,3 +180,55 @@ def extract_query_kmers(
         with_pos=True,
         id_col="query_id",
     ).select("query_id", "kmer", "pos")
+
+
+def merge_kmer_index_delta(
+    base_table: str,
+    delta_sequences: DataFrame,
+    out_table: str,
+    delta_table: str = "ps_index_delta",
+    num_buckets: int = 32,
+    k: int = DEFAULT_K,
+    alphabet: str = AMINO_ALPHABET,
+) -> DataFrame:
+    """Incremental index maintenance: fold newly-arrived target sequences
+    into an existing BUCKETED k-mer index without reshuffling the base.
+
+    The reference rebuilds its k-mer table from scratch per target DB
+    (createkmertable is batch-only); at 100 TB a daily delta must not cost
+    a full re-sort of the index. Plan: build the delta's index (small —
+    proportional to NEW data), write it bucketed IDENTICALLY to the base,
+    then FULL OUTER join base and delta bucket-locally (sort-merge, no
+    Exchange above either scan — same property test_skew_pruning pins for
+    the prefilter) and resolve each collision by the J2 representative
+    rule (longest sequence, ties to smallest id). The merged write stays
+    bucket-aligned, so the only shuffle anywhere is the delta's own
+    groupBy.
+
+    Returns the merged index DataFrame (already persisted to
+    ``out_table``).
+    """
+    spark = delta_sequences.sparkSession
+    write_kmer_index_bucketed(
+        build_kmer_index(delta_sequences, k=k, alphabet=alphabet),
+        delta_table,
+        num_buckets=num_buckets,
+    )
+    base = spark.table(base_table).alias("b")
+    delta = spark.table(delta_table).alias("d")
+    # J2 collision rule as a coalescing comparator: delta wins iff it is
+    # strictly better under (seq_len DESC, seq_id ASC)
+    delta_wins = (F.col("b.seq_id").isNull()) | (
+        F.col("d.seq_id").isNotNull()
+        & (
+            (F.col("d.seq_len") > F.col("b.seq_len"))
+            | ((F.col("d.seq_len") == F.col("b.seq_len")) & (F.col("d.seq_id") < F.col("b.seq_id")))
+        )
+    )
+    merged = base.join(delta, "kmer", "full_outer").select(
+        "kmer",
+        F.when(delta_wins, F.col("d.seq_id")).otherwise(F.col("b.seq_id")).alias("seq_id"),
+        F.when(delta_wins, F.col("d.seq_len")).otherwise(F.col("b.seq_len")).alias("seq_len"),
+    )
+    write_kmer_index_bucketed(merged, out_table, num_buckets=num_buckets)
+    return delta_sequences.sparkSession.table(out_table)
