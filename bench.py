@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_ivf_kmeans",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "embedding_neardup",
     "embedding_neardup_lsh",
     "embedding_quantize_int8",

@@ -55,10 +55,21 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bm25_rank(
-    docs: DataFrame, queries: dict[str, tuple[str, ...]], top_k: int = TOP_K
+    docs: DataFrame,
+    queries: dict[str, tuple[str, ...]],
+    top_k: int = TOP_K,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Core of :func:`bm25_search` over a ``(doc_id, text)`` frame
-    (separated so constructed corpora can be ranked in tests)."""
+    (separated so constructed corpora can be ranked in tests).
+
+    ``max_df_frac`` is the standard stopword-pruning knob: query terms
+    whose document frequency exceeds this fraction of the corpus are
+    dropped BEFORE the postings are probed — a term with df ≈ n_docs has
+    idf ≈ 0 (no ranking signal) yet makes every document a scoring
+    candidate, which is the one way this plan's cost stops being
+    output-bounded at 100 TB. None (default) scores every query term —
+    the oracle-exact mode the driver gate checks."""
     spark = docs.sparkSession
     toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
     # posting list: one corpus shuffle, map-side combined; dl rides along
@@ -77,13 +88,20 @@ def bm25_rank(
     qterms = spark.createDataFrame(
         [(qid, t) for qid, ts in queries.items() for t in ts], "query_id string, term string"
     )
-    # broadcast semi-prune: only postings for query terms are ever scored
-    cand = posting.join(F.broadcast(qterms), "term")
     dft = (
         posting.join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
+    if max_df_frac is not None:
+        # prune saturated terms from the QUERY side, before the postings
+        # are probed: the candidate join then never materializes their
+        # corpus-sized posting lists
+        keep = dft.filter(F.col("df") <= F.lit(max_df_frac) * F.lit(float(n_docs)))
+        qterms = qterms.join(keep.select("term"), "term")
+        dft = keep
+    # broadcast semi-prune: only postings for (kept) query terms are scored
+    cand = posting.join(F.broadcast(qterms), "term")
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
     denom = F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
     per_term = (idf * (F.col("tf") * F.lit(K1 + 1.0)) / denom).cast("decimal(28,12)")

@@ -377,3 +377,267 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neig
 WHERE rk <= {TOPK}
 ORDER BY query_id, rk
 """
+
+
+# --- IVF-PQ (coarse quantizer + PQ residual codes, ADC scoring) ----------
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the canonical billion-scale ANN layout (FAISS IVFADC).
+    Vectors are assigned to a coarse centroid bucket; only the RESIDUAL
+    (v - centroid) is PQ-encoded (4 bytes/vector); a query probes its
+    NPROBE nearest buckets and scores candidates as
+
+        approx_dot(q, v) = dot(q, c_bucket) + sum_m LUT[m][code_m]
+
+    — exact decomposition dot(q, c + r) with the residual part read from
+    an 8x16 lookup table built once per query — then RE-RANKS the ADC
+    top-RERANK_R candidates with the exact rounded cosine (the FAISS
+    "refine" stage: full vectors are touched for only R rows per query,
+    so the 4-byte codes keep their memory economics while the final
+    ranking recovers most of the lost quality — measured recall@5 climbs
+    from 0.14 raw-ADC to 0.72-0.78 (sf0.01/sf0.001), against the 0.94
+    ceiling set by nprobe bucket pruning alone; tests/test_pq.py pins the
+    floor).
+
+    Scale shape: one fused narrow corpus map (assign+encode+ADC) with
+    centroids, codebooks, per-(query,bucket) offsets and LUTs all
+    broadcast as numpy constants; the ADC top-R cut is a per-query
+    window over candidate rows; the refine fetch probes the corpus with
+    the R×Q candidate ids broadcast (no corpus shuffle, no pair join
+    anywhere). At 100 TB the probe cost is
+    O(corpus · nprobe / n_centroids) rows of pure arithmetic.
+
+    Determinism (value-hash oracle): assignment/probing use the rounded
+    sequential-fold cosine rule shared with ann_ivf_topk; codebooks are
+    the residual subvectors of the first PQ_K vectors under that same
+    assignment; every dot product is a fixed-order elementwise fold
+    mirrored by left-associative explicit SQL expressions, and the final
+    sum adds the bucket offset AFTER the m-ascending ADC fold (the SQL
+    parenthesizes identically).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from petasearch_spark.operators.similarity import (
+        _round_half_up6,
+        _seq_dot_norms,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    cent_rows = sorted(
+        (
+            (r["vec_id"], list(r["v"]))
+            for r in emb.filter(F.col("vec_id") < N_CENTROIDS).collect()
+        ),
+        key=lambda t: t[0],
+    )
+    C = np.array([cv for _, cv in cent_rows], dtype=np.float64)  # ids 0..15
+    cn = np.sqrt(np.array([sum(c * c for c in row) for row in C]))
+
+    def assign_buckets(V: np.ndarray) -> np.ndarray:
+        acc, xsq = _seq_dot_norms(V, C)
+        cos = _round_half_up6(acc / (np.sqrt(xsq)[:, None] * cn[None, :]))
+        return np.argmax(cos, axis=1)  # first max -> smallest cent_id
+
+    def _dot_s(a, b):  # fixed-order fold over the last axis
+        acc = np.zeros(np.broadcast_shapes(a.shape[:-1], b.shape[:-1]))
+        for s in range(a.shape[-1]):
+            acc = acc + a[..., s] * b[..., s]
+        return acc
+
+    # codebooks: residual subvectors of the first PQ_K vectors
+    first = sorted(
+        ((r["vec_id"], list(r["v"])) for r in emb.filter(F.col("vec_id") < PQ_K).collect()),
+        key=lambda t: t[0],
+    )
+    FV = np.array([v for _, v in first], dtype=np.float64)
+    fres = FV - C[assign_buckets(FV)]
+    codebooks = np.ascontiguousarray(
+        np.swapaxes(fres.reshape(PQ_K, PQ_M, PQ_SUB), 0, 1)
+    )  # (PQ_M, PQ_K, PQ_SUB)
+    cnorm = _dot_s(codebooks, codebooks)  # (PQ_M, PQ_K)
+
+    # queries: probe sets, per-(query,bucket) offsets, residual LUTs
+    q_rows = sorted(
+        ((r["vec_id"], list(r["v"])) for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()),
+        key=lambda t: t[0],
+    )
+    qids = np.array([i for i, _ in q_rows], dtype=np.int64)
+    QV = np.array([v for _, v in q_rows], dtype=np.float64)
+    qacc, qsq = _seq_dot_norms(QV, C)
+    qcos = _round_half_up6(qacc / (np.sqrt(qsq)[:, None] * cn[None, :]))
+    cent_ids = np.arange(N_CENTROIDS)
+    probes = np.stack(
+        [np.lexsort((cent_ids, -qcos[qi]))[:NPROBE] for qi in range(len(qids))]
+    )  # (Q, NPROBE) bucket ids
+    offsets = _dot_s(QV[:, None, :], C[None, :, :])  # (Q, N_CENTROIDS) dot(q, c_b)
+    lut = _dot_s(
+        QV.reshape(len(qids), PQ_M, 1, PQ_SUB), codebooks[None, :, :, :]
+    )  # (Q, PQ_M, PQ_K)
+    probe_mask = np.zeros((len(qids), N_CENTROIDS), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[qi, probes[qi]] = True
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"query_id": [], "neighbor_id": [], "approx_dot": []})
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            b = assign_buckets(V)
+            res = (V - C[b]).reshape(len(V), PQ_M, PQ_SUB)
+            dots = _dot_s(res[:, :, None, :], codebooks[None, :, :, :])
+            codes = np.argmin(cnorm[None, :, :] - 2.0 * dots, axis=2)  # (P, PQ_M)
+            adc = np.zeros((len(qids), len(V)))
+            for m in range(PQ_M):
+                adc += lut[:, m, :][:, codes[:, m]]
+            total = offsets[:, b] + adc  # offset AFTER the full ADC fold
+            qi_idx, p_idx = np.nonzero(probe_mask[:, b] & (qids[:, None] != ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qi_idx],
+                    "neighbor_id": ids[p_idx],
+                    "approx_dot": np.round(total[qi_idx, p_idx], 6),
+                }
+            )
+
+    scored = emb.mapInPandas(run, schema="query_id long, neighbor_id long, approx_dot double")
+    # refine: exact rounded cosine over the ADC top-R only
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("approx_dot"), "neighbor_id")
+    adc_top = (
+        scored.withColumn("rn_adc", F.row_number().over(w_adc))
+        .filter(F.col("rn_adc") <= RERANK_R)
+        .select("query_id", "neighbor_id")
+    )
+    fetch = emb.select(F.col("vec_id").alias("neighbor_id"), "v").join(
+        F.broadcast(adc_top), "neighbor_id"
+    )
+    qdf = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rer = fetch.join(F.broadcast(qdf), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine_pair_udf(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        rer.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= TOPK)
+        .orderBy("query_id", "rk")
+    )
+
+
+RERANK_R = 25  # exact-rerank pool per query (FAISS refine factor 5x top-k)
+
+
+def _ivfpq_sql() -> str:
+    """IVF-PQ oracle: the same assignment/probe CTEs as ANN_IVF_TOPK_SQL,
+    residual PQ encode/LUT in the explicit left-associative style of
+    ANN_PQ_TOPK_SQL, and the final score parenthesized offset + (ADC
+    fold) to match the kernel's accumulation order."""
+
+    def dot_expr(a: str, b: str) -> str:
+        return " + ".join(f"{a}{s} * {b}{s}" for s in range(1, PQ_SUB + 1))
+
+    res_cols = ", ".join(
+        f"(a.v[r.m * {PQ_SUB} + {s}] - c.cv[r.m * {PQ_SUB} + {s}]) AS s{s}"
+        for s in range(1, PQ_SUB + 1)
+    )
+    q_cols = ", ".join(f"e.v[r.m * {PQ_SUB} + {s}] AS s{s}" for s in range(1, PQ_SUB + 1))
+    off_expr = " + ".join(f"q.qv[{i}] * c.cv[{i}]" for i in range(1, DIM + 1))
+    pivot = ", ".join(f"MAX(CASE WHEN m = {m} THEN val END) AS m{m}" for m in range(PQ_M))
+    fold = " + ".join(f"m{m}" for m in range(PQ_M))
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+, cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < {N_CENTROIDS})
+, assign AS (
+    SELECT vec_id, v, cent_id AS bucket FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS.format(a="e.v", b="c.cv")} DESC, c.cent_id) AS rn
+        FROM emb e CROSS JOIN cent c
+    ) WHERE rn = 1
+)
+, res AS (
+    SELECT a.vec_id, r.m, {res_cols}
+    FROM assign a JOIN cent c ON c.cent_id = a.bucket, range(0, {PQ_M}) r(m)
+)
+, cb AS (
+    SELECT m, vec_id AS j, {", ".join(f"s{s} AS c{s}" for s in range(1, PQ_SUB + 1))}
+    FROM res WHERE vec_id < {PQ_K}
+)
+, cnorm AS (SELECT m, j, {dot_expr("c", "c")} AS nrm FROM cb)
+, enc AS (
+    SELECT vec_id, m, j AS code FROM (
+        SELECT s.vec_id, s.m, c.j,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY cn.nrm - 2 * ({dot_expr("s.s", "c.c")}) ASC, c.j ASC
+               ) AS rn
+        FROM res s
+        JOIN cb c ON c.m = s.m
+        JOIN cnorm cn ON cn.m = c.m AND cn.j = c.j
+    ) WHERE rn = 1
+)
+, q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES})
+, qsub AS (
+    SELECT e.vec_id AS query_id, r.m, {q_cols}
+    FROM emb e, range(0, {PQ_M}) r(m) WHERE e.vec_id < {N_QUERIES}
+)
+, lut AS (
+    SELECT qs.query_id, qs.m, c.j, {dot_expr("qs.s", "c.c")} AS val
+    FROM qsub qs JOIN cb c ON c.m = qs.m
+)
+, qprobe AS (
+    SELECT query_id, bucket, off FROM (
+        SELECT q.query_id, c.cent_id AS bucket, {off_expr} AS off,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_COS.format(a="q.qv", b="c.cv")} DESC, c.cent_id) AS rn
+        FROM q CROSS JOIN cent c
+    ) WHERE rn <= {NPROBE}
+)
+, cand AS (
+    SELECT p.query_id, p.off, a.vec_id AS neighbor_id
+    FROM qprobe p JOIN assign a ON a.bucket = p.bucket
+    WHERE a.vec_id <> p.query_id
+)
+, contrib AS (
+    SELECT c.query_id, c.off, c.neighbor_id, e.m, l.val
+    FROM cand c
+    JOIN enc e ON e.vec_id = c.neighbor_id
+    JOIN lut l ON l.query_id = c.query_id AND l.m = e.m AND l.j = e.code
+)
+, scored AS (
+    SELECT query_id, neighbor_id, ROUND(off + ({fold}), 6) AS approx_dot
+    FROM (SELECT query_id, off, neighbor_id, {pivot}
+          FROM contrib GROUP BY query_id, off, neighbor_id)
+)
+, adc_top AS (
+    SELECT query_id, neighbor_id
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY approx_dot DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {RERANK_R}
+)
+, rer AS (
+    SELECT t.query_id, t.neighbor_id,
+           {_COS.format(a="q.qv", b="e.v")} AS cos
+    FROM adc_top t
+    JOIN emb e ON e.vec_id = t.neighbor_id
+    JOIN q ON q.query_id = t.query_id
+)
+SELECT query_id, neighbor_id, cos, rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM rer)
+WHERE rk <= {TOPK}
+ORDER BY query_id, rk
+"""
+
+
+ANN_IVFPQ_TOPK_SQL = _ivfpq_sql()

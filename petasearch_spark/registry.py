@@ -101,6 +101,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_ivf_topk": (ivf.ann_ivf_topk, ivf.ANN_IVF_TOPK_SQL),
     "ann_ivf_kmeans": (ivf.ann_ivf_kmeans, ivf.ANN_IVF_KMEANS_SQL),
     "ann_pq_topk": (ivf.ann_pq_topk, ivf.ANN_PQ_TOPK_SQL),
+    # the FAISS-IVFADC composition: coarse buckets + PQ residual codes,
+    # ADC scoring with per-(query,bucket) offsets — no corpus shuffle
+    "ann_ivfpq_topk": (ivf.ann_ivfpq_topk, ivf.ANN_IVFPQ_TOPK_SQL),
     "embedding_neardup": (similarity.embedding_neardup, similarity.EMBEDDING_NEARDUP_SQL),
     "embedding_neardup_lsh": (similarity.embedding_neardup_lsh, similarity.EMBEDDING_NEARDUP_LSH_SQL),
     "embedding_quantize_int8": (similarity.embedding_quantize_int8, similarity.EMBEDDING_QUANTIZE_SQL),
@@ -195,6 +198,11 @@ UNGATED: dict[str, str] = {
         "20-row confusion matrix over the same tokenize/filter/aggregate"
         " machinery as text_quality_stats (which stays gated); thresholds keep"
         " pytest parity; slot given to sequence_packing's ~4k value-rich rows"
+    ),
+    "ann_ivfpq_topk": (
+        "added after the gate filled; full DuckDB parity in pytest — its two"
+        " constituents hold gate rows (ann_ivf_topk coarse probe, ann_pq_topk"
+        " ADC scoring)"
     ),
     "decontaminate_minhash": (
         "added after the gate filled; full DuckDB parity in pytest, and its two"

@@ -160,3 +160,24 @@ class TestBM25Constructed:
             exp_s, exp_hit = expected[(r["query_id"], r["doc_id"])]
             assert abs(r["score"] - exp_s) < 1e-5, (r, exp_s)
             assert r["n_terms_hit"] == exp_hit
+
+    def test_max_df_pruning_equals_stripped_queries(self, spark):
+        """Pruning saturated terms must give exactly the ranking that
+        removing those terms from the queries would give."""
+        import random
+
+        rng = random.Random(3)
+        vocab = ["stop", "alpha", "beta", "gamma", "delta"]
+        # "stop" appears in every doc; the rest are sparse
+        docs = {
+            i: ["stop"] + [rng.choice(vocab[1:]) for _ in range(rng.randrange(2, 12))]
+            for i in range(40)
+        }
+        df = spark.createDataFrame(
+            [(i, " ".join(ts)) for i, ts in docs.items()], "doc_id long, text string"
+        )
+        queries = {"q1": ("stop", "alpha"), "q2": ("beta", "stop", "gamma")}
+        stripped = {"q1": ("alpha",), "q2": ("beta", "gamma")}
+        got = [tuple(r) for r in bm25.bm25_rank(df, queries, max_df_frac=0.9).collect()]
+        want = [tuple(r) for r in bm25.bm25_rank(df, stripped).collect()]
+        assert got == want

@@ -60,3 +60,26 @@ def test_pq_encode_tie_breaks_to_lowest_code():
     cb[:, 9] = 1.0  # identical to codeword 5
     vec = np.ones(PQ_M * PQ_SUB)
     assert _brute_encode(vec, cb) == [5] * PQ_M
+
+
+def test_ivfpq_recall_vs_exact(spark):
+    """IVF-PQ is approximate twice over (nprobe bucket pruning + 4-byte
+    residual codes); it must still recover a solid share of the exact
+    cosine top-5 and return the full (query x top-k) frame."""
+    from petasearch_spark.operators.ivf import TOPK, ann_ivfpq_topk
+    from petasearch_spark.operators.similarity import N_QUERIES, ann_cosine_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_cosine_topk(spark, sf).collect()
+    }
+    approx_rows = ann_ivfpq_topk(spark, sf).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    assert len(approx_rows) == N_QUERIES * TOPK
+    per_q = {}
+    for q, n in approx & exact:
+        per_q[q] = per_q.get(q, 0) + 1
+    recall = len(approx & exact) / len(exact)
+    # measured 0.78 at sf0.001 (0.72 at sf0.01) with the exact-rerank
+    # refine stage; raw ADC alone sits at 0.14
+    assert recall >= 0.6, (recall, per_q)
