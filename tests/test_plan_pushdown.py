@@ -69,3 +69,31 @@ def test_doc_queries_prune_text_free_columns(spark):
         read_cols |= {c.split(":")[0] for c in s.split(",") if c}
     assert "text" in read_cols
     assert read_cols <= {"doc_id", "n_chars", "source", "text", "lang"}, read_cols
+
+
+def test_bm25_scan_prunes_to_doc_id_and_text(spark):
+    """The BM25 posting build touches only doc_id/text — the documents
+    scan must not read lang/source/n_chars."""
+    plan = plan_of(spark, "bm25_search")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    for s in schemas:
+        assert "lang" not in s and "source" not in s, s
+
+
+def test_ivfpq_corpus_scan_prunes_label(spark):
+    """IVF-PQ reads vec_id/embedding; the label column must be pruned
+    from every embeddings scan."""
+    plan = plan_of(spark, "ann_ivfpq_topk")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    for s in schemas:
+        assert "label" not in s, s
+
+
+def test_sequence_packing_scan_prunes_to_doc_id_and_text(spark):
+    plan = plan_of(spark, "sequence_packing")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    for s in schemas:
+        assert "lang" not in s and "source" not in s, s
