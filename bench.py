@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "corpus_sample_stratified",
     "decontaminate_ngram_overlap",
     "decontaminate_minhash",
+    "corpus_curation_funnel",
     "sequence_packing",
     "bm25_search",
     "text_quality_stats",

@@ -381,3 +381,120 @@ ORDER BY s.doc_id, s.eval_id
 
 
 DECONTAMINATE_MINHASH_SQL = _decontaminate_minhash_sql()
+
+
+# --- full curation funnel (composition showcase) ---------------------------
+
+
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end "raw corpus -> training set" decision, one row per
+    document with every stage's verdict:
+
+    * ``is_eval``       — held-out split member (doc_id % EVAL_MOD == 0)
+    * ``quality_keep``  — passes the Gopher repetition thresholds
+    * ``exact_dup``     — not the canonical (smallest-id) copy of its md5
+    * ``near_dup``      — has a verified MinHash near-dup with a smaller id
+      (keep-first rule over the LSH pair list)
+    * ``contaminated``  — shares an 8-gram with the eval split
+    * ``sampled``       — drawn by the deterministic stratified sampler
+    * ``kept``          — the conjunction: what actually enters training
+
+    This is the composition a 100 TB curation run executes as ONE lazy
+    plan: each flag producer is an already-oracled operator (the funnel's
+    oracle embeds their SQL as subqueries); the pair/contamination sides
+    are tiny (broadcast flag joins), quality/exact are corpus-sized but
+    key every shuffle by doc_id/content-hash, so the flag assembly
+    co-partitions. Auditing per-stage loss is a GROUP BY over this
+    output, not a re-run of the pipeline.
+    """
+    from pyspark.sql import Window as W
+
+    from petasearch_spark.operators.dedup import dedup_minhash_lsh
+    from petasearch_spark.operators.quality import gopher_quality
+
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    q = gopher_quality(spark, sf_dir).select("doc_id", F.col("keep").alias("quality_keep"))
+    exact = docs.select(
+        "doc_id",
+        (F.col("doc_id") != F.min("doc_id").over(W.partitionBy(F.md5("text")))).alias(
+            "exact_dup"
+        ),
+    )
+    near_ids = F.broadcast(
+        dedup_minhash_lsh(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    contam_ids = F.broadcast(
+        decontaminate_ngram_overlap(spark, sf_dir).select("doc_id")
+        .withColumn("contaminated", F.lit(True))
+    )
+    rate = F.lit(50) * (F.expr("CAST(substring(source, 4) AS INT)") % 10 + 1)
+    sampled = (
+        hash64(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))) % 1000 < rate
+    )
+    flags = (
+        docs.select("doc_id", "source", (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"), sampled.alias("sampled"))
+        .join(q, "doc_id")
+        .join(exact, "doc_id")
+        .join(near_ids, "doc_id", "left")
+        .join(contam_ids, "doc_id", "left")
+        .fillna(False, ["near_dup", "contaminated"])
+    )
+    kept = (
+        ~F.col("is_eval")
+        & F.col("quality_keep")
+        & ~F.col("exact_dup")
+        & ~F.col("near_dup")
+        & ~F.col("contaminated")
+        & F.col("sampled")
+    )
+    return flags.select(
+        "doc_id",
+        "is_eval",
+        "quality_keep",
+        "exact_dup",
+        "near_dup",
+        "contaminated",
+        "sampled",
+        kept.alias("kept"),
+    ).orderBy("doc_id")
+
+
+def _curation_funnel_sql() -> str:
+    from petasearch_spark.operators.dedup import DEDUP_MINHASH_SQL
+    from petasearch_spark.operators.quality import GOPHER_QUALITY_SQL
+
+    return f"""
+WITH quality AS (
+    SELECT doc_id, keep AS quality_keep FROM ({GOPHER_QUALITY_SQL})
+), near_ids AS (
+    SELECT DISTINCT doc_b AS doc_id FROM ({DEDUP_MINHASH_SQL})
+), contam_ids AS (
+    SELECT doc_id FROM ({DECONTAMINATE_SQL})
+), exact AS (
+    SELECT doc_id,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_dup
+    FROM documents
+)
+SELECT d.doc_id,
+       d.doc_id % {EVAL_MOD} = 0 AS is_eval,
+       q.quality_keep,
+       e.exact_dup,
+       n.doc_id IS NOT NULL AS near_dup,
+       c.doc_id IS NOT NULL AS contaminated,
+       {hash64_sql("'" + SAMPLE_SALT + "' || CAST(d.doc_id AS VARCHAR)")} % 1000
+           < 50 * (CAST(substr(d.source, 4) AS INT) % 10 + 1) AS sampled,
+       (NOT d.doc_id % {EVAL_MOD} = 0) AND q.quality_keep AND (NOT e.exact_dup)
+           AND n.doc_id IS NULL AND c.doc_id IS NULL
+           AND {hash64_sql("'" + SAMPLE_SALT + "' || CAST(d.doc_id AS VARCHAR)")} % 1000
+               < 50 * (CAST(substr(d.source, 4) AS INT) % 10 + 1) AS kept
+FROM documents d
+JOIN quality q USING (doc_id)
+JOIN exact e USING (doc_id)
+LEFT JOIN near_ids n USING (doc_id)
+LEFT JOIN contam_ids c USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+CURATION_FUNNEL_SQL = _curation_funnel_sql()

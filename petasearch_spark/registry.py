@@ -124,6 +124,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # broadcast) -> exact-Jaccard verify, the near-match complement of the
     # exact n-gram membership test above
     "decontaminate_minhash": (corpus.decontaminate_minhash, corpus.DECONTAMINATE_MINHASH_SQL),
+    # the end-to-end curation decision (quality -> exact dedup -> near
+    # dedup -> decontamination -> holdout -> sampling) as ONE lazy plan;
+    # per-doc stage verdicts, oracle embeds the stage oracles as subqueries
+    "corpus_curation_funnel": (corpus.corpus_curation_funnel, corpus.CURATION_FUNNEL_SQL),
     # --- text analysis / retrieval ---
     # inverted-index BM25 top-k: the text analogue of the k-mer funnel
     # (postings build = one corpus shuffle; query side fully broadcast)
@@ -198,6 +202,12 @@ UNGATED: dict[str, str] = {
         "20-row confusion matrix over the same tokenize/filter/aggregate"
         " machinery as text_quality_stats (which stays gated); thresholds keep"
         " pytest parity; slot given to sequence_packing's ~4k value-rich rows"
+    ),
+    "corpus_curation_funnel": (
+        "added after the gate filled; full DuckDB parity in pytest — every"
+        " constituent stage already holds its own gate row (gopher_quality,"
+        " dedup_exact, dedup_minhash_lsh, decontaminate_ngram_overlap,"
+        " corpus_sample_stratified)"
     ),
     "ann_ivfpq_topk": (
         "added after the gate filled; full DuckDB parity in pytest — its two"
