@@ -58,6 +58,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_stream_hourly": (events_stream.events_stream_hourly, events_stream.EVENTS_STREAM_HOURLY_SQL),
     "events_stream_user_totals": (stateful.events_stream_user_totals, stateful.EVENTS_STREAM_USER_TOTALS_SQL),
     "docs_stream_dedup": (stateful.docs_stream_dedup, stateful.DOCS_STREAM_DEDUP_SQL),
+    # stream-stream interval join (watermark-bounded state) — the last
+    # structured-streaming operator class; batch theta-join oracle
+    "events_stream_join": (events_stream.events_stream_purchase_error_join, events_stream.EVENTS_STREAM_JOIN_SQL),
     # --- engine semantics under the oracle (J1/J2/A1 on documents) ---
     "doc_shingle_index": (doc_search.doc_shingle_index, doc_search.DOC_SHINGLE_INDEX_SQL),
     "doc_prefilter": (doc_search.doc_prefilter, doc_search.DOC_PREFILTER_SQL),
@@ -202,6 +205,11 @@ UNGATED: dict[str, str] = {
         "20-row confusion matrix over the same tokenize/filter/aggregate"
         " machinery as text_quality_stats (which stays gated); thresholds keep"
         " pytest parity; slot given to sequence_packing's ~4k value-rich rows"
+    ),
+    "events_stream_join": (
+        "added after the gate filled; full DuckDB parity in pytest (real"
+        " watermarked stream-stream join vs batch theta-join oracle); streaming"
+        " state/agg/dedup keep their gate rows"
     ),
     "corpus_curation_funnel": (
         "added after the gate filled; full DuckDB parity in pytest — every"

@@ -72,3 +72,111 @@ FROM events
 GROUP BY 1, 2
 ORDER BY hour, event_type
 """
+
+
+JOIN_WINDOW_S = 21600  # 6 h: errors following a purchase by the same user
+
+
+def events_stream_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INTERVAL JOIN: purchases joined to the same user's
+    errors arriving within {JOIN_WINDOW_S} s — the remaining structured-
+    streaming operator class after windowed aggregation
+    (events_stream_hourly), custom state (events_stream_user_totals) and
+    streaming dedup (docs_stream_dedup).
+
+    Both sides are branches of ONE file stream with watermarks; the
+    watermark + time-range condition is what lets Spark BOUND the join
+    state (a purchase can be evicted once the error-side watermark passes
+    ts + window — without it, stream-stream state grows forever at
+    100 TB/day). The staging splits the events at the median timestamp
+    into TWO files processed as separate micro-batches
+    (maxFilesPerTrigger=1), so purchases buffered in batch 0 must be
+    matched against errors arriving in batch 1 — cross-batch join state
+    is genuinely exercised, and because the split is by time the
+    watermark never drops a row, keeping the batch theta-join oracle
+    exact. Inner join, append mode, availableNow.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from petasearch_spark.sources.tables import normalize_events_ts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    mid = batch.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    stage = tempfile.mkdtemp(prefix="events_join_stream_")
+    for i, cond in enumerate(
+        (F.unix_micros("ts") <= mid, F.unix_micros("ts") > mid)
+    ):
+        batch.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, f"half{i}")
+        )
+    flat = os.path.join(stage, "flat")
+    os.makedirs(flat)
+    n = 0
+    for i in range(2):  # half0 symlinked first -> older mtime -> batch 0
+        half = os.path.join(stage, f"half{i}")
+        for f in sorted(os.listdir(half)):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(half, f), os.path.join(flat, f"part{n}.parquet"))
+                n += 1
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        stream.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {JOIN_WINDOW_S} SECONDS")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "error_id",
+        (F.unix_micros("e_ts") - F.unix_micros("p_ts")).alias("gap_us"),
+    )
+    name = "events_stream_join_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    with tempfile.TemporaryDirectory() as ckpt:
+        query = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name).orderBy("user_id", "purchase_id", "error_id")
+
+
+EVENTS_STREAM_JOIN_SQL = f"""
+SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id,
+       epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
+FROM events p
+JOIN events e
+  ON p.user_id = e.user_id
+ AND p.event_type = 'purchase' AND e.event_type = 'error'
+ AND epoch_us(e.ts) - epoch_us(p.ts) >= 0
+ AND epoch_us(e.ts) - epoch_us(p.ts) <= {JOIN_WINDOW_S * 1000000}
+ORDER BY p.user_id, purchase_id, error_id
+"""

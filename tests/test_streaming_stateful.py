@@ -115,3 +115,39 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert got.get("10:00") == 3.0
     assert 100.0 not in got.values()
     assert sum(got.values()) <= 15.0
+
+
+def test_stream_join_state_carries_across_batches(spark, tmp_path):
+    """Purchases from micro-batch 0 must join errors from micro-batch 1.
+    Constructed corpus: the only qualifying pair has its purchase below
+    and its error above the median-ts split the staging uses, so the
+    result can only exist if buffered join state survived the batch
+    boundary (the driver corpus at this SF happens to have no
+    boundary-crossing pair, hence the constructed one)."""
+    import datetime as dt
+
+    from petasearch_spark.streaming.events_stream import (
+        events_stream_purchase_error_join,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for h in range(12):
+        etype = "click"
+        user = 99
+        if h == 5:
+            etype, user = "purchase", 1
+        if h == 7:
+            etype, user = "error", 1
+        rows.append((h, base + dt.timedelta(hours=h), user, etype, 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = events_stream_purchase_error_join(spark, str(tmp_path)).collect()
+    assert [(r["user_id"], r["purchase_id"], r["error_id"]) for r in out] == [(1, 5, 7)]
+    # the split point is the median ts: h5 (purchase) <= mid < h7 (error)
+    mid = df.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    us = {r["event_id"]: r["us"] for r in df.select("event_id", F.unix_micros("ts").alias("us")).collect()}
+    assert us[5] <= mid < us[7]
