@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "clean_purchase_days",
     "events_asof_join",
     "events_proximity_pairs",
+    "events_conversion_funnel",
+    "events_retention_cohorts",
     "doc_shingle_index",
     "doc_prefilter",
     "protein_prefilter",

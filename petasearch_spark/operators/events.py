@@ -333,3 +333,148 @@ JOIN events b
  AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
 ORDER BY a.user_id, a_id, b_id
 """
+
+
+# --- conversion funnel & cohort retention ---------------------------------
+
+FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> view -> purchase: a user
+    converts step N only if their earliest step-N event follows their
+    earliest qualifying step-(N-1) event. Output: one row per step with
+    users reaching it and the conversion rate from the previous step.
+
+    Plan: one corpus pass aggregates each user's earliest ts per step
+    (map-side combined pivot agg keyed by user_id), then the step
+    ordering is per-row column logic and the final count is a tiny agg —
+    no joins, no windows over the corpus.
+    """
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin(*FUNNEL_STEPS)
+    )
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.unix_micros("ts"))).alias(f"t_{s}")
+            for s in FUNNEL_STEPS
+        ]
+    )
+    # reached_N = earliest step-N ts exists and follows reached_(N-1)'s ts
+    reach = firsts.select(
+        "user_id",
+        F.col(f"t_{FUNNEL_STEPS[0]}").alias("r0"),
+        F.when(
+            F.col(f"t_{FUNNEL_STEPS[1]}") >= F.col(f"t_{FUNNEL_STEPS[0]}"),
+            F.col(f"t_{FUNNEL_STEPS[1]}"),
+        ).alias("r1"),
+        F.col(f"t_{FUNNEL_STEPS[2]}").alias("t2"),
+    ).select(
+        "user_id",
+        "r0",
+        "r1",
+        F.when(F.col("r1").isNotNull() & (F.col("t2") >= F.col("r1")), F.col("t2")).alias("r2"),
+    )
+    counts = reach.agg(
+        F.count(F.col("r0")).alias("n0"),
+        F.count(F.col("r1")).alias("n1"),
+        F.count(F.col("r2")).alias("n2"),
+    ).collect()[0]
+    ns = [counts["n0"], counts["n1"], counts["n2"]]
+    rows = [
+        (i, FUNNEL_STEPS[i], ns[i], round(ns[i] / ns[i - 1], 6) if i > 0 and ns[i - 1] else None)
+        for i in range(3)
+    ]
+    return spark.createDataFrame(
+        rows, "step int, event_type string, n_users bigint, conv_rate double"
+    ).orderBy("step")
+
+
+EVENTS_FUNNEL_SQL = f"""
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN epoch_us(ts) END) AS t0,
+           MIN(CASE WHEN event_type = '{FUNNEL_STEPS[1]}' THEN epoch_us(ts) END) AS t1,
+           MIN(CASE WHEN event_type = '{FUNNEL_STEPS[2]}' THEN epoch_us(ts) END) AS t2
+    FROM events
+    WHERE event_type IN ('{FUNNEL_STEPS[0]}', '{FUNNEL_STEPS[1]}', '{FUNNEL_STEPS[2]}')
+    GROUP BY user_id
+), reach AS (
+    SELECT user_id, t0 AS r0,
+           CASE WHEN t1 >= t0 THEN t1 END AS r1,
+           CASE WHEN (CASE WHEN t1 >= t0 THEN t1 END) IS NOT NULL
+                 AND t2 >= (CASE WHEN t1 >= t0 THEN t1 END) THEN t2 END AS r2
+    FROM firsts
+), counts AS (
+    SELECT COUNT(r0) AS n0, COUNT(r1) AS n1, COUNT(r2) AS n2 FROM reach
+)
+SELECT * FROM (
+    SELECT 0 AS step, '{FUNNEL_STEPS[0]}' AS event_type, n0 AS n_users, CAST(NULL AS DOUBLE) AS conv_rate FROM counts
+    UNION ALL
+    SELECT 1, '{FUNNEL_STEPS[1]}', n1, CASE WHEN n0 > 0 THEN ROUND(CAST(n1 AS DOUBLE) / n0, 6) END FROM counts
+    UNION ALL
+    SELECT 2, '{FUNNEL_STEPS[2]}', n2, CASE WHEN n1 > 0 THEN ROUND(CAST(n2 AS DOUBLE) / n1, 6) END FROM counts
+)
+ORDER BY step
+"""
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their FIRST
+    event; for each later week offset, how many were active. The classic
+    cohort triangle as (cohort_week, week_offset, n_active, retention).
+
+    Plan: first-event week per user (one agg), broadcast back onto the
+    user's distinct active weeks (both keyed by user_id — co-partitioned
+    join, no row explosion), then a small (cohorts x offsets) agg.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    first_wk = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    active = ev.distinct()
+    joined = active.join(first_wk, "user_id").select(
+        "user_id",
+        F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+        ((F.unix_micros("wk") - F.unix_micros("cohort_wk")) / F.lit(7 * 86400 * 1_000_000))
+        .cast("long")
+        .alias("week_offset"),
+    )
+    sizes = joined.filter(F.col("week_offset") == 0).groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH ev AS (
+    SELECT user_id, date_trunc('week', ts) AS wk FROM events
+), first_wk AS (
+    SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id
+), active AS (
+    SELECT DISTINCT user_id, wk FROM ev
+), joined AS (
+    SELECT a.user_id,
+           strftime(f.cohort_wk, '%Y-%m-%d') AS cohort_week,
+           CAST((epoch_us(a.wk) - epoch_us(f.cohort_wk)) / 604800000000 AS BIGINT) AS week_offset
+    FROM active a JOIN first_wk f USING (user_id)
+), sizes AS (
+    SELECT cohort_week, COUNT(*) AS cohort_size FROM joined WHERE week_offset = 0 GROUP BY cohort_week
+)
+SELECT j.cohort_week, j.week_offset, COUNT(*) AS n_active,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(s.cohort_size), 6) AS retention
+FROM joined j JOIN sizes s ON s.cohort_week = j.cohort_week
+GROUP BY j.cohort_week, j.week_offset
+ORDER BY j.cohort_week, j.week_offset
+"""

@@ -54,6 +54,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "users_purchase_and_error": (events.users_purchase_and_error, events.USERS_PURCHASE_AND_ERROR_SQL),
     "clean_purchase_days": (events.clean_purchase_days, events.CLEAN_PURCHASE_DAYS_SQL),
     "events_asof_join": (events.events_asof_join, events.EVENTS_ASOF_SQL),
+    "events_conversion_funnel": (events.events_conversion_funnel, events.EVENTS_FUNNEL_SQL),
+    "events_retention_cohorts": (events.events_retention_cohorts, events.EVENTS_RETENTION_SQL),
     "events_proximity_pairs": (events.events_proximity_pairs, events.EVENTS_PROXIMITY_SQL),
     "events_stream_hourly": (events_stream.events_stream_hourly, events_stream.EVENTS_STREAM_HOURLY_SQL),
     "events_stream_user_totals": (stateful.events_stream_user_totals, stateful.EVENTS_STREAM_USER_TOTALS_SQL),
@@ -205,6 +207,15 @@ UNGATED: dict[str, str] = {
         "20-row confusion matrix over the same tokenize/filter/aggregate"
         " machinery as text_quality_stats (which stays gated); thresholds keep"
         " pytest parity; slot given to sequence_packing's ~4k value-rich rows"
+    ),
+    "events_conversion_funnel": (
+        "added after the gate filled; full DuckDB parity in pytest; 3-row"
+        " ordered-funnel aggregate over the same first-event machinery the"
+        " gated sessionization/set-op rows exercise"
+    ),
+    "events_retention_cohorts": (
+        "added after the gate filled; full DuckDB parity in pytest; cohort"
+        " triangle over the gated events surface"
     ),
     "events_stream_join": (
         "added after the gate filled; full DuckDB parity in pytest (real"
