@@ -25,6 +25,8 @@ from petasearch_spark.session import get_spark  # noqa: E402
 BENCH_ONLY = {
     "protein_prefilter_bucketed_build": doc_search.protein_prefilter_bucketed_build,
     "protein_prefilter_bucketed_query": doc_search.protein_prefilter_bucketed_query,
+    "protein_search_index_build": doc_search.protein_search_index_build,
+    "protein_search_prebuilt": doc_search.protein_search_prebuilt,
 }
 
 BENCH_QUERIES = [
@@ -48,6 +50,8 @@ BENCH_QUERIES = [
     "protein_prefilter_bucketed_build",
     "protein_prefilter_bucketed_query",
     "protein_search",
+    "protein_search_index_build",
+    "protein_search_prebuilt",
     "protein_search_expanded",
     "protein_ungapped",
     "protein_expand_prefilter",

@@ -709,3 +709,53 @@ FROM '{GOLDEN_DIR}/protein_search_expanded_golden.parquet'
 WHERE corpus_chars = (SELECT SUM(len(text)) FROM documents)
 ORDER BY query_id, target_id
 """
+
+
+# --- full-search build/query bench split ----------------------------------
+
+
+def _search_index_path(sf_dir: str) -> str:
+    import os
+
+    return f"/tmp/ps_bench_search_idx_{os.path.basename(sf_dir.rstrip('/'))}"
+
+
+def protein_search_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-TIME index build for the full-search bench split: the
+    reference ships this as its own workflow step (createkmertable,
+    /root/reference/src/sra/createkmertable.cpp) and amortizes it over
+    every petasearch invocation — protein_search's single-query bench
+    number conflates it with the per-batch cascade cost."""
+    from petasearch_spark.operators.kmer_index import (
+        build_kmer_index,
+        write_kmer_index,
+    )
+
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source")
+    write_kmer_index(build_kmer_index(seqs), _search_index_path(sf_dir))
+    return spark.createDataFrame([(_search_index_path(sf_dir),)], "index_path string")
+
+
+def protein_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEADY-STATE full search against the PREBUILT index — the
+    per-query-batch cost of the deployed engine (the reference's
+    petasearch step reading a stored k-mer table). Output must equal
+    protein_search exactly (tests/test_search_e2e.py pins it); builds
+    the index first if missing."""
+    import os
+
+    from petasearch_spark.plans.search import search
+
+    path = _search_index_path(sf_dir)
+    if not os.path.exists(path):
+        protein_search_index_build(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source").persist()
+    queries = seqs.filter(F.col("seq_id") % 20 == 0)
+    res = search(queries, seqs, target_index=spark.read.parquet(path))
+    return res.select(
+        "query_id", "target_id", "query_accession", "target_accession",
+        "raw", "alnlen", "nident", "mismatch", "gapopen",
+        "qstart", "qend", "qlen", "tstart", "tend", "tlen",
+    )

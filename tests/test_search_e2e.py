@@ -88,3 +88,21 @@ def test_multi_target_union(spark):
     rows = search_multi_target(q, [t1, t2]).collect()
     accs = {r["target_accession"] for r in rows}
     assert "a0" in accs and "b0" in accs
+
+
+def test_prebuilt_index_search_equals_inline(spark):
+    """The build/query bench split must not change results: search
+    against the stored O1-layout index == the inline-build search."""
+    import shutil
+
+    from petasearch_spark.operators.doc_search import (
+        _search_index_path,
+        protein_search,
+        protein_search_prebuilt,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    shutil.rmtree(_search_index_path(sf), ignore_errors=True)
+    inline = [tuple(r) for r in protein_search(spark, sf).collect()]
+    prebuilt = [tuple(r) for r in protein_search_prebuilt(spark, sf).collect()]
+    assert prebuilt == inline and len(inline) > 0
