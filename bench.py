@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "sequence_packing",
     "bm25_search",
     "text_quality_stats",
+    "doc_chunk_overlap",
     "doc_fingerprint",
     "tfidf_top_terms",
     "unigram_logprob_score",

@@ -220,3 +220,66 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term
 WHERE rk <= {TFIDF_TOP_K}
 ORDER BY doc_id, rk
 """
+
+
+CHUNK_W = 32   # tokens per retrieval chunk
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-corpus chunking: overlapping {CHUNK_W}-token windows at stride
+    {CHUNK_STRIDE} per document (the standard retrieval-index unit —
+    overlap keeps answers that straddle a boundary findable). Emits
+    (doc_id, chunk_id, start_tok, n_tokens, chunk_hash); the final short
+    window is kept iff it adds tokens beyond the previous chunk.
+
+    Purely per-document column logic (explode over a sequence of
+    offsets) — embarrassingly parallel, no shuffle except the output
+    sort; the chunk_hash is the portable md5-based hash64 so downstream
+    dedup/embedding joins are engine-independent.
+    """
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    # chunk starts: 0, STRIDE, 2*STRIDE, ... while start < n_toks and
+    # (start == 0 or start + W covers new tokens: start < n_toks)
+    n = F.size("ts")
+    n_chunks = F.when(n <= CHUNK_W, F.lit(1)).otherwise(
+        F.ceil((n - CHUNK_W).cast("double") / CHUNK_STRIDE).cast("int") + 1
+    )
+    chunks = toks.filter(n > 0).select(
+        "doc_id",
+        n.alias("n_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        F.col("ts"),
+    )
+    start = F.col("chunk_id") * CHUNK_STRIDE
+    piece = F.slice(F.col("ts"), start + 1, CHUNK_W)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("start_tok"),
+        F.size(piece).alias("n_tokens"),
+        hash64(F.concat_ws(" ", piece)).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+DOC_CHUNK_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL.format(col="text")} AS ts FROM documents
+), base AS (
+    SELECT doc_id, len(ts) AS n_toks, ts,
+           CASE WHEN len(ts) <= {CHUNK_W} THEN 1
+                ELSE CAST(CEIL(CAST(len(ts) - {CHUNK_W} AS DOUBLE) / {CHUNK_STRIDE}) AS INT) + 1
+           END AS n_chunks
+    FROM toks WHERE len(ts) > 0
+), chunks AS (
+    SELECT doc_id, n_toks, ts, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+    FROM base
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(chunk_id * {CHUNK_STRIDE} AS INT) AS start_tok,
+       CAST(len(ts[chunk_id * {CHUNK_STRIDE} + 1 : chunk_id * {CHUNK_STRIDE} + {CHUNK_W}]) AS INT) AS n_tokens,
+       {hash64_sql(f"array_to_string(ts[chunk_id * {CHUNK_STRIDE} + 1 : chunk_id * {CHUNK_STRIDE} + {CHUNK_W}], ' ')")} AS chunk_hash
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""

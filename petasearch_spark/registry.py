@@ -141,6 +141,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "lang_id_heuristic": (text.lang_id_heuristic, text.LANG_ID_SQL),
     "token_count_bpe": (text.token_count_bpe, text.TOKEN_COUNT_SQL),
     "doc_fingerprint": (text.doc_fingerprint, text.DOC_FINGERPRINT_SQL),
+    # RAG-corpus chunking: overlapping token windows, portable chunk hash
+    "doc_chunk_overlap": (text.doc_chunk_overlap, text.DOC_CHUNK_SQL),
     "tfidf_top_terms": (text.tfidf_top_terms, text.TFIDF_SQL),
     # --- corpus quality (exact-substring dup coverage, Gopher signals) ---
     "dup_span_coverage": (quality.dup_span_coverage, quality.DUP_SPAN_SQL),
@@ -207,6 +209,10 @@ UNGATED: dict[str, str] = {
         "20-row confusion matrix over the same tokenize/filter/aggregate"
         " machinery as text_quality_stats (which stays gated); thresholds keep"
         " pytest parity; slot given to sequence_packing's ~4k value-rich rows"
+    ),
+    "doc_chunk_overlap": (
+        "added after the gate filled; full DuckDB parity in pytest; per-doc"
+        " explode/slice machinery akin to the gated window/shingle rows"
     ),
     "events_conversion_funnel": (
         "added after the gate filled; full DuckDB parity in pytest; 3-row"
