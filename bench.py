@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "text_quality_stats",
     "doc_chunk_overlap",
+    "kmv_distinct_tokens",
     "doc_fingerprint",
     "tfidf_top_terms",
     "unigram_logprob_score",

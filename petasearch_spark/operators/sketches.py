@@ -1,0 +1,102 @@
+"""Deterministic distinct-count sketching (KMV / k-minimum-values).
+
+Engine-native sketches (HyperLogLog `approx_count_distinct`,
+`percentile_approx`) are implementation-defined — their estimates differ
+across engines and versions, so they can never sit under the value-hash
+oracle gate. KMV is the sketch that CAN: hash every element with the
+portable md5-based ``hash64`` (uniform on [0, 2^60)), keep the K smallest
+distinct values, and estimate
+
+    distinct ≈ (K - 1) * 2^60 / h_K        (Bar-Yossef et al. 2002)
+
+Everything is integer until one final double division, so Spark and
+DuckDB agree bit-for-bit — a sketch with an exact oracle.
+
+Scale shape (100 TB): the sketch state per group is K 8-byte integers —
+mergeable by "union = K smallest of the union", so partial aggregation
+applies everywhere a COUNT(DISTINCT) would need a full shuffle of the
+key universe. The reference engine has no sketch surface; this extends
+the pipeline family (corpus accounting: vocabulary sizes per shard
+without shuffling the vocabulary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from petasearch_spark.operators.portable import TOKENS_SQL, hash64, hash64_sql, tokens
+from petasearch_spark.sources.tables import load_table
+
+KMV_K = 64
+HASH_SPACE = float(1 << 60)
+
+
+def kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct word-BIGRAM count (the synthetic unigram
+    vocabulary is ~30 per source — below K — so the sketch runs on the
+    ~670-per-source bigram universe): KMV estimate vs exact distinct count
+    and the signed relative error — the accuracy audit a pipeline runs
+    before trusting the sketch at scales where exact counting is a
+    corpus-wide shuffle.
+
+    One pass builds the distinct (source, token-hash) set; the K-th
+    smallest hash per source is a per-group window (at deployment the
+    K-minima merge associatively, so this runs as partial aggregation —
+    the window form keeps the oracle SQL identical); the exact count
+    rides the same distinct set.
+    """
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    from petasearch_spark.operators.portable import word_shingles
+
+    th = (
+        docs.select("source", F.explode(word_shingles(tokens(F.col("text")), 2)).alias("t"))
+        .select("source", hash64(F.col("t")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    kth = (
+        th.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == KMV_K)
+        .select("source", F.col("h").alias("h_k"))
+    )
+    exact = th.groupBy("source").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    est = F.round(F.lit(float(KMV_K - 1)) * (F.lit(HASH_SPACE) / F.col("h_k")), 6)
+    return (
+        exact.join(kth, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            est.alias("kmv_estimate"),
+            F.round((est - F.col("exact_distinct")) / F.col("exact_distinct"), 6).alias(
+                "rel_error"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+KMV_DISTINCT_SQL = f"""
+WITH toks AS (
+    SELECT source, {TOKENS_SQL.format(col="text")} AS ts FROM documents
+), tok AS (
+    SELECT source, t[i] || ' ' || t[i+1] AS t
+    FROM (SELECT source, ts AS t FROM toks), range(1, 8192) r(i)
+    WHERE i + 1 <= len(t)
+), th AS (
+    SELECT DISTINCT source, {hash64_sql("t")} AS h FROM tok
+), kth AS (
+    SELECT source, h AS h_k FROM (
+        SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM th
+    ) WHERE rk = {KMV_K}
+), exact AS (
+    SELECT source, COUNT(*) AS exact_distinct FROM th GROUP BY source
+)
+SELECT e.source, e.exact_distinct,
+       ROUND({float(KMV_K - 1)} * ({HASH_SPACE} / k.h_k), 6) AS kmv_estimate,
+       ROUND((ROUND({float(KMV_K - 1)} * ({HASH_SPACE} / k.h_k), 6) - e.exact_distinct)
+             / e.exact_distinct, 6) AS rel_error
+FROM exact e JOIN kth k USING (source)
+ORDER BY e.source
+"""

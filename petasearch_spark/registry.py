@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from petasearch_spark.operators import (
     bm25,
     corpus,
+    sketches,
     dedup,
     doc_search,
     events,
@@ -143,6 +144,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_fingerprint": (text.doc_fingerprint, text.DOC_FINGERPRINT_SQL),
     # RAG-corpus chunking: overlapping token windows, portable chunk hash
     "doc_chunk_overlap": (text.doc_chunk_overlap, text.DOC_CHUNK_SQL),
+    # KMV distinct sketch: the deterministic (oracle-checkable) sketch —
+    # mergeable K-minima over the portable hash, vs exact + rel_error
+    "kmv_distinct_tokens": (sketches.kmv_distinct_tokens, sketches.KMV_DISTINCT_SQL),
     "tfidf_top_terms": (text.tfidf_top_terms, text.TFIDF_SQL),
     # --- corpus quality (exact-substring dup coverage, Gopher signals) ---
     "dup_span_coverage": (quality.dup_span_coverage, quality.DUP_SPAN_SQL),
@@ -213,6 +217,10 @@ UNGATED: dict[str, str] = {
     "doc_chunk_overlap": (
         "added after the gate filled; full DuckDB parity in pytest; per-doc"
         " explode/slice machinery akin to the gated window/shingle rows"
+    ),
+    "kmv_distinct_tokens": (
+        "added after the gate filled; full DuckDB parity in pytest; the only"
+        " sketch whose estimates are cross-engine exact (md5 K-minima)"
     ),
     "events_conversion_funnel": (
         "added after the gate filled; full DuckDB parity in pytest; 3-row"

@@ -181,3 +181,34 @@ class TestBM25Constructed:
         got = [tuple(r) for r in bm25.bm25_rank(df, queries, max_df_frac=0.9).collect()]
         want = [tuple(r) for r in bm25.bm25_rank(df, stripped).collect()]
         assert got == want
+
+
+class TestKMVSketch:
+    def test_error_within_theory(self, spark):
+        """KMV with K=64 has stderr ~1/sqrt(63) ~ 12.6%; on the fixed
+        corpus every source must land well inside 4 sigma, and the
+        estimate must be exact-positive."""
+        from petasearch_spark.operators.sketches import kmv_distinct_tokens
+
+        rows = kmv_distinct_tokens(spark, SF_DIR).collect()
+        assert rows, "every source has >= K distinct bigrams"
+        for r in rows:
+            assert r["kmv_estimate"] > 0
+            assert abs(r["rel_error"]) < 0.5, r
+
+    def test_merge_associativity(self, spark):
+        """The K-minima of a union == K smallest of the concatenated
+        minima lists — the property that makes the sketch one-pass
+        mergeable at 100 TB (partial aggregation)."""
+        import hashlib
+        import random
+
+        rng = random.Random(5)
+        def h(x):
+            return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+        a = sorted({h(rng.randrange(10**9)) for _ in range(500)})[:64]
+        b = sorted({h(rng.randrange(10**9)) for _ in range(500)})[:64]
+        union_direct = sorted(set(a) | set(b))[:64]
+        # merging the two K-minima lists gives the same K-minima
+        assert sorted(set(a + b))[:64] == union_direct
