@@ -111,10 +111,23 @@ def main() -> None:
         out["decon_recall"] = round(len(found & injected_cross) / max(len(injected_cross), 1), 4)
 
         # --- per-doc quality families stay linear ---
-        for name in ("unigram_logprob_score", "gopher_quality", "dup_span_coverage"):
+        for name in ("unigram_logprob_score", "gopher_quality", "dup_span_coverage", "doc_chunk_overlap"):
             t0 = time.time()
             out[f"{name}_rows"] = REGISTRY[name][0](spark, tmp).count()
             out[f"{name}_s"] = round(time.time() - t0, 1)
+
+        # --- the full curation composition at scale ---
+        t0 = time.time()
+        funnel = REGISTRY["corpus_curation_funnel"][0](spark, tmp)
+        import pyspark.sql.functions as SF
+
+        kept = funnel.agg(
+            SF.count(SF.lit(1)).alias("n"), SF.sum(SF.col("kept").cast("int")).alias("k")
+        ).collect()[0]
+        out["curation_funnel_s"] = round(time.time() - t0, 1)
+        out["curation_rows"] = kept["n"]
+        out["curation_kept"] = kept["k"]
+        assert kept["n"] == n_docs
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
