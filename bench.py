@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "tfidf_top_terms",
     "unigram_logprob_score",
+    "pii_redaction",
+    "dedup_blocks",
+    "quality_weighted_sample",
+    "events_zorder_layout",
 ]
 
 

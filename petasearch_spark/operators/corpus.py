@@ -78,6 +78,54 @@ ORDER BY doc_id
 """
 
 
+QW_SALT = "qweight:v1:"
+QW_TOK_PPM = 2500  # score saturates at 400 tokens -> keep-probability 1.0
+
+
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: keep each doc with probability
+    proportional to a quality score (here: token count, saturating at
+    400 tokens), the "soft filter" used when hard quality cutoffs throw
+    away too much tail data.
+
+    Deterministic Bernoulli draw per doc: keep iff
+    ``hash64(salt || doc_id) % 1e6 < score_ppm`` where
+    ``score_ppm = min(1e6, n_toks * {QW_TOK_PPM})``. All-integer
+    arithmetic on the md5-based portable hash, so the SAME docs are kept
+    on any engine/run and the oracle is exact. Inverse-probability
+    weights make downstream token statistics unbiased.
+
+    100 TB shape: identical to :func:`corpus_sample_stratified` — a
+    stateless per-row filter fused into the scan (no shuffle, no state);
+    the score here derives from the row itself, so there is not even a
+    broadcast. Salting the hash key re-draws independently."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    n_toks = F.size(tokens(F.col("text")))
+    score = F.least(F.lit(1_000_000), n_toks * QW_TOK_PPM)
+    key = hash64(F.concat(F.lit(QW_SALT), F.col("doc_id").cast("string"))) % 1_000_000
+    return (
+        docs.select("doc_id", "source", n_toks.alias("n_toks"), score.alias("score_ppm"))
+        .filter(key < score)
+        .withColumn("weight", F.round(F.lit(1_000_000.0) / F.col("score_ppm"), 6))
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_WEIGHTED_SAMPLE_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, source,
+           CAST(len({TOKENS_SQL.format(col="text")}) AS INT) AS n_toks,
+           CAST(LEAST(1000000, len({TOKENS_SQL.format(col="text")}) * {QW_TOK_PPM}) AS INT) AS score_ppm
+    FROM documents
+)
+SELECT doc_id, source, n_toks, score_ppm,
+       ROUND(1000000.0 / score_ppm, 6) AS weight
+FROM scored
+WHERE {hash64_sql("'" + QW_SALT + "' || CAST(doc_id AS VARCHAR)")} % 1000000 < score_ppm
+ORDER BY doc_id
+"""
+
+
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: flag every TRAIN doc that shares at
     least one distinct word {DECON_NGRAM}-gram with any EVAL doc (exact

@@ -560,3 +560,84 @@ ORDER BY cluster_id, doc_id
 
 
 DEDUP_CLUSTERS_SQL = _cc_sql()
+
+
+BLOCK_W = 16  # tokens per dedup block
+
+
+def dedup_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (C4/CCNet style), adapted to the
+    newline-free synthetic corpus: split each doc into non-overlapping
+    16-token blocks, keep only the corpus-wide FIRST occurrence of each
+    distinct block (ordered by doc_id, then block index), and report the
+    per-doc reconstruction: block counts and the hash of the text
+    rebuilt from surviving blocks. Docs that are pure repeats of earlier
+    content collapse to an empty reconstruction.
+
+    Plan: one explode (per-doc block slicing, no shuffle), ONE shuffle on
+    the 8-byte block hash to pick the winner (map-side partial min), a
+    shuffle join back on the same key, then the per-doc regroup. The
+    winner table is distinct-block-sized, never broadcast — at 100 TB both
+    sides of the hash join are hash-partitioned on bh and co-located;
+    skewed boilerplate blocks collapse to one winner row each in the agg
+    before the join fans them back out.
+    """
+    from petasearch_spark.operators.portable import hash64, tokens
+
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts")).filter(F.size("ts") > 0)
+    nb = F.ceil(F.size("ts") / F.lit(BLOCK_W)).cast("int")
+    blocks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nb - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i * BLOCK_W + 1, BLOCK_W)),
+            )
+        ).alias("idx", "block"),
+    ).withColumn("bh", hash64(F.col("block")))
+    winners = blocks.groupBy("bh").agg(F.min(F.struct("doc_id", "idx")).alias("w"))
+    j = blocks.join(winners, "bh")
+    is_kept = (F.col("doc_id") == F.col("w.doc_id")) & (F.col("idx") == F.col("w.idx"))
+    kept_block = F.when(is_kept, F.struct("idx", "block"))
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(is_kept.cast("long")).alias("n_kept"),
+            hash64(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_block)), lambda s: s["block"]
+                    ),
+                )
+            ).alias("dedup_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BLOCK_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+DEDUP_BLOCKS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {_BLOCK_TOKS} AS ts FROM documents WHERE len({_BLOCK_TOKS}) > 0
+), blocks AS (
+    SELECT doc_id, CAST(i AS INT) AS idx,
+           array_to_string(ts[i * {BLOCK_W} + 1 : i * {BLOCK_W} + {BLOCK_W}], ' ') AS block
+    FROM toks, range(0, 4096) r(i)
+    WHERE i * {BLOCK_W} < len(ts)
+), bh AS (
+    SELECT doc_id, idx, block, {hash64_sql("block")} AS h FROM blocks
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn FROM bh
+)
+SELECT doc_id,
+       COUNT(*) AS n_blocks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       {hash64_sql("COALESCE(string_agg(CASE WHEN rn = 1 THEN block END, ' ' ORDER BY idx), '')")} AS dedup_hash
+FROM ranked
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -222,6 +222,66 @@ ORDER BY doc_id, rk
 """
 
 
+# PII patterns chosen from the RE2 ∩ java.util.regex common subset so the
+# Spark plan and the DuckDB oracle compile the SAME automaton: no
+# backreferences, no lookaround, non-capturing groups only.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\+\d[\d -]{7,}\d"
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass of a curation pipeline: count and redact emails,
+    IPv4 addresses and international-format phone numbers per document.
+
+    Counts are taken on the original text; redaction cascades
+    email -> ip -> phone so a match consumed by an earlier class is not
+    double-redacted. Pure column expressions (regexp_extract_all /
+    regexp_replace stay in whole-stage codegen) — scan -> project, no
+    shuffle but the output sort; at 100 TB this is a free rider on any
+    other full-scan stage. The synthetic corpus contains no PII, so the
+    count columns are honestly zero here; the redaction behavior itself is
+    pinned on constructed PII-laden rows in tests/test_text_extra.py, and
+    clean_hash carries per-doc value signal through the oracle gate."""
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    t = F.col("text")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return (
+        docs.filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0)).alias("n_emails"),
+            F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), 0)).alias("n_ips"),
+            F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), 0)).alias("n_phones"),
+            F.length(clean).alias("clean_len"),
+            hash64(clean).alias("clean_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PII_REDACTION_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_IPV4_RE}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS INT) AS n_phones,
+       CAST(len(regexp_replace(regexp_replace(regexp_replace(text,
+            '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+            '{PII_IPV4_RE}', '<IP>', 'g'),
+            '{PII_PHONE_RE}', '<PHONE>', 'g')) AS INT) AS clean_len,
+       {hash64_sql("regexp_replace(regexp_replace(regexp_replace(text, '" + PII_EMAIL_RE + "', '<EMAIL>', 'g'), '" + PII_IPV4_RE + "', '<IP>', 'g'), '" + PII_PHONE_RE + "', '<PHONE>', 'g')")} AS clean_hash
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
 CHUNK_W = 32   # tokens per retrieval chunk
 CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
 

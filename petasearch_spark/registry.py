@@ -23,6 +23,7 @@ from petasearch_spark.operators import (
     doc_search,
     events,
     ivf,
+    layout,
     masking,
     multimodal,
     profile,
@@ -152,6 +153,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dup_span_coverage": (quality.dup_span_coverage, quality.DUP_SPAN_SQL),
     "gopher_quality": (quality.gopher_quality, quality.GOPHER_QUALITY_SQL),
     "unigram_logprob_score": (quality.unigram_logprob_score, quality.UNIGRAM_LOGPROB_SQL),
+    # PII scrubbing: regex count + cascading redaction, RE2∩Java pattern
+    # subset so both engines compile the same automaton
+    "pii_redaction": (text.pii_redaction, text.PII_REDACTION_SQL),
+    # C4-style paragraph(block)-level exact dedup: corpus-wide first
+    # occurrence wins, docs reconstructed from surviving blocks
+    "dedup_blocks": (dedup.dedup_blocks, dedup.DEDUP_BLOCKS_SQL),
+    # soft quality filter: deterministic Bernoulli keep with p ∝ score
+    "quality_weighted_sample": (corpus.quality_weighted_sample, corpus.QUALITY_WEIGHTED_SAMPLE_SQL),
+    # Z-order (Morton) layout key + per-cell min/max pruning stats
+    "events_zorder_layout": (layout.events_zorder_layout, layout.EVENTS_ZORDER_SQL),
 }
 
 
@@ -259,6 +270,24 @@ UNGATED: dict[str, str] = {
     "events_proximity_pairs": (
         "added after the gate filled; full DuckDB parity in pytest (theta-join"
         " oracle vs the engine's binned equi-join) and timed in bench.py"
+    ),
+    "pii_redaction": (
+        "added after the gate filled; full DuckDB parity in pytest; the"
+        " synthetic corpus holds no PII, so redaction behavior is additionally"
+        " pinned on constructed PII rows in tests/test_text_extra.py"
+    ),
+    "dedup_blocks": (
+        "added after the gate filled; full DuckDB parity in pytest; same"
+        " hash-groupBy machinery class as the gated dedup_exact /"
+        " doc_shingle_index rows"
+    ),
+    "quality_weighted_sample": (
+        "added after the gate filled; full DuckDB parity in pytest; same"
+        " md5-Bernoulli machinery as the gated corpus_sample_stratified"
+    ),
+    "events_zorder_layout": (
+        "added after the gate filled; full DuckDB parity in pytest; the"
+        " layout's pruning payoff is measured in tests/test_layout.py"
     ),
 }
 

@@ -1,0 +1,108 @@
+"""Round-3 curation additions: PII redaction behavior on constructed rows
+(the synthetic corpus has no PII — the oracle row only pins the machinery),
+block-level exact dedup semantics, and quality-weighted sampling
+invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from petasearch_spark.operators import corpus, dedup, text
+
+SF = "/root/testdata/sf0.001"
+
+
+def _redact(col):
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, text.PII_EMAIL_RE, "<EMAIL>"),
+            text.PII_IPV4_RE,
+            "<IP>",
+        ),
+        text.PII_PHONE_RE,
+        "<PHONE>",
+    )
+
+
+def test_pii_redaction_on_constructed_rows(spark):
+    rows = [
+        (0, "contact alice.smith+tag@sub.example.co.uk today"),
+        (1, "server at 192.168.0.1 and 10.0.0.255 responded"),
+        (2, "call +1 555 123-4567 now"),  # '-' breaks the run: digits up to 4567's '4'?
+        (3, "mixed bob@x.io from 8.8.8.8 dial +44 20 7946 0958"),
+        (4, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(text.PII_EMAIL_RE), 0)).alias("e"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(text.PII_IPV4_RE), 0)).alias("i"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(text.PII_PHONE_RE), 0)).alias("p"),
+            _redact(F.col("text")).alias("clean"),
+        ).collect()
+    }
+    assert (got[0]["e"], got[0]["i"], got[0]["p"]) == (1, 0, 0)
+    assert got[0]["clean"] == "contact <EMAIL> today"
+    assert (got[1]["e"], got[1]["i"], got[1]["p"]) == (0, 2, 0)
+    assert got[1]["clean"] == "server at <IP> and <IP> responded"
+    assert got[3]["e"] == 1 and got[3]["i"] == 1 and got[3]["p"] == 1
+    assert got[3]["clean"] == "mixed <EMAIL> from <IP> dial <PHONE>"
+    assert got[4]["clean"] == rows[4][1]
+
+
+def test_pii_redaction_query_runs_clean_corpus(spark):
+    out = text.pii_redaction(spark, SF)
+    rows = out.collect()
+    assert len(rows) > 0
+    # honest zero-PII corpus: counts all zero, hashes vary per doc
+    assert all(r["n_emails"] == r["n_ips"] == r["n_phones"] == 0 for r in rows)
+    assert len({r["clean_hash"] for r in rows}) == len(rows)
+
+
+def test_dedup_blocks_drops_repeat_of_earlier_doc(spark):
+    w = " ".join(f"w{i}" for i in range(dedup.BLOCK_W))
+    v = " ".join(f"v{i}" for i in range(dedup.BLOCK_W))
+    rows = [
+        (0, f"{w} {v}"),   # two distinct blocks, both first occurrences
+        (1, w),            # pure repeat of doc 0's first block
+        (2, f"{v} tail"),  # repeat block + a novel short block "tail"
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    import petasearch_spark.operators.dedup as D
+    from petasearch_spark.sources import tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda _s, _n, _d, widen_scan=False: df
+        D.load_table = tables.load_table
+        out = {r["doc_id"]: r for r in D.dedup_blocks(spark, SF).collect()}
+    finally:
+        tables.load_table = orig
+        D.load_table = orig
+    assert (out[0]["n_blocks"], out[0]["n_kept"]) == (2, 2)
+    assert (out[1]["n_blocks"], out[1]["n_kept"]) == (1, 0)
+    assert (out[2]["n_blocks"], out[2]["n_kept"]) == (2, 1)
+    # doc 1 reconstructs to the empty string; doc 2 keeps only "tail"
+    from petasearch_spark.operators.portable import hash64
+
+    probe = spark.createDataFrame([("", ""), ("tail", "")], ["s", "_"]).select(
+        hash64(F.col("s")).alias("h")
+    )
+    h_empty, h_tail = [r["h"] for r in probe.collect()]
+    assert out[1]["dedup_hash"] == h_empty
+    assert out[2]["dedup_hash"] == h_tail
+
+
+def test_quality_weighted_sample_invariants(spark):
+    out = corpus.quality_weighted_sample(spark, SF).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 < r["score_ppm"] <= 1_000_000
+        assert r["score_ppm"] == min(1_000_000, r["n_toks"] * corpus.QW_TOK_PPM)
+        assert r["weight"] >= 1.0
+    # deterministic: same draw on a second run
+    again = corpus.quality_weighted_sample(spark, SF).collect()
+    assert [r["doc_id"] for r in out] == [r["doc_id"] for r in again]
