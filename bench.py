@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "dedup_blocks",
     "quality_weighted_sample",
     "events_zorder_layout",
+    "cm_heavy_hitters",
 ]
 
 

@@ -100,3 +100,99 @@ SELECT e.source, e.exact_distinct,
 FROM exact e JOIN kth k USING (source)
 ORDER BY e.source
 """
+
+
+CM_DEPTH = 4     # independent hash rows
+CM_WIDTH = 512   # counters per row
+CM_TOP_K = 20    # heavy hitters audited against the sketch
+
+
+def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: estimate the corpus frequency of the top
+    {CM_TOP_K} exact unigrams from a {CM_DEPTH}×{CM_WIDTH} Count-Min
+    sketch and report the (always non-negative) overestimate — the
+    accuracy audit run before trusting CM point queries at scales where
+    per-term exact counts are a vocabulary-wide shuffle.
+
+    Determinism: CM counters are SUMS over a fixed bucket assignment
+    (bucket = md5-hash64 of "d:term" mod width) — order-independent and
+    engine-independent, unlike engine-native frequent-item sketches
+    whose state depends on arrival order. So the whole query sits under
+    the DuckDB value-hash oracle.
+
+    Scale shape (100 TB): counters derive from the (term, count) table —
+    already one shuffle that any term-stat query pays — then collapse to
+    a {CM_DEPTH}×{CM_WIDTH}-row table (map-side combine does nearly all
+    the work); probes are a broadcast join of the tiny counter table
+    against the audited terms. The sketch is mergeable across shards by
+    counter addition, which is why it stands in for exact counts when
+    the vocabulary itself cannot be shuffled.
+    """
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    ).persist()
+    return cm_probe(tf, depth=CM_DEPTH, width=CM_WIDTH, top_k=CM_TOP_K)
+
+
+def _cm_bucket(depth_col, term_col, width: int):
+    return hash64(F.concat(depth_col.cast("string"), F.lit(":"), term_col)) % width
+
+
+def cm_probe(tf: DataFrame, depth: int, width: int, top_k: int) -> DataFrame:
+    """Build a depth×width Count-Min table from a (term, cnt) frame and
+    probe it for the top_k exact terms (cnt DESC, term ASC tie-break)."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    counters = (
+        tf.select(rows, "term", "cnt")
+        .select("d", _cm_bucket(F.col("d"), F.col("term"), width).alias("b"), "cnt")
+        .groupBy("d", "b")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    top = tf.orderBy(F.desc("cnt"), "term").limit(top_k)
+    probes = top.select(
+        "term",
+        F.col("cnt").alias("exact_cnt"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    ).select(
+        "term", "exact_cnt", "d", _cm_bucket(F.col("d"), F.col("term"), width).alias("b")
+    )
+    return (
+        probes.join(F.broadcast(counters), ["d", "b"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("c").alias("cm_estimate"))
+        .select(
+            "term",
+            "exact_cnt",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), "term")
+    )
+
+
+CM_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+    SELECT unnest({TOKENS_SQL.format(col="text")}) AS term FROM documents
+), tf AS (
+    SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+), counters AS (
+    SELECT d, {hash64_sql("CAST(d AS VARCHAR) || ':' || term")} % {CM_WIDTH} AS b,
+           CAST(SUM(cnt) AS BIGINT) AS c
+    FROM tf, range(0, {CM_DEPTH}) r(d)
+    GROUP BY 1, 2
+), top AS (
+    SELECT term, cnt AS exact_cnt FROM tf ORDER BY cnt DESC, term LIMIT {CM_TOP_K}
+), probes AS (
+    SELECT term, exact_cnt, d,
+           {hash64_sql("CAST(d AS VARCHAR) || ':' || term")} % {CM_WIDTH} AS b
+    FROM top, range(0, {CM_DEPTH}) r(d)
+)
+SELECT p.term, p.exact_cnt, MIN(c.c) AS cm_estimate,
+       MIN(c.c) - p.exact_cnt AS overestimate
+FROM probes p JOIN counters c ON p.d = c.d AND p.b = c.b
+GROUP BY p.term, p.exact_cnt
+ORDER BY p.exact_cnt DESC, p.term
+"""

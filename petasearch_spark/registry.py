@@ -163,6 +163,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "quality_weighted_sample": (corpus.quality_weighted_sample, corpus.QUALITY_WEIGHTED_SAMPLE_SQL),
     # Z-order (Morton) layout key + per-cell min/max pruning stats
     "events_zorder_layout": (layout.events_zorder_layout, layout.EVENTS_ZORDER_SQL),
+    # Count-Min heavy hitters: order-independent counters -> exact oracle
+    "cm_heavy_hitters": (sketches.cm_heavy_hitters, sketches.CM_HEAVY_HITTERS_SQL),
 }
 
 
@@ -288,6 +290,10 @@ UNGATED: dict[str, str] = {
     "events_zorder_layout": (
         "added after the gate filled; full DuckDB parity in pytest; the"
         " layout's pruning payoff is measured in tests/test_layout.py"
+    ),
+    "cm_heavy_hitters": (
+        "added after the gate filled; full DuckDB parity in pytest; CM's"
+        " collision overestimate is forced and bounded in tests/test_sketches.py"
     ),
 }
 
