@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "quality_weighted_sample",
     "events_zorder_layout",
     "cm_heavy_hitters",
+    "image_phash_dedup",
 ]
 
 

@@ -302,3 +302,134 @@ WITH {MEDIA_SQL}
 SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, ROUND(AVG(code), 6) AS frame_mean
 FROM fr GROUP BY media_id, frame_idx ORDER BY media_id, frame_idx
 """
+
+# ---- perceptual-hash near-duplicate images --------------------------------
+# dHash over the decoded image: 16x16 -> 8x8 integer block sums (2x2), one
+# bit per horizontal neighbour comparison -> 56-bit signature. Banded
+# 4 x 14 bits: any pair within Hamming distance 3 agrees exactly on >=1
+# band (pigeonhole), so candidate generation is a band-bucket equi-join —
+# the image twin of dedup_simhash's banding, with the signature coming out
+# of the Arrow decode kernel instead of token hashing.
+PH_GRID = 8           # block grid (16x16 px -> 8x8 block sums)
+PH_BITS = PH_GRID * (PH_GRID - 1)  # 56 gradient bits
+PH_BANDS = 4
+PH_BAND_BITS = 14
+PH_MAX_HAMMING = 3
+
+
+def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, phash): 56-bit dHash per image via the mapInPandas
+    decode kernel. Block sums stay integer so the DuckDB oracle can
+    reproduce every bit exactly."""
+    imgs = media_table(spark, sf_dir).filter(F.col("kind") == "image")
+    f = IMG_W // PH_GRID
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                img = np.frombuffer(b, dtype=np.uint8).reshape(IMG_H, IMG_W).astype(np.int64)
+                s = img.reshape(PH_GRID, f, PH_GRID, f).sum(axis=(1, 3))
+                bits = (s[:, :-1] < s[:, 1:]).astype(np.int64)
+                weights = (1 << np.arange(PH_BITS, dtype=np.int64)).reshape(PH_GRID, PH_GRID - 1)
+                ids.append(mid)
+                hashes.append(int((bits * weights).sum()))
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    return imgs.mapInPandas(run, "media_id long, phash long")
+
+
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image detection at catalog scale: per image, its
+    perceptual hash and how many other images sit within Hamming
+    distance {PH_MAX_HAMMING} of it.
+
+    Candidates come ONLY from the 4x14-bit band buckets (pigeonhole-exact
+    for the distance bound — same guarantee as dedup_simhash), so the
+    self-join cost is bounded by true bucket collisions, never O(n²);
+    the Hamming verify is a single bit_count(xor) on the 8-byte
+    signature. At 100 TB the phash table is tiny next to the payloads
+    (8 bytes vs W*H) and the decode never shuffles."""
+    ph = image_phash(spark, sf_dir).persist()
+    bands = ph.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("phash"), i * PH_BAND_BITS)
+                        .bitwiseAND((1 << PH_BAND_BITS) - 1)
+                        .alias("key"),
+                    )
+                    for i in range(PH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "phash", "bk.band", "bk.key")
+    a = bands.select(F.col("media_id").alias("ma"), F.col("phash").alias("pa"), "band", "key")
+    b = bands.select(F.col("media_id").alias("mb"), F.col("phash").alias("pb"), "band", "key")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("ma") < F.col("mb"))
+        .select("ma", "mb", "pa", "pb")
+        .distinct()
+        .filter(F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))) <= PH_MAX_HAMMING)
+    )
+    partners = (
+        pairs.select(F.col("ma").alias("media_id"))
+        .unionAll(pairs.select(F.col("mb").alias("media_id")))
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_neardups"))
+    )
+    return (
+        ph.join(partners, "media_id", "left")
+        .select(
+            "media_id",
+            "phash",
+            F.coalesce(F.col("n_neardups"), F.lit(0)).cast("long").alias("n_neardups"),
+        )
+        .orderBy("media_id")
+    )
+
+
+_PH_F = IMG_W // PH_GRID
+
+IMAGE_PHASH_DEDUP_SQL = f"""
+WITH {MEDIA_SQL}
+, blocks AS (
+    SELECT media_id, y, x,
+           SUM(ord(substring(payload_str, (y * {_PH_F} + dy) * {IMG_W} + (x * {_PH_F} + dx) + 1, 1))) AS s
+    FROM media, range(0, {PH_GRID}) ry(y), range(0, {PH_GRID}) rx(x),
+         range(0, {_PH_F}) rdy(dy), range(0, {_PH_F}) rdx(dx)
+    WHERE kind = 'image'
+    GROUP BY media_id, y, x
+), bits AS (
+    SELECT l.media_id, l.y, l.x,
+           CASE WHEN l.s < r.s THEN 1 ELSE 0 END AS bit
+    FROM blocks l JOIN blocks r
+      ON l.media_id = r.media_id AND l.y = r.y AND r.x = l.x + 1
+    WHERE l.x < {PH_GRID - 1}
+), ph AS (
+    SELECT media_id,
+           CAST(SUM(CAST(bit AS BIGINT) << (y * {PH_GRID - 1} + x)) AS BIGINT) AS phash
+    FROM bits GROUP BY media_id
+), bands AS (
+    SELECT media_id, phash, i AS band,
+           (phash >> (i * {PH_BAND_BITS})) & {(1 << PH_BAND_BITS) - 1} AS key
+    FROM ph, range(0, {PH_BANDS}) r(i)
+), pairs AS (
+    SELECT DISTINCT a.media_id AS ma, b.media_id AS mb, a.phash AS pa, b.phash AS pb
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id
+), close AS (
+    SELECT ma, mb FROM pairs WHERE bit_count(xor(pa, pb)) <= {PH_MAX_HAMMING}
+), partners AS (
+    SELECT media_id, COUNT(*) AS n_neardups FROM (
+        SELECT ma AS media_id FROM close UNION ALL SELECT mb AS media_id FROM close
+    ) GROUP BY media_id
+)
+SELECT p.media_id, p.phash, CAST(COALESCE(t.n_neardups, 0) AS BIGINT) AS n_neardups
+FROM ph p LEFT JOIN partners t USING (media_id)
+ORDER BY p.media_id
+"""

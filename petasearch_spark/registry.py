@@ -165,6 +165,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_zorder_layout": (layout.events_zorder_layout, layout.EVENTS_ZORDER_SQL),
     # Count-Min heavy hitters: order-independent counters -> exact oracle
     "cm_heavy_hitters": (sketches.cm_heavy_hitters, sketches.CM_HEAVY_HITTERS_SQL),
+    # perceptual-hash (dHash) near-dup images: Arrow decode kernel ->
+    # 56-bit signature -> pigeonhole band join -> bit_count verify
+    "image_phash_dedup": (multimodal.image_phash_dedup, multimodal.IMAGE_PHASH_DEDUP_SQL),
 }
 
 
@@ -294,6 +297,12 @@ UNGATED: dict[str, str] = {
     "cm_heavy_hitters": (
         "added after the gate filled; full DuckDB parity in pytest; CM's"
         " collision overestimate is forced and bounded in tests/test_sketches.py"
+    ),
+    "image_phash_dedup": (
+        "added after the gate filled; full DuckDB parity in pytest; composes"
+        " the gated image decode (image_stats) with the gated banding idea"
+        " (dedup_simhash); signature pinned vs an independent scalar twin in"
+        " tests/test_multimodal.py"
     ),
 }
 

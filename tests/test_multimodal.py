@@ -79,3 +79,80 @@ def test_decoder_stub_contract():
 def test_round6_half_up():
     assert mm._round6(92.8203125) == 92.820313  # banker's would give ...312
     assert mm._round6(1.0) == 1.0
+
+
+# ---- perceptual-hash near-dup images (round 3) ----------------------------
+
+def _phash_scalar(payload: bytes) -> int:
+    """Independent scalar twin of the dHash kernel: per-pixel loops, no
+    numpy reshape tricks."""
+    from petasearch_spark.operators import multimodal as M
+
+    f = M.IMG_W // M.PH_GRID
+    px = list(payload)
+    h = 0
+    for y in range(M.PH_GRID):
+        sums = []
+        for x in range(M.PH_GRID):
+            s = 0
+            for dy in range(f):
+                for dx in range(f):
+                    s += px[(y * f + dy) * M.IMG_W + (x * f + dx)]
+            sums.append(s)
+        for x in range(M.PH_GRID - 1):
+            if sums[x] < sums[x + 1]:
+                h |= 1 << (y * (M.PH_GRID - 1) + x)
+    return h
+
+
+def test_image_phash_matches_scalar_twin(spark):
+    from petasearch_spark.operators import multimodal as M
+
+    media = M.media_table(spark, SF_DIR).filter("kind = 'image'")
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    got = {r["media_id"]: r["phash"] for r in M.image_phash(spark, SF_DIR).collect()}
+    assert got.keys() == payloads.keys()
+    for mid, b in payloads.items():
+        assert got[mid] == _phash_scalar(b), mid
+
+
+def test_phash_banding_pigeonhole_guarantee():
+    """Any two 56-bit signatures within Hamming distance PH_MAX_HAMMING
+    agree exactly on at least one of the PH_BANDS bands (so the band join
+    can never miss a qualifying pair)."""
+    import itertools
+    import random
+
+    from petasearch_spark.operators import multimodal as M
+
+    assert M.PH_BANDS * M.PH_BAND_BITS == M.PH_BITS
+    rng = random.Random(7)
+    for _ in range(200):
+        a = rng.getrandbits(M.PH_BITS)
+        flips = rng.sample(range(M.PH_BITS), M.PH_MAX_HAMMING)
+        b = a
+        for f in flips:
+            b ^= 1 << f
+        shared = any(
+            (a >> (i * M.PH_BAND_BITS)) & ((1 << M.PH_BAND_BITS) - 1)
+            == (b >> (i * M.PH_BAND_BITS)) & ((1 << M.PH_BAND_BITS) - 1)
+            for i in range(M.PH_BANDS)
+        )
+        assert shared
+
+
+def test_image_phash_dedup_counts_are_symmetric(spark):
+    from petasearch_spark.operators import multimodal as M
+
+    out = M.image_phash_dedup(spark, SF_DIR).collect()
+    hashes = {r["media_id"]: r["phash"] for r in out}
+    counts = {r["media_id"]: r["n_neardups"] for r in out}
+    # recompute ground truth pair counts by brute force over the signatures
+    ids = sorted(hashes)
+    truth = {i: 0 for i in ids}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(hashes[a] ^ hashes[b]).count("1") <= M.PH_MAX_HAMMING:
+                truth[a] += 1
+                truth[b] += 1
+    assert counts == truth
