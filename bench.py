@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "events_zorder_layout",
     "cm_heavy_hitters",
     "image_phash_dedup",
+    "decontaminate_bloom",
 ]
 
 

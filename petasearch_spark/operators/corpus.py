@@ -546,3 +546,107 @@ ORDER BY d.doc_id
 
 
 CURATION_FUNNEL_SQL = _curation_funnel_sql()
+
+
+# ---- Bloom-filter decontamination -----------------------------------------
+# The 100 TB form of the eval-membership test: instead of joining corpus
+# shingles against the eval shingle SET (decontaminate_ngram_overlap), fold
+# the eval set into a Bloom bitset ONCE and probe it with pure arithmetic.
+# The filter is ~{BLOOM_BITS//8} bytes regardless of corpus size, the probe
+# side never shuffles, and false positives are one-sided (never a miss) —
+# exactly the trade a petabyte decontamination pass wants. Bit positions
+# are affine transforms of the portable md5 shingle hash (same trick as the
+# MinHash signature family), so the filter — and every false positive — is
+# bit-identical on any engine: the oracle stays exact.
+BLOOM_BITS = 1 << 20   # 128 KiB of filter state
+BLOOM_K = 3            # hash probes per shingle
+BLOOM_WORD = 32        # bits per packed word (BIGINT-safe shifts everywhere)
+_BLOOM_PRIME = 2147483647
+_BLOOM_AB = [((i * 2654435761 + 19) % _BLOOM_PRIME | 1, (i * 40503 + 23) % _BLOOM_PRIME) for i in range(BLOOM_K)]
+
+
+def _bloom_pos_expr(h, j: int):
+    a, b = _BLOOM_AB[j]
+    return (h % (1 << 30) * a + b) % _BLOOM_PRIME % BLOOM_BITS
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train docs flagged by a Bloom filter of the eval set's word
+    {DECON_NGRAM}-grams: (doc_id, n_bloom_hits) for every train doc with
+    at least one shingle whose {BLOOM_K} bit positions are all set.
+
+    Plan: eval shingles -> bit positions -> bit_or-packed words (a
+    <= {BLOOM_BITS//BLOOM_WORD}-row table, broadcast); train shingles ->
+    positions -> broadcast left join on word index -> a shingle is
+    flagged iff every probe found its bit. One corpus-side shuffle (the
+    per-doc count); the eval side collapses before it ever meets the
+    corpus."""
+    from petasearch_spark.operators.dedup import _shingle_hashes
+
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    sh = _shingle_hashes(docs, n=DECON_NGRAM, col="h").persist()
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+
+    def positions(df):
+        pos = F.explode(
+            F.array(*[F.lit(0).cast("long") + _bloom_pos_expr(F.col("h"), j) for j in range(BLOOM_K)])
+        ).alias("pos")
+        return df.select("doc_id", "h", pos).select(
+            "doc_id",
+            "h",
+            (F.col("pos") / BLOOM_WORD).cast("long").alias("word"),
+            (F.col("pos") % BLOOM_WORD).cast("int").alias("bit"),
+        )
+
+    filt = (
+        positions(sh.filter(is_eval))
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("mask"))
+    )
+    probes = positions(sh.filter(~is_eval)).join(F.broadcast(filt), "word", "left")
+    probe_set = F.expr("shiftright(coalesce(mask, CAST(0 AS BIGINT)), bit) & 1")
+    flagged = (
+        probes.groupBy("doc_id", "h")
+        .agg(F.min(probe_set).alias("all_set"))
+        .filter(F.col("all_set") == 1)
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+        .orderBy("doc_id")
+    )
+
+
+def _bloom_pos_sql(h: str, j: int) -> str:
+    a, b = _BLOOM_AB[j]
+    return f"((({h}) % {1 << 30} * {a} + {b}) % {_BLOOM_PRIME} % {BLOOM_BITS})"
+
+
+def _decontaminate_bloom_sql() -> str:
+    pos_list = ", ".join(_bloom_pos_sql("h", j) for j in range(BLOOM_K))
+    return f"""
+WITH {shingle_hashes_sql("documents", "doc_id", "text", n=DECON_NGRAM, hash_col="h")}
+, pos AS (
+    SELECT doc_id, h, unnest([{pos_list}]) AS p FROM shh
+), wb AS (
+    SELECT doc_id, h, p // {BLOOM_WORD} AS word, CAST(p % {BLOOM_WORD} AS INT) AS bit FROM pos
+), filt AS (
+    SELECT word, bit_or(CAST(1 AS BIGINT) << bit) AS mask
+    FROM wb WHERE doc_id % {EVAL_MOD} = 0
+    GROUP BY word
+), probes AS (
+    SELECT t.doc_id, t.h,
+           (COALESCE(f.mask, 0) >> t.bit) & 1 AS hit
+    FROM wb t LEFT JOIN filt f USING (word)
+    WHERE t.doc_id % {EVAL_MOD} <> 0
+), flagged AS (
+    SELECT doc_id, h FROM probes GROUP BY doc_id, h HAVING MIN(hit) = 1
+)
+SELECT doc_id, COUNT(*) AS n_bloom_hits
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+DECONTAMINATE_BLOOM_SQL = _decontaminate_bloom_sql()

@@ -168,6 +168,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # perceptual-hash (dHash) near-dup images: Arrow decode kernel ->
     # 56-bit signature -> pigeonhole band join -> bit_count verify
     "image_phash_dedup": (multimodal.image_phash_dedup, multimodal.IMAGE_PHASH_DEDUP_SQL),
+    # Bloom-filter decontamination: eval set folded to a 128 KiB bitset,
+    # probe side pure arithmetic — deterministic affine bit positions so
+    # even the false positives are engine-identical
+    "decontaminate_bloom": (corpus.decontaminate_bloom, corpus.DECONTAMINATE_BLOOM_SQL),
 }
 
 
@@ -303,6 +307,11 @@ UNGATED: dict[str, str] = {
         " the gated image decode (image_stats) with the gated banding idea"
         " (dedup_simhash); signature pinned vs an independent scalar twin in"
         " tests/test_multimodal.py"
+    ),
+    "decontaminate_bloom": (
+        "added after the gate filled; full DuckDB parity in pytest; one-sided"
+        " error (superset of the gated decontaminate_ngram_overlap) asserted in"
+        " tests/test_corpus.py, false-positive behavior forced at tiny widths"
     ),
 }
 

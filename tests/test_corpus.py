@@ -64,3 +64,51 @@ def test_decontamination_matches_brute_force(spark):
     n_coll = len(mine & set().union(*(ev[d] for d in hits)))
     assert got["n_eval_docs"] == len(hits)
     assert got["n_collisions"] == n_coll
+
+
+# ---- Bloom decontamination (round 3) --------------------------------------
+
+def test_bloom_is_superset_of_exact_decontamination(spark):
+    """One-sided error: every doc the exact n-gram join flags must be
+    bloom-flagged with at least as many hits (a Bloom filter can never
+    produce a false negative)."""
+    from petasearch_spark.operators import corpus as C
+
+    exact = {
+        r["doc_id"]: r["n_collisions"]
+        for r in C.decontaminate_ngram_overlap(spark, SF_SMOKE).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_bloom_hits"]
+        for r in C.decontaminate_bloom(spark, SF_SMOKE).collect()
+    }
+    assert exact, "fixture must contain contaminated docs"
+    for d, n in exact.items():
+        assert d in bloom and bloom[d] >= n, (d, n, bloom.get(d))
+
+
+def test_bloom_false_positives_appear_when_saturated(spark):
+    """Shrinking the filter to 64 bits saturates it: every probe hits,
+    so every train doc with shingles gets flagged — demonstrating the
+    false-positive (but never false-negative) direction."""
+    from petasearch_spark.operators import corpus as C
+    from petasearch_spark.operators.dedup import _shingle_hashes
+    from petasearch_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    orig = C.BLOOM_BITS
+    try:
+        C.BLOOM_BITS = 64
+        flagged = {r["doc_id"] for r in C.decontaminate_bloom(spark, SF_SMOKE).collect()}
+    finally:
+        C.BLOOM_BITS = orig
+    docs = load_table(spark, "documents", SF_SMOKE)
+    train_with_shingles = {
+        r["doc_id"]
+        for r in _shingle_hashes(docs, n=C.DECON_NGRAM, col="h")
+        .filter(F.col("doc_id") % C.EVAL_MOD != 0)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert flagged == train_with_shingles

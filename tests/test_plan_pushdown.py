@@ -97,3 +97,45 @@ def test_sequence_packing_scan_prunes_to_doc_id_and_text(spark):
     assert schemas, plan
     for s in schemas:
         assert "lang" not in s and "source" not in s, s
+
+
+def test_pii_redaction_prunes_and_pushes(spark):
+    """pii_redaction reads only (doc_id, text) and its doc_id < 200 gate
+    must reach the parquet scan."""
+    plan = plan_of(spark, "pii_redaction")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    for s in schemas:
+        assert "lang" not in s and "source" not in s, s
+    pushed = "; ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "LessThan(doc_id,200)" in pushed.replace(" ", ""), pushed
+
+
+def test_quality_weighted_sample_is_shuffle_free(spark):
+    """The Bernoulli keep is a stateless filter: no Exchange anywhere
+    except the final presentation sort."""
+    plan = plan_of(spark, "quality_weighted_sample")
+    body = plan.split("Sort", 1)[-1]  # everything below the output sort
+    assert "Exchange hashpartitioning" not in body, body
+
+
+def test_dedup_blocks_single_hash_shuffle_key(spark):
+    """Winner agg and join-back both partition on the block hash — the
+    plan must contain hash Exchanges only on bh/doc_id keys, and the
+    block slicing itself (explode) must sit directly over the scan with
+    no Exchange in between."""
+    plan = plan_of(spark, "dedup_blocks")
+    # every hash Exchange is on bh or on doc_id (final regroup) — never
+    # on the raw block string
+    for m in re.findall(r"Exchange hashpartitioning\(([^,]+)", plan):
+        key = m.strip()
+        assert key.startswith("bh") or key.startswith("doc_id"), key
+
+
+def test_zorder_layout_single_aggregation_shuffle(spark):
+    """events_zorder_layout = scan -> project(z) -> partial agg ->
+    exchange(cell) -> final agg: exactly one hash Exchange."""
+    plan = plan_of(spark, "events_zorder_layout")
+    hashex = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    keys = {m.strip() for m in hashex}
+    assert all(k.startswith("cell") for k in keys), keys
