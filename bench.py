@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "cm_heavy_hitters",
     "image_phash_dedup",
     "decontaminate_bloom",
+    "events_anomaly_daily",
+    "table_profile",
 ]
 
 

@@ -478,3 +478,71 @@ FROM joined j JOIN sizes s ON s.cohort_week = j.cohort_week
 GROUP BY j.cohort_week, j.week_offset
 ORDER BY j.cohort_week, j.week_offset
 """
+
+
+ANOM_TRAIL_DAYS = 7
+ANOM_SPIKE_FACTOR = 2  # spike = today's count more than 2x the trailing mean
+
+
+def events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume anomaly detection per event type: compare each day's
+    event count to the trailing {ANOM_TRAIL_DAYS}-day mean and flag days
+    above {ANOM_SPIKE_FACTOR}x — the monitoring query a pipeline runs to
+    catch ingestion incidents before they poison training data.
+
+    The spike test is pure integer arithmetic
+    (``n * trailing_days > factor * trailing_sum``) — no float mean, no
+    stddev — so the flags are bit-identical cross-engine. The trailing
+    window partitions by event_type (a handful of partitions, each one
+    day-count row per day), so the window state is trivially small at
+    ANY corpus scale: the only corpus-sized work is the daily pre-agg,
+    one shuffle with map-side combine."""
+    e = load_table(spark, "events", sf_dir)
+    daily = e.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-ANOM_TRAIL_DAYS, -1)
+    )
+    trail_sum = F.sum("n_events").over(w)
+    trail_cnt = F.count(F.lit(1)).over(w)
+    return (
+        daily.select(
+            "day",
+            "event_type",
+            "n_events",
+            F.coalesce(trail_sum, F.lit(0)).alias("trail_sum"),
+            trail_cnt.alias("trail_days"),
+        )
+        .withColumn(
+            "is_spike",
+            (
+                (F.col("trail_days") > 0)
+                & (F.col("n_events") * F.col("trail_days") > ANOM_SPIKE_FACTOR * F.col("trail_sum"))
+            ).cast("int"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+EVENTS_ANOMALY_SQL = f"""
+WITH daily AS (
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+), trailed AS (
+    SELECT day, event_type, n_events,
+           CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS trail_sum,
+           COUNT(*) OVER w AS trail_days
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN {ANOM_TRAIL_DAYS} PRECEDING AND 1 PRECEDING)
+)
+SELECT day, event_type, n_events, trail_sum, trail_days,
+       CAST(trail_days > 0 AND n_events * trail_days > {ANOM_SPIKE_FACTOR} * trail_sum AS INT) AS is_spike
+FROM trailed
+ORDER BY day, event_type
+"""

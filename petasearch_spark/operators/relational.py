@@ -262,3 +262,99 @@ SELECT o_custkey, o_orderkey,
 FROM orders
 ORDER BY o_custkey, order_seq
 """
+
+
+# ---- table profiling (data-quality monitoring) ----------------------------
+#: (column, kind) pairs profiled; kind picks which min/max slot applies
+PROFILE_COLS = (
+    ("l_orderkey", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+)
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile of the lineitem table — the data-quality snapshot a
+    pipeline records per ingest batch (null counts, exact cardinality,
+    ranges) to catch schema drift and corrupt loads.
+
+    ONE aggregation pass computes every metric (Catalyst's Expand handles
+    the multi-column distinct counts in the same shuffle); the single
+    result row is then unpivoted driver-free by exploding an array of
+    per-column structs. Numeric ranges surface as double, string/date
+    ranges as text — two typed slots instead of one stringly column so no
+    cross-engine number-formatting ambiguity exists for the oracle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"{c}__min_num"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__max_num"))
+        elif kind == "str":
+            aggs.append(F.min(c).alias(f"{c}__min_str"))
+            aggs.append(F.max(c).alias(f"{c}__max_str"))
+        else:  # timestamp
+            aggs.append(F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias(f"{c}__min_str"))
+            aggs.append(F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(f"{c}__max_str"))
+    row = li.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                (F.col(f"{c}__min_num") if kind == "num" else null_d).alias("min_num"),
+                (F.col(f"{c}__max_num") if kind == "num" else null_d).alias("max_num"),
+                (F.col(f"{c}__min_str") if kind != "num" else null_s).alias("min_str"),
+                (F.col(f"{c}__max_str") if kind != "num" else null_s).alias("max_str"),
+            )
+            for c, kind in PROFILE_COLS
+        ]
+    )
+    return (
+        row.select("n_rows", F.explode(entries).alias("e"))
+        .select(
+            "e.col_name",
+            "n_rows",
+            "e.n_nulls",
+            "e.n_distinct",
+            "e.min_num",
+            "e.max_num",
+            "e.min_str",
+            "e.max_str",
+        )
+        .orderBy("col_name")
+    )
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c, kind in PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        elif kind == "str":
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = f"MIN({c})", f"MAX({c})"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms = f"strftime(MIN({c}), '%Y-%m-%d %H:%M:%S')"
+            xs = f"strftime(MAX({c}), '%Y-%m-%d %H:%M:%S')"
+        parts.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows,"
+            f" CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,"
+            f" COUNT(DISTINCT {c}) AS n_distinct,"
+            f" {mn} AS min_num, {mx} AS max_num, {ms} AS min_str, {xs} AS max_str"
+            f" FROM lineitem"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+TABLE_PROFILE_SQL = _profile_sql()

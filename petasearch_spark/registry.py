@@ -172,6 +172,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # probe side pure arithmetic — deterministic affine bit positions so
     # even the false positives are engine-identical
     "decontaminate_bloom": (corpus.decontaminate_bloom, corpus.DECONTAMINATE_BLOOM_SQL),
+    # integer-exact daily volume anomaly flags (trailing-window spike test)
+    "events_anomaly_daily": (events.events_anomaly_daily, events.EVENTS_ANOMALY_SQL),
+    # per-column data-quality profile: nulls / exact cardinality / ranges
+    # in ONE aggregation pass, unpivoted via an exploded struct array
+    "table_profile": (relational.table_profile, relational.TABLE_PROFILE_SQL),
 }
 
 
@@ -312,6 +317,15 @@ UNGATED: dict[str, str] = {
         "added after the gate filled; full DuckDB parity in pytest; one-sided"
         " error (superset of the gated decontaminate_ngram_overlap) asserted in"
         " tests/test_corpus.py, false-positive behavior forced at tiny widths"
+    ),
+    "events_anomaly_daily": (
+        "added after the gate filled; full DuckDB parity in pytest; integer"
+        " spike arithmetic pinned on constructed spike/flat days in"
+        " tests/test_events_extra.py"
+    ),
+    "table_profile": (
+        "added after the gate filled; full DuckDB parity in pytest; single-pass"
+        " plan shape pinned (one Aggregate, no per-column rescan)"
     ),
 }
 

@@ -1,0 +1,75 @@
+"""Round-3 analytics additions: anomaly-flag arithmetic on constructed
+day series, and the table-profile single-pass plan shape."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from petasearch_spark.operators import events, relational
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_anomaly_spike_arithmetic_on_constructed_days(spark):
+    """Seven flat days then a 3x day: only the 3x day is flagged, and the
+    first day (no trailing window) never is."""
+    import datetime
+
+    rows = []
+    counts = [10, 10, 10, 10, 10, 10, 10, 30, 10]
+    eid = 0
+    for d, n in enumerate(counts):
+        for _ in range(n):
+            rows.append(
+                (eid, datetime.datetime(2024, 3, 1 + d, 12, 0, 0), 1, "x", 0.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import petasearch_spark.operators.events as E
+    from petasearch_spark.sources import tables
+
+    orig = E.load_table
+    try:
+        E.load_table = lambda _s, _n, _d, **_k: df
+        out = {r["day"]: r for r in E.events_anomaly_daily(spark, SF).collect()}
+    finally:
+        E.load_table = orig
+    assert out["2024-03-01"]["is_spike"] == 0  # no trailing window yet
+    assert out["2024-03-08"]["is_spike"] == 1  # 30 > 2 * mean(10)
+    assert all(
+        out[d]["is_spike"] == 0 for d in out if d not in ("2024-03-08",)
+    )
+    # the spike day's trailing stats are the seven flat days
+    assert out["2024-03-08"]["trail_sum"] == 70
+    assert out["2024-03-08"]["trail_days"] == 7
+    # the day AFTER the spike is not flagged (spike inflates the mean)
+    assert out["2024-03-09"]["is_spike"] == 0
+
+
+def test_table_profile_values(spark):
+    out = {r["col_name"]: r for r in relational.table_profile(spark, SF).collect()}
+    assert set(out) == {c for c, _ in relational.PROFILE_COLS}
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    n = li.count()
+    for c, kind in relational.PROFILE_COLS:
+        r = out[c]
+        assert r["n_rows"] == n
+        assert r["n_nulls"] == li.filter(F.col(c).isNull()).count()
+        assert r["n_distinct"] == li.select(c).distinct().count()
+        if kind == "num":
+            assert r["min_num"] is not None and r["min_num"] <= r["max_num"]
+            assert r["min_str"] is None
+        else:
+            assert r["min_str"] is not None and r["min_str"] <= r["max_str"]
+            assert r["min_num"] is None
+
+
+def test_table_profile_is_single_pass(spark):
+    """One scan, one aggregation (plus Expand for the multi-distinct) —
+    never a per-column rescan of lineitem."""
+    plan = relational.table_profile(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
