@@ -26,15 +26,24 @@ REQ_MATCHES = 2  # --req-kmer-matches 2, strict > (LocalParameters.h:144)
 
 
 def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """DISTINCT (doc_id, shingle) + doc metadata."""
-    return (
-        docs.select(
-            "doc_id",
-            "n_chars",
-            "source",
-            F.explode(word_shingles(tokens(F.col("text")), n)).alias("shingle"),
-        )
-        .distinct()
+    """DISTINCT (doc_id, shingle) + doc metadata — with NO shuffle.
+
+    A document's shingle set lives wholly inside its own row, so the
+    per-(doc, shingle) DISTINCT is `array_distinct` before the explode,
+    not a cluster-wide `.distinct()` (which shuffled the full exploded
+    string set — the round-2 doc_shingle_index regression). The token
+    array is materialized in its own projection first: higher-order
+    functions are evaluated interpreted, per element, and Catalyst does
+    not CSE inside lambdas, so an inlined tokens() would re-split the
+    text for every element_at probe (O(tokens^2) per doc)."""
+    toked = docs.select(
+        "doc_id", "n_chars", "source", tokens(F.col("text")).alias("t")
+    )
+    return toked.select(
+        "doc_id",
+        "n_chars",
+        "source",
+        F.explode(F.array_distinct(word_shingles(F.col("t"), n))).alias("shingle"),
     )
 
 

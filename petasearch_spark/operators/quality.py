@@ -151,9 +151,12 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     top2 = g2_counts.groupBy("doc_id", "n_toks", "raw_mwl").agg(
         (F.max("c2").cast("double") / F.sum("c2")).alias("raw_top2")
     )
-    g3 = docs.select(
+    # materialize the token array before the window HOF: lambdas are
+    # interpreted per element and an inlined tokens() would re-split the
+    # text for every slice probe
+    g3 = docs.select("doc_id", tokens(F.col("text")).alias("ts")).select(
         "doc_id",
-        F.explode(_windows(tokens(F.col("text")), 3)).alias("g3"),
+        F.explode(_windows(F.col("ts"), 3)).alias("g3"),
     )
     g3_counts = g3.groupBy("doc_id", "g3").agg(F.count(F.lit(1)).alias("c3"))
     dup3 = g3_counts.groupBy("doc_id").agg(

@@ -281,12 +281,20 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline records per ingest batch (null counts, exact cardinality,
     ranges) to catch schema drift and corrupt loads.
 
-    ONE aggregation pass computes every metric (Catalyst's Expand handles
-    the multi-column distinct counts in the same shuffle); the single
-    result row is then unpivoted driver-free by exploding an array of
-    per-column structs. Numeric ranges surface as double, string/date
-    ranges as text — two typed slots instead of one stringly column so no
-    cross-engine number-formatting ambiguity exists for the oracle."""
+    One scan-wide aggregation computes every fixed-width-buffer metric
+    (Catalyst's Expand handles the multi-column distinct counts in the
+    same shuffle); the single result row is then unpivoted driver-free by
+    exploding an array of per-column structs. Numeric ranges surface as
+    double, string/date ranges as text — two typed slots instead of one
+    stringly column so no cross-engine number-formatting ambiguity exists
+    for the oracle.
+
+    String min/max runs as a SECOND keyless pass: a var-width (string)
+    aggregation buffer disqualifies HashAggregate, and mixed into the
+    Expand'd distinct pass it demoted the whole 7x-expanded set to a
+    SortAggregate with two full 7-key sorts (measured 3x the query).
+    Keyless on its own it needs no sort at all, and the two single-row
+    results recombine with a free crossJoin."""
     li = load_table(spark, "lineitem", sf_dir)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in PROFILE_COLS:
@@ -295,13 +303,15 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         if kind == "num":
             aggs.append(F.min(c).cast("double").alias(f"{c}__min_num"))
             aggs.append(F.max(c).cast("double").alias(f"{c}__max_num"))
-        elif kind == "str":
-            aggs.append(F.min(c).alias(f"{c}__min_str"))
-            aggs.append(F.max(c).alias(f"{c}__max_str"))
-        else:  # timestamp
+        elif kind == "ts":
             aggs.append(F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias(f"{c}__min_str"))
             aggs.append(F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(f"{c}__max_str"))
-    row = li.agg(*aggs)
+    str_aggs = []
+    for c, kind in PROFILE_COLS:
+        if kind == "str":
+            str_aggs.append(F.min(c).alias(f"{c}__min_str"))
+            str_aggs.append(F.max(c).alias(f"{c}__max_str"))
+    row = li.agg(*aggs).crossJoin(li.agg(*str_aggs))
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
     entries = F.array(

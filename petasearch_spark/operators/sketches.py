@@ -49,8 +49,13 @@ def kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     from petasearch_spark.operators.portable import word_shingles
 
+    # token array materialized before the shingle HOF (lambdas are
+    # interpreted per element; an inlined tokens() re-splits per probe),
+    # and the within-doc dedup is array_distinct — the cluster-wide
+    # .distinct() then shuffles only what crosses documents
     th = (
-        docs.select("source", F.explode(word_shingles(tokens(F.col("text")), 2)).alias("t"))
+        docs.select("source", tokens(F.col("text")).alias("ts"))
+        .select("source", F.explode(F.array_distinct(word_shingles(F.col("ts"), 2))).alias("t"))
         .select("source", hash64(F.col("t")).alias("h"))
         .distinct()
     )
