@@ -107,6 +107,10 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # untimed: release the query's own persist() blocks so the shared
+        # session doesn't accumulate 60 queries' caches (GC pressure was
+        # the dominant run-to-run variance in earlier bench records)
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -18,3 +18,14 @@ def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     s = get_spark("petasearch_spark_tests", shuffle_partitions=8)
     yield s
+
+
+@pytest.fixture(autouse=True)
+def _drop_query_caches(request):
+    """Release per-query persist() blocks between tests: queries persist
+    shared branches for their own execution and cannot unpersist before
+    returning a lazy DataFrame, so a long shared session would otherwise
+    accumulate every test's cache (GC pressure, eviction churn)."""
+    yield
+    if "spark" in request.fixturenames:
+        request.getfixturevalue("spark").catalog.clearCache()
