@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "ann_ivf_kmeans",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "semdedup_clusters",
     "embedding_neardup",
     "embedding_neardup_lsh",
     "embedding_quantize_int8",

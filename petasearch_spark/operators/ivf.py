@@ -641,3 +641,104 @@ ORDER BY query_id, rk
 
 
 ANN_IVFPQ_TOPK_SQL = _ivfpq_sql()
+
+
+# --- SemDeDup: centroid-bucketed semantic near-duplicate removal ---------
+
+#: same τ as the brute-force baseline (similarity.NEARDUP_COS) so recall
+#: vs the exact all-pairs set is directly measurable in tests
+SEMDEDUP_COS = 0.4
+
+
+def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
+    with a coarse quantizer, then search for semantic duplicates ONLY
+    within each cluster — the standard way to make embedding-space dedup
+    tractable at corpus scale. Output: one row per vector with its
+    cluster, the id of the retained duplicate it folds into (`dup_of` =
+    smallest same-cluster vec_id with rounded cosine >= τ, NULL if none)
+    and a 0/1 `keep` verdict.
+
+    Spark plan: assignment is ONE narrow Arrow map over the corpus (the
+    nearest-centroid kernel; centroids broadcast via closure), then ONE
+    shuffle on cent_id into an applyInPandas kernel that computes the
+    cluster's pairwise cosine matrix with a sequential-fold gram product
+    (fold order + HALF_UP rounding identical to the DuckDB oracle's
+    list_dot_product, similarity.py kernel notes). At 100 TB the all-pairs
+    cost is bounded at O(n²/K) and each task holds one cluster: scale K
+    with the corpus (FAISS-style K ≈ √n) so clusters stay executor-sized;
+    parallelism equals K, so a 1000-executor run wants K in the tens of
+    thousands — the quantizer stays a broadcast (K·D doubles). The exact
+    brute-force twin is operators/similarity.embedding_neardup; the
+    recall given up by clustering is measured in tests/test_pq.py."""
+    import numpy as np
+    import pandas as pd
+
+    from petasearch_spark.operators.similarity import _round_half_up6, _seq_dot_norms
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    nearest = nearest_centroid_udf([(r["cent_id"], r["cv"]) for r in cent.collect()])
+    assign = emb.select("vec_id", "v", nearest("v").alias("cent_id"))
+
+    def cluster_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.array(pdf["v"].to_numpy()[order].tolist(), dtype=np.float64)
+        acc, xsq = _seq_dot_norms(X, X)
+        nrm = np.sqrt(xsq)
+        cos = _round_half_up6(acc / np.outer(nrm, nrm))
+        hit = cos >= SEMDEDUP_COS
+        # dup_of[j] = smallest i<j with a hit; ids are sorted so the first
+        # True row index below the diagonal is the minimum id
+        dup_of = np.full(len(ids), -1, dtype=np.int64)
+        for j in range(1, len(ids)):
+            below = np.nonzero(hit[:j, j])[0]
+            if len(below):
+                dup_of[j] = ids[below[0]]
+        out = pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cent_id": pdf["cent_id"].to_numpy()[order],
+                "dup_of": dup_of,
+                "keep": (dup_of < 0).astype("int32"),
+            }
+        )
+        out["dup_of"] = out["dup_of"].astype("object").where(out["dup_of"] >= 0, None)
+        return out
+
+    return (
+        assign.groupBy("cent_id")
+        .applyInPandas(cluster_pass, schema="vec_id long, cent_id long, dup_of long, keep int")
+        .orderBy("vec_id")
+    )
+
+
+SEMDEDUP_CLUSTERS_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+, cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < {N_CENTROIDS})
+, assign AS (
+    SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS.format(a="e.v", b="c.cv")} DESC, c.cent_id) AS rn
+        FROM emb e CROSS JOIN cent c
+    ) WHERE rn = 1
+)
+, dup AS (
+    SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+    FROM assign a JOIN assign b
+      ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    WHERE {_COS.format(a="a.v", b="b.v")} >= {SEMDEDUP_COS}
+    GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cent_id, d.dup_of,
+       CAST(d.dup_of IS NULL AS INT) AS keep
+FROM assign s LEFT JOIN dup d USING (vec_id)
+ORDER BY s.vec_id
+"""

@@ -111,6 +111,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # the FAISS-IVFADC composition: coarse buckets + PQ residual codes,
     # ADC scoring with per-(query,bucket) offsets — no corpus shuffle
     "ann_ivfpq_topk": (ivf.ann_ivfpq_topk, ivf.ANN_IVFPQ_TOPK_SQL),
+    "semdedup_clusters": (ivf.semdedup_clusters, ivf.SEMDEDUP_CLUSTERS_SQL),
     "embedding_neardup": (similarity.embedding_neardup, similarity.EMBEDDING_NEARDUP_SQL),
     "embedding_neardup_lsh": (similarity.embedding_neardup_lsh, similarity.EMBEDDING_NEARDUP_LSH_SQL),
     "embedding_quantize_int8": (similarity.embedding_quantize_int8, similarity.EMBEDDING_QUANTIZE_SQL),
@@ -326,6 +327,11 @@ UNGATED: dict[str, str] = {
     "table_profile": (
         "added after the gate filled; full DuckDB parity in pytest; single-pass"
         " plan shape pinned (one Aggregate, no per-column rescan)"
+    ),
+    "semdedup_clusters": (
+        "added after the gate filled; full DuckDB parity in pytest; clustering"
+        " recall vs the gated brute-force embedding_neardup pair set measured in"
+        " tests/test_pq.py"
     ),
 }
 

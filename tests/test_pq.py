@@ -83,3 +83,37 @@ def test_ivfpq_recall_vs_exact(spark):
     # measured 0.78 at sf0.001 (0.72 at sf0.01) with the exact-rerank
     # refine stage; raw ADC alone sits at 0.14
     assert recall >= 0.6, (recall, per_q)
+
+
+def test_semdedup_matches_oracle_and_measures_recall(spark):
+    """SemDeDup drops a vector iff a smaller-id same-cluster vector sits
+    within τ; every dropped vector must be a TRUE near-dup (precision 1.0
+    by construction — verify against the exact all-pairs set), and the
+    share of exact near-dup-droppable vectors it catches (recall given up
+    to clustering) is measured and bounded."""
+    from petasearch_spark.operators.ivf import semdedup_clusters
+    from petasearch_spark.operators.similarity import embedding_neardup
+
+    sf = "/root/testdata/sf0.01"
+    rows = semdedup_clusters(spark, sf).collect()
+    exact_pairs = {
+        (r["id_a"], r["id_b"]) for r in embedding_neardup(spark, sf).collect()
+    }
+    # any vector with an exact near-dup of smaller id is droppable
+    droppable = {b for a, b in exact_pairs}
+    dropped = {r["vec_id"] for r in rows if r["keep"] == 0}
+    for r in rows:
+        if r["keep"] == 0:
+            # precision: the chosen representative is a true near-dup pair
+            assert (r["dup_of"], r["vec_id"]) in exact_pairs, (r["dup_of"], r["vec_id"])
+            assert r["dup_of"] < r["vec_id"]
+    assert dropped <= droppable
+    recall = len(dropped) / len(droppable) if droppable else 1.0
+    # measured 11/53 = 0.21 at sf0.01 with 16 clusters: the synthetic
+    # corpus's tau=0.4 "near-dups" are far from identical, so most pairs
+    # straddle cluster boundaries. That is a property of this data, not
+    # the operator — SemDeDup's premise is tau≈0.95 duplicates whose
+    # near-identical embeddings co-cluster with high probability. The
+    # floor pins against regression; the exact twin (embedding_neardup)
+    # remains the high-recall small-corpus path.
+    assert recall >= 0.15, (len(dropped), len(droppable))
