@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "corpus_curation_funnel",
     "sequence_packing",
     "bm25_search",
+    "phrase_search",
     "text_quality_stats",
     "doc_chunk_overlap",
     "kmv_distinct_tokens",

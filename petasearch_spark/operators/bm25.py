@@ -158,3 +158,101 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, do
 WHERE rk <= {TOP_K}
 ORDER BY query_id, rk
 """
+
+
+# --- exact phrase search over a positional inverted index ----------------
+
+
+#: phrase workload: the first 3 tokens of every 250th document — data-
+#: derived so every phrase has at least its own source doc as a match at
+#: every SF, and the list stays a handful of rows (broadcast-sized)
+PHRASE_SRC_MOD = 250
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase matching — "find this literal quote" — the retrieval
+    primitive BM25's bag-of-words scoring cannot express, and the text
+    analogue of the engine's ordered-diagonal constraint (a phrase is a
+    run of tokens at CONSECUTIVE positions, like k-mer hits on one
+    diagonal; /root/reference/src/sra/blockalign.cpp's diagonal gate).
+
+    Index: positional postings ``(term, doc_id, poss sorted array)`` —
+    ONE corpus shuffle with map-side combine, the standard positional
+    inverted index (Lucene's proximity data, SURVEY §2.3 T1 economics:
+    build once, probe per query batch).
+
+    Query: each phrase term joins the postings through a BROADCAST of the
+    phrase table (postings never re-shuffle), then per (phrase, doc) the
+    occurrence count is ``|poss0 ∩ (poss1-1) ∩ (poss2-2)|`` — array
+    intersections on position lists, no explode of the candidate space.
+    The DuckDB oracle recomputes matches through a DIFFERENT formulation
+    (token-array window equality) for independence.
+
+    At 100 TB: the phrase table is always tiny (standing queries); work
+    is bounded by the probed terms' posting sizes — worst case a phrase
+    of stopwords, which the df-cap idea from bm25_rank applies to
+    unchanged. Output columns: phrase_id, phrase, doc_id, n_matches."""
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    return phrase_rank(docs)
+
+
+def phrase_rank(docs: DataFrame) -> DataFrame:
+    """Core of :func:`phrase_search` over a ``(doc_id, text)`` frame
+    (separated so constructed corpora can be probed in tests)."""
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    postings = (
+        toked.select("doc_id", F.posexplode("ts").alias("pos", "term"))
+        .groupBy("term", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("poss"))
+    )
+    phrases = (
+        toked.filter((F.col("doc_id") % PHRASE_SRC_MOD == 1) & (F.size("ts") >= 3))
+        .select(
+            F.col("doc_id").alias("phrase_id"),
+            F.concat_ws(" ", F.col("ts")[0], F.col("ts")[1], F.col("ts")[2]).alias("phrase"),
+            F.col("ts")[0].alias("w0"),
+            F.col("ts")[1].alias("w1"),
+            F.col("ts")[2].alias("w2"),
+        )
+    )
+    j0 = postings.join(
+        F.broadcast(phrases), postings["term"] == phrases["w0"]
+    ).select("phrase_id", "phrase", "doc_id", F.col("poss").alias("p0"))
+    j1 = postings.join(
+        F.broadcast(phrases.select("phrase_id", "w1")), postings["term"] == F.col("w1")
+    ).select("phrase_id", "doc_id", F.col("poss").alias("p1"))
+    j2 = postings.join(
+        F.broadcast(phrases.select("phrase_id", "w2")), postings["term"] == F.col("w2")
+    ).select("phrase_id", "doc_id", F.col("poss").alias("p2"))
+    m = j0.join(j1, ["phrase_id", "doc_id"]).join(j2, ["phrase_id", "doc_id"])
+    out = m.select(
+        "phrase_id",
+        "phrase",
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_intersect("p0", F.transform("p1", lambda x: x - 1)),
+                F.transform("p2", lambda x: x - 2),
+            )
+        ).alias("n_matches"),
+    )
+    return out.filter(F.col("n_matches") > 0).orderBy("phrase_id", "doc_id")
+
+
+PHRASE_SEARCH_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL.format(col="text")} AS t FROM documents)
+, phrases AS (
+    SELECT doc_id AS phrase_id, t[1] || ' ' || t[2] || ' ' || t[3] AS phrase,
+           t[1] AS w0, t[2] AS w1, t[3] AS w2
+    FROM toks WHERE doc_id % {PHRASE_SRC_MOD} = 1 AND len(t) >= 3
+)
+-- independent formulation: slide a 3-token window over every document's
+-- token array and match it against the phrase (no postings, no arrays of
+-- positions — window equality)
+SELECT p.phrase_id, p.phrase, d.doc_id, COUNT(*) AS n_matches
+FROM toks d, range(1, 8192) r(i), phrases p
+WHERE i + 2 <= len(d.t)
+  AND d.t[i] = p.w0 AND d.t[i+1] = p.w1 AND d.t[i+2] = p.w2
+GROUP BY p.phrase_id, p.phrase, d.doc_id
+ORDER BY p.phrase_id, d.doc_id
+"""

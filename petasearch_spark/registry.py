@@ -112,6 +112,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ADC scoring with per-(query,bucket) offsets — no corpus shuffle
     "ann_ivfpq_topk": (ivf.ann_ivfpq_topk, ivf.ANN_IVFPQ_TOPK_SQL),
     "semdedup_clusters": (ivf.semdedup_clusters, ivf.SEMDEDUP_CLUSTERS_SQL),
+    "phrase_search": (bm25.phrase_search, bm25.PHRASE_SEARCH_SQL),
     "embedding_neardup": (similarity.embedding_neardup, similarity.EMBEDDING_NEARDUP_SQL),
     "embedding_neardup_lsh": (similarity.embedding_neardup_lsh, similarity.EMBEDDING_NEARDUP_LSH_SQL),
     "embedding_quantize_int8": (similarity.embedding_quantize_int8, similarity.EMBEDDING_QUANTIZE_SQL),
@@ -332,6 +333,12 @@ UNGATED: dict[str, str] = {
         "added after the gate filled; full DuckDB parity in pytest; clustering"
         " recall vs the gated brute-force embedding_neardup pair set measured in"
         " tests/test_pq.py"
+    ),
+    "phrase_search": (
+        "added after the gate filled; full DuckDB parity in pytest against an"
+        " INDEPENDENT window-equality oracle formulation; overlapping-occurrence"
+        " intersection arithmetic pinned on constructed docs in"
+        " tests/test_bm25_packing.py"
     ),
 }
 

@@ -212,3 +212,40 @@ class TestKMVSketch:
         union_direct = sorted(set(a) | set(b))[:64]
         # merging the two K-minima lists gives the same K-minima
         assert sorted(set(a + b))[:64] == union_direct
+
+
+class TestPhraseSearch:
+    def test_constructed_occurrences(self, spark):
+        """Pin the position-intersection arithmetic: repeated and
+        overlapping occurrences, phrase-prefix-only docs, and the
+        phrase's own source doc."""
+        rows = [
+            # doc 1 is the phrase source (1 % 250 == 1): phrase = "a b c"
+            (1, "a b c x a b c"),          # 2 clean occurrences
+            (2, "a b c a b c a b c"),      # 3 back-to-back occurrences
+            (3, "a a b c b"),              # 1 occurrence at offset 1
+            (4, "a b x c a b"),            # prefix only -> no match
+            (5, "c b a"),                  # all terms, wrong order
+            (6, "a a a b b c"),            # terms present, never consecutive
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            (r["doc_id"]): r["n_matches"]
+            for r in bm25.phrase_rank(docs).collect()
+        }
+        assert out == {1: 2, 2: 3, 3: 1}
+
+    def test_overlapping_self_phrase(self, spark):
+        """'a a a a' contains 'a a a' twice (overlap allowed) — position
+        arithmetic, not substring count."""
+        docs = spark.createDataFrame([(1, "a a a a")], ["doc_id", "text"])
+        rows = bm25.phrase_rank(docs).collect()
+        assert len(rows) == 1 and rows[0]["n_matches"] == 2
+
+    def test_postings_broadcast_plan(self, spark):
+        """The phrase probes must reach the postings via broadcast joins —
+        the corpus-sized posting relation may never be the build side of a
+        shuffle join for a standing-query probe."""
+        df = bm25.phrase_search(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 3, plan
