@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "image_phash_dedup",
     "decontaminate_bloom",
     "events_anomaly_daily",
+    "events_value_quantiles",
     "table_profile",
 ]
 

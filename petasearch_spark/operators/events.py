@@ -546,3 +546,68 @@ SELECT day, event_type, n_events, trail_sum, trail_days,
 FROM trailed
 ORDER BY day, event_type
 """
+
+
+# --- exact per-group discrete quantiles ----------------------------------
+
+#: quantile ranks as integer percents — rank-of-n arithmetic stays exact
+QUANTILE_PCTS = (50, 90, 99)
+
+
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete p50/p90/p99 of ``value`` per event_type — the
+    latency-percentile query every ingestion monitor runs. "Discrete"
+    means the result is an actual data value (the ceil(q·n)-th smallest),
+    so it cross-engine value-hashes exactly; interpolated percentiles
+    would be float-formula-shaped and engine-divergent.
+
+    Scale-right formulation: quantiles are computed from the per-group
+    VALUE HISTOGRAM (groupBy (type, value) count — one map-side-combined
+    shuffle that collapses 100 TB of rows to |distinct values| rows),
+    then a running-count window over the histogram picks the smallest
+    value whose cumulative count reaches each rank. The window sorts
+    distinct values per group, not raw events — the naive
+    row_number-over-raw-rows form (which the INDEPENDENT DuckDB oracle
+    uses) would sort entire groups and dies on a hot event_type at scale.
+    When value cardinality itself explodes (true continuous doubles),
+    the same plan holds after bucketing values, which is what
+    approx_percentile's t-digest formalizes — this operator is the exact
+    integer-rank anchor for validating that approximation."""
+    e = load_table(spark, "events", sf_dir)
+    return value_quantiles(e)
+
+
+def value_quantiles(e: DataFrame) -> DataFrame:
+    """Core of :func:`events_value_quantiles` over an
+    ``(event_type, value)`` frame (separated for constructed-group
+    tests)."""
+    hist = e.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "value",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    aggs = [F.max("n").alias("n_events")]
+    for p in QUANTILE_PCTS:
+        # rank = ceil(p·n/100) in pure integer arithmetic
+        rank = F.expr(f"({p} * n + 99) div 100")
+        aggs.append(F.min(F.when(F.col("cum") >= rank, F.col("value"))).alias(f"p{p}"))
+    return cum.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+EVENTS_VALUE_QUANTILES_SQL = f"""
+WITH ranked AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+SELECT event_type, MAX(n) AS n_events,
+       {", ".join(f"MAX(CASE WHEN rn = ({p} * n + 99) // 100 THEN value END) AS p{p}" for p in QUANTILE_PCTS)}
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""

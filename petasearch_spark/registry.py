@@ -113,6 +113,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_ivfpq_topk": (ivf.ann_ivfpq_topk, ivf.ANN_IVFPQ_TOPK_SQL),
     "semdedup_clusters": (ivf.semdedup_clusters, ivf.SEMDEDUP_CLUSTERS_SQL),
     "phrase_search": (bm25.phrase_search, bm25.PHRASE_SEARCH_SQL),
+    "events_value_quantiles": (events.events_value_quantiles, events.EVENTS_VALUE_QUANTILES_SQL),
     "embedding_neardup": (similarity.embedding_neardup, similarity.EMBEDDING_NEARDUP_SQL),
     "embedding_neardup_lsh": (similarity.embedding_neardup_lsh, similarity.EMBEDDING_NEARDUP_LSH_SQL),
     "embedding_quantize_int8": (similarity.embedding_quantize_int8, similarity.EMBEDDING_QUANTIZE_SQL),
@@ -339,6 +340,12 @@ UNGATED: dict[str, str] = {
         " INDEPENDENT window-equality oracle formulation; overlapping-occurrence"
         " intersection arithmetic pinned on constructed docs in"
         " tests/test_bm25_packing.py"
+    ),
+    "events_value_quantiles": (
+        "added after the gate filled; full DuckDB parity in pytest — the engine's"
+        " histogram+running-count formulation vs an INDEPENDENT row_number-over-"
+        "raw-rows oracle; rank edge cases pinned on constructed groups in"
+        " tests/test_events_extra.py"
     ),
 }
 

@@ -82,3 +82,21 @@ def test_table_profile_two_pass_hash_agg(spark):
     # aggregation fell off HashAggregate again
     for m in re.findall(r"SortAggregate\(key=\[[^\]]*\]", plan):
         assert m == "SortAggregate(key=[]", plan
+
+
+def test_value_quantiles_rank_edges(spark):
+    """ceil-rank semantics on constructed groups: n=1 (all quantiles =
+    the single value), n=10 (p50 = 5th smallest, p90 = 9th, p99 = 10th),
+    duplicated values (quantile must be a data value, dup-safe)."""
+    rows = [("a", 7.0)]
+    rows += [("b", float(v)) for v in range(1, 11)]          # 1..10
+    rows += [("c", 1.0), ("c", 1.0), ("c", 1.0), ("c", 9.0)]  # dups
+    e = spark.createDataFrame(rows, ["event_type", "value"])
+    from petasearch_spark.operators import events as ev
+
+    out = {r["event_type"]: r for r in ev.value_quantiles(e).collect()}
+    assert (out["a"]["p50"], out["a"]["p90"], out["a"]["p99"]) == (7.0, 7.0, 7.0)
+    # n=10: ceil(5.0)=5 -> 5.0, ceil(9.0)=9 -> 9.0, ceil(9.9)=10 -> 10.0
+    assert (out["b"]["p50"], out["b"]["p90"], out["b"]["p99"]) == (5.0, 9.0, 10.0)
+    # n=4 dups: ranks 2, 4, 4 -> values 1.0, 9.0, 9.0
+    assert (out["c"]["p50"], out["c"]["p90"], out["c"]["p99"]) == (1.0, 9.0, 9.0)
