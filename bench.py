@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "decontaminate_bloom",
     "events_anomaly_daily",
     "events_value_quantiles",
+    "embedding_profile",
     "table_profile",
 ]
 

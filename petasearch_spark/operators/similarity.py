@@ -443,3 +443,84 @@ SELECT vec_id,
 FROM qd
 ORDER BY vec_id
 """
+
+
+# --- embedding-column quality profile ------------------------------------
+
+EXPECTED_DIM = 64  # driver embeddings are 64-dim at every SF
+
+
+def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label quality audit of the embedding column — the vector-store
+    twin of table_profile: null vectors, wrong-dimension vectors,
+    non-finite components, and the norm range/mass. This is the per-batch
+    monitor that catches a broken encoder (NaNs, truncated dims, zero
+    vectors) before embeddings reach ANN indexing or dedup.
+
+    Pure column expressions over ONE scan + one map-side-combined agg —
+    no UDF, no window. Norms are rounded to 6 decimals (the corpus-wide
+    contract in this module) and summed in DECIMAL so the per-label mass
+    is fold-order-exact; min/max are order-free. At 100 TB this is the
+    cheapest possible plan shape: scan -> partial agg -> 1-row-per-label
+    exchange."""
+    return profile_vectors(load_table(spark, "embeddings", sf_dir))
+
+
+def profile_vectors(emb: DataFrame) -> DataFrame:
+    """Core of :func:`embedding_profile` over a ``(label, embedding)``
+    frame (separated so corrupt vectors can be constructed in tests —
+    the real corpus is clean, so nulls/NaN/bad-dim paths never fire
+    under the oracle)."""
+    v = _as_double(F.col("embedding"))
+    dim = F.when(F.col("embedding").isNotNull(), F.size("embedding"))
+    nonfinite = F.when(
+        F.col("embedding").isNotNull(),
+        F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))),
+    )
+    norm6 = F.when(
+        F.col("embedding").isNotNull() & ~F.coalesce(nonfinite, F.lit(False)),
+        F.round(F.sqrt(dot(v, v)), 6),
+    )
+    per_vec = emb.select(
+        "label",
+        F.col("embedding").isNull().cast("long").alias("is_null"),
+        (dim.isNotNull() & (dim != EXPECTED_DIM)).cast("long").alias("bad_dim"),
+        F.coalesce(nonfinite, F.lit(False)).cast("long").alias("is_nonfinite"),
+        norm6.alias("norm6"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("is_null").alias("n_null"),
+            F.sum("bad_dim").alias("n_bad_dim"),
+            F.sum("is_nonfinite").alias("n_nonfinite"),
+            F.min("norm6").alias("min_norm"),
+            F.max("norm6").alias("max_norm"),
+            F.round(F.sum(F.col("norm6").cast("decimal(18,6)")), 6).cast("double").alias("sum_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_PROFILE_SQL = f"""
+WITH per_vec AS (
+    SELECT label,
+           CAST(embedding IS NULL AS BIGINT) AS is_null,
+           CAST(embedding IS NOT NULL AND len(embedding) <> {EXPECTED_DIM} AS BIGINT) AS bad_dim,
+           CAST(COALESCE(list_count(list_filter(embedding::DOUBLE[], x -> isnan(x) OR isinf(x))) > 0, FALSE) AS BIGINT) AS is_nonfinite,
+           CASE WHEN embedding IS NOT NULL
+                 AND COALESCE(list_count(list_filter(embedding::DOUBLE[], x -> isnan(x) OR isinf(x))) > 0, FALSE) = FALSE
+                THEN ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) END AS norm6
+    FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(is_null) AS BIGINT) AS n_null,
+       CAST(SUM(bad_dim) AS BIGINT) AS n_bad_dim,
+       CAST(SUM(is_nonfinite) AS BIGINT) AS n_nonfinite,
+       MIN(norm6) AS min_norm, MAX(norm6) AS max_norm,
+       CAST(ROUND(SUM(CAST(norm6 AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_norm
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""

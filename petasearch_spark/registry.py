@@ -114,6 +114,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "semdedup_clusters": (ivf.semdedup_clusters, ivf.SEMDEDUP_CLUSTERS_SQL),
     "phrase_search": (bm25.phrase_search, bm25.PHRASE_SEARCH_SQL),
     "events_value_quantiles": (events.events_value_quantiles, events.EVENTS_VALUE_QUANTILES_SQL),
+    "embedding_profile": (similarity.embedding_profile, similarity.EMBEDDING_PROFILE_SQL),
     "embedding_neardup": (similarity.embedding_neardup, similarity.EMBEDDING_NEARDUP_SQL),
     "embedding_neardup_lsh": (similarity.embedding_neardup_lsh, similarity.EMBEDDING_NEARDUP_LSH_SQL),
     "embedding_quantize_int8": (similarity.embedding_quantize_int8, similarity.EMBEDDING_QUANTIZE_SQL),
@@ -346,6 +347,11 @@ UNGATED: dict[str, str] = {
         " histogram+running-count formulation vs an INDEPENDENT row_number-over-"
         "raw-rows oracle; rank edge cases pinned on constructed groups in"
         " tests/test_events_extra.py"
+    ),
+    "embedding_profile": (
+        "added after the gate filled; full DuckDB parity in pytest; the corrupt-"
+        "vector paths the clean corpus never fires (null/NaN/Inf/bad-dim) are"
+        " pinned on constructed vectors in tests/test_pq.py"
     ),
 }
 

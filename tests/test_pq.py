@@ -117,3 +117,33 @@ def test_semdedup_matches_oracle_and_measures_recall(spark):
     # floor pins against regression; the exact twin (embedding_neardup)
     # remains the high-recall small-corpus path.
     assert recall >= 0.15, (len(dropped), len(droppable))
+
+
+def test_embedding_profile_flags_corrupt_vectors(spark):
+    """The audit paths the clean corpus never exercises: null vectors,
+    wrong dimension, NaN/Inf components (excluded from norm stats), and
+    non-unit norms."""
+    from petasearch_spark.operators.similarity import EXPECTED_DIM, profile_vectors
+
+    good = [0.0] * (EXPECTED_DIM - 1) + [2.0]          # norm exactly 2
+    short = [1.0] * 8                                   # bad dim, norm > 0
+    nan_vec = [float("nan")] + [0.0] * (EXPECTED_DIM - 1)
+    inf_vec = [float("inf")] + [0.0] * (EXPECTED_DIM - 1)
+    rows = [
+        (1, good),
+        (1, None),
+        (1, short),
+        (1, nan_vec),
+        (2, inf_vec),
+        (2, [3.0] + [0.0] * (EXPECTED_DIM - 1)),
+    ]
+    emb = spark.createDataFrame(rows, "label int, embedding array<double>")
+    out = {r["label"]: r for r in profile_vectors(emb).collect()}
+    r1 = out[1]
+    assert (r1["n_vecs"], r1["n_null"], r1["n_bad_dim"], r1["n_nonfinite"]) == (4, 1, 1, 1)
+    # norm stats: good (2.0) and short (sqrt(8)) only — null/NaN excluded
+    assert r1["min_norm"] == 2.0
+    assert r1["max_norm"] == round(8 ** 0.5, 6)
+    r2 = out[2]
+    assert (r2["n_vecs"], r2["n_nonfinite"]) == (2, 1)
+    assert r2["min_norm"] == r2["max_norm"] == 3.0
