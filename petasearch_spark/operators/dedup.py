@@ -641,3 +641,74 @@ FROM ranked
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# --- incremental exact-dedup ledger --------------------------------------
+
+
+def write_dedup_ledger(docs: DataFrame, table: str, num_buckets: int = 32) -> None:
+    """Persist the exact-dedup state — (content_hash, canonical_doc_id,
+    n_copies) — BUCKETED by content_hash, so delta merges and membership
+    probes are bucket-local."""
+    from petasearch_spark.operators.kmer_index import _drop_managed_table
+
+    ledger = docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    _drop_managed_table(docs.sparkSession, table)
+    (
+        ledger.write.mode("overwrite")
+        .format("parquet")
+        .option("compression", "zstd")
+        .bucketBy(num_buckets, "content_hash")
+        .sortBy("content_hash")
+        .saveAsTable(table)
+    )
+
+
+def merge_dedup_ledger(
+    base_table: str,
+    delta_docs: DataFrame,
+    out_table: str,
+    delta_table: str = "ps_dedup_delta",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Fold a newly-ingested document batch into an existing exact-dedup
+    ledger WITHOUT reshuffling the base — the incremental form of
+    dedup_exact for a continuously-ingested corpus (the same economics as
+    kmer_index.merge_kmer_index_delta: at 100 TB the accumulated ledger
+    must never re-sort for a daily delta).
+
+    Plan: aggregate the delta batch into its own ledger (small —
+    proportional to NEW data), write it bucketed IDENTICALLY to the base,
+    then FULL OUTER join the two bucket-locally (sort-merge, no Exchange
+    above either scan) resolving collisions by first-occurrence retention:
+    canonical = MIN(base, delta) — a delta doc that hashes into an
+    existing group becomes a counted duplicate, never a new canonical
+    (doc_ids are ingestion-ordered). The merged write stays
+    bucket-aligned; the only shuffle anywhere is the delta's own groupBy.
+
+    Returns the merged ledger (already persisted to ``out_table``)."""
+    from petasearch_spark.operators.kmer_index import _drop_managed_table
+
+    spark = delta_docs.sparkSession
+    write_dedup_ledger(delta_docs, delta_table, num_buckets=num_buckets)
+    base = spark.table(base_table).alias("b")
+    delta = spark.table(delta_table).alias("d")
+    merged = base.join(delta, "content_hash", "full_outer").select(
+        "content_hash",
+        F.least(F.col("b.canonical_doc_id"), F.col("d.canonical_doc_id")).alias("canonical_doc_id"),
+        (
+            F.coalesce(F.col("b.n_copies"), F.lit(0)) + F.coalesce(F.col("d.n_copies"), F.lit(0))
+        ).alias("n_copies"),
+    )
+    _drop_managed_table(spark, out_table)
+    (
+        merged.write.mode("overwrite")
+        .format("parquet")
+        .option("compression", "zstd")
+        .bucketBy(num_buckets, "content_hash")
+        .sortBy("content_hash")
+        .saveAsTable(out_table)
+    )
+    return spark.table(out_table)

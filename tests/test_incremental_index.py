@@ -55,3 +55,38 @@ def test_merge_join_is_bucket_local(spark):
         .toString()
     )
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_dedup_ledger_merge_equals_full_rebuild(spark):
+    """Base ledger + delta batch must equal dedup over the union — the
+    first-occurrence canonical and the copy counts both."""
+    from petasearch_spark.operators.dedup import merge_dedup_ledger, write_dedup_ledger
+
+    docs = load_table(spark, "documents", SF_DIR)
+    base = docs.filter(F.col("doc_id") < 250)
+    delta = docs.filter(F.col("doc_id") >= 250)
+    write_dedup_ledger(base, "t_ledger_base")
+    merged = merge_dedup_ledger("t_ledger_base", delta, "t_ledger_merged")
+    full = (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    m = {r["content_hash"]: (r["canonical_doc_id"], r["n_copies"]) for r in merged.collect()}
+    f = {r["content_hash"]: (r["canonical_doc_id"], r["n_copies"]) for r in full.collect()}
+    assert m == f and len(m) > 0
+
+
+def test_dedup_ledger_merge_is_bucket_local(spark):
+    """No Exchange may sit above either bucketed ledger scan in the merge
+    join — the base never reshuffles for a delta."""
+    from petasearch_spark.operators.dedup import write_dedup_ledger
+
+    docs = load_table(spark, "documents", SF_DIR)
+    write_dedup_ledger(docs.filter(F.col("doc_id") < 250), "t_ledger_b2")
+    write_dedup_ledger(docs.filter(F.col("doc_id") >= 250), "t_ledger_d2")
+    base = spark.table("t_ledger_b2").alias("b")
+    delta = spark.table("t_ledger_d2").alias("d")
+    j = base.join(delta, "content_hash", "full_outer")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
