@@ -671,15 +671,23 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousands — the quantizer stays a broadcast (K·D doubles). The exact
     brute-force twin is operators/similarity.embedding_neardup; the
     recall given up by clustering is measured in tests/test_pq.py."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    return semdedup_frame(emb, n_centroids=N_CENTROIDS)
+
+
+def semdedup_frame(
+    emb: DataFrame, n_centroids: int = N_CENTROIDS, threshold: float = SEMDEDUP_COS
+) -> DataFrame:
+    """Core of :func:`semdedup_clusters` over a ``(vec_id, v)`` frame —
+    parameterized so scale smokes can raise K with the corpus (K ≈ √n)."""
     import numpy as np
     import pandas as pd
 
     from petasearch_spark.operators.similarity import _round_half_up6, _seq_dot_norms
 
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
-    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+    cent = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
     nearest = nearest_centroid_udf([(r["cent_id"], r["cv"]) for r in cent.collect()])
@@ -693,7 +701,7 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc, xsq = _seq_dot_norms(X, X)
         nrm = np.sqrt(xsq)
         cos = _round_half_up6(acc / np.outer(nrm, nrm))
-        hit = cos >= SEMDEDUP_COS
+        hit = cos >= threshold
         # dup_of[j] = smallest i<j with a hit; ids are sorted so the first
         # True row index below the diagonal is the minimum id
         dup_of = np.full(len(ids), -1, dtype=np.int64)
