@@ -103,8 +103,19 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark("petasearch_bench")
     # JVM/codegen warmup so the first timed query isn't charged for session
-    # startup (a real deployment's session is long-lived)
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # startup (a real deployment's session is long-lived): a decimal agg
+    # (whole-stage codegen), a parquet footer read, and one Arrow batch
+    # through mapInPandas (spawns the Python worker pool the kernels use)
+    spark.range(1_000_000).selectExpr(
+        "sum(cast(id as decimal(18,4))) as s", "count(1) as c"
+    ).collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    def _warm(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(1_000).mapInPandas(_warm, schema="id long").count()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = BENCH_ONLY[name] if name in BENCH_ONLY else REGISTRY[name][0]
