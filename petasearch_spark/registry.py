@@ -115,6 +115,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "phrase_search": (bm25.phrase_search, bm25.PHRASE_SEARCH_SQL),
     "events_value_quantiles": (events.events_value_quantiles, events.EVENTS_VALUE_QUANTILES_SQL),
     "embedding_profile": (similarity.embedding_profile, similarity.EMBEDDING_PROFILE_SQL),
+    "cm_stream_heavy_hitters": (stateful.cm_stream_heavy_hitters, sketches.CM_HEAVY_HITTERS_SQL),
     "embedding_neardup": (similarity.embedding_neardup, similarity.EMBEDDING_NEARDUP_SQL),
     "embedding_neardup_lsh": (similarity.embedding_neardup_lsh, similarity.EMBEDDING_NEARDUP_LSH_SQL),
     "embedding_quantize_int8": (similarity.embedding_quantize_int8, similarity.EMBEDDING_QUANTIZE_SQL),
@@ -352,6 +353,12 @@ UNGATED: dict[str, str] = {
         "added after the gate filled; full DuckDB parity in pytest; the corrupt-"
         "vector paths the clean corpus never fires (null/NaN/Inf/bad-dim) are"
         " pinned on constructed vectors in tests/test_pq.py"
+    ),
+    "cm_stream_heavy_hitters": (
+        "added after the gate filled; streaming twin of the gated cm_heavy_hitters"
+        " sharing its DuckDB oracle (counter addition is order-independent, so the"
+        " stream-built matrix must equal the batch sketch exactly); cross-batch"
+        " state growth asserted in tests/test_streaming_stateful.py"
     ),
 }
 

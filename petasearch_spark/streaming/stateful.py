@@ -143,3 +143,94 @@ DOCS_STREAM_DEDUP_SQL = """
 SELECT source, COUNT(DISTINCT md5(text)) AS n_unique_docs
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+def cm_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min sketch: the 4×512 counter matrix maintained as
+    per-(row, bucket) integer state across micro-batches — the ingest-time
+    form of sketches.cm_heavy_hitters (a production pipeline folds tokens
+    into the sketch as data ARRIVES; the batch query is the rebuild).
+
+    Each micro-batch's exploded (d, bucket) token rows flow into
+    ``applyInPandasWithState`` keyed by (d, b): state = one counter,
+    update = += batch row count. Counter addition is associative and
+    commutative, so after the final batch the state matrix must equal the
+    batch-built sketch EXACTLY — the probe stage then reuses the batch
+    top-k audit and the whole query sits under the same DuckDB oracle as
+    the batch twin. At scale the state is bounded at depth×width keys
+    (2,048 counters) regardless of corpus size — the defining property
+    of the sketch."""
+    from petasearch_spark.operators.portable import hash64, tokens
+    from petasearch_spark.operators.sketches import CM_DEPTH, CM_TOP_K, CM_WIDTH, _cm_bucket
+
+    stage = _stage_two_files(spark, f"{sf_dir}/documents.parquet", "doc_id")
+    schema = spark.read.parquet(stage).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .select(F.explode(tokens(F.col("text"))).alias("term"))
+        .select(F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("d"), "term")
+        .select("d", _cm_bucket(F.col("d"), F.col("term"), CM_WIDTH).alias("b"))
+    )
+
+    def precount(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # STATELESS map-side combine: a streaming aggregation before the
+        # state op would be a second stateful operator (unsupported), but
+        # a per-Arrow-batch partial count is plain projection as far as
+        # the planner cares — it shrinks the state op's input from one
+        # row per token x depth to <= depth x width rows per batch
+        for pdf in batches:
+            g = pdf.groupby(["d", "b"], sort=False).size().reset_index(name="w")
+            yield g
+
+    stream = raw.mapInPandas(precount, schema="d int, b long, w long")
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (c,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            c += int(pdf["w"].sum())
+        state.update((c,))
+        yield pd.DataFrame({"d": [key[0]], "b": [key[1]], "c": [c]})
+
+    out = stream.groupBy("d", "b").applyInPandasWithState(
+        update,
+        outputStructType="d int, b long, c long",
+        stateStructType="c long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "cm_stream_sink"
+    _run_to_memory(out, name, "update")
+    # latest emission per counter = the final running value
+    counters = (
+        spark.table(name).groupBy("d", "b").agg(F.max("c").alias("c"))
+    )
+    # probe: batch-side top-k exact terms audited against the STREAM-built
+    # counter matrix (identical to sketches.cm_probe's probe stage)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = tf.orderBy(F.desc("cnt"), "term").limit(CM_TOP_K)
+    probes = top.select(
+        "term",
+        F.col("cnt").alias("exact_cnt"),
+        F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("d"),
+    ).select(
+        "term", "exact_cnt", "d", _cm_bucket(F.col("d"), F.col("term"), CM_WIDTH).alias("b")
+    )
+    return (
+        probes.join(F.broadcast(counters), ["d", "b"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("c").alias("cm_estimate"))
+        .select(
+            "term",
+            "exact_cnt",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), "term")
+    )

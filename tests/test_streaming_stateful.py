@@ -151,3 +151,24 @@ def test_stream_join_state_carries_across_batches(spark, tmp_path):
     mid = df.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
     us = {r["event_id"]: r["us"] for r in df.select("event_id", F.unix_micros("ts").alias("us")).collect()}
     assert us[5] <= mid < us[7]
+
+
+def test_cm_stream_equals_batch_sketch(spark):
+    """The stream-built counter matrix must reproduce the batch sketch
+    EXACTLY (counter addition is associative/commutative), and the state
+    must actually span micro-batches: counters touched by both halves of
+    the staged corpus emit twice with strictly growing values."""
+    from petasearch_spark.operators.sketches import cm_heavy_hitters
+    from petasearch_spark.streaming.stateful import cm_stream_heavy_hitters
+
+    sf = "/root/testdata/sf0.001"
+    stream_rows = [tuple(r) for r in cm_stream_heavy_hitters(spark, sf).collect()]
+    batch_rows = [tuple(r) for r in cm_heavy_hitters(spark, sf).collect()]
+    assert stream_rows == batch_rows and len(stream_rows) > 0
+    # raw sink: one emission per (counter, micro-batch it was touched in)
+    emitted = spark.table("cm_stream_sink").groupBy("d", "b").agg(
+        F.count(F.lit(1)).alias("n_emits"), F.min("c").alias("c0"), F.max("c").alias("c1")
+    )
+    multi = emitted.filter(F.col("n_emits") >= 2)
+    assert multi.count() > 0, "no counter spanned both micro-batches - state never exercised"
+    assert multi.filter(F.col("c1") <= F.col("c0")).count() == 0, "running counters must grow"
