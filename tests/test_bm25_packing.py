@@ -249,3 +249,103 @@ class TestPhraseSearch:
         df = bm25.phrase_search(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+class TestPhraseProperty:
+    def test_random_corpora_match_naive(self, spark):
+        """phrase_rank vs a naive Python matcher on deterministic random
+        word-soup corpora, including whitespace-noise and short docs."""
+        import random
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(12)]  # small vocab -> real collisions
+        for trial in range(3):
+            rows = []
+            for doc_id in range(60):
+                n = rng.randint(0, 12)
+                words = [rng.choice(vocab) for _ in range(n)]
+                # whitespace noise: double spaces and tabs must not create
+                # empty tokens
+                sep = "  " if doc_id % 7 == 0 else ("\t" if doc_id % 11 == 0 else " ")
+                rows.append((doc_id, sep.join(words)))
+            docs = spark.createDataFrame(rows, ["doc_id", "text"])
+            got = {
+                (r["phrase_id"], r["doc_id"]): r["n_matches"]
+                for r in bm25.phrase_rank(docs).collect()
+            }
+            # naive matcher
+            toks = {d: t.split() for d, t in rows}
+            expect = {}
+            for pid, pt in toks.items():
+                if pid % bm25.PHRASE_SRC_MOD != 1 or len(pt) < 3:
+                    continue
+                ph = pt[:3]
+                for d, t in toks.items():
+                    c = sum(1 for i in range(len(t) - 2) if t[i : i + 3] == ph)
+                    if c:
+                        expect[(pid, d)] = c
+            assert got == expect, (trial, got, expect)
+
+
+class TestQuantilesProperty:
+    def test_random_groups_match_numpy(self, spark):
+        """value_quantiles vs direct ceil-rank selection on sorted numpy
+        arrays over random group sizes (1..200) and duplicated values."""
+        import random
+
+        import numpy as np
+
+        from petasearch_spark.operators.events import QUANTILE_PCTS, value_quantiles
+
+        rng = random.Random(13)
+        rows = []
+        groups = {}
+        for g in range(8):
+            n = rng.randint(1, 200)
+            vals = [float(rng.randint(0, 30)) for _ in range(n)]  # heavy dups
+            groups[f"g{g}"] = np.sort(np.array(vals))
+            rows += [(f"g{g}", v) for v in vals]
+        e = spark.createDataFrame(rows, ["event_type", "value"])
+        out = {r["event_type"]: r for r in value_quantiles(e).collect()}
+        assert set(out) == set(groups)
+        for g, arr in groups.items():
+            n = len(arr)
+            assert out[g]["n_events"] == n
+            for p in QUANTILE_PCTS:
+                rank = (p * n + 99) // 100  # ceil(p*n/100), 1-based
+                assert out[g][f"p{p}"] == arr[rank - 1], (g, p, n)
+
+
+def test_approx_percentile_is_within_rank_error(spark):
+    """The documented 100 TB path for quantiles is approx_percentile
+    (t-digest); validate its rank error against the exact operator on the
+    real events table: each approx value's rank must lie within
+    n/accuracy of the exact target rank."""
+    import bisect
+
+    from petasearch_spark.operators.events import QUANTILE_PCTS
+    from petasearch_spark.sources.tables import load_table
+
+    accuracy = 1000
+    e = load_table(spark, "events", "/root/testdata/sf0.01")
+    approx = {
+        r["event_type"]: r
+        for r in e.groupBy("event_type")
+        .agg(
+            *[
+                F.percentile_approx("value", p / 100.0, accuracy).alias(f"p{p}")
+                for p in QUANTILE_PCTS
+            ]
+        )
+        .collect()
+    }
+    values = {}
+    for r in e.select("event_type", "value").collect():
+        values.setdefault(r["event_type"], []).append(r["value"])
+    for et, vals in values.items():
+        vals.sort()
+        n = len(vals)
+        for p in QUANTILE_PCTS:
+            target = (p * n + 99) // 100
+            got_rank = bisect.bisect_right(vals, approx[et][f"p{p}"])
+            assert abs(got_rank - target) <= max(1, n // accuracy) + 1, (et, p, got_rank, target)
