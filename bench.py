@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "kmv_distinct_tokens",
     "doc_fingerprint",
     "tfidf_top_terms",
+    "doc_cluster_tfidf",
     "unigram_logprob_score",
     "pii_redaction",
     "dedup_blocks",

@@ -343,3 +343,122 @@ SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
 FROM chunks
 ORDER BY doc_id, chunk_id
 """
+
+
+# --- hashed-TF-IDF document clustering + cluster-balanced sampling -------
+
+HASH_DIMS = 64       #: feature-hashing trick dimensionality
+N_DOC_CLUSTERS = 8   #: coarse clusters; scale with corpus like IVF's K
+CLUSTER_SAMPLE_K = 25  #: docs kept per cluster by the balanced sampler
+
+
+def doc_cluster_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-style document clustering for corpus diversity work: hash
+    each document's TF-IDF weights into a {HASH_DIMS}-dim feature vector
+    (the feature-hashing trick — fixed width regardless of vocabulary
+    size, the property that matters at 100 TB), assign to the nearest of
+    {N_DOC_CLUSTERS} centroid documents by cosine, and emit a
+    cluster-BALANCED sample flag (first {CLUSTER_SAMPLE_K} doc_ids per
+    cluster) — the "sample evenly across topics, not by corpus mass"
+    primitive of diversity-aware curation (cluster-balanced selection as
+    in SemDeDup/SSL-prototype pipelines).
+
+    Determinism for the oracle: per-term weights round to 6 decimals and
+    sum in DECIMAL per hashed dim (fold-order-exact); cosine runs in the
+    same sequential-fold Arrow kernel as every ANN operator
+    (similarity.nearest_centroid_udf == the SQL's list_dot_product shape,
+    rounded HALF_UP to 6, ties to the smallest centroid id).
+
+    Plan: term counts and document frequencies are the SAME two shuffles
+    tfidf_top_terms pays; densification is a per-doc map lookup over a
+    64-element sequence (no shuffle); assignment is one narrow Arrow map
+    with the centroid matrix in the closure; the balanced-sample window
+    partitions by cluster (bounded groups). Zero-norm documents (every
+    term corpus-wide, idf 0) are excluded — cosine is undefined for
+    them; none exist in real corpora."""
+    from petasearch_spark.operators.similarity import nearest_centroid_udf
+
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    fe = (
+        tf.join(df_, "term")
+        .select(
+            "doc_id",
+            (hash64(F.col("term")) % HASH_DIMS).cast("int").alias("dim"),
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.round(F.sum(F.col("w").cast("decimal(18,6)")), 6).cast("double").alias("v"))
+    )
+    vecs = (
+        fe.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("dim", "v"))).alias("m"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(HASH_DIMS - 1)),
+                lambda d: F.coalesce(F.element_at("m", d), F.lit(0.0)),
+            ).alias("fv"),
+        )
+        .filter(F.exists("fv", lambda x: x != 0.0))
+    )
+    cent = vecs.filter(F.col("doc_id") < N_DOC_CLUSTERS).select(
+        F.col("doc_id").alias("cent_id"), F.col("fv").alias("cv")
+    )
+    nearest = nearest_centroid_udf([(r["cent_id"], r["cv"]) for r in cent.collect()])
+    assign = vecs.select("doc_id", nearest("fv").alias("cluster"))
+    w = Window.partitionBy("cluster").orderBy("doc_id")
+    return (
+        assign.withColumn("rank_in_cluster", F.row_number().over(w))
+        .withColumn("sampled", (F.col("rank_in_cluster") <= CLUSTER_SAMPLE_K).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+_COS_SQL = "ROUND(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+
+DOC_CLUSTER_TFIDF_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({TOKENS_SQL.format(col="text")}) AS term FROM documents
+)
+, tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term)
+, df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+, n AS (SELECT COUNT(*) AS n_docs FROM documents)
+, fe AS (
+    SELECT tf.doc_id, CAST({hash64_sql("term")} % {HASH_DIMS} AS INT) AS dim,
+           CAST(ROUND(SUM(CAST(ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS DECIMAL(18,6))), 6) AS DOUBLE) AS v
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    GROUP BY 1, 2
+)
+, alld AS (
+    SELECT d.doc_id, r.range AS dim
+    FROM (SELECT DISTINCT doc_id FROM documents) d CROSS JOIN range(0, {HASH_DIMS}) r
+)
+, dense AS (
+    SELECT a.doc_id, a.dim, COALESCE(fe.v, 0.0) AS v
+    FROM alld a LEFT JOIN fe ON fe.doc_id = a.doc_id AND fe.dim = a.dim
+)
+, vecs AS (
+    SELECT doc_id, list(v ORDER BY dim) AS fv FROM dense GROUP BY doc_id
+    HAVING len(list_filter(list(v ORDER BY dim), x -> x <> 0)) > 0
+)
+, cent AS (SELECT doc_id AS cent_id, fv AS cv FROM vecs WHERE doc_id < {N_DOC_CLUSTERS})
+, assign AS (
+    SELECT doc_id, cent_id AS cluster FROM (
+        SELECT v.doc_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY v.doc_id
+                                  ORDER BY {_COS_SQL.format(a="v.fv", b="c.cv")} DESC, c.cent_id) AS rn
+        FROM vecs v CROSS JOIN cent c
+    ) WHERE rn = 1
+)
+SELECT doc_id, cluster,
+       ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY doc_id) AS rank_in_cluster,
+       CAST(ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY doc_id) <= {CLUSTER_SAMPLE_K} AS INT) AS sampled
+FROM assign
+ORDER BY doc_id
+"""

@@ -116,6 +116,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_value_quantiles": (events.events_value_quantiles, events.EVENTS_VALUE_QUANTILES_SQL),
     "embedding_profile": (similarity.embedding_profile, similarity.EMBEDDING_PROFILE_SQL),
     "cm_stream_heavy_hitters": (stateful.cm_stream_heavy_hitters, sketches.CM_HEAVY_HITTERS_SQL),
+    "doc_cluster_tfidf": (text.doc_cluster_tfidf, text.DOC_CLUSTER_TFIDF_SQL),
     "embedding_neardup": (similarity.embedding_neardup, similarity.EMBEDDING_NEARDUP_SQL),
     "embedding_neardup_lsh": (similarity.embedding_neardup_lsh, similarity.EMBEDDING_NEARDUP_LSH_SQL),
     "embedding_quantize_int8": (similarity.embedding_quantize_int8, similarity.EMBEDDING_QUANTIZE_SQL),
@@ -359,6 +360,11 @@ UNGATED: dict[str, str] = {
         " sharing its DuckDB oracle (counter addition is order-independent, so the"
         " stream-built matrix must equal the batch sketch exactly); cross-batch"
         " state growth asserted in tests/test_streaming_stateful.py"
+    ),
+    "doc_cluster_tfidf": (
+        "added after the gate filled; full DuckDB parity in pytest; centroid"
+        " self-assignment and balanced-sample invariants pinned in"
+        " tests/test_text_extra.py"
     ),
 }
 

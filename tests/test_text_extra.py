@@ -106,3 +106,28 @@ def test_quality_weighted_sample_invariants(spark):
     # deterministic: same draw on a second run
     again = corpus.quality_weighted_sample(spark, SF).collect()
     assert [r["doc_id"] for r in out] == [r["doc_id"] for r in again]
+
+
+def test_doc_cluster_tfidf_invariants(spark):
+    """Centroid documents assign to their own cluster (cos(x,x) = 1 beats
+    everything, ties to the smallest id); the balanced sample takes
+    exactly min(K, cluster size) per cluster; multiple clusters form."""
+    from petasearch_spark.operators.text import (
+        CLUSTER_SAMPLE_K,
+        N_DOC_CLUSTERS,
+        doc_cluster_tfidf,
+    )
+
+    rows = doc_cluster_tfidf(spark, "/root/testdata/sf0.01").collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    for c in range(N_DOC_CLUSTERS):
+        assert by_doc[c]["cluster"] == c, (c, by_doc[c])
+    sizes = {}
+    sampled = {}
+    for r in rows:
+        sizes[r["cluster"]] = sizes.get(r["cluster"], 0) + 1
+        sampled[r["cluster"]] = sampled.get(r["cluster"], 0) + r["sampled"]
+    assert len(sizes) >= 2, sizes
+    for c, n in sizes.items():
+        assert sampled[c] == min(CLUSTER_SAMPLE_K, n), (c, n, sampled[c])
+        assert 1 <= by_doc[c]["rank_in_cluster"] if c in by_doc else True
