@@ -83,7 +83,10 @@ def bm25_rank(
     n_docs, total_tokens = toks.agg(
         F.count(F.lit(1)), F.sum(F.size("ts").cast("long"))
     ).collect()[0]
-    avgdl = total_tokens / n_docs  # one IEEE division, mirrored in SQL
+    # one IEEE division, mirrored in SQL; 1.0 on an empty corpus (no
+    # postings exist, so the value never reaches a score — it just keeps
+    # the plan constructible)
+    avgdl = (total_tokens / n_docs) if n_docs else 1.0
 
     qterms = spark.createDataFrame(
         [(qid, t) for qid, ts in queries.items() for t in ts], "query_id string, term string"

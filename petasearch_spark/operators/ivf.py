@@ -182,6 +182,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb_rows = (
         emb.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").select("vec_id", "v").collect()
     )
+    q_probe = emb.filter(F.col("vec_id") < N_QUERIES).count()
+    if len(cb_rows) < PQ_K or q_probe == 0:
+        # degenerate corpus (empty, or too small to train the codebooks):
+        # the honest answer is no neighbors, not a crash on a 0-d reshape
+        return spark.createDataFrame([], "query_id long, neighbor_id long, approx_dot double, rk int")
     # codebooks[m]: (PQ_K, PQ_SUB) — subvector m of the first PQ_K vectors
     cbs = np.array([r["v"] for r in cb_rows], dtype=np.float64).reshape(PQ_K, PQ_M, PQ_SUB)
     codebooks = np.ascontiguousarray(np.swapaxes(cbs, 0, 1))  # (PQ_M, PQ_K, PQ_SUB)
@@ -435,6 +440,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda t: t[0],
     )
     C = np.array([cv for _, cv in cent_rows], dtype=np.float64)  # ids 0..15
+    if C.size == 0:
+        # empty corpus: no coarse quantizer to train — empty answer
+        return spark.createDataFrame([], "query_id long, neighbor_id long, cos double, rk int")
     cn = np.sqrt(np.array([sum(c * c for c in row) for row in C]))
 
     def assign_buckets(V: np.ndarray) -> np.ndarray:
@@ -454,6 +462,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda t: t[0],
     )
     FV = np.array([v for _, v in first], dtype=np.float64)
+    if len(first) < PQ_K:
+        return spark.createDataFrame([], "query_id long, neighbor_id long, cos double, rk int")
     fres = FV - C[assign_buckets(FV)]
     codebooks = np.ascontiguousarray(
         np.swapaxes(fres.reshape(PQ_K, PQ_M, PQ_SUB), 0, 1)

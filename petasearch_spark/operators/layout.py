@@ -76,10 +76,14 @@ def with_zvalue(df: DataFrame) -> DataFrame:
         F.min(hour).alias("hlo"),
         F.max(hour).alias("hhi"),
     ).collect()[0]
-    uspan = max(1, b["uhi"] - b["ulo"])
-    hspan = max(1, b["hhi"] - b["hlo"])
-    ub = F.expr(f"({QMAX} * (user_id - {b['ulo']})) div {uspan}")
-    hb = F.expr(f"({QMAX} * ((unix_timestamp(ts) div 3600) - {b['hlo']})) div {hspan}")
+    # empty frame: min/max come back NULL — zero bounds keep the plan
+    # constructible and the output stays empty anyway
+    ulo, uhi = b["ulo"] or 0, b["uhi"] or 0
+    hlo, hhi = b["hlo"] or 0, b["hhi"] or 0
+    uspan = max(1, uhi - ulo)
+    hspan = max(1, hhi - hlo)
+    ub = F.expr(f"({QMAX} * (user_id - {ulo})) div {uspan}")
+    hb = F.expr(f"({QMAX} * ((unix_timestamp(ts) div 3600) - {hlo})) div {hspan}")
     return (
         df.withColumn("ubits", ub)
         .withColumn("hbits", hb)

@@ -123,6 +123,18 @@ def nearest_centroid_udf(cent_rows) -> "F.pandas_udf":
     `cent_rows` = collected (cent_id, cv) rows (the coarse quantizer is
     tiny by construction — 16 × 64 doubles — a scalar-class collect)."""
     rows = sorted(cent_rows, key=lambda r: r[0])
+    if not rows:
+        # no quantizer (empty corpus, or no ids below the centroid cut):
+        # map every vector to NULL — "unassigned" drops out of downstream
+        # joins, and a fully-empty input stays empty instead of crashing
+        # the factory on a 0-d centroid matrix
+
+        @F.pandas_udf("long")
+        def unassigned(v: pd.Series) -> pd.Series:
+            return pd.Series([None] * len(v), dtype="Int64")
+
+        return unassigned
+
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     C = np.array([list(r[1]) for r in rows], dtype=np.float64)
     cn = np.sqrt(_seq_norm2(C))
