@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "running_order_totals",
     "events_hourly",
     "events_sessionize",
+    "events_session_window",
     "events_json_stats",
     "events_rollup",
     "clean_purchase_days",

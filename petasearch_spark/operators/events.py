@@ -611,3 +611,67 @@ FROM ranked
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SESSION rows via Spark's native ``session_window`` — the
+    built-in gap-merge operator (events_sessionize is the window-lag
+    formulation that only reports per-user counts; this one materializes
+    each session's bounds, which is what funnels and dwell-time analyses
+    consume, and in streaming mode the same expression runs with
+    watermark-managed state).
+
+    Boundary semantics (pinned on constructed events in
+    tests/test_events_extra.py): an event arriving EXACTLY gap after the
+    previous one still MERGES — session_window splits only on
+    diff > gap, the same strict rule as the lag formulation, so the two
+    forms agree everywhere and differ only in output shape. Timestamps
+    surface as formatted strings so the cross-engine value hash sees
+    identical text."""
+    e = load_table(spark, "events", sf_dir)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    sess = (
+        e.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    return sess.select(
+        "user_id",
+        F.date_format("first_ts", fmt).alias("session_start"),
+        F.date_format("last_ts", fmt).alias("session_last"),
+        "n_events",
+        "total_value",
+    ).orderBy("user_id", "session_start")
+
+
+EVENTS_SESSION_WINDOW_SQL = f"""
+WITH marked AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_SECONDS * 1_000_000}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+, sessions AS (
+    SELECT user_id, event_id, ts, value,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_last,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""

@@ -117,6 +117,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_profile": (similarity.embedding_profile, similarity.EMBEDDING_PROFILE_SQL),
     "cm_stream_heavy_hitters": (stateful.cm_stream_heavy_hitters, sketches.CM_HEAVY_HITTERS_SQL),
     "doc_cluster_tfidf": (text.doc_cluster_tfidf, text.DOC_CLUSTER_TFIDF_SQL),
+    "events_session_window": (events.events_session_window, events.EVENTS_SESSION_WINDOW_SQL),
     "embedding_neardup": (similarity.embedding_neardup, similarity.EMBEDDING_NEARDUP_SQL),
     "embedding_neardup_lsh": (similarity.embedding_neardup_lsh, similarity.EMBEDDING_NEARDUP_LSH_SQL),
     "embedding_quantize_int8": (similarity.embedding_quantize_int8, similarity.EMBEDDING_QUANTIZE_SQL),
@@ -365,6 +366,12 @@ UNGATED: dict[str, str] = {
         "added after the gate filled; full DuckDB parity in pytest; centroid"
         " self-assignment and balanced-sample invariants pinned in"
         " tests/test_text_extra.py"
+    ),
+    "events_session_window": (
+        "added after the gate filled; full DuckDB parity in pytest; the native"
+        " session_window twin of the gated events_sessionize — its half-open"
+        " boundary (diff >= gap splits) pinned on constructed events in"
+        " tests/test_events_extra.py"
     ),
 }
 

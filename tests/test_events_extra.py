@@ -100,3 +100,36 @@ def test_value_quantiles_rank_edges(spark):
     assert (out["b"]["p50"], out["b"]["p90"], out["b"]["p99"]) == (5.0, 9.0, 10.0)
     # n=4 dups: ranks 2, 4, 4 -> values 1.0, 9.0, 9.0
     assert (out["c"]["p50"], out["c"]["p90"], out["c"]["p99"]) == (1.0, 9.0, 9.0)
+
+
+def test_session_window_merges_at_exact_gap(spark):
+    """Pin session_window's boundary: an event EXACTLY gap after the
+    previous one MERGES (split is strict diff > gap — the same rule as
+    the lag formulation, so the oracle's `>` is the correct mirror);
+    one microsecond past the gap splits."""
+    import datetime as dt
+
+    from petasearch_spark.operators import events as ev
+
+    base = dt.datetime(2024, 1, 1)
+    gap = ev.SESSION_GAP_SECONDS
+    rows = [
+        (1, 10, base, "click", 1.0, "{}"),
+        (2, 10, base + dt.timedelta(seconds=gap), "click", 1.0, "{}"),  # exactly gap
+        (3, 20, base, "click", 1.0, "{}"),
+        (4, 20, base + dt.timedelta(seconds=gap, microseconds=1), "click", 1.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double, props string"
+    )
+    sess = (
+        e.groupBy("user_id", F.session_window("ts", f"{gap} seconds").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "sw.start")
+        .collect()
+    )
+    per_user = {}
+    for r in sess:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert per_user[10] == [2], per_user   # exact gap merges
+    assert per_user[20] == [1, 1], per_user  # one microsecond over splits
