@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "decontaminate_bloom",
     "events_anomaly_daily",
     "events_value_quantiles",
+    "events_value_outliers",
     "embedding_profile",
     "table_profile",
 ]

@@ -675,3 +675,96 @@ FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id, session_start
 """
+
+
+MAD_K = 3  #: flag |value - median| > K * MAD — the standard robust rule
+
+
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier monitoring: median / MAD (median absolute
+    deviation) and the count of values beyond {MAD_K}·MAD — the
+    mean/stddev-free rule that a fat-tailed `value` column (latencies,
+    purchase amounts) needs, since one spike drags a stddev threshold
+    but not a MAD one.
+
+    Both medians are DISCRETE (actual data values, ceil-rank n/2) and
+    both are computed from HISTOGRAMS — groupBy (type, value) first, so
+    the per-type window sorts distinct values, never raw rows (the
+    events_value_quantiles scale argument; the second histogram is over
+    |value − median|, whose IEEE subtraction is bit-identical across
+    engines on identical inputs). The DuckDB oracle recomputes through
+    the independent row_number-over-raw-rows formulation."""
+    e = load_table(spark, "events", sf_dir)
+    return value_mad_outliers(e)
+
+
+def value_mad_outliers(e: DataFrame) -> DataFrame:
+    """Core of :func:`events_value_outliers` over ``(event_type, value)``."""
+    h1 = e.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    cum1 = h1.select(
+        "event_type", "value",
+        F.sum("c").over(wc).alias("cum"), F.sum("c").over(wn).alias("n"),
+    )
+    med = cum1.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("value"))).alias("median_value"),
+    )
+    diffs = (
+        h1.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type", "c",
+            F.abs(F.col("value") - F.col("median_value")).alias("ad"),
+        )
+        .groupBy("event_type", "ad")
+        .agg(F.sum("c").alias("c"))
+    )
+    wc2 = Window.partitionBy("event_type").orderBy("ad")
+    cum2 = diffs.select(
+        "event_type", "ad", "c",
+        F.sum("c").over(wc2).alias("cum"), F.sum("c").over(wn).alias("n"),
+    )
+    mad = cum2.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("ad"))).alias("mad")
+    )
+    outl = (
+        diffs.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(F.sum(F.when(F.col("ad") > MAD_K * F.col("mad"), F.col("c")).otherwise(0)).alias("n_outliers"))
+    )
+    return (
+        med.join(mad, "event_type").join(outl, "event_type")
+        .select("event_type", "n_events", "median_value", "mad", "n_outliers")
+        .orderBy("event_type")
+    )
+
+
+EVENTS_VALUE_OUTLIERS_SQL = f"""
+WITH ranked AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+, med AS (
+    SELECT event_type, MAX(n) AS n_events,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS median_value
+    FROM ranked GROUP BY event_type
+)
+, ranked2 AS (
+    SELECT e.event_type, abs(e.value - m.median_value) AS ad,
+           ROW_NUMBER() OVER (PARTITION BY e.event_type ORDER BY abs(e.value - m.median_value)) AS rn,
+           COUNT(*) OVER (PARTITION BY e.event_type) AS n
+    FROM events e JOIN med m USING (event_type)
+)
+, mad AS (
+    SELECT event_type, MAX(CASE WHEN rn = (n + 1) // 2 THEN ad END) AS mad
+    FROM ranked2 GROUP BY event_type
+)
+SELECT m.event_type, m.n_events, m.median_value, d.mad,
+       CAST(SUM(CASE WHEN r.ad > {MAD_K} * d.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM ranked2 r JOIN med m USING (event_type) JOIN mad d USING (event_type)
+GROUP BY m.event_type, m.n_events, m.median_value, d.mad
+ORDER BY m.event_type
+"""

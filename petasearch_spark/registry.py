@@ -118,6 +118,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cm_stream_heavy_hitters": (stateful.cm_stream_heavy_hitters, sketches.CM_HEAVY_HITTERS_SQL),
     "doc_cluster_tfidf": (text.doc_cluster_tfidf, text.DOC_CLUSTER_TFIDF_SQL),
     "events_session_window": (events.events_session_window, events.EVENTS_SESSION_WINDOW_SQL),
+    "events_value_outliers": (events.events_value_outliers, events.EVENTS_VALUE_OUTLIERS_SQL),
     "embedding_neardup": (similarity.embedding_neardup, similarity.EMBEDDING_NEARDUP_SQL),
     "embedding_neardup_lsh": (similarity.embedding_neardup_lsh, similarity.EMBEDDING_NEARDUP_LSH_SQL),
     "embedding_quantize_int8": (similarity.embedding_quantize_int8, similarity.EMBEDDING_QUANTIZE_SQL),
@@ -369,9 +370,14 @@ UNGATED: dict[str, str] = {
     ),
     "events_session_window": (
         "added after the gate filled; full DuckDB parity in pytest; the native"
-        " session_window twin of the gated events_sessionize — its half-open"
-        " boundary (diff >= gap splits) pinned on constructed events in"
+        " session_window twin of the gated events_sessionize — the exact-gap"
+        " merge boundary pinned on constructed events in"
         " tests/test_events_extra.py"
+    ),
+    "events_value_outliers": (
+        "added after the gate filled; full DuckDB parity in pytest — histogram"
+        " formulation vs the independent row_number oracle; spike-robustness and"
+        " MAD=0 edge pinned on constructed groups in tests/test_events_extra.py"
     ),
 }
 

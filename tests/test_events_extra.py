@@ -133,3 +133,26 @@ def test_session_window_merges_at_exact_gap(spark):
         per_user.setdefault(r["user_id"], []).append(r["n_events"])
     assert per_user[10] == [2], per_user   # exact gap merges
     assert per_user[20] == [1, 1], per_user  # one microsecond over splits
+
+
+def test_mad_outliers_robust_to_spike_and_constant_group(spark):
+    """A single huge spike must not move the median or the MAD (it IS the
+    outlier); a constant group has MAD 0 and flags every non-median
+    value."""
+    from petasearch_spark.operators.events import MAD_K, value_mad_outliers
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14]] + [("a", 1e9)]
+    rows += [("b", 5.0)] * 4
+    rows += [("c", 5.0), ("c", 5.0), ("c", 5.0), ("c", 7.0)]
+    e = spark.createDataFrame(rows, ["event_type", "value"])
+    out = {r["event_type"]: r for r in value_mad_outliers(e).collect()}
+    a = out["a"]
+    # n=6 -> ceil-rank 3 -> median 12; diffs {2,1,0,1,2,1e9-12} -> MAD 1
+    assert (a["median_value"], a["mad"]) == (12.0, 1.0)
+    assert a["n_outliers"] == 1  # only the spike exceeds 12 ± 3*1 (10/14 have ad=2)
+    assert MAD_K == 3
+    b = out["b"]
+    assert (b["median_value"], b["mad"], b["n_outliers"]) == (5.0, 0.0, 0)
+    c = out["c"]
+    # MAD 0: the single 7.0 is beyond 3*0
+    assert (c["median_value"], c["mad"], c["n_outliers"]) == (5.0, 0.0, 1)
