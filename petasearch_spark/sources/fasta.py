@@ -155,3 +155,68 @@ def sequences_from_records(spark: SparkSession, records: list[tuple[str, str]]) 
     ]
     df = spark.createDataFrame(rows, "seq_id long, accession string, header string, sequence string")
     return df.withColumn("sequence", sanitize_seq(F.upper(F.col("sequence"))))
+
+
+# --- FASTQ read-quality filtering / trimming -----------------------------
+
+PHRED_OFFSET = 33  # Sanger/Illumina 1.8+ encoding: Q = ord(char) - 33
+
+
+def filter_reads(
+    reads: DataFrame,
+    min_mean_q: float = 20.0,
+    trim_q: int = 3,
+    min_len: int = 9,
+) -> DataFrame:
+    """Ingest-time read hygiene over :func:`read_fastq` output — the
+    quality gate an SRA-style pipeline applies before sequences enter
+    the k-mer index (low-quality tails inflate the index with junk
+    k-mers the prefilter then has to disprove):
+
+    * 3'-end trimming: drop the trailing run of bases with
+      Phred Q <= ``trim_q`` (the classic fixed-threshold tail trim);
+    * length gate: trimmed read must keep >= ``min_len`` bases (k=9 —
+      anything shorter yields no k-mers anyway, F2);
+    * mean-quality gate: mean Phred Q of the TRIMMED read
+      >= ``min_mean_q``.
+
+    Pure column expressions (ascii codes via HOF over a split char
+    array; one pass, no UDF, no shuffle): at 100 TB this runs inside
+    the ingest scan like sanitization does. Returns the surviving reads
+    with trimmed `sequence`/`quality` plus `mean_q` and `n_trimmed`."""
+    q_codes = F.transform(
+        F.split(F.col("quality"), ""),
+        lambda c: F.ascii(c) - PHRED_OFFSET,
+    )
+    # trailing low-quality run length: position of the last base with
+    # Q > trim_q (aggregate keeps the max index of a good base)
+    last_good = F.aggregate(
+        F.zip_with(
+            q_codes,
+            F.sequence(F.lit(1), F.size(q_codes)),
+            lambda q, i: F.when(q > trim_q, i).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    trimmed = F.col("sequence").substr(F.lit(1), last_good)
+    trimmed_q = F.col("quality").substr(F.lit(1), last_good)
+    mean_q = F.when(
+        last_good > 0,
+        F.aggregate(
+            F.slice(q_codes, 1, last_good), F.lit(0), lambda a, x: a + x
+        ).cast("double")
+        / last_good,
+    )
+    out = reads.select(
+        "seq_id",
+        "accession",
+        "header",
+        trimmed.alias("sequence"),
+        trimmed_q.alias("quality"),
+        F.round(mean_q, 6).alias("mean_q"),
+        (F.length("quality") - last_good).alias("n_trimmed"),
+    )
+    return out.filter(
+        (F.length("sequence") >= min_len) & (F.col("mean_q") >= min_mean_q)
+    )

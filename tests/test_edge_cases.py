@@ -153,3 +153,32 @@ def test_gzipped_fasta(spark, tmp_path):
         fh.write(">g0 zipped\nACDEFGHIKL\nMNPQRSTVWY\n")
     rows = read_fasta(spark, str(f)).collect()
     assert rows[0]["sequence"] == "ACDEFGHIKLMNPQRSTVWY"
+
+
+def test_filter_reads_trim_and_gates(spark, tmp_path):
+    """FASTQ quality hygiene: 3'-tail trimming at Q<=3, the k=9 length
+    gate, the mean-quality gate — plus the '@'-quality-line parse trap
+    and the all-bad read (last_good = 0 -> dropped, no substr error)."""
+    from petasearch_spark.sources.fasta import PHRED_OFFSET, filter_reads, read_fastq
+
+    def q(codes):
+        return "".join(chr(c + PHRED_OFFSET) for c in codes)
+
+    recs = [
+        ("@r0 clean", "ACDEFGHIKLMN", q([30] * 12)),
+        ("@r1 tail", "ACDEFGHIKAAA", q([30] * 9 + [2, 3, 1])),   # trims to 9
+        ("@r2 short", "ACDEFAAA", q([30] * 5 + [1, 1, 1])),      # 5 < k
+        ("@r3 lowq", "ACDEFGHIKLMN", q([10] * 12)),              # mean 10 < 20
+        ("@r4 at", "ACDEFGHIKLMN", q([31] + [30] * 11)),         # quality starts with '@'
+        ("@r5 allbad", "ACDEFGHIKLMN", q([1] * 12)),             # trims to nothing
+        ("@r6 interior", "ACDEFGHIKLMN", q([30, 2, 30] + [30] * 9)),  # low Q inside stays
+    ]
+    fq = tmp_path / "t.fastq"
+    fq.write_text("".join(f"{h}\n{s}\n+\n{ql}\n" for h, s, ql in recs))
+    out = {r["accession"]: r for r in filter_reads(read_fastq(spark, str(fq))).collect()}
+    assert set(out) == {"r0", "r1", "r4", "r6"}
+    assert len(out["r1"]["sequence"]) == 9 and out["r1"]["n_trimmed"] == 3
+    assert out["r1"]["mean_q"] == 30.0
+    # interior low-quality base is NOT trimmed (tail rule only) but drags the mean
+    assert len(out["r6"]["sequence"]) == 12
+    assert out["r6"]["mean_q"] == round((30 * 11 + 2) / 12, 6)
