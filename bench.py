@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q7_volume_shipping",
+    "q18_large_orders",
     "top_suppliers_per_nation",
     "running_order_totals",
     "events_hourly",

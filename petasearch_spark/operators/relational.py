@@ -368,3 +368,104 @@ def _profile_sql() -> str:
 
 
 TABLE_PROFILE_SQL = _profile_sql()
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the bidirectional nation-pair join — lineitem joins
+    BOTH its supplier's and its customer's nation, keeping the two
+    (supp_nation, cust_nation) orientations of one country pair, revenue
+    by shipping year. Exercises the planner on a join graph with two
+    roles for the same dimension table (nation joined twice under
+    different keys) — both sides broadcast, the fact table never
+    shuffles for the dimensions."""
+    n1 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01")) & (F.col("l_shipdate") <= F.lit("1996-12-31"))
+    )
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    pair = (
+        (F.col("supp_nation") == "NATION_20") & (F.col("cust_nation") == "NATION_11")
+    ) | ((F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_20"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.s_nkey)
+        .join(F.broadcast(n2), c.c_nationkey == n2.c_nkey)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(disc), 4).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+  AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+    OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+Q18_MIN_QTY = 250
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose TOTAL line quantity exceeds a
+    threshold — a HAVING-driven semi-join where the filter derives from
+    an aggregation of the fact table itself. The aggregated key set is
+    tiny (threshold makes it selective), so the re-join back to orders /
+    customer broadcasts the AGGREGATED side — the fact table is read
+    once for the agg and once for the fetch, never shuffled on a
+    dimension."""
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_name")), o.o_custkey == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+Q18_SQL = f"""
+WITH big AS (
+    SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > {Q18_MIN_QTY}
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, total_qty
+FROM orders
+JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+"""

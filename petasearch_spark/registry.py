@@ -119,6 +119,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_cluster_tfidf": (text.doc_cluster_tfidf, text.DOC_CLUSTER_TFIDF_SQL),
     "events_session_window": (events.events_session_window, events.EVENTS_SESSION_WINDOW_SQL),
     "events_value_outliers": (events.events_value_outliers, events.EVENTS_VALUE_OUTLIERS_SQL),
+    "q7_volume_shipping": (relational.q7_volume_shipping, relational.Q7_SQL),
+    "q18_large_orders": (relational.q18_large_orders, relational.Q18_SQL),
     "embedding_neardup": (similarity.embedding_neardup, similarity.EMBEDDING_NEARDUP_SQL),
     "embedding_neardup_lsh": (similarity.embedding_neardup_lsh, similarity.EMBEDDING_NEARDUP_LSH_SQL),
     "embedding_quantize_int8": (similarity.embedding_quantize_int8, similarity.EMBEDDING_QUANTIZE_SQL),
@@ -378,6 +380,14 @@ UNGATED: dict[str, str] = {
         "added after the gate filled; full DuckDB parity in pytest — histogram"
         " formulation vs the independent row_number oracle; spike-robustness and"
         " MAD=0 edge pinned on constructed groups in tests/test_events_extra.py"
+    ),
+    "q7_volume_shipping": (
+        "added after the gate filled; full DuckDB parity in pytest; join classes"
+        " (multi-role dimension, broadcast dims) already gated via q5"
+    ),
+    "q18_large_orders": (
+        "added after the gate filled; full DuckDB parity in pytest; HAVING-"
+        "derived semi-join re-join with the aggregated side broadcast"
     ),
 }
 
