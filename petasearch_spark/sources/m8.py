@@ -91,18 +91,34 @@ def swap_alignments(alignments: DataFrame, query_db_residues: int) -> DataFrame:
     return alignments.select(*cols)
 
 
-def _gapped(seq: str, start1: int, backtrace: str, gap_op: str) -> str:
+#: IUPAC nucleotide complement (Orf::iupacReverseComplementTable,
+#: /root/reference/lib/mmseqs/src/commons/Orf.cpp:48-53 — note U->A and
+#: the self-complementary N/S/W; unmapped bytes print as '.').
+_IUPAC_FROM = "ABCDGHKMNRSTUVWYabcdghkmnrstuvwy"
+_IUPAC_TO = "TVGHCDMKNYSAABWRtvghcdmknysaabwr"
+_COMPLEMENT = dict(zip(_IUPAC_FROM, _IUPAC_TO))
+
+
+def _gapped(seq: str, start1: int, backtrace: str, gap_op: str, reverse_strand: bool = False) -> str:
     """Replay `backtrace` over `seq` from 1-based `start1`, inserting '-'
     where `gap_op` says this side doesn't consume a residue (P8,
-    printAlnSeq /root/reference/src/sra/convertsraalignments.cpp:59-87)."""
+    printAlnSeq /root/reference/src/sra/convertsraalignments.cpp:59-87).
+
+    `reverse_strand` is the converter's minus-strand branch
+    (convertsraalignments.cpp:63 + the start>end checks at :404-422): a
+    nucleotide alignment whose start exceeds its end walks BACKWARD from
+    `start1` and complements every consumed base
+    (`Orf::complement(seq[offset - seqPos])`)."""
     out = []
     i = start1 - 1
+    step = -1 if reverse_strand else 1
     for op in backtrace:
         if op == gap_op:
             out.append("-")
         else:
-            out.append(seq[i])
-            i += 1
+            c = seq[i]
+            out.append(_COMPLEMENT.get(c, ".") if reverse_strand else c)
+            i += step
     return "".join(out)
 
 
@@ -113,7 +129,10 @@ def with_alignment_strings(
     sequence text back in when these outfmt columns are requested — the
     m8 default never pays for it. Backtrace ops are relative to (query,
     target): M consumes both, I consumes query only (gap in target),
-    D consumes target only (gap in query)."""
+    D consumes target only (gap in query). Minus-strand nucleotide
+    alignments (start > end, per side independently — the converter's
+    qStartPos>qEndPos / dbStartPos>dbEndPos checks at
+    convertsraalignments.cpp:404-422) are emitted reverse-complemented."""
     import pandas as pd
 
     from pyspark.sql import functions as F
@@ -130,12 +149,16 @@ def with_alignment_strings(
         for pdf in batches:
             pdf = pdf.copy()
             pdf["qaln"] = [
-                _gapped(s, st, bt, "D")
-                for s, st, bt in zip(pdf["_qseq"], pdf["qstart"], pdf["backtrace"])
+                _gapped(s, st, bt, "D", reverse_strand=st > en)
+                for s, st, en, bt in zip(
+                    pdf["_qseq"], pdf["qstart"], pdf["qend"], pdf["backtrace"]
+                )
             ]
             pdf["taln"] = [
-                _gapped(s, st, bt, "I")
-                for s, st, bt in zip(pdf["_tseq"], pdf["tstart"], pdf["backtrace"])
+                _gapped(s, st, bt, "I", reverse_strand=st > en)
+                for s, st, en, bt in zip(
+                    pdf["_tseq"], pdf["tstart"], pdf["tend"], pdf["backtrace"]
+                )
             ]
             yield pdf[keep + ["qaln", "taln"]]
 

@@ -184,3 +184,109 @@ class TestTantan:
         loose = tantan_mask_batch([s], min_mask_prob=0.5)[0].count("X")
         tight = tantan_mask_batch([s], min_mask_prob=0.99)[0].count("X")
         assert loose >= tight > 0
+
+
+class TestReverseStrandAlignmentStrings:
+    """P8 minus-strand branch: printAlnSeq's isReverseStrand path
+    (/root/reference/src/sra/convertsraalignments.cpp:63 — walk backward
+    from the start offset, complement every consumed base via
+    Orf::iupacReverseComplementTable; strand decided per side by
+    start > end, :404-422)."""
+
+    @staticmethod
+    def _aln(spark, qstart, qend, tstart, tend, backtrace):
+        return spark.createDataFrame(
+            [(0, 0, qstart, qend, tstart, tend, backtrace)],
+            "query_id long, target_id long, qstart int, qend int, "
+            "tstart int, tend int, backtrace string",
+        )
+
+    @staticmethod
+    def _seqs(spark, seq):
+        return spark.createDataFrame([(0, seq)], "seq_id long, sequence string")
+
+    def test_minus_strand_query_is_reverse_complemented(self, spark):
+        from petasearch_spark.sources.m8 import with_alignment_strings
+
+        q = self._seqs(spark, "ACGTTGCA")
+        t = self._seqs(spark, "CAACCAAC")
+        # query minus-strand (qstart 6 > qend 3), target plus-strand
+        ali = self._aln(spark, 6, 3, 1, 4, "MMMM")
+        r = with_alignment_strings(ali, q, t).collect()[0]
+        # forward 1-based [3,6] of ACGTTGCA = GTTG; revcomp = CAAC
+        assert r["qaln"] == "CAAC"
+        assert r["taln"] == "CAAC"
+
+    def test_minus_strand_with_gap_and_iupac(self, spark):
+        from petasearch_spark.sources.m8 import with_alignment_strings
+
+        # IUPAC codes: R->Y, N->N, U->A survive complementation
+        q = self._seqs(spark, "ARGNTUCA")
+        t = self._seqs(spark, "TTTTTTTT")
+        # backtrace MMDM: D = gap in query; reverse walk from qstart=6
+        # consumes positions 6,5,-,4 -> U,T,-,N -> complement A,A,-,N
+        ali = self._aln(spark, 6, 3, 1, 4, "MMDM")
+        r = with_alignment_strings(ali, q, t).collect()[0]
+        assert r["qaln"] == "AA-N"
+        assert r["taln"] == "TTTT"  # plus strand untouched
+
+    def test_plus_strand_unchanged(self, spark):
+        from petasearch_spark.sources.m8 import with_alignment_strings
+
+        q = self._seqs(spark, "ACGTTGCA")
+        t = self._seqs(spark, "ACGTTGCA")
+        ali = self._aln(spark, 3, 6, 3, 6, "MMMM")
+        r = with_alignment_strings(ali, q, t).collect()[0]
+        assert r["qaln"] == r["taln"] == "GTTG"
+
+    def test_matches_reference_scalar_twin(self, spark):
+        """Independent transliteration of printAlnSeq (the C++ loop,
+        convertsraalignments.cpp:59-87) run against the Spark output on a
+        randomized minus-strand case."""
+        import random
+
+        from petasearch_spark.sources.m8 import with_alignment_strings
+
+        table = {}
+        fr = "ABCDGHKMNRSTUVWYabcdghkmnrstuvwy"
+        to = "TVGHCDMKNYSAABWRtvghcdmknysaabwr"
+        for a, b in zip(fr, to):
+            table[a] = b
+
+        def print_aln_seq(seq, offset0, bt, reverse, is_reverse_strand):
+            out, seq_pos = [], 0
+            for op in bt:
+                c = (
+                    table.get(seq[offset0 - seq_pos], ".")
+                    if is_reverse_strand
+                    else seq[offset0 + seq_pos]
+                )
+                if op == "M":
+                    out.append(c)
+                    seq_pos += 1
+                elif op == "I":
+                    if reverse:
+                        out.append("-")
+                    else:
+                        out.append(c)
+                        seq_pos += 1
+                elif op == "D":
+                    if reverse:
+                        out.append(c)
+                        seq_pos += 1
+                    else:
+                        out.append("-")
+            return "".join(out)
+
+        rng = random.Random(7)
+        seq = "".join(rng.choice("ACGT") for _ in range(30))
+        bt = "MMMIMMDMMM"
+        n_q = sum(op in "MI" for op in bt)  # query consumes M+I
+        n_t = sum(op in "MD" for op in bt)
+        qstart, tstart = 20, 4  # minus-strand query: 20 down to 20-n_q+1
+        ali = self._aln(spark, qstart, qstart - n_q + 1, tstart, tstart + n_t - 1, bt)
+        q = self._seqs(spark, seq)
+        t = self._seqs(spark, seq)
+        r = with_alignment_strings(ali, q, t).collect()[0]
+        assert r["qaln"] == print_aln_seq(seq, qstart - 1, bt, False, True)
+        assert r["taln"] == print_aln_seq(seq, tstart - 1, bt, True, False)
