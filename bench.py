@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "events_value_outliers",
     "embedding_profile",
     "table_profile",
+    "hll_distinct_tokens",
+    "mixture_sample",
 ]
 
 

@@ -650,3 +650,114 @@ ORDER BY doc_id
 
 
 DECONTAMINATE_BLOOM_SQL = _decontaminate_bloom_sql()
+
+
+#: mixture target = this share of the corpus token mass, split across
+#: sources by weight
+MIX_SHARE_NUM, MIX_SHARE_DEN = 2, 5  # 40%, kept as a ratio for integer math
+MIX_SALT = "mix|"
+
+
+def mixture_weight_expr():
+    """Per-source mixture weight 1..4 derived from the source name
+    (``srcN`` -> ``1 + N % 4``) — a stand-in for the hand-tuned
+    DoReMi/Pile-style domain weights a real run would load from config."""
+    return 1 + (F.substring(F.col("source"), 4, 10).cast("int") % 4)
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted data mixing: fill a global token budget
+    (``MIX_SHARE`` of the corpus) across sources in proportion to
+    per-source mixture weights, taking documents in a deterministic
+    hash-priority order until each source's budget is spent — the static
+    mixture-construction step of an LLM training-data pipeline (the
+    weighted analogue of uniform stratified sampling; a source too small
+    for its budget saturates, i.e. is taken whole).
+
+    Exactness: budgets are pure integer arithmetic
+    (``share * corpus_toks * w DIV (den * sum_w)``), the per-source
+    priority order is the portable md5 hash, and the keep rule is an
+    integer EXCLUSIVE running sum (``cum_before < budget``) — so the
+    selected set is bit-identical on any engine.
+
+    100 TB shape: the per-source totals are one map-side-combined
+    aggregation (rows = #sources — broadcast back); the running sum is a
+    per-source window over (doc_id, n_toks, h) rows — ~24 bytes/doc, and
+    partitionBy(source) parallelizes across sources. If ONE source
+    outgrows a task, the same two-phase prefix sum as
+    :func:`pack_token_lengths` applies (bucket by hash prefix, driver
+    exclusive-scan over bucket subtotals); the window form keeps the
+    oracle SQL identical.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+        hash64(
+            F.concat(F.lit(MIX_SALT), F.col("source"), F.lit("|"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+        mixture_weight_expr().cast("long").alias("w"),
+    )
+    totals = d.groupBy("source", "w").agg(F.sum("n_toks").alias("src_toks"))
+    corpus = totals.agg(
+        F.sum("src_toks").alias("corpus_toks"), F.sum("w").alias("sum_w")
+    )
+    budgets = totals.crossJoin(F.broadcast(corpus)).select(
+        "source",
+        F.expr(
+            f"({MIX_SHARE_NUM} * corpus_toks * w) DIV ({MIX_SHARE_DEN} * sum_w)"
+        ).alias("budget"),
+        "src_toks",
+    )
+    win = (
+        W.partitionBy("source")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = d.withColumn("cum_before", F.sum("n_toks").over(win) - F.col("n_toks"))
+    return (
+        cum.join(F.broadcast(budgets), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            "cum_before",
+            "budget",
+            (F.col("cum_before") < F.col("budget")).alias("keep"),
+            (F.col("budget") >= F.col("src_toks")).alias("saturated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MIXTURE_SAMPLE_SQL = f"""
+WITH d AS (
+    SELECT doc_id, source,
+           CAST(len({TOKENS_SQL.format(col="text")}) AS BIGINT) AS n_toks,
+           {hash64_sql("'" + MIX_SALT + "' || source || '|' || CAST(doc_id AS VARCHAR)")} AS h,
+           CAST(1 + (CAST(substr(source, 4, 10) AS INT) % 4) AS BIGINT) AS w
+    FROM documents
+), totals AS (
+    SELECT source, w, SUM(n_toks) AS src_toks FROM d GROUP BY source, w
+), corpus AS (
+    SELECT SUM(src_toks) AS corpus_toks, SUM(w) AS sum_w FROM totals
+), budgets AS (
+    SELECT source, ({MIX_SHARE_NUM} * corpus_toks * w) // ({MIX_SHARE_DEN} * sum_w) AS budget,
+           src_toks
+    FROM totals CROSS JOIN corpus
+), cum AS (
+    SELECT doc_id, source, n_toks,
+           COALESCE(SUM(n_toks) OVER (
+               PARTITION BY source ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM d
+)
+SELECT c.doc_id, c.source, c.n_toks, c.cum_before, b.budget,
+       c.cum_before < b.budget AS keep,
+       b.budget >= b.src_toks AS saturated
+FROM cum c JOIN budgets b USING (source)
+ORDER BY c.doc_id
+"""

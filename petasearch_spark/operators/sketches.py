@@ -201,3 +201,122 @@ FROM probes p JOIN counters c ON p.d = c.d AND p.b = c.b
 GROUP BY p.term, p.exact_cnt
 ORDER BY p.exact_cnt DESC, p.term
 """
+
+
+HLL_M = 64        # registers (p = 6 bucket bits)
+HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. 2007, m = 64)
+
+
+def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct word-bigram count via a DETERMINISTIC
+    HyperLogLog: the md5-based ``hash64`` splits into a 6-bit register
+    index (``h % 64``) and a 54-bit word whose leading-zero count + 1 is
+    the rank ``rho``; registers keep ``max(rho)``. Unlike the engine's
+    ``approx_count_distinct`` (implementation-defined, never
+    value-hash-comparable), every step here is reproducible in SQL, so
+    the sketch sits under the exact oracle like KMV.
+
+    Determinism of the estimate: the harmonic sum ``sum(2^-reg)`` is kept
+    in INTEGER arithmetic scaled by 2^55 (`1 << (55 - reg)`; empty
+    registers contribute 2^55), so no float summation order exists; the
+    one double division (+ the linear-counting ``ln`` on the small-range
+    branch, same IEEE-stability precedent as unigram_logprob_score)
+    happens on the final scalar. Rank via bit-length:
+    ``rho = 55 - len(bin(w) stripped of leading zeros)`` — integer in
+    both engines, and exactly 1 + leading-zeros of the 54-bit word.
+
+    Scale shape (100 TB): sketch state per group is 64 bytes of
+    registers, merged by elementwise MAX — partial aggregation applies
+    everywhere; nothing but (source, bucket, max_rho) ever shuffles.
+    KMV answers the same question with K integers and no bias branches;
+    HLL's state is 8x smaller — this is the memory-lean twin, and the
+    two estimates cross-audit each other in tests.
+    """
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    from petasearch_spark.operators.portable import word_shingles
+
+    th = (
+        docs.select("source", tokens(F.col("text")).alias("ts"))
+        .select("source", F.explode(F.array_distinct(word_shingles(F.col("ts"), 2))).alias("t"))
+        .select("source", hash64(F.col("t")).alias("h"))
+        .distinct()
+    )
+    regs = (
+        th.select(
+            "source",
+            (F.col("h") % HLL_M).alias("bucket"),
+            (
+                55
+                - F.length(
+                    F.regexp_replace(F.conv(F.expr(f"h DIV {HLL_M}"), 10, 2), "^0+", "")
+                )
+            ).alias("rho"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    per_src = regs.groupBy("source").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - reg)")).alias("denom_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    exact = th.groupBy("source").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    z = F.lit(HLL_M) - F.col("n_present")
+    denom = (F.col("denom_present") + z * F.lit(1 << 55)).cast("double")
+    e_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M * float(1 << 55)) / denom
+    e_lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / z.cast("double"))
+    est = F.round(F.when((z > 0) & (e_raw <= 2.5 * HLL_M), e_lc).otherwise(e_raw), 6)
+    return (
+        exact.join(per_src, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            z.cast("long").alias("n_zero_registers"),
+            est.alias("hll_estimate"),
+            F.round((est - F.col("exact_distinct")) / F.col("exact_distinct"), 6).alias(
+                "rel_error"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+HLL_DISTINCT_SQL = f"""
+WITH toks AS (
+    SELECT source, {TOKENS_SQL.format(col="text")} AS ts FROM documents
+), tok AS (
+    SELECT source, t[i] || ' ' || t[i+1] AS t
+    FROM (SELECT source, ts AS t FROM toks), range(1, 8192) r(i)
+    WHERE i + 1 <= len(t)
+), th AS (
+    SELECT DISTINCT source, {hash64_sql("t")} AS h FROM tok
+), regs AS (
+    SELECT source, h % {HLL_M} AS bucket,
+           MAX(55 - length(regexp_replace(bin(h // {HLL_M}), '^0+', ''))) AS reg
+    FROM th GROUP BY source, bucket
+), per_src AS (
+    SELECT source,
+           SUM(1::BIGINT << (55 - reg)) AS denom_present,
+           COUNT(*) AS n_present
+    FROM regs GROUP BY source
+), exact AS (
+    SELECT source, COUNT(*) AS exact_distinct FROM th GROUP BY source
+), est AS (
+    SELECT source, denom_present, n_present,
+           {HLL_M} - n_present AS z,
+           CAST(denom_present + ({HLL_M} - n_present) * (1::BIGINT << 55) AS DOUBLE) AS denom
+    FROM per_src
+), final AS (
+    SELECT source, z,
+           ROUND(CASE WHEN z > 0
+                       AND {HLL_ALPHA * HLL_M * HLL_M * float(1 << 55)} / denom <= {2.5 * HLL_M}
+                 THEN {float(HLL_M)} * ln({float(HLL_M)} / z)
+                 ELSE {HLL_ALPHA * HLL_M * HLL_M * float(1 << 55)} / denom END, 6) AS hll_estimate
+    FROM est
+)
+SELECT e.source, e.exact_distinct,
+       CAST(f.z AS BIGINT) AS n_zero_registers,
+       f.hll_estimate,
+       ROUND((f.hll_estimate - e.exact_distinct) / e.exact_distinct, 6) AS rel_error
+FROM exact e JOIN final f USING (source)
+ORDER BY e.source
+"""

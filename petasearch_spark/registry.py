@@ -187,6 +187,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # per-column data-quality profile: nulls / exact cardinality / ranges
     # in ONE aggregation pass, unpivoted via an exploded struct array
     "table_profile": (relational.table_profile, relational.TABLE_PROFILE_SQL),
+    # deterministic HyperLogLog (md5 registers, integer harmonic sum) —
+    # the memory-lean twin of the KMV sketch, same exact oracle
+    "hll_distinct_tokens": (sketches.hll_distinct_tokens, sketches.HLL_DISTINCT_SQL),
+    # source-weighted data mixing: integer budgets + hash-priority
+    # exclusive running sum — the static mixture-construction step
+    "mixture_sample": (corpus.mixture_sample, corpus.MIXTURE_SAMPLE_SQL),
 }
 
 
@@ -388,6 +394,19 @@ UNGATED: dict[str, str] = {
     "q18_large_orders": (
         "added after the gate filled; full DuckDB parity in pytest; HAVING-"
         "derived semi-join re-join with the aggregated side broadcast"
+    ),
+    "hll_distinct_tokens": (
+        "added after the gate filled; full DuckDB parity in pytest; the gated"
+        " kmv_distinct_tokens... is itself ungated — the sketch family's gate"
+        " row is cm_heavy_hitters' shared-oracle streaming twin"
+        " cm_stream_heavy_hitters; HLL register merge pinned in"
+        " tests/test_sketches.py"
+    ),
+    "mixture_sample": (
+        "added after the gate filled; full DuckDB parity in pytest; same"
+        " deterministic-hash sampling family as the gated"
+        " corpus_sample_stratified, plus integer budgets; source saturation"
+        " pinned on constructed corpora in tests/test_corpus.py"
     ),
 }
 

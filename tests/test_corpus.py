@@ -112,3 +112,50 @@ def test_bloom_false_positives_appear_when_saturated(spark):
         .collect()
     }
     assert flagged == train_with_shingles
+
+
+class TestMixtureSample:
+    def test_budgets_proportional_and_kept_mass_close(self, spark):
+        from petasearch_spark.operators.corpus import mixture_sample
+
+        rows = mixture_sample(spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 500
+        by_src = {}
+        for r in rows:
+            s = by_src.setdefault(r["source"], {"kept": 0, "budget": r["budget"]})
+            if r["keep"]:
+                s["kept"] += r["n_toks"]
+        for s, d in by_src.items():
+            if d["budget"] == 0:
+                continue
+            # exclusive-cum rule: kept mass reaches the budget and overshoots
+            # by at most one document
+            assert d["kept"] >= min(
+                d["budget"], sum(r["n_toks"] for r in rows if r["source"] == s)
+            )
+            assert d["kept"] <= d["budget"] + max(
+                r["n_toks"] for r in rows if r["source"] == s
+            )
+
+    def test_small_source_saturates(self, spark):
+        """A source smaller than its budget is taken whole and flagged."""
+        from pyspark.sql import functions as F
+
+        from petasearch_spark.operators import corpus
+        from petasearch_spark.sources.tables import load_table
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001").filter(
+            # shrink src1 to 2 docs; weight(src1)=2 with a big corpus behind it
+            (F.col("source") != "src1") | (F.col("doc_id") % 25 < 2)
+        )
+        import petasearch_spark.operators.corpus as c
+
+        orig = c.load_table
+        try:
+            c.load_table = lambda spark, name, sf_dir, **kw: docs
+            rows = corpus.mixture_sample(spark, "ignored").collect()
+        finally:
+            c.load_table = orig
+        src1 = [r for r in rows if r["source"] == "src1"]
+        assert src1 and all(r["saturated"] for r in src1)
+        assert all(r["keep"] for r in src1)

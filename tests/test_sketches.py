@@ -57,3 +57,67 @@ def test_cm_heavy_hitters_runs_on_corpus(spark):
     # output is ranked by exact count
     cnts = [r["exact_cnt"] for r in rows]
     assert cnts == sorted(cnts, reverse=True)
+
+
+class TestHLL:
+    """HLL guarantees the oracle row can't express: register mergeability
+    (union = elementwise max) and the linear-counting branch on sparse
+    registers."""
+
+    @staticmethod
+    def _registers(spark, terms):
+        from petasearch_spark.operators.portable import hash64
+
+        df = spark.createDataFrame([(t,) for t in terms], ["t"]).select(
+            hash64(F.col("t")).alias("h")
+        )
+        return {
+            r["bucket"]: r["reg"]
+            for r in df.select(
+                (F.col("h") % sketches.HLL_M).alias("bucket"),
+                (
+                    55
+                    - F.length(
+                        F.regexp_replace(
+                            F.conv(F.expr(f"h DIV {sketches.HLL_M}"), 10, 2), "^0+", ""
+                        )
+                    )
+                ).alias("rho"),
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("reg"))
+            .collect()
+        }
+
+    def test_registers_merge_by_elementwise_max(self, spark):
+        a = [f"alpha{i}" for i in range(300)]
+        b = [f"beta{i}" for i in range(300)]
+        ra, rb, rall = (
+            self._registers(spark, a),
+            self._registers(spark, b),
+            self._registers(spark, a + b),
+        )
+        merged = {
+            k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+        }
+        assert merged == rall
+
+    def test_estimate_accuracy_on_corpus(self, spark):
+        rows = sketches.hll_distinct_tokens(spark, SF).collect()
+        assert rows
+        for r in rows:
+            # 64 registers -> sigma = 1.04/8 = 13%; 4 sigma bound
+            assert abs(r["rel_error"]) < 0.52
+            assert r["hll_estimate"] > 0
+
+    def test_linear_counting_branch_on_sparse_registers(self, spark):
+        """A handful of distinct values leaves most registers zero; the
+        estimate must come from the linear-counting branch and land close
+        to exact (raw HLL is badly biased here)."""
+        import math
+
+        regs = self._registers(spark, [f"x{i}" for i in range(10)])
+        z = sketches.HLL_M - len(regs)
+        assert z > 0
+        lc = sketches.HLL_M * math.log(sketches.HLL_M / z)
+        assert abs(lc - 10) < 3  # LC is tight at this range
