@@ -370,12 +370,17 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("media_id", "phash", "bk.band", "bk.key")
     a = bands.select(F.col("media_id").alias("ma"), F.col("phash").alias("pa"), "band", "key")
     b = bands.select(F.col("media_id").alias("mb"), F.col("phash").alias("pb"), "band", "key")
+    # Hamming verify BEFORE the distinct: bit_count is a per-row
+    # no-shuffle op, the distinct is a shuffle — filter first so only
+    # true near-dup pairs (not every band collision) pay it, and dedup
+    # on the narrow (ma, mb) key (a pair colliding in several bands
+    # would otherwise double-count)
     pairs = (
         a.join(b, ["band", "key"])
         .filter(F.col("ma") < F.col("mb"))
-        .select("ma", "mb", "pa", "pb")
-        .distinct()
         .filter(F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))) <= PH_MAX_HAMMING)
+        .select("ma", "mb")
+        .distinct()
     )
     partners = (
         pairs.select(F.col("ma").alias("media_id"))
