@@ -576,11 +576,14 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     at least one shingle whose {BLOOM_K} bit positions are all set.
 
     Plan: eval shingles -> bit positions -> bit_or-packed words (a
-    <= {BLOOM_BITS//BLOOM_WORD}-row table, broadcast); train shingles ->
-    positions -> broadcast left join on word index -> a shingle is
-    flagged iff every probe found its bit. One corpus-side shuffle (the
-    per-doc count); the eval side collapses before it ever meets the
-    corpus."""
+    <= {BLOOM_BITS//BLOOM_WORD}-row table, broadcast); the train side
+    checks its {BLOOM_K} probes via {BLOOM_K} BROADCAST joins — one per
+    probe index, each on that probe's word — so a shingle's flag is a
+    per-row conjunction and the corpus never shuffles for the probing
+    (the earlier explode -> groupBy(doc_id, h) form shuffled every
+    (shingle x probe) row back together; at 100 TB that was the whole
+    corpus {BLOOM_K}x over, for a regrouping a row-local AND computes
+    for free). The only corpus shuffle left is the per-doc count."""
     from petasearch_spark.operators.dedup import _shingle_hashes
 
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
@@ -603,13 +606,22 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("mask"))
     )
-    probes = positions(sh.filter(~is_eval)).join(F.broadcast(filt), "word", "left")
-    probe_set = F.expr("shiftright(coalesce(mask, CAST(0 AS BIGINT)), bit) & 1")
-    flagged = (
-        probes.groupBy("doc_id", "h")
-        .agg(F.min(probe_set).alias("all_set"))
-        .filter(F.col("all_set") == 1)
-    )
+    probes = sh.filter(~is_eval)
+    set_checks = []
+    for j in range(BLOOM_K):
+        pos_j = F.lit(0).cast("long") + _bloom_pos_expr(F.col("h"), j)
+        probes = probes.withColumn(f"_w{j}", (pos_j / BLOOM_WORD).cast("long")).withColumn(
+            f"_b{j}", (pos_j % BLOOM_WORD).cast("int")
+        )
+        fj = filt.select(F.col("word").alias(f"_w{j}"), F.col("mask").alias(f"_m{j}"))
+        probes = probes.join(F.broadcast(fj), f"_w{j}", "left")
+        set_checks.append(
+            F.expr(f"shiftright(coalesce(_m{j}, CAST(0 AS BIGINT)), _b{j}) & 1") == 1
+        )
+    all_set = set_checks[0]
+    for c in set_checks[1:]:
+        all_set = all_set & c
+    flagged = probes.filter(all_set)
     return (
         flagged.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
