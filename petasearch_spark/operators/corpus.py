@@ -757,14 +757,15 @@ WITH d AS (
 ), corpus AS (
     SELECT SUM(src_toks) AS corpus_toks, SUM(w) AS sum_w FROM totals
 ), budgets AS (
-    SELECT source, ({MIX_SHARE_NUM} * corpus_toks * w) // ({MIX_SHARE_DEN} * sum_w) AS budget,
+    SELECT source,
+           CAST(({MIX_SHARE_NUM} * corpus_toks * w) // ({MIX_SHARE_DEN} * sum_w) AS BIGINT) AS budget,
            src_toks
     FROM totals CROSS JOIN corpus
 ), cum AS (
     SELECT doc_id, source, n_toks,
-           COALESCE(SUM(n_toks) OVER (
+           CAST(COALESCE(SUM(n_toks) OVER (
                PARTITION BY source ORDER BY h
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
     FROM d
 )
 SELECT c.doc_id, c.source, c.n_toks, c.cum_before, b.budget,

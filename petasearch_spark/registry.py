@@ -32,7 +32,7 @@ from petasearch_spark.operators import (
     similarity,
     text,
 )
-from petasearch_spark.streaming import events_stream, stateful
+from petasearch_spark.streaming import events_stream, ingest_stream, stateful
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -193,6 +193,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # source-weighted data mixing: integer budgets + hash-priority
     # exclusive running sum — the static mixture-construction step
     "mixture_sample": (corpus.mixture_sample, corpus.MIXTURE_SAMPLE_SQL),
+    # streaming JSONL ingest with malformed-line quarantine accounting —
+    # the continuous twin of sources/jsonl.py, same from_json expression
+    "docs_stream_ingest": (ingest_stream.docs_stream_ingest, ingest_stream.DOCS_STREAM_INGEST_SQL),
 }
 
 
@@ -407,6 +410,11 @@ UNGATED: dict[str, str] = {
         " deterministic-hash sampling family as the gated"
         " corpus_sample_stratified, plus integer budgets; source saturation"
         " pinned on constructed corpora in tests/test_corpus.py"
+    ),
+    "docs_stream_ingest": (
+        "added after the gate filled; full DuckDB parity in pytest (real"
+        " 2-micro-batch run, deterministic planted-malformed oracle);"
+        " streaming state/agg/dedup/join keep their gate rows"
     ),
 }
 

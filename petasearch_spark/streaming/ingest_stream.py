@@ -1,0 +1,116 @@
+"""Streaming JSONL ingest — the continuous form of sources/jsonl.py
+(a Kafka/landing-zone -> bronze-table hop): each micro-batch of raw
+dump lines is parsed schema-first, malformed lines are quarantined, and
+the query maintains per-source ingest accounting. What a production
+ingest monitors is exactly this output: did every line land, and how
+many went to quarantine.
+
+Parse = the SAME ``from_json`` expression as the batch reader (stream
+and batch cannot drift), applied over ``readStream.text``. The
+aggregation is a plain streaming groupBy — counters are associative, so
+micro-batch order is irrelevant and the final table equals the batch
+answer exactly, which is what the DuckDB oracle checks (malformed lines
+are planted deterministically by doc_id, so the oracle recomputes both
+sides from the documents table without parsing any JSON).
+
+Scale shape: parsing is stateless per line (no shuffle before the
+counter agg); state is one row per source — bounded by the source
+vocabulary, not the stream length.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: every BREAK_MOD-th doc's dump line is truncated mid-JSON at staging
+BREAK_MOD = 50
+BREAK_AT = 7
+_TRUNC_LEN = 20  # always inside the {"id":"doc-..." prefix -> never valid JSON
+
+
+def _stage_jsonl_two_files(spark: SparkSession, sf_dir: str) -> str:
+    """documents -> a 2-file JSONL staging dir (micro-batch bait) with
+    deterministically planted malformed lines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    line = F.to_json(
+        F.struct(
+            F.concat(F.lit("doc-"), F.col("doc_id")).alias("id"),
+            "text",
+            "lang",
+            "source",
+        )
+    )
+    broken = F.when(
+        F.col("doc_id") % BREAK_MOD == BREAK_AT, F.substring(line, 1, _TRUNC_LEN)
+    ).otherwise(line)
+    stage = tempfile.mkdtemp(prefix="jsonl_stream_")
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 2 == i).select(broken.alias("value")).coalesce(
+            1
+        ).write.mode("overwrite").text(os.path.join(stage, f"half{i}"))
+    flat = tempfile.mkdtemp(prefix="jsonl_streamflat_")
+    n = 0
+    for i in range(2):
+        half = os.path.join(stage, f"half{i}")
+        for f in sorted(os.listdir(half)):
+            if f.endswith(".txt"):
+                os.symlink(os.path.join(half, f), os.path.join(flat, f"part{n}.txt"))
+                n += 1
+    return flat
+
+
+def docs_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source streaming ingest accounting: (source, n_docs,
+    n_chars_total) for parsed lines plus one ``__quarantine__`` row
+    counting malformed lines. ``n_chars_total`` comes from the parsed
+    text, so the row proves the stream actually parsed payloads, not
+    just counted lines."""
+    from petasearch_spark.sources.jsonl import JSONL_DOC_SCHEMA
+    from petasearch_spark.streaming.stateful import _run_to_memory
+
+    stage = _stage_jsonl_two_files(spark, sf_dir)
+    parsed = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(stage)
+        .select(
+            F.from_json(
+                "value",
+                JSONL_DOC_SCHEMA,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_malformed"},
+            ).alias("j")
+        )
+        .select("j.*")
+    )
+    counts = (
+        parsed.select(
+            F.coalesce(F.col("source"), F.lit("__quarantine__")).alias("source"),
+            F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("n_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+    )
+    name = "docs_stream_ingest_sink"
+    _run_to_memory(counts, name, "complete")
+    return spark.table(name).orderBy("source")
+
+
+DOCS_STREAM_INGEST_SQL = f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars_total
+FROM documents
+WHERE doc_id % {BREAK_MOD} <> {BREAK_AT}
+GROUP BY source
+UNION ALL
+SELECT '__quarantine__' AS source, COUNT(*) AS n_docs,
+       CAST(0 AS BIGINT) AS n_chars_total
+FROM documents
+WHERE doc_id % {BREAK_MOD} = {BREAK_AT}
+ORDER BY source
+"""
