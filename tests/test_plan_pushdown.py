@@ -139,3 +139,39 @@ def test_zorder_layout_single_aggregation_shuffle(spark):
     hashex = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     keys = {m.strip() for m in hashex}
     assert all(k.startswith("cell") for k in keys), keys
+
+
+def test_hll_scan_prunes_to_source_and_text(spark):
+    """The HLL sketch needs only (source, text); doc_id/lang/n_chars
+    must not be read."""
+    plan = plan_of(spark, "hll_distinct_tokens")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    for s in schemas:
+        assert "n_chars" not in s and "lang" not in s, s
+        assert "text" in s and "source" in s
+
+
+def test_mixture_sample_scan_prunes_and_single_corpus_window(spark):
+    """mixture_sample reads (doc_id, source, text) only, and the doc-level
+    running sum is ONE window partitioned by source (never a global
+    single-partition window)."""
+    plan = plan_of(spark, "mixture_sample")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    for s in schemas:
+        assert "n_chars" not in s and "lang" not in s, s
+    # every Window operator must carry a partition spec (no global window)
+    for ln in plan.splitlines():
+        if re.search(r"\bWindow\b", ln) and "windowspecdefinition" in ln:
+            assert "specifiedwindowframe" in ln
+            assert re.search(r"windowspecdefinition\(source", ln), ln
+
+
+def test_decontaminate_bloom_probe_side_has_no_shuffle(spark):
+    """The Bloom probe is K broadcast joins: above the corpus-shingle
+    branch there must be NO Exchange until the final per-doc count."""
+    plan = plan_of(spark, "decontaminate_bloom")
+    # count Exchanges that hash-partition on (doc_id, h) — the old
+    # regrouping shuffle; the new plan has none
+    assert not re.search(r"Exchange hashpartitioning\(doc_id[^)]*,\s*h#", plan), plan
