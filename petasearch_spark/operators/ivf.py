@@ -760,3 +760,83 @@ SELECT s.vec_id, s.cent_id, d.dup_of,
 FROM assign s LEFT JOIN dup d USING (vec_id)
 ORDER BY s.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF maintenance: append-only vector ingestion into a
+# partitioned index layout (the third leg of the incremental triad next
+# to kmer_index.merge_kmer_index_delta and dedup.merge_dedup_ledger).
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_index(emb: DataFrame, path: str, centroids: list) -> None:
+    """Materialize an IVF index: vectors assigned to their nearest coarse
+    centroid (broadcast Arrow kernel — no shuffle) and written
+    PARTITIONED BY bucket, so a probe's nprobe bucket selection becomes
+    parquet partition pruning (the IVF promise pushed into the storage
+    layout: a query physically reads nprobe/len(centroids) of the index).
+
+    `centroids` = collected (cent_id, vector) rows — the trained coarse
+    quantizer (tiny by construction)."""
+    from petasearch_spark.operators.similarity import nearest_centroid_udf
+
+    nearest = nearest_centroid_udf(centroids)
+    emb.select("vec_id", "v", nearest("v").alias("bucket")).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+
+
+def merge_ivf_index_delta(spark: SparkSession, path: str, delta_emb: DataFrame, centroids: list) -> None:
+    """Fold newly-arrived vectors into an existing IVF index with ZERO
+    base work: assignment uses the SAME frozen coarse quantizer (FAISS
+    `add()` semantics — adding never retrains; periodic re-clustering is
+    a separate batch job), and because vector ingest is append-only
+    (ids are unique, there is no collision rule to resolve), the merge
+    is a partitioned APPEND — new files land inside the affected bucket
+    directories and the base index's files are never read, moved or
+    rewritten. Cost is proportional to the DELTA alone; contrast
+    merge_kmer_index_delta, whose representative rule forces a
+    bucket-local full-outer join."""
+    from petasearch_spark.operators.similarity import nearest_centroid_udf
+
+    nearest = nearest_centroid_udf(centroids)
+    delta_emb.select("vec_id", "v", nearest("v").alias("bucket")).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(path)
+
+
+def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame, centroids: list,
+                    nprobe: int = NPROBE, topk: int = TOPK) -> DataFrame:
+    """Top-k cosine search against a materialized IVF index. The nprobe
+    bucket ids per query come from the broadcast quantizer; the scan
+    filter `bucket IN (...)` prunes to those partition DIRECTORIES —
+    at deployment the executor never opens a file outside the probed
+    buckets."""
+    from petasearch_spark.operators.similarity import cosine, cosine_pair_udf
+
+    cent = spark.createDataFrame(
+        [(int(c), list(map(float, v))) for c, v in centroids], "cent_id long, cv array<double>"
+    )
+    qprobe = (
+        queries.crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "cent_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cs"))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("query_id").orderBy(F.desc("cs"), "cent_id"))
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", F.col("cent_id").alias("bucket"))
+    )
+    probed = [r["bucket"] for r in qprobe.select("bucket").distinct().collect()]
+    idx = spark.read.parquet(path).filter(F.col("bucket").isin(probed))
+    cand = qprobe.join(idx, "bucket").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_pair_udf(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= topk)
+        .orderBy("query_id", "rk")
+    )

@@ -90,3 +90,97 @@ def test_dedup_ledger_merge_is_bucket_local(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+class TestIvfIndexMerge:
+    """Incremental IVF ingestion: appending a delta must (a) leave every
+    base file untouched, (b) give probe results identical to an index
+    rebuilt from scratch over base+delta with the same frozen quantizer,
+    and (c) the probe scan must prune to the probed bucket partitions."""
+
+    @staticmethod
+    def _setup(spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from petasearch_spark.operators.ivf import N_CENTROIDS
+        from petasearch_spark.operators.similarity import _as_double
+        from petasearch_spark.sources.tables import load_table
+
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        )
+        cent = [
+            (r["vec_id"], r["v"])
+            for r in emb.filter(F.col("vec_id") < N_CENTROIDS).collect()
+        ]
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        delta = emb.filter(F.col("vec_id") % 5 == 0)
+        return emb, cent, base, delta
+
+    @staticmethod
+    def _files(path):
+        import glob
+        import os
+
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+        }
+
+    def test_append_only_and_probe_equivalence(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from petasearch_spark.operators.ivf import (
+            merge_ivf_index_delta,
+            probe_ivf_index,
+            write_ivf_index,
+        )
+
+        emb, cent, base, delta = self._setup(spark, tmp_path)
+        merged_path = str(tmp_path / "ivf_merged")
+        write_ivf_index(base, merged_path, cent)
+        before = self._files(merged_path)
+        merge_ivf_index_delta(spark, merged_path, delta, cent)
+        after = self._files(merged_path)
+        # base files untouched, only new files appear
+        for f, mt in before.items():
+            assert f in after and after[f] == mt, f
+        assert len(after) > len(before)
+
+        rebuilt_path = str(tmp_path / "ivf_rebuilt")
+        write_ivf_index(emb, rebuilt_path, cent)
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        got = [
+            (r["query_id"], r["rk"], r["neighbor_id"])
+            for r in probe_ivf_index(spark, merged_path, q, cent).collect()
+        ]
+        want = [
+            (r["query_id"], r["rk"], r["neighbor_id"])
+            for r in probe_ivf_index(spark, rebuilt_path, q, cent).collect()
+        ]
+        assert got == want and got
+
+    def test_probe_scan_prunes_partitions(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from petasearch_spark.operators.ivf import probe_ivf_index, write_ivf_index
+
+        spark.catalog.clearCache()
+        emb, cent, base, delta = self._setup(spark, tmp_path)
+        path = str(tmp_path / "ivf_prune")
+        write_ivf_index(emb, path, cent)
+        # ONE query -> at most NPROBE of the N_CENTROIDS partitions scanned
+        q = emb.filter(F.col("vec_id") == 3).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        df = probe_ivf_index(spark, path, q, cent)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        from petasearch_spark.operators.ivf import NPROBE
+
+        m = re.search(r"PartitionFilters: \[bucket#\d+ IN \(([\d,]+)\)", plan)
+        assert m, plan
+        assert len(m.group(1).split(",")) <= NPROBE, m.group(1)
