@@ -433,9 +433,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.subkey") == F.col("b.subkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        # Hamming verify BEFORE the distinct: bit_count is row-local, the
+        # distinct is a shuffle — only true near-dup pairs (not every band
+        # collision) should pay it (same ordering as image_phash_dedup)
+        .filter(ham <= SIMHASH_MAX_HAMMING)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), ham.alias("hamming"))
         .distinct()
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .orderBy("doc_a", "doc_b")
     )
 
