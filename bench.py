@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "table_profile",
     "hll_distinct_tokens",
     "mixture_sample",
+    "events_type_pivot",
 ]
 
 

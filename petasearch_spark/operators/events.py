@@ -768,3 +768,49 @@ FROM ranked2 r JOIN med m USING (event_type) JOIN mad d USING (event_type)
 GROUP BY m.event_type, m.n_events, m.median_value, d.mad
 ORDER BY m.event_type
 """
+
+
+#: fixed pivot column list — NEVER inferred: an unpinned pivot runs an
+#: extra distinct-scan over the corpus to discover values, and a schema
+#: that depends on the data breaks every downstream consumer
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type crosstab: one row per day, one count column per
+    event type plus the day's total value in cents — the long->wide
+    PIVOT operator class (reporting tables, feature matrices).
+
+    Spark's ``pivot`` with an EXPLICIT value list compiles to one
+    groupBy(day) aggregation with conditional counts — a single shuffle,
+    map-side combined, identical plan shape to writing the CASE
+    expressions by hand (which is exactly how the DuckDB oracle states
+    it). Counts are integers and the value sum is DECIMAL cents, so the
+    wide row value-hashes identically cross-engine."""
+    ev = load_table(spark, "events", sf_dir)
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    counts = (
+        ev.select(day, "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    totals = ev.select(day, "value").groupBy("day").agg(
+        F.sum(F.round(F.col("value") * 100).cast("decimal(18,0)")).cast("long").alias("value_cents")
+    )
+    out = counts.join(totals, "day")
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in PIVOT_TYPES],
+        "value_cents",
+    ).orderBy("day")
+
+
+EVENTS_TYPE_PIVOT_SQL = f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in PIVOT_TYPES)},
+       CAST(SUM(CAST(ROUND(value * 100) AS DECIMAL(18,0))) AS BIGINT) AS value_cents
+FROM events
+GROUP BY day
+ORDER BY day
+"""

@@ -196,6 +196,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # streaming JSONL ingest with malformed-line quarantine accounting —
     # the continuous twin of sources/jsonl.py, same from_json expression
     "docs_stream_ingest": (ingest_stream.docs_stream_ingest, ingest_stream.DOCS_STREAM_INGEST_SQL),
+    # long->wide PIVOT with an explicit value list (one conditional-agg
+    # shuffle; never the value-inferring extra scan)
+    "events_type_pivot": (events.events_type_pivot, events.EVENTS_TYPE_PIVOT_SQL),
 }
 
 
@@ -415,6 +418,11 @@ UNGATED: dict[str, str] = {
         "added after the gate filled; full DuckDB parity in pytest (real"
         " 2-micro-batch run, deterministic planted-malformed oracle);"
         " streaming state/agg/dedup/join keep their gate rows"
+    ),
+    "events_type_pivot": (
+        "added after the gate filled; full DuckDB parity in pytest; the pivot"
+        " compiles to the same conditional-aggregation shuffle class as the"
+        " gated events_hourly/events_rollup rows"
     ),
 }
 
