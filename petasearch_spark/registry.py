@@ -402,8 +402,8 @@ UNGATED: dict[str, str] = {
         "derived semi-join re-join with the aggregated side broadcast"
     ),
     "hll_distinct_tokens": (
-        "added after the gate filled; full DuckDB parity in pytest; the gated"
-        " kmv_distinct_tokens... is itself ungated — the sketch family's gate"
+        "added after the gate filled; full DuckDB parity in pytest;"
+        " kmv_distinct_tokens is itself ungated — the sketch family's gate"
         " row is cm_heavy_hitters' shared-oracle streaming twin"
         " cm_stream_heavy_hitters; HLL register merge pinned in"
         " tests/test_sketches.py"
