@@ -814,3 +814,46 @@ FROM events
 GROUP BY day
 ORDER BY day
 """
+
+
+def events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wide->long inverse of :func:`events_type_pivot`: melt the
+    daily crosstab back into (day, event_type, n_events) rows via the
+    native ``unpivot``/``stack`` operator and keep only non-zero cells.
+    Round-tripping pivot -> unpivot is the standard reshaping pair of a
+    reporting layer; ``unpivot`` is a zero-shuffle projection (each wide
+    row expands locally), so the only shuffle in this whole query is the
+    pivot's own aggregation.
+
+    The oracle states the melt as a UNION ALL over the same CASE
+    aggregates — value-identical including the zero-cell filter."""
+    wide = events_type_pivot(spark, sf_dir)
+    long = wide.unpivot(
+        ids=["day"],
+        values=[f"n_{t}" for t in PIVOT_TYPES],
+        variableColumnName="event_type",
+        valueColumnName="n_events",
+    )
+    return (
+        long.select(
+            "day",
+            F.expr("substring(event_type, 3)").alias("event_type"),
+            "n_events",
+        )
+        .filter(F.col("n_events") > 0)
+        .orderBy("day", "event_type")
+    )
+
+
+EVENTS_TYPE_UNPIVOT_SQL = f"""
+WITH wide AS (
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in PIVOT_TYPES)}
+    FROM events GROUP BY day
+)
+SELECT day, event_type, n_events FROM (
+    {" UNION ALL ".join(f"SELECT day, '{t}' AS event_type, n_{t} AS n_events FROM wide" for t in PIVOT_TYPES)}
+)
+WHERE n_events > 0
+ORDER BY day, event_type
+"""

@@ -199,6 +199,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # long->wide PIVOT with an explicit value list (one conditional-agg
     # shuffle; never the value-inferring extra scan)
     "events_type_pivot": (events.events_type_pivot, events.EVENTS_TYPE_PIVOT_SQL),
+    # the wide->long inverse: native unpivot/stack melt (zero-shuffle
+    # projection; the pivot's agg is the only shuffle in the round trip)
+    "events_type_unpivot": (events.events_type_unpivot, events.EVENTS_TYPE_UNPIVOT_SQL),
 }
 
 
@@ -423,6 +426,11 @@ UNGATED: dict[str, str] = {
         "added after the gate filled; full DuckDB parity in pytest; the pivot"
         " compiles to the same conditional-aggregation shuffle class as the"
         " gated events_hourly/events_rollup rows"
+    ),
+    "events_type_unpivot": (
+        "added after the gate filled; full DuckDB parity in pytest; zero-"
+        "shuffle melt over the pivot above — its only shuffle IS the gated"
+        " aggregation class"
     ),
 }
 
