@@ -174,7 +174,47 @@ def main() -> None:
     out["zorder_touch_frac"] = round(touched / (len(boxes) * len(probes)), 4)
     assert out["zorder_touch_frac"] < 0.5  # time-sort would be 1.0
 
+    pivot_smoke(spark, n_events, out)
+
     print(json.dumps(out))
+
+
+
+
+def pivot_smoke(spark, n_events: int, out: dict) -> None:
+    """PIVOT/unpivot at stream scale: the daily crosstab over n_events
+    synthetic rows must conserve counts exactly (sum of all wide cells ==
+    n_events; the unpivot melt reproduces the non-zero cells)."""
+    import tempfile
+
+    from petasearch_spark.operators.events import PIVOT_TYPES
+
+    tmp = tempfile.mkdtemp(prefix="pivot_smoke_")
+    try:
+        tmap = F.array(*[F.lit(t) for t in PIVOT_TYPES])
+        ev = spark.range(n_events).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1704067200) + (F.col("id") * 37) % (90 * 86400)).alias("ts"),
+            (F.col("id") % 5000).alias("user_id"),
+            F.element_at(tmap, (F.col("id") % 5 + 1).cast("int")).alias("event_type"),
+            (F.col("id") % 997).cast("double").alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        t0 = time.time()
+        wide = REGISTRY["events_type_pivot"][0](spark, tmp).collect()
+        out["pivot_s"] = round(time.time() - t0, 1)
+        out["pivot_days"] = len(wide)
+        total = sum(sum(r[f"n_{t}"] for t in PIVOT_TYPES) for r in wide)
+        assert total == n_events, (total, n_events)
+        t0 = time.time()
+        melted = REGISTRY["events_type_unpivot"][0](spark, tmp).collect()
+        out["unpivot_s"] = round(time.time() - t0, 1)
+        nonzero = sum(1 for r in wide for t in PIVOT_TYPES if r[f"n_{t}"] > 0)
+        assert len(melted) == nonzero
+        assert sum(r["n_events"] for r in melted) == n_events
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
