@@ -27,7 +27,21 @@ BENCH_ONLY = {
     "protein_prefilter_bucketed_query": doc_search.protein_prefilter_bucketed_query,
     "protein_search_index_build": doc_search.protein_search_index_build,
     "protein_search_prebuilt": doc_search.protein_search_prebuilt,
+    "search_multi_target": doc_search.protein_search_multi_target,
 }
+
+#: The driver's bench capture keeps only the LAST 2000 bytes of output and
+#: parses the final line — BENCH_r03's 73-entry JSON line exceeded that and
+#: the whole per-query record was lost (parsed: null). The emitted line must
+#: therefore stay under the buffer; MAX_LINE leaves headroom for timing-digit
+#: variance. Five redundant-plan twins were dropped from the BENCH list to
+#: fit (each remains registry+oracle-parity covered; surviving twin noted):
+#:   events_value_quantiles   -> events_value_outliers (superset: quantiles+MAD)
+#:   kmv_distinct_tokens      -> hll_distinct_tokens (same one-scan sketch agg)
+#:   decontaminate_minhash    -> dedup_minhash_lsh (same banding machinery)
+#:   ann_pq_topk              -> ann_ivfpq_topk (superset: ADC + IVF bucketing)
+#:   embedding_quantize_int8  -> embedding_profile (same zero-shuffle column map)
+MAX_LINE = 1900
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -66,24 +80,20 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_ivf_kmeans",
-    "ann_pq_topk",
     "ann_ivfpq_topk",
     "semdedup_clusters",
     "embedding_neardup",
     "embedding_neardup_lsh",
-    "embedding_quantize_int8",
     "image_stats",
     "video_frame_sample",
     "corpus_sample_stratified",
     "decontaminate_ngram_overlap",
-    "decontaminate_minhash",
     "corpus_curation_funnel",
     "sequence_packing",
     "bm25_search",
     "phrase_search",
     "text_quality_stats",
     "doc_chunk_overlap",
-    "kmv_distinct_tokens",
     "doc_fingerprint",
     "tfidf_top_terms",
     "doc_cluster_tfidf",
@@ -96,13 +106,13 @@ BENCH_QUERIES = [
     "image_phash_dedup",
     "decontaminate_bloom",
     "events_anomaly_daily",
-    "events_value_quantiles",
     "events_value_outliers",
     "embedding_profile",
     "table_profile",
     "hll_distinct_tokens",
     "mixture_sample",
     "events_type_pivot",
+    "search_multi_target",
 ]
 
 
@@ -129,23 +139,37 @@ def main() -> None:
         fn = BENCH_ONLY[name] if name in BENCH_ONLY else REGISTRY[name][0]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(time.perf_counter() - t0, 2)
         # untimed: release the query's own persist() blocks so the shared
         # session doesn't accumulate 60 queries' caches (GC pressure was
         # the dominant run-to-run variance in earlier bench records)
         spark.catalog.clearCache()
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    total = round(sum(timings.values()), 2)
+    # stop the session BEFORE printing so no late JVM/py4j shutdown chatter
+    # can land after the JSON line — it must be the final line of output
+    spark.stop()
+    def encode(ts: dict[str, float]) -> str:
+        return json.dumps(
             {
                 "metric": "bench_total_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": ts,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
+
+    line = encode(timings)
+    if len(line) > MAX_LINE:
+        # degrade precision rather than lose the record to tail truncation
+        line = encode({k: round(v, 1) for k, v in timings.items()})
+    assert len(line) <= 1990, (
+        f"bench JSON line is {len(line)} chars; the driver's tail capture "
+        f"holds 2000 — trim BENCH_QUERIES (see MAX_LINE note)"
     )
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

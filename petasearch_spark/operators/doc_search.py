@@ -768,3 +768,25 @@ def protein_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw", "alnlen", "nident", "mismatch", "gapopen",
         "qstart", "qend", "qlen", "tstart", "tend", "tlen",
     )
+
+
+def protein_search_multi_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 multi-target fan-out under bench (round-3 VERDICT item 5): one
+    query batch searched against THREE target DBs (the corpus split by
+    seq_id % 3 — the reference's per-DB shell-job fan-out,
+    /root/reference/data/petasearch.sh:42-65). The query-side k-mer table
+    is built once and persisted by `search_multi_target`; each target
+    branch probes the cached table (compute-once pinned in
+    tests/test_search_e2e.py)."""
+    from petasearch_spark.plans.search import search_multi_target
+
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source").persist()
+    queries = seqs.filter(F.col("seq_id") % 20 == 0)
+    targets = [seqs.filter(F.col("seq_id") % 3 == i) for i in range(3)]
+    res = search_multi_target(queries, targets)
+    return res.select(
+        "query_id", "target_id", "query_accession", "target_accession",
+        "raw", "alnlen", "nident", "mismatch", "gapopen",
+        "qstart", "qend", "qlen", "tstart", "tend", "tlen",
+    )

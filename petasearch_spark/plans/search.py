@@ -26,6 +26,59 @@ from petasearch_spark.operators.kmer_index import (
 from petasearch_spark.operators.prefilter import DEFAULT_REQ_KMER_MATCHES, prefilter
 
 
+def build_query_kmers(
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    expand_similar: bool = False,
+    kmer_threshold: int | None = None,
+    kmer_max_per_pos: int | None = None,
+    mask: bool = False,
+    compo_bias: bool = False,
+    alphabet: str = "amino",
+) -> DataFrame:
+    """The query-side k-mer table exactly as `search` would build it
+    (masking -> extraction -> optional T2/T4 expansion). Factored out so
+    `search_multi_target` can compute it ONCE and share it across target
+    sets — the reference recomputes it per target DB (one
+    comparekmertables process each, petasearch.sh:42-65); persisting one
+    table across N probes is the Spark-native improvement."""
+    if alphabet == "nucl":
+        from petasearch_spark.functions.scoring import NUCL_ALPHABET
+
+        alpha = NUCL_ALPHABET
+        # nucleotide-mode expansion degenerates to exact matching (see
+        # the parity note in `search`)
+        expand_similar = False
+    else:
+        from petasearch_spark.functions.kmer import AMINO_ALPHABET
+
+        alpha = AMINO_ALPHABET
+    if mask:
+        from petasearch_spark.operators.masking import mask_sequences
+
+        qk = extract_query_kmers(mask_sequences(queries), k=k, alphabet=alpha)
+    else:
+        qk = extract_query_kmers(queries, k=k, alphabet=alpha)
+    if expand_similar:
+        from petasearch_spark.operators.similar_kmers import (
+            DEFAULT_KMER_THRESHOLD,
+            DEFAULT_MAX_PER_POS,
+            composition_bias_kmer,
+            expand_query_kmers,
+        )
+
+        qk = expand_query_kmers(
+            qk,
+            k=k,
+            threshold=kmer_threshold if kmer_threshold is not None else DEFAULT_KMER_THRESHOLD,
+            max_per_pos=kmer_max_per_pos if kmer_max_per_pos is not None else DEFAULT_MAX_PER_POS,
+            # T4: per-position composition bias raises the similar-k-mer
+            # threshold inside biased regions (comparekmertables.cpp:196-253)
+            bias=composition_bias_kmer(queries, k=k) if compo_bias else None,
+        )
+    return qk
+
+
 def search(
     queries: DataFrame,
     targets: DataFrame,
@@ -41,6 +94,7 @@ def search(
     alphabet: str = "amino",
     max_seqs: int | None = None,
     xdrop: int | None = None,
+    query_kmers: DataFrame | None = None,
 ) -> DataFrame:
     """queries/targets: sequences(seq_id, accession, header, sequence).
 
@@ -80,35 +134,16 @@ def search(
 
     if target_index is None:
         target_index = build_kmer_index(targets, k=k, alphabet=alpha)
-    if mask:
-        from petasearch_spark.operators.masking import mask_sequences
-
-        qk = extract_query_kmers(mask_sequences(queries), k=k, alphabet=alpha)
-    else:
-        qk = extract_query_kmers(queries, k=k, alphabet=alpha)
-    if expand_similar and alphabet == "nucl":
-        # Reference parity: nucleotide mode scores with NucleotideMatrix at
-        # scale 1.0 (comparekmertables.cpp:135) where the k-score default
-        # 225 exceeds any 9-mer self-score (9×2=18) — generateKmerList can
-        # never emit, so expansion degenerates to exact matching.
-        expand_similar = False
-    if expand_similar:
-        from petasearch_spark.operators.similar_kmers import (
-            DEFAULT_KMER_THRESHOLD,
-            DEFAULT_MAX_PER_POS,
-            composition_bias_kmer,
-            expand_query_kmers,
-        )
-
-        qk = expand_query_kmers(
-            qk,
-            k=k,
-            threshold=kmer_threshold if kmer_threshold is not None else DEFAULT_KMER_THRESHOLD,
-            max_per_pos=kmer_max_per_pos if kmer_max_per_pos is not None else DEFAULT_MAX_PER_POS,
-            # T4: per-position composition bias raises the similar-k-mer
-            # threshold inside biased regions (comparekmertables.cpp:196-253)
-            bias=composition_bias_kmer(queries, k=k) if compo_bias else None,
-        )
+    # Reference parity note (nucl): nucleotide mode scores with
+    # NucleotideMatrix at scale 1.0 (comparekmertables.cpp:135) where the
+    # k-score default 225 exceeds any 9-mer self-score (9×2=18) —
+    # generateKmerList can never emit, so expansion degenerates to exact
+    # matching (build_query_kmers enforces it).
+    qk = query_kmers if query_kmers is not None else build_query_kmers(
+        queries, k=k, expand_similar=expand_similar,
+        kmer_threshold=kmer_threshold, kmer_max_per_pos=kmer_max_per_pos,
+        mask=mask, compo_bias=compo_bias, alphabet=alphabet,
+    )
     pairs = prefilter(qk, target_index, req_kmer_matches=req_kmer_matches)
     # xdrop=None (default) keeps full banded Gotoh — the engine's written
     # divergence decision (operators/align.py DEFAULT_XDROP note); pass
@@ -141,8 +176,22 @@ def search_multi_target(
     **kwargs,
 ) -> DataFrame:
     """J5: search each target set, UNION ALL the results (§2.7) — the
-    reference's per-DB shell-job fan-out + cat (petasearch.sh:42-65)."""
-    results = [search(queries, t, **kwargs) for t in target_sets]
+    reference's per-DB shell-job fan-out + cat (petasearch.sh:42-65).
+
+    The query-side k-mer table (extraction + optional masking/expansion —
+    the expensive, target-independent half of the probe) is built ONCE and
+    persisted, so each target set's prefilter reads the cached table
+    (InMemoryTableScan in every branch — pinned by
+    tests/test_search_e2e.py) instead of re-deriving it N times the way
+    the reference's N independent comparekmertables processes do. The
+    persist block is released by the caller's clearCache (bench) or
+    session teardown."""
+    qk_keys = ("k", "expand_similar", "kmer_threshold", "kmer_max_per_pos",
+               "mask", "compo_bias", "alphabet")
+    qk = build_query_kmers(
+        queries, **{kw: kwargs[kw] for kw in qk_keys if kw in kwargs}
+    ).persist()
+    results = [search(queries, t, query_kmers=qk, **kwargs) for t in target_sets]
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)

@@ -46,6 +46,10 @@ def get_spark(app_name: str = "petasearch_spark", shuffle_partitions: int | None
         # warehouse; keep it out of the source tree
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/petasearch_warehouse"))
         .config("spark.ui.enabled", "false")
+        # the console progress bar writes \r-spam that pollutes captured
+        # output (the driver's bench tail capture is a bounded buffer —
+        # BENCH_r03 lost its per-query record to exactly this)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # events.parquet carries TIMESTAMP(NANOS); read as long, converted
         # to micros in sources.tables.load_table

@@ -90,6 +90,41 @@ def test_multi_target_union(spark):
     assert "a0" in accs and "b0" in accs
 
 
+def test_multi_target_equals_per_target_union(spark):
+    """J5 compute-once refactor must not change results: the shared-qk
+    fan-out == N independent searches unioned (round-3 VERDICT item 5)."""
+    from petasearch_spark.operators.doc_search import derived_sequences
+    from petasearch_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    seqs = derived_sequences(docs).drop("source").persist()
+    q = seqs.filter(F.col("seq_id") % 20 == 0)
+    targets = [seqs.filter(F.col("seq_id") % 3 == i) for i in range(3)]
+    cols = ["query_id", "target_id", "raw", "alnlen", "nident", "qstart", "tstart"]
+    multi = sorted(tuple(r) for r in search_multi_target(q, targets).select(*cols).collect())
+    per = []
+    for t in targets:
+        per.extend(tuple(r) for r in search(q, t).select(*cols).collect())
+    assert multi == sorted(per) and len(multi) > 0
+
+
+def test_multi_target_query_kmers_computed_once(spark):
+    """Every target branch of the J5 plan must probe the CACHED query
+    k-mer table (InMemoryTableScan), not re-derive it — the scale claim
+    behind the shared-qk design (bench entry search_multi_target)."""
+    from petasearch_spark.operators.doc_search import derived_sequences
+    from petasearch_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    seqs = derived_sequences(docs).drop("source")
+    q = seqs.filter(F.col("seq_id") % 20 == 0)
+    targets = [seqs.filter(F.col("seq_id") % 3 == i) for i in range(3)]
+    res = search_multi_target(q, targets)
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    n_cached = plan.count("InMemoryRelation")
+    assert n_cached >= 3, f"expected the 3 target branches to scan the cached qk table, saw {n_cached}"
+
+
 def test_prebuilt_index_search_equals_inline(spark):
     """The build/query bench split must not change results: search
     against the stored O1-layout index == the inline-build search."""
