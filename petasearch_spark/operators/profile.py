@@ -105,32 +105,70 @@ def derived_profiles(sequences: DataFrame) -> DataFrame:
     )
 
 
+#: query density for the gated profile query: every 20th derived sequence,
+#: matching protein_search (round-3 VERDICT item 1 — the old %100 sparse
+#: pick yielded 0 rows at the gate SF, a schema-only hash signal)
+PROFILE_QUERY_MOD = 20
+
+
 def profile_search_consensus(spark, sf_dir: str) -> DataFrame:
-    """P5 profile mode under the DuckDB oracle (the §7 stretch, round-2
-    VERDICT item 9): deterministic window-sum PSSMs over every-100th
-    derived sequence -> profile_consensus (the argmax kernel the
-    reference runs at /root/reference/src/sra/blockalign.cpp:313-323) ->
-    standard k=9 prefilter vs the full index. The oracle recomputes the
-    PSSM sums, the tie-canonical argmax consensus AND the prefilter
-    entirely in SQL — so P5 gets a green value-checked row with no
-    committed golden involved."""
+    """P5 profile mode under the DuckDB oracle: deterministic window-sum
+    PSSMs over every-20th derived sequence -> profile_consensus (the
+    argmax kernel the reference runs at
+    /root/reference/src/sra/blockalign.cpp:313-323) -> standard k=9
+    prefilter vs the full index. ONE ROW PER QUERY PROFILE regardless of
+    prefilter outcome (left join): the row carries the consensus string
+    itself plus k-mer/prefilter stats, so the gate hash pins the argmax
+    kernel's VALUES even when no pair survives the HAVING — fixing the
+    round-3 weakness where the %100 variant returned 0 rows at the gate
+    SF. The oracle recomputes the PSSM sums, the tie-canonical argmax
+    consensus AND the stats entirely in SQL — no committed golden."""
     from pyspark.sql import functions as F
 
     from petasearch_spark.operators.doc_search import REQ_MATCHES, derived_sequences
     from petasearch_spark.operators.kmer_index import build_kmer_index, extract_query_kmers
-    from petasearch_spark.operators.prefilter import prefilter
     from petasearch_spark.sources.tables import load_table
 
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     seqs = derived_sequences(docs).drop("source").persist()
-    qprof = derived_profiles(seqs.filter(F.col("seq_id") % 100 == 0))
+    # length>0 keeps the query universe identical to the oracle's qchars
+    # CTE (a fully non-alphabetic document derives an empty sequence)
+    qprof = derived_profiles(
+        seqs.filter((F.col("seq_id") % PROFILE_QUERY_MOD == 0) & (F.length("sequence") > 0))
+    )
     cons = profile_consensus(qprof)
-    pairs = prefilter(extract_query_kmers(cons), build_kmer_index(seqs))
+    # raw k-mer match join (pre-HAVING) so per-query totals carry signal
+    # even where no pair passes; n_hit_targets applies the strict-> HAVING
+    matches = (
+        F.broadcast(extract_query_kmers(cons))
+        .join(build_kmer_index(seqs), "kmer")
+        .groupBy("query_id", F.col("seq_id").alias("target_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = matches.groupBy("query_id").agg(
+        F.sum("n").alias("n_kmer_matches"),
+        F.count(F.when(F.col("n") > REQ_MATCHES, 1)).alias("n_hit_targets"),
+    )
+    orig = seqs.select(F.col("seq_id").alias("query_id"), F.col("sequence").alias("orig"))
     return (
-        pairs.groupBy("query_id", "target_id")
-        .agg(F.count(F.lit(1)).alias("n_matches"))
-        .filter(F.col("n_matches") > REQ_MATCHES)
-        .orderBy("query_id", "target_id")
+        cons.select(F.col("seq_id").alias("query_id"), F.col("sequence").alias("consensus"))
+        .join(orig, "query_id")
+        .join(stats, "query_id", "left")
+        .select(
+            "query_id",
+            "consensus",
+            F.length("consensus").cast("int").alias("cons_len"),
+            # positions where argmax(PSSM) != the underlying residue — the
+            # direct, per-query measure of the consensus kernel's behavior
+            # (lengths are equal by construction: one PSSM row per residue)
+            F.expr(
+                "cast(size(filter(sequence(1, length(consensus)),"
+                " i -> substring(consensus, i, 1) <> substring(orig, i, 1))) as bigint)"
+            ).alias("n_pos_changed"),
+            F.coalesce("n_kmer_matches", F.lit(0)).cast("long").alias("n_kmer_matches"),
+            F.coalesce("n_hit_targets", F.lit(0)).cast("long").alias("n_hit_targets"),
+        )
+        .orderBy("query_id")
     )
 
 
@@ -149,7 +187,7 @@ WITH {DERIVED_SEQ_SQL}
 , qchars AS (
     SELECT seq_id, i AS pos, substr(sequence, i, 1) AS c
     FROM seqs, range(1, 8192) r(i)
-    WHERE seq_id % 100 = 0 AND i <= len(sequence)
+    WHERE seq_id % {PROFILE_QUERY_MOD} = 0 AND i <= len(sequence)
 )
 -- PSSM column = window-summed BLOSUM rows; consensus = argmax with ties
 -- to the lowest residue code (numpy argmax first-occurrence rule)
@@ -162,11 +200,20 @@ WITH {DERIVED_SEQ_SQL}
     JOIN alpha al ON al.ch = b.b
     GROUP BY c1.seq_id, c1.pos, b.b, al.code
 )
-, cons AS (
-    SELECT seq_id, string_agg(cand, '' ORDER BY pos) AS sequence
+, cons_pos AS (
+    SELECT seq_id, pos, cand
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY seq_id, pos ORDER BY sc DESC, code ASC) AS rn
           FROM prof)
-    WHERE rn = 1 GROUP BY seq_id
+    WHERE rn = 1
+)
+, cons AS (
+    SELECT seq_id, string_agg(cand, '' ORDER BY pos) AS sequence
+    FROM cons_pos GROUP BY seq_id
+)
+, ndiff AS (
+    SELECT p.seq_id, CAST(COUNT(CASE WHEN p.cand <> q.c THEN 1 END) AS BIGINT) AS n_pos_changed
+    FROM cons_pos p JOIN qchars q ON q.seq_id = p.seq_id AND q.pos = p.pos
+    GROUP BY p.seq_id
 )
 , kmers AS (
     SELECT seq_id, len(sequence) AS seq_len, substr(sequence, i, 9) AS kmer
@@ -185,11 +232,27 @@ WITH {DERIVED_SEQ_SQL}
     FROM cons, range(1, 8192) r(i)
     WHERE i + 8 <= len(sequence)
 )
-SELECT query_id, target_id, COUNT(*) AS n_matches
-FROM qk JOIN idx USING (kmer)
-GROUP BY query_id, target_id
-HAVING COUNT(*) > {REQ_MATCHES}
-ORDER BY query_id, target_id
+, pair AS (
+    SELECT query_id, target_id, COUNT(*) AS n
+    FROM qk JOIN idx USING (kmer)
+    GROUP BY query_id, target_id
+)
+, stats AS (
+    SELECT query_id,
+           CAST(SUM(n) AS BIGINT) AS n_kmer_matches,
+           CAST(COUNT(CASE WHEN n > {REQ_MATCHES} THEN 1 END) AS BIGINT) AS n_hit_targets
+    FROM pair GROUP BY query_id
+)
+SELECT c.seq_id AS query_id,
+       c.sequence AS consensus,
+       CAST(len(c.sequence) AS INT) AS cons_len,
+       CAST(COALESCE(d.n_pos_changed, 0) AS BIGINT) AS n_pos_changed,
+       CAST(COALESCE(s.n_kmer_matches, 0) AS BIGINT) AS n_kmer_matches,
+       CAST(COALESCE(s.n_hit_targets, 0) AS BIGINT) AS n_hit_targets
+FROM cons c
+LEFT JOIN ndiff d ON d.seq_id = c.seq_id
+LEFT JOIN stats s ON s.query_id = c.seq_id
+ORDER BY query_id
 """
 
 
