@@ -213,7 +213,7 @@ def funnel_report(
     hits/query). Each number is one lazily-planned count over the shared
     lineage — Spark computes them as separate narrow jobs; use for
     diagnostics, not in the hot path."""
-    # thread the alphabet into the funnel's own index/k-mer lineages so
+    # thread the alphabet into the funnel's own index lineage so
     # nucleotide-mode reports count over the same tables the search uses
     if kwargs.get("alphabet") == "nucl":
         from petasearch_spark.functions.scoring import NUCL_ALPHABET
@@ -224,28 +224,23 @@ def funnel_report(
 
         alpha = AMINO_ALPHABET
     index = build_kmer_index(targets, k=k, alphabet=alpha)
-    qk = extract_query_kmers(queries, k=k, alphabet=alpha)
-    if kwargs.get("mask"):
-        from petasearch_spark.operators.masking import mask_sequences
-
-        qk = extract_query_kmers(mask_sequences(queries), k=k, alphabet=alpha)
-    if kwargs.get("expand_similar") and kwargs.get("alphabet") != "nucl":
-        # nucl-mode expansion degenerates to exact matching (see search());
-        # mirror that here so the funnel counts the same k-mer table the
-        # reported search actually probes
-        from petasearch_spark.operators.similar_kmers import expand_query_kmers
-
-        qk = expand_query_kmers(
-            qk,
-            k=k,
-            **{kw: kwargs[arg] for kw, arg in
-               [("threshold", "kmer_threshold"), ("max_per_pos", "kmer_max_per_pos")]
-               if kwargs.get(arg) is not None},
-        )
+    # the funnel counts the SAME query k-mer table the reported search
+    # probes (masking/expansion/nucl degeneration included) — shared
+    # construction, not a re-implementation
+    qk = build_query_kmers(
+        queries, k=k,
+        expand_similar=bool(kwargs.get("expand_similar")),
+        kmer_threshold=kwargs.get("kmer_threshold"),
+        kmer_max_per_pos=kwargs.get("kmer_max_per_pos"),
+        mask=bool(kwargs.get("mask")),
+        compo_bias=bool(kwargs.get("compo_bias")),
+        alphabet=kwargs.get("alphabet", "amino"),
+    )
     matches = qk.join(index.select("kmer", F.col("seq_id").alias("target_id")), "kmer")
     pairs = prefilter(qk, index, req_kmer_matches=req_kmer_matches)
     ali = search(queries, targets, target_index=index, k=k,
-                 req_kmer_matches=req_kmer_matches, max_evalue=max_evalue, **kwargs)
+                 req_kmer_matches=req_kmer_matches, max_evalue=max_evalue,
+                 query_kmers=qk, **kwargs)
     n_queries = queries.count()
     report = {
         "query_kmers": qk.count(),
