@@ -590,15 +590,22 @@ def protein_search_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
     `--mask 1` (/root/reference/src/sra/comparekmertables.cpp:214-231):
     query sequences are tantan-masked before k-mer extraction, so F1's
     X-window skip suppresses repeat-driven probes; alignment still runs
-    over the unmasked residues (as in the reference). Gated by a committed
-    regression golden like protein_search (scripts/gen_goldens.py); T3
-    itself is independently oracle-checked by protein_mask_tantan."""
+    over the unmasked residues (as in the reference). ALSO runs the
+    reference's x-drop frontier termination (--xdrop 10,
+    /root/reference/src/commons/BlockAligner.cpp:60-93) instead of the
+    engine's full-Gotoh default — so ONE gated row exercises the
+    reference's termination rule end-to-end under the value-hash gate
+    (round-3 VERDICT item 4; the golden is generated under the same
+    setting). Gated by a committed regression golden like protein_search
+    (scripts/gen_goldens.py); T3 itself is independently oracle-checked
+    by protein_mask_tantan."""
+    from petasearch_spark.operators.align import DEFAULT_XDROP
     from petasearch_spark.plans.search import search
 
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     seqs = derived_sequences(docs).drop("source").persist()
     queries = seqs.filter(F.col("seq_id") % 20 == 0)
-    res = search(queries, seqs, mask=True)
+    res = search(queries, seqs, mask=True, xdrop=DEFAULT_XDROP)
     return res.select(
         "query_id", "target_id", "query_accession", "target_accession",
         "raw", "alnlen", "nident", "mismatch", "gapopen",
