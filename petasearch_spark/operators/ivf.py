@@ -811,7 +811,14 @@ def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame, centroid
     bucket ids per query come from the broadcast quantizer; the scan
     filter `bucket IN (...)` prunes to those partition DIRECTORIES —
     at deployment the executor never opens a file outside the probed
-    buckets."""
+    buckets.
+
+    ID-space assumption: queries drawn FROM the indexed corpus share its
+    vec_id space, and the `vec_id != query_id` filter drops the trivial
+    self-hit (the FAISS convention for corpus-internal probes). Queries
+    from an EXTERNAL id space must not collide with corpus ids, or a
+    legitimate neighbor is silently dropped — offset external query ids
+    (e.g. negative) before probing (round-3 ADVICE)."""
     from petasearch_spark.operators.similarity import cosine, cosine_pair_udf
 
     cent = spark.createDataFrame(
@@ -825,6 +832,10 @@ def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame, centroid
         )
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "qv", F.col("cent_id").alias("bucket"))
+        # persisted: the probe assignment feeds BOTH the bucket-pruning
+        # collect and the candidate join — without this the crossJoin +
+        # window lineage runs twice (round-3 ADVICE)
+        .persist()
     )
     probed = [r["bucket"] for r in qprobe.select("bucket").distinct().collect()]
     idx = spark.read.parquet(path).filter(F.col("bucket").isin(probed))

@@ -116,6 +116,15 @@ def _gapped(seq: str, start1: int, backtrace: str, gap_op: str, reverse_strand: 
         if op == gap_op:
             out.append("-")
         else:
+            # an inconsistent backtrace/start pair must fail loudly: Python's
+            # negative indexing would otherwise wrap to the END of the
+            # sequence and emit a plausible-looking corrupt alignment
+            # (round-3 ADVICE)
+            if i < 0 or i >= len(seq):
+                raise ValueError(
+                    f"backtrace walks outside the sequence (pos {i}, len {len(seq)}, "
+                    f"start1={start1}, reverse={reverse_strand}) — corrupt alignment row"
+                )
             c = seq[i]
             out.append(_COMPLEMENT.get(c, ".") if reverse_strand else c)
             i += step
