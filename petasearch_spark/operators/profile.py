@@ -59,6 +59,24 @@ def search_profiles(profiles: DataFrame, targets: DataFrame, **kwargs) -> DataFr
     return search(profile_consensus(profiles), targets, **kwargs)
 
 
+def search_profiles_vs_profiles(
+    query_profiles: DataFrame, target_profiles: DataFrame, **kwargs
+) -> DataFrame:
+    """Profile-vs-profile search (the §7/round-3 stretch beyond the
+    reference, whose profile support is query-side only —
+    /root/reference/src/sra/blockalign.cpp:313-323): BOTH sides are
+    reduced to consensus sequences by the same argmax kernel, then the
+    standard cascade runs unchanged. This is the mmseqs-style consensus
+    approximation of profile-profile comparison — full PSSM-vs-PSSM
+    column scoring (HHblits-style) is out of scope by design; the
+    consensus route keeps every stage SQL-oracle-checkable."""
+    from petasearch_spark.plans.search import search
+
+    return search(
+        profile_consensus(query_profiles), profile_consensus(target_profiles), **kwargs
+    )
+
+
 #: ±residues contributing to each derived PSSM column (see derived_profiles)
 PROFILE_WINDOW = 2
 
@@ -172,6 +190,32 @@ def profile_search_consensus(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_vs_profile_prefilter(spark, sf_dir: str) -> DataFrame:
+    """Profile-vs-profile mode under the DuckDB oracle: BOTH sides run the
+    argmax consensus kernel (every-20th profile as queries, every profile
+    as targets), then the standard k=9 one-representative prefilter. The
+    self-pair guarantees value-rich output at every SF (each query's
+    consensus is itself an indexed target consensus). The oracle
+    recomputes both consensus sets and the prefilter entirely in SQL."""
+    from pyspark.sql import functions as F
+
+    from petasearch_spark.operators.doc_search import REQ_MATCHES, derived_sequences
+    from petasearch_spark.operators.kmer_index import build_kmer_index, extract_query_kmers
+    from petasearch_spark.operators.prefilter import prefilter
+    from petasearch_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source").filter(F.length("sequence") > 0).persist()
+    tcons = profile_consensus(derived_profiles(seqs)).persist()
+    qcons = tcons.filter(F.col("seq_id") % PROFILE_QUERY_MOD == 0)
+    pairs = prefilter(extract_query_kmers(qcons), build_kmer_index(tcons))
+    return (
+        pairs.groupBy("query_id", "target_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("query_id", "target_id")
+    )
+
+
 def _profile_search_sql() -> str:
     from petasearch_spark.operators.doc_search import (
         DERIVED_SEQ_SQL,
@@ -257,3 +301,64 @@ ORDER BY query_id
 
 
 PROFILE_SEARCH_CONSENSUS_SQL = _profile_search_sql()
+
+
+def _profile_vs_profile_sql() -> str:
+    from petasearch_spark.operators.doc_search import (
+        DERIVED_SEQ_SQL,
+        REQ_MATCHES,
+        _blosum_values_sql,
+    )
+
+    alpha_rows = ", ".join(f"('{c}', {i})" for i, c in enumerate(AMINO_ALPHABET))
+    return f"""
+WITH {DERIVED_SEQ_SQL}
+, {_blosum_values_sql()}
+, alpha(ch, code) AS (FROM (VALUES {alpha_rows}) v(ch, code) SELECT *)
+-- consensus for EVERY sequence (targets); queries are the %-filtered subset
+, allchars AS (
+    SELECT seq_id, i AS pos, substr(sequence, i, 1) AS c
+    FROM seqs, range(1, 8192) r(i)
+    WHERE i <= len(sequence)
+)
+, prof AS (
+    SELECT c1.seq_id, c1.pos, b.b AS cand, al.code, SUM(b.s) AS sc
+    FROM allchars c1
+    JOIN allchars c2 ON c2.seq_id = c1.seq_id
+                    AND c2.pos BETWEEN c1.pos - {PROFILE_WINDOW} AND c1.pos + {PROFILE_WINDOW}
+    JOIN blosum b ON b.a = c2.c
+    JOIN alpha al ON al.ch = b.b
+    GROUP BY c1.seq_id, c1.pos, b.b, al.code
+)
+, cons AS (
+    SELECT seq_id, string_agg(cand, '' ORDER BY pos) AS sequence
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY seq_id, pos ORDER BY sc DESC, code ASC) AS rn
+          FROM prof)
+    WHERE rn = 1 GROUP BY seq_id
+)
+, tk AS (
+    SELECT seq_id, len(sequence) AS seq_len, substr(sequence, i, 9) AS kmer
+    FROM cons, range(1, 8192) r(i)
+    WHERE i + 8 <= len(sequence)
+)
+, idx AS (
+    SELECT kmer, seq_id AS target_id
+    FROM (SELECT kmer, seq_id,
+                 ROW_NUMBER() OVER (PARTITION BY kmer ORDER BY seq_len DESC, seq_id ASC) AS rn
+          FROM tk)
+    WHERE rn = 1
+)
+, qk AS (
+    SELECT seq_id AS query_id, substr(sequence, i, 9) AS kmer
+    FROM cons, range(1, 8192) r(i)
+    WHERE seq_id % {PROFILE_QUERY_MOD} = 0 AND i + 8 <= len(sequence)
+)
+SELECT query_id, target_id, COUNT(*) AS n_matches
+FROM qk JOIN idx USING (kmer)
+GROUP BY query_id, target_id
+HAVING COUNT(*) > {REQ_MATCHES}
+ORDER BY query_id, target_id
+"""
+
+
+PROFILE_VS_PROFILE_SQL = _profile_vs_profile_sql()

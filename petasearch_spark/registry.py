@@ -90,6 +90,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # P5 profile mode (§7 stretch): derived PSSMs -> argmax consensus ->
     # prefilter, consensus + prefilter fully recomputed by the SQL oracle
     "profile_search_consensus": (profile.profile_search_consensus, profile.PROFILE_SEARCH_CONSENSUS_SQL),
+    # profile-vs-profile mode (beyond the reference, whose profile support
+    # is query-side only): both sides consensus-reduced, then prefilter
+    "profile_vs_profile_prefilter": (profile.profile_vs_profile_prefilter, profile.PROFILE_VS_PROFILE_SQL),
     # T3 isn't SQL-expressible (no backrefs in RE2): oracle replays a
     # golden from an independent scalar masking implementation
     "protein_mask_stats": (masking.protein_mask_stats, masking.PROTEIN_MASK_STATS_SQL),
@@ -213,6 +216,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: bench.py still times them — but yield their driver slot to a
 #: non-redundant query. Each carries its redundancy rationale.
 UNGATED: dict[str, str] = {
+    "profile_vs_profile_prefilter": (
+        "composes the two P5 pieces the gate already hashes (argmax consensus via"
+        " profile_search_consensus, one-representative prefilter via protein_prefilter);"
+        " full DuckDB parity at sf0.001 AND sf0.01 in tests/test_oracle_parity.py"
+    ),
     "protein_prefilter_bucketed": (
         "logical output duplicates protein_prefilter (shares its oracle); the bucketed"
         " no-Exchange plan property is pinned by tests/test_skew_pruning.py and the"

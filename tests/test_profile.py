@@ -19,3 +19,32 @@ def test_profile_search_end_to_end(spark):
     )
     res = search_profiles(profiles, targets).collect()
     assert len(res) == 1 and res[0]["target_id"] == 0 and res[0]["nident"] == 20
+
+
+def test_profile_vs_profile_search(spark):
+    """Both sides consensus-reduced: a query profile must find the target
+    PROFILE whose argmax consensus matches, and ignore one whose PSSM
+    argmax differs everywhere."""
+    from petasearch_spark.functions.kmer import AMINO_ALPHABET
+    from petasearch_spark.operators.profile import search_profiles_vs_profiles
+
+    idx = {c: i for i, c in enumerate(AMINO_ALPHABET)}
+
+    def pssm(seq):
+        return [[2.0 if j == idx[c] else -1.0 for j in range(len(AMINO_ALPHABET))] for c in seq]
+
+    core = "ACDEFGHIKLMNPQRSTVWY"
+    qprof = spark.createDataFrame(
+        [(0, "q0", "q0", pssm(core))],
+        "seq_id long, accession string, header string, profile array<array<float>>",
+    )
+    tprof = spark.createDataFrame(
+        [
+            (0, "t_hit", "t_hit", pssm("WWWW" + core + "AAAA")),
+            (1, "t_miss", "t_miss", pssm("GGGGYYYYGGGGYYYYGGGG")),
+        ],
+        "seq_id long, accession string, header string, profile array<array<float>>",
+    )
+    res = search_profiles_vs_profiles(qprof, tprof).collect()
+    assert len(res) == 1
+    assert res[0]["target_accession"] == "t_hit" and res[0]["nident"] == 20
