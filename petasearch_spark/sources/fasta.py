@@ -146,6 +146,67 @@ def read_fastq(spark: SparkSession, path: str | list[str]) -> DataFrame:
     )
 
 
+def read_fastq_paired(
+    spark: SparkSession,
+    r1_path: str | list[str],
+    r2_path: str | list[str],
+    validate: bool = True,
+) -> DataFrame:
+    """Paired-end FASTQ ingestion (the §2.1 stretch): R1/R2 files are read
+    with :func:`read_fastq` and paired POSITIONALLY — the i-th record of
+    R1 mates the i-th record of R2, the kseq convention the reference
+    inherits (KSeqWrapper reads each file serially in record order;
+    paired-end tooling relies on synchronized file order).
+
+    Output = the sequences schema plus pairing metadata:
+    ``pair_id`` (0-based pair index in load order), ``mate`` (1 or 2),
+    and a GLOBAL interleaved ``seq_id = pair_id*2 + mate-1`` — R1/R2 of a
+    pair are adjacent ids, so downstream per-pair ops are a cheap
+    self-join on ``pair_id`` and the ids stay dense for the index build.
+
+    ``validate=True`` asserts both sides pair up: equal record counts and
+    matching accession stems (the trailing ``/1``/``/2`` or ``.1``/``.2``
+    mate suffix stripped). A desynchronized pair of files — the classic
+    silent corruption in paired-end data — fails loudly instead of
+    producing chimeric pairs. Validation is one broadcast-join count
+    (scalar action), skippable for trusted re-reads."""
+    mate_stem = F.regexp_replace("accession", r"[/.][12]$", "")
+    r1 = read_fastq(spark, r1_path).select(
+        F.col("seq_id").alias("pair_id"), "accession", "header", "sequence", "quality",
+        F.lit(1).alias("mate"), mate_stem.alias("_stem"),
+    )
+    r2 = read_fastq(spark, r2_path).select(
+        F.col("seq_id").alias("pair_id"), "accession", "header", "sequence", "quality",
+        F.lit(2).alias("mate"), mate_stem.alias("_stem"),
+    )
+    if validate:
+        n1, n2 = r1.count(), r2.count()
+        if n1 != n2:
+            raise ValueError(f"paired FASTQ desync: R1 has {n1} records, R2 has {n2}")
+        bad = (
+            r1.select("pair_id", F.col("_stem").alias("_s1"))
+            .join(r2.select("pair_id", F.col("_stem").alias("_s2")), "pair_id")
+            .filter(F.col("_s1") != F.col("_s2"))
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"paired FASTQ desync: {bad} positions where R1/R2 accession stems differ"
+            )
+    return (
+        r1.unionByName(r2)
+        .select(
+            (F.col("pair_id") * 2 + F.col("mate") - 1).alias("seq_id"),
+            "accession",
+            "header",
+            "sequence",
+            "quality",
+            "pair_id",
+            "mate",
+        )
+    )
+
+
 def sequences_from_records(spark: SparkSession, records: list[tuple[str, str]]) -> DataFrame:
     """Build a sequences DF from in-memory (header, sequence) pairs — test
     and small-query convenience; same schema/keys as :func:`read_fasta`."""

@@ -182,3 +182,42 @@ def test_filter_reads_trim_and_gates(spark, tmp_path):
     # interior low-quality base is NOT trimmed (tail rule only) but drags the mean
     assert len(out["r6"]["sequence"]) == 12
     assert out["r6"]["mean_q"] == round((30 * 11 + 2) / 12, 6)
+
+
+def test_fastq_paired_end(spark, tmp_path):
+    """Positional R1/R2 pairing: interleaved dense ids, mate metadata,
+    stem validation, and loud failure on desynchronized files."""
+    import pytest
+
+    from petasearch_spark.sources.fasta import read_fastq_paired
+
+    (tmp_path / "r1.fq").write_text(
+        "@read0/1 lane1\nACDEFGHIK\n+\nIIIIIIIII\n@read1/1 lane1\nLMNPQRSTV\n+\nIIIIIIIII\n"
+    )
+    (tmp_path / "r2.fq").write_text(
+        "@read0/2 lane1\nWYACDEFGH\n+\nIIIIIIIII\n@read1/2 lane1\nIKLMNPQRS\n+\nIIIIIIIII\n"
+    )
+    rows = read_fastq_paired(
+        spark, str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq")
+    ).orderBy("seq_id").collect()
+    assert [r["seq_id"] for r in rows] == [0, 1, 2, 3]
+    assert [(r["pair_id"], r["mate"]) for r in rows] == [(0, 1), (0, 2), (1, 1), (1, 2)]
+    assert rows[0]["accession"] == "read0/1" and rows[1]["accession"] == "read0/2"
+    assert rows[2]["sequence"] == "LMNPQRSTV" and rows[3]["sequence"] == "IKLMNPQRS"
+
+    # desync: R2 shorter
+    (tmp_path / "r2short.fq").write_text("@read0/2\nWYACDEFGH\n+\nIIIIIIIII\n")
+    with pytest.raises(ValueError, match="desync"):
+        read_fastq_paired(spark, str(tmp_path / "r1.fq"), str(tmp_path / "r2short.fq"))
+
+    # desync: same counts, mismatched stems at position 1
+    (tmp_path / "r2swap.fq").write_text(
+        "@read0/2\nWYACDEFGH\n+\nIIIIIIIII\n@readX/2\nIKLMNPQRS\n+\nIIIIIIIII\n"
+    )
+    with pytest.raises(ValueError, match="stems differ"):
+        read_fastq_paired(spark, str(tmp_path / "r1.fq"), str(tmp_path / "r2swap.fq"))
+    # trusted re-read path skips validation
+    n = read_fastq_paired(
+        spark, str(tmp_path / "r1.fq"), str(tmp_path / "r2swap.fq"), validate=False
+    ).count()
+    assert n == 4
