@@ -1,0 +1,145 @@
+"""Scale smoke for the round-4 surface: J5 multi-target fan-out reuse and
+paired-end FASTQ ingestion at volume.
+
+* multi_target — `search_multi_target` over 3 target splits of the sf0.1
+  corpus vs 3 independent `search` calls, in the reference's DEFAULT
+  expansion mode (the regime where the shared query k-mer table pays:
+  expansion is the expensive target-independent stage). Results must be
+  identical and the shared fan-out must be no slower than the
+  independent path, which runs FIRST so warm-cache bias works AGAINST
+  the claim. In plain exact mode at this SF the persist costs a ~1 s
+  constant instead (cache round-trip vs trivially-recomputed
+  extraction) — measured and accepted; the persist is the right plan
+  once the query batch is large or masking/expansion is on.
+* paired_fastq — R1/R2 files of n_reads synthesized reads ingested with
+  `read_fastq_paired`: validation passes, every pair_id carries exactly
+  two mates, ids are dense/interleaved, and a planted desync (one
+  swapped accession) fails loudly.
+
+    python scripts/round4_scale_smoke.py [n_reads]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from petasearch_spark.operators.doc_search import derived_sequences
+from petasearch_spark.plans.search import search, search_multi_target
+from petasearch_spark.session import get_spark
+from petasearch_spark.sources.fasta import read_fastq_paired
+from petasearch_spark.sources.tables import load_table
+
+
+def main() -> None:
+    n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("round4_scale_smoke")
+    out: dict[str, object] = {"n_reads": n_reads, "sf_dir": sf_dir}
+
+    # --- J5 multi-target reuse at sf0.1 -----------------------------------
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source").persist()
+    seqs.count()  # materialize once so both paths start from the same cache
+    queries = seqs.filter(F.col("seq_id") % 100 == 0)
+    targets = [seqs.filter(F.col("seq_id") % 3 == i) for i in range(3)]
+    cols = ["query_id", "target_id", "raw", "alnlen", "qstart", "tstart"]
+    kw = dict(expand_similar=True)
+    # warm code paths (JVM codegen + Python expansion workers) off the clock
+    search(queries.limit(3), targets[0], **kw).count()
+
+    t0 = time.time()
+    per: list[tuple] = []
+    for t in targets:
+        per.extend(tuple(r) for r in search(queries, t, **kw).select(*cols).collect())
+    out["multi_target_independent_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    multi = sorted(
+        tuple(r)
+        for r in search_multi_target(queries, targets, **kw).select(*cols).collect()
+    )
+    out["multi_target_shared_s"] = round(time.time() - t0, 1)
+
+    assert multi == sorted(per) and len(multi) > 0, "fan-out result drift"
+    out["multi_target_rows"] = len(multi)
+    assert out["multi_target_shared_s"] <= out["multi_target_independent_s"] * 1.05, (
+        f"shared-qk fan-out ({out['multi_target_shared_s']} s) slower than independent "
+        f"searches ({out['multi_target_independent_s']} s) — reuse regressed"
+    )
+    spark.catalog.clearCache()
+
+    # --- paired FASTQ at volume -------------------------------------------
+    tmp = tempfile.mkdtemp(prefix="r4_smoke_fq_")
+    try:
+        reads = spark.range(n_reads).select(
+            F.concat(F.lit("@r"), F.col("id")).alias("acc_stem"),
+            F.substring(
+                F.repeat(F.lit("ACDEFGHIKLMNPQRSTVWY"), 5),
+                (F.col("id") % 20 + 1).cast("int"),
+                60,
+            ).alias("seq"),
+        )
+        for mate in (1, 2):
+            lines = reads.select(
+                F.concat_ws(
+                    "\n",
+                    F.concat(F.col("acc_stem"), F.lit(f"/{mate}")),
+                    "seq",
+                    F.lit("+"),
+                    F.repeat(F.lit("I"), F.length("seq")),
+                ).alias("value")
+            )
+            lines.coalesce(1).write.mode("overwrite").text(os.path.join(tmp, f"r{mate}"))
+        t0 = time.time()
+        paired = read_fastq_paired(
+            spark, os.path.join(tmp, "r1"), os.path.join(tmp, "r2")
+        ).persist()
+        n_rows = paired.count()
+        out["paired_ingest_s"] = round(time.time() - t0, 1)
+        assert n_rows == 2 * n_reads, n_rows
+        per_pair = paired.groupBy("pair_id").agg(
+            F.count(F.lit(1)).alias("n"), F.collect_set("mate").alias("mates")
+        )
+        bad = per_pair.filter((F.col("n") != 2) | (F.size("mates") != 2)).count()
+        assert bad == 0, f"{bad} pairs without exactly mates 1+2"
+        stats = paired.agg(
+            F.min("seq_id").alias("lo"),
+            F.max("seq_id").alias("hi"),
+            F.countDistinct("seq_id").alias("n_ids"),
+        ).collect()[0]
+        assert (stats["lo"], stats["hi"], stats["n_ids"]) == (0, 2 * n_reads - 1, 2 * n_reads)
+
+        # planted desync: swap one R2 accession -> must fail loudly
+        r2_dir = os.path.join(tmp, "r2")
+        part = next(f for f in sorted(os.listdir(r2_dir)) if f.endswith(".txt"))
+        p = os.path.join(r2_dir, part)
+        with open(p) as fh:
+            content = fh.read()
+        with open(p, "w") as fh:
+            fh.write(content.replace("@r0/2\n", "@rX/2\n", 1))
+        crc = os.path.join(r2_dir, f".{part}.crc")
+        if os.path.exists(crc):  # stale Hadoop checksum would mask the desync
+            os.remove(crc)
+        try:
+            read_fastq_paired(spark, os.path.join(tmp, "r1"), r2_dir)
+            raise AssertionError("desync not detected")
+        except ValueError as e:
+            assert "stems differ" in str(e)
+        out["desync_detected"] = True
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
