@@ -81,6 +81,13 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("createdb", help="E3 (convert2sradb): FASTA/FASTQ -> parquet sequences table")
     p.add_argument("input_fasta")
     p.add_argument("db_dir")
+    p.add_argument(
+        "--paired",
+        default=None,
+        metavar="R2_FASTQ",
+        help="mate-2 FASTQ; pairs positionally with the input (R1), validates "
+        "record counts + accession stems, stores pair_id/mate columns",
+    )
 
     p = sub.add_parser("createindex", help="E3 (createkmertable): build + persist the k-mer index")
     p.add_argument("target_fasta")
@@ -103,7 +110,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "createdb":
         # the reference's convert2sradb: ingest once, scan many times.
         # Parquet + ZSTD replaces the 5-bit packed SRA codec (SURVEY §1.4).
-        seqs = load_target(spark, args.input_fasta)
+        if args.paired:
+            from petasearch_spark.sources.fasta import read_fastq_paired
+
+            seqs = read_fastq_paired(spark, args.input_fasta, args.paired)
+        else:
+            seqs = load_target(spark, args.input_fasta)
         seqs.write.mode("overwrite").option("compression", "zstd").parquet(args.db_dir)
         print(json.dumps({"db": args.db_dir, "n_sequences": spark.read.parquet(args.db_dir).count()}))
         return 0

@@ -290,3 +290,20 @@ class TestReverseStrandAlignmentStrings:
         r = with_alignment_strings(ali, q, t).collect()[0]
         assert r["qaln"] == print_aln_seq(seq, qstart - 1, bt, False, True)
         assert r["taln"] == print_aln_seq(seq, tstart - 1, bt, True, False)
+
+
+def test_cli_createdb_paired(spark, tmp_path):
+    """createdb --paired writes a parquet sequences table with pairing
+    metadata (pair_id/mate, interleaved dense ids)."""
+    from petasearch_spark.cli import main
+
+    (tmp_path / "r1.fq").write_text("@a/1\nACDEFGHIK\n+\nIIIIIIIII\n@b/1\nLMNPQRSTV\n+\nIIIIIIIII\n")
+    (tmp_path / "r2.fq").write_text("@a/2\nWYACDEFGH\n+\nIIIIIIIII\n@b/2\nIKLMNPQRS\n+\nIIIIIIIII\n")
+    db = tmp_path / "db"
+    rc = main(["createdb", str(tmp_path / "r1.fq"), str(db), "--paired", str(tmp_path / "r2.fq")])
+    assert rc == 0
+    rows = spark.read.parquet(str(db)).orderBy("seq_id").collect()
+    assert [(r["seq_id"], r["pair_id"], r["mate"]) for r in rows] == [
+        (0, 0, 1), (1, 0, 2), (2, 1, 1), (3, 1, 2),
+    ]
+    assert rows[1]["accession"] == "a/2"
