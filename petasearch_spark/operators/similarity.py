@@ -151,6 +151,25 @@ def nearest_centroid_udf(cent_rows) -> "F.pandas_udf":
     return nearest
 
 
+def cosine_topk(q: DataFrame, emb: DataFrame, topk: int = TOPK) -> DataFrame:
+    """Brute-force top-k core shared by the batch operator and the
+    streaming foreachBatch probe: queries(query_id, qv) broadcast against
+    the corpus(vec_id, v), self excluded, deterministic (cos DESC,
+    neighbor_id ASC) ranking on rounded cosine."""
+    pairs = F.broadcast(q).join(emb, F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .orderBy("query_id", "rk")
+    )
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 cosine neighbours for each query vector (vec_id < 10),
     excluding self. Deterministic ranking: (cos DESC, vec_id ASC) on
@@ -161,18 +180,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    pairs = F.broadcast(q).join(emb, F.col("vec_id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOPK)
-        .orderBy("query_id", "rk")
-    )
+    return cosine_topk(q, emb)
 
 
 ANN_COSINE_TOPK_SQL = f"""

@@ -33,6 +33,7 @@ from petasearch_spark.operators import (
     text,
 )
 from petasearch_spark.streaming import events_stream, ingest_stream, stateful
+from petasearch_spark.streaming.ann_stream import ann_stream_topk as _ann_stream_topk
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -108,6 +109,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
     # --- similarity search ---
     "ann_cosine_topk": (similarity.ann_cosine_topk, similarity.ANN_COSINE_TOPK_SQL),
+    # streaming twin: query vectors as a 2-batch stream, foreachBatch probe
+    # against the static corpus — output (and oracle) = ann_cosine_topk
+    "ann_stream_topk": (_ann_stream_topk, similarity.ANN_COSINE_TOPK_SQL),
     "ann_ivf_topk": (ivf.ann_ivf_topk, ivf.ANN_IVF_TOPK_SQL),
     "ann_ivf_kmeans": (ivf.ann_ivf_kmeans, ivf.ANN_IVF_KMEANS_SQL),
     "ann_pq_topk": (ivf.ann_pq_topk, ivf.ANN_PQ_TOPK_SQL),
@@ -220,6 +224,11 @@ UNGATED: dict[str, str] = {
         "composes the two P5 pieces the gate already hashes (argmax consensus via"
         " profile_search_consensus, one-representative prefilter via protein_prefilter);"
         " full DuckDB parity at sf0.001 AND sf0.01 in tests/test_oracle_parity.py"
+    ),
+    "ann_stream_topk": (
+        "streaming twin whose output (and oracle) is exactly ann_cosine_topk;"
+        " the foreachBatch probe reuses the batch top-k core verbatim, and"
+        " streaming-vs-batch equality holds at both SFs in tests/test_oracle_parity.py"
     ),
     "protein_prefilter_bucketed": (
         "logical output duplicates protein_prefilter (shares its oracle); the bucketed"

@@ -28,21 +28,34 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def _stage_two_files(spark: SparkSession, src_parquet: str, split_col: str) -> str:
-    """Split one parquet file into a 2-file staging dir (micro-batch bait)."""
-    stage = tempfile.mkdtemp(prefix="stream2_")
+    """Split one parquet file into a 2-file staging dir (micro-batch bait).
+    Cached per (source, split column) like a fixture so repeated gate/
+    bench runs reuse one staging copy instead of leaking tempdirs (the
+    round-3 ADVICE finding on the JSONL stager, applied here too)."""
+    import hashlib
+    import shutil
+
+    key = hashlib.md5(f"{os.path.abspath(src_parquet)}|{split_col}".encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"ps_stream2_{key}")
+    flat = os.path.join(root, "flat")
+    done_marker = os.path.join(root, "_STAGED")
+    if os.path.exists(done_marker):
+        return flat
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(flat)
     df = spark.read.parquet(src_parquet)
     for i in range(2):
         df.filter(F.col(split_col) % 2 == i).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(stage, f"half{i}")
+            os.path.join(root, f"half{i}")
         )
-    flat = tempfile.mkdtemp(prefix="stream2flat_")
     n = 0
     for i in range(2):
-        half = os.path.join(stage, f"half{i}")
+        half = os.path.join(root, f"half{i}")
         for f in sorted(os.listdir(half)):
             if f.endswith(".parquet"):
                 os.symlink(os.path.join(half, f), os.path.join(flat, f"part{n}.parquet"))
                 n += 1
+    open(done_marker, "w").close()
     return flat
 
 
