@@ -197,6 +197,79 @@ ORDER BY query_id, target_id
 """
 
 
+def protein_prefilter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 funnel counters under the DuckDB oracle: ONE row with the
+    reference's comparekmertables-side reduction counters (query/index/
+    equal k-mers, rows and pairs after the strict-> HAVING —
+    /root/reference/src/sra/comparekmertables.cpp:463,495,587,616-619)
+    over the same derived-sequence corpus protein_prefilter gates. The
+    oracle recomputes every counter as scalar subqueries over the same
+    CTEs, so funnel drift is caught cross-engine at both SFs — on top of
+    tests/test_funnel_golden.py's independent scalar enumeration over
+    the committed FASTA."""
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).persist()
+    k = 9
+    win = F.when(
+        F.length("sequence") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.length("sequence") - k),
+            lambda i: F.col("sequence").substr(i + 1, F.lit(k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    kmers = seqs.select(
+        "seq_id", F.length("sequence").cast("int").alias("seq_len"), F.explode(win).alias("kmer")
+    )
+    index = kmers.groupBy("kmer").agg(
+        F.max_by(F.col("seq_id"), F.struct(F.col("seq_len"), (-F.col("seq_id")).alias("neg_id"))).alias("target_id")
+    )
+    qk = kmers.filter(F.col("seq_id") % 20 == 0).select(F.col("seq_id").alias("query_id"), "kmer").persist()
+    matches = F.broadcast(qk).join(index, "kmer", "inner").persist()
+    pair = matches.groupBy("query_id", "target_id").agg(F.count(F.lit(1)).alias("n"))
+    surv = pair.filter(F.col("n") > REQ_MATCHES)
+    return (
+        qk.agg(F.count(F.lit(1)).alias("query_kmers"))
+        .crossJoin(index.agg(F.count(F.lit(1)).alias("index_kmers")))
+        .crossJoin(matches.agg(F.count(F.lit(1)).alias("equal_kmers")))
+        .crossJoin(
+            surv.agg(
+                F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("prefilter_rows"),
+                F.count(F.lit(1)).alias("prefilter_pairs"),
+            )
+        )
+        .crossJoin(
+            seqs.filter(F.col("seq_id") % 20 == 0).agg(F.count(F.lit(1)).alias("n_queries"))
+        )
+    )
+
+
+PROTEIN_PREFILTER_FUNNEL_SQL = f"""
+WITH {DERIVED_SEQ_SQL}
+, kmers AS (
+    SELECT seq_id, len(sequence) AS seq_len, substr(sequence, i, 9) AS kmer
+    FROM seqs, range(1, 8192) r(i)
+    WHERE i + 8 <= len(sequence)
+)
+, idx AS (
+    SELECT kmer, seq_id AS target_id
+    FROM (SELECT kmer, seq_id,
+                 ROW_NUMBER() OVER (PARTITION BY kmer ORDER BY seq_len DESC, seq_id ASC) AS rn
+          FROM kmers)
+    WHERE rn = 1
+)
+, qk AS (SELECT seq_id AS query_id, kmer FROM kmers WHERE seq_id % 20 = 0)
+, m AS (SELECT query_id, target_id FROM qk JOIN idx USING (kmer))
+, pair AS (SELECT query_id, target_id, COUNT(*) AS n FROM m GROUP BY query_id, target_id)
+, surv AS (SELECT * FROM pair WHERE n > {REQ_MATCHES})
+SELECT (SELECT COUNT(*) FROM qk) AS query_kmers,
+       (SELECT COUNT(*) FROM idx) AS index_kmers,
+       (SELECT COUNT(*) FROM m) AS equal_kmers,
+       (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM surv) AS prefilter_rows,
+       (SELECT COUNT(*) FROM surv) AS prefilter_pairs,
+       (SELECT COUNT(*) FROM seqs WHERE seq_id % 20 = 0) AS n_queries
+"""
+
+
 # Derived DNA: deterministic text -> nucleotide mapping so the engine's
 # DBTYPE_NUCLEOTIDES branch (4-letter codes, N invalid) can run under the
 # oracle. a..x cycles through ACGT; y/z become N — a real invalid residue,

@@ -78,6 +78,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # the DBTYPE_NUCLEOTIDES branch (4-letter codes, N invalid) under the
     # oracle — string-kmer SQL twin of the engine's base-4 integer path
     "dna_prefilter": (doc_search.dna_prefilter, doc_search.DNA_PREFILTER_SQL),
+    # A4 funnel counters as one oracle-checked row (the pytest golden in
+    # test_funnel_golden.py additionally pins them vs an independent
+    # scalar enumeration on the committed FASTA)
+    "protein_prefilter_funnel": (doc_search.protein_prefilter_funnel, doc_search.PROTEIN_PREFILTER_FUNNEL_SQL),
     # T4 composition bias under the gate: expansion thresholds raised by
     # per-(query,pos) kbias from an independent scalar-twin golden
     "protein_prefilter_biased": (doc_search.protein_prefilter_biased, doc_search.PROTEIN_PREFILTER_BIASED_SQL),
@@ -229,6 +233,12 @@ UNGATED: dict[str, str] = {
         "streaming twin whose output (and oracle) is exactly ann_cosine_topk;"
         " the foreachBatch probe reuses the batch top-k core verbatim, and"
         " streaming-vs-batch equality holds at both SFs in tests/test_oracle_parity.py"
+    ),
+    "protein_prefilter_funnel": (
+        "1-row summary of the gated protein_prefilter's 533-row output (weaker"
+        " hash signal than the member rows the gate already hashes); full SQL"
+        " parity at sf0.001 AND sf0.01 in tests/test_oracle_parity.py, and the"
+        " counters are independently enumeration-pinned in test_funnel_golden.py"
     ),
     "protein_prefilter_bucketed": (
         "logical output duplicates protein_prefilter (shares its oracle); the bucketed"
