@@ -33,7 +33,10 @@ from petasearch_spark.operators import (
     text,
 )
 from petasearch_spark.streaming import events_stream, ingest_stream, stateful
-from petasearch_spark.streaming.ann_stream import ann_stream_topk as _ann_stream_topk
+from petasearch_spark.streaming.ann_stream import (
+    ann_ivf_stream_topk as _ann_ivf_stream_topk,
+    ann_stream_topk as _ann_stream_topk,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -116,6 +119,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # streaming twin: query vectors as a 2-batch stream, foreachBatch probe
     # against the static corpus — output (and oracle) = ann_cosine_topk
     "ann_stream_topk": (_ann_stream_topk, similarity.ANN_COSINE_TOPK_SQL),
+    # partition-pruned streaming probe of a materialized IVF index —
+    # output (and oracle) = ann_ivf_topk
+    "ann_ivf_stream_topk": (_ann_ivf_stream_topk, ivf.ANN_IVF_TOPK_SQL),
     "ann_ivf_topk": (ivf.ann_ivf_topk, ivf.ANN_IVF_TOPK_SQL),
     "ann_ivf_kmeans": (ivf.ann_ivf_kmeans, ivf.ANN_IVF_KMEANS_SQL),
     "ann_pq_topk": (ivf.ann_pq_topk, ivf.ANN_PQ_TOPK_SQL),
@@ -239,6 +245,11 @@ UNGATED: dict[str, str] = {
         " hash signal than the member rows the gate already hashes); full SQL"
         " parity at sf0.001 AND sf0.01 in tests/test_oracle_parity.py, and the"
         " counters are independently enumeration-pinned in test_funnel_golden.py"
+    ),
+    "ann_ivf_stream_topk": (
+        "streaming twin whose output (and oracle) is exactly ann_ivf_topk;"
+        " adds the partition-pruned materialized-index probe to the stream"
+        " pattern, parity-checked at both SFs in tests/test_oracle_parity.py"
     ),
     "protein_prefilter_bucketed": (
         "logical output duplicates protein_prefilter (shares its oracle); the bucketed"

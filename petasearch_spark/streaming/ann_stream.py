@@ -79,3 +79,64 @@ def ann_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
     return spark.read.parquet(sink).orderBy("query_id", "rk")
+
+
+def ann_ivf_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition-pruned variant: the corpus is a MATERIALIZED IVF
+    index (write_ivf_index — parquet partitioned by bucket), and each
+    micro-batch probe reads only its queries' nprobe bucket DIRECTORIES
+    (probe_ivf_index's partition pruning). This is the scale path for
+    streaming retrieval: per batch, the executor never opens a file
+    outside the probed buckets. Output (and oracle) = the batch
+    ann_ivf_topk exactly — same frozen coarse quantizer (the first
+    N_CENTROIDS vectors), same ranking."""
+    import shutil
+
+    from petasearch_spark.operators.ivf import (
+        N_CENTROIDS,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+    from petasearch_spark.streaming.stateful import _stage_two_files
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    cent_rows = [
+        (r["vec_id"], r["v"])
+        for r in emb.filter(F.col("vec_id") < N_CENTROIDS).collect()
+    ]
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    idx_path = os.path.join(tempfile.gettempdir(), f"ps_ivf_stream_idx_{sf_tag}")
+    if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+        write_ivf_index(emb, idx_path, cent_rows)
+
+    q_src = os.path.join(tempfile.gettempdir(), f"ps_ann_qsrc_{sf_tag}")
+    if not os.path.exists(os.path.join(q_src, "_SUCCESS")):
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        ).coalesce(1).write.mode("overwrite").parquet(q_src)
+    staged = _stage_two_files(spark, q_src, "query_id")
+
+    sink = os.path.join(tempfile.gettempdir(), f"ps_ivf_stream_sink_{sf_tag}")
+    shutil.rmtree(sink, ignore_errors=True)
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        probe_ivf_index(spark, idx_path, batch_df, cent_rows).write.mode(
+            "append"
+        ).parquet(sink)
+
+    stream = (
+        spark.readStream.schema("query_id long, qv array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        query = (
+            stream.writeStream.foreachBatch(probe_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.read.parquet(sink).orderBy("query_id", "rk")
