@@ -15,8 +15,13 @@ paired-end FASTQ ingestion at volume.
   `read_fastq_paired`: validation passes, every pair_id carries exactly
   two mates, ids are dense/interleaved, and a planted desync (one
   swapped accession) fails loudly.
+* ivf_stream — 1000 query vectors streamed in 4 micro-batches against a
+  materialized 200k-vector IVF index (foreachBatch + partition-pruned
+  probe): the appended results must equal one direct batch probe of the
+  same index, and per-batch latency is reported (the real-time
+  retrieval SLA quantity).
 
-    python scripts/round4_scale_smoke.py [n_reads]
+    python scripts/round4_scale_smoke.py [n_reads] [n_vecs]
 """
 
 from __future__ import annotations
@@ -135,6 +140,92 @@ def main() -> None:
         except ValueError as e:
             assert "stems differ" in str(e)
         out["desync_detected"] = True
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # --- streaming IVF probe at 200k vectors -------------------------------
+    n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    n_stream_queries, n_batches, dim, n_cent = 1000, 4, 64, 64
+    tmp = tempfile.mkdtemp(prefix="r4_smoke_ivf_")
+    try:
+        import numpy as np
+        import pandas as pd
+
+        from petasearch_spark.operators.ivf import probe_ivf_index, write_ivf_index
+
+        def synth_vecs(batches):
+            for pdf in batches:
+                ids = pdf["id"].to_numpy()
+                rows = [
+                    np.random.default_rng(int(i)).standard_normal(dim).round(3).tolist()
+                    for i in ids
+                ]
+                yield pd.DataFrame({"vec_id": ids, "v": rows})
+
+        emb = (
+            spark.range(n_vecs)
+            .repartition(32)
+            .mapInPandas(synth_vecs, schema="vec_id long, v array<double>")
+        )
+        cent_rows = [
+            (r["vec_id"], r["v"]) for r in emb.filter(F.col("vec_id") < n_cent).collect()
+        ]
+        idx = os.path.join(tmp, "ivf_idx")
+        t0 = time.time()
+        write_ivf_index(emb, idx, cent_rows)
+        out["ivf_index_build_s"] = round(time.time() - t0, 1)
+
+        q = emb.filter(F.col("vec_id") < n_stream_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        ).persist()
+        qdir = os.path.join(tmp, "qstream")
+        os.makedirs(qdir)
+        for b in range(n_batches):
+            q.filter(F.col("query_id") % n_batches == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(tmp, f"qb{b}"))
+            part = next(
+                f
+                for f in sorted(os.listdir(os.path.join(tmp, f"qb{b}")))
+                if f.endswith(".parquet")
+            )
+            os.symlink(os.path.join(tmp, f"qb{b}", part), os.path.join(qdir, f"b{b}.parquet"))
+
+        sink = os.path.join(tmp, "sink")
+
+        def probe_batch(bdf, bid):
+            probe_ivf_index(spark, idx, bdf, cent_rows).write.mode("append").parquet(sink)
+
+        t0 = time.time()
+        stream = (
+            spark.readStream.schema("query_id long, qv array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(qdir)
+        )
+        ckpt = os.path.join(tmp, "ckpt")
+        sq = (
+            stream.writeStream.foreachBatch(probe_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        stream_s = time.time() - t0
+        out["ivf_stream_total_s"] = round(stream_s, 1)
+        out["ivf_stream_per_batch_s"] = round(stream_s / n_batches, 1)
+
+        streamed = sorted(
+            tuple(r) for r in spark.read.parquet(sink).select(
+                "query_id", "neighbor_id", "cos", "rk"
+            ).collect()
+        )
+        direct = sorted(
+            tuple(r) for r in probe_ivf_index(spark, idx, q, cent_rows).select(
+                "query_id", "neighbor_id", "cos", "rk"
+            ).collect()
+        )
+        assert streamed == direct and len(streamed) > 0, "stream/batch probe drift"
+        out["ivf_stream_rows"] = len(streamed)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
