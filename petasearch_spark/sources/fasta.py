@@ -161,6 +161,34 @@ def read_fastq(spark: SparkSession, path: str | list[str]) -> DataFrame:
     )
 
 
+def write_fasta(sequences: DataFrame, path: str, line_width: int = 60) -> None:
+    """FASTA sink — the roundtrip partner of :func:`read_fasta` (the
+    reference exports DB records back to FASTA via its convert tools;
+    here any sequences DataFrame can leave the engine as standard
+    wrapped FASTA). Residue lines wrap at ``line_width`` (the
+    conventional 60/80); records keep load order WITHIN each output
+    file via sortWithinPartitions (a global single-file order would be
+    a single-task sort — callers wanting one file coalesce(1) first,
+    exactly like any Spark text sink)."""
+    wrapped = F.concat_ws(
+        "\n",
+        F.concat(F.lit(">"), F.col("header")),
+        F.concat_ws(
+            "\n",
+            F.expr(
+                f"transform(sequence(1, greatest(1, ceil(length(sequence) / {line_width})))"
+                f", i -> substring(sequence, (i - 1) * {line_width} + 1, {line_width}))"
+            ),
+        ),
+    )
+    (
+        sequences.sortWithinPartitions("seq_id")
+        .select(wrapped.alias("value"))
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
 def read_fastq_paired(
     spark: SparkSession,
     r1_path: str | list[str],

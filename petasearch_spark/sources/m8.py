@@ -59,6 +59,39 @@ def write_m8(alignments: DataFrame, path: str, with_lengths: bool = False) -> No
     to_m8(alignments, with_lengths).write.mode("overwrite").option("sep", "\t").csv(path)
 
 
+#: m8 column -> Spark type, for the reader (evalue stays STRING: the sink
+#: formats it in scientific notation; parse with `.cast("double")` when
+#: numeric comparison is needed)
+_M8_TYPES = {
+    "query": "string",
+    "target": "string",
+    "fident": "double",
+    "alnlen": "int",
+    "mismatch": "int",
+    "gapopen": "int",
+    "qstart": "int",
+    "qend": "int",
+    "tstart": "int",
+    "tend": "int",
+    "evalue": "string",
+    "bits": "int",
+    "qlen": "int",
+    "tlen": "int",
+}
+
+
+def read_m8(spark, path: str, with_lengths: bool = False) -> DataFrame:
+    """Read m8 TSV back into a DataFrame — the roundtrip partner of
+    :func:`write_m8`, and the ingest path for results produced by the
+    reference (or any BLAST-compatible tool): downstream dedup/summary
+    jobs consume hit tables without re-running the search. Column
+    count/order follows the F9 whitelist (12-col default, 14-col
+    ``+len``); headerless TSV, any number of files/shards."""
+    cols = M8_COLUMNS + (["qlen", "tlen"] if with_lengths else [])
+    schema = ", ".join(f"{c} {_M8_TYPES[c]}" for c in cols)
+    return spark.read.option("sep", "\t").schema(schema).csv(path)
+
+
 def swap_alignments(alignments: DataFrame, query_db_residues: int) -> DataFrame:
     """P6 (Matcher::result_t::swapResult,
     /root/reference/lib/mmseqs/src/alignment/Matcher.h:93-115, invoked

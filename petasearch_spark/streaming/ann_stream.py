@@ -28,6 +28,20 @@ from pyspark.sql import functions as F
 from petasearch_spark.operators.similarity import N_QUERIES, _as_double, cosine_topk
 from petasearch_spark.sources.tables import load_table
 
+#: output schema of both probes — used to return a TYPED empty frame when
+#: the stream produced no sink files (empty corpus / empty query set: a
+#: parquet dir with no part files cannot infer a schema)
+RESULT_SCHEMA = "query_id long, neighbor_id long, cos double, rk int"
+
+
+def _read_sink(spark: SparkSession, sink: str) -> DataFrame:
+    has_parts = os.path.isdir(sink) and any(
+        f.endswith(".parquet") for f in os.listdir(sink)
+    )
+    if not has_parts:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    return spark.read.parquet(sink).orderBy("query_id", "rk")
+
 
 def ann_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-micro-batch top-5 cosine search: query vectors (vec_id <
@@ -78,7 +92,7 @@ def ann_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         query.awaitTermination()
-    return spark.read.parquet(sink).orderBy("query_id", "rk")
+    return _read_sink(spark, sink)
 
 
 def ann_ivf_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,6 +120,10 @@ def ann_ivf_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["vec_id"], r["v"])
         for r in emb.filter(F.col("vec_id") < N_CENTROIDS).collect()
     ]
+    if not cent_rows:
+        # empty corpus: no quantizer can exist and write_ivf_index would
+        # produce a fileless parquet dir — typed empty answer instead
+        return spark.createDataFrame([], RESULT_SCHEMA)
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     idx_path = os.path.join(tempfile.gettempdir(), f"ps_ivf_stream_idx_{sf_tag}")
     if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
@@ -139,4 +157,4 @@ def ann_ivf_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         query.awaitTermination()
-    return spark.read.parquet(sink).orderBy("query_id", "rk")
+    return _read_sink(spark, sink)

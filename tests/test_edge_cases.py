@@ -251,3 +251,51 @@ def test_dense_ids_correct_on_multisplit_files(spark, tmp_path):
             assert bad == 0 and df.count() == n
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_fasta_write_read_roundtrip(spark, tmp_path):
+    """write_fasta -> read_fasta reproduces (header, sequence) exactly,
+    including wrapped >60-residue sequences and a header-only record."""
+    from pyspark.sql import functions as F
+
+    from petasearch_spark.sources.fasta import read_fasta, sequences_from_records, write_fasta
+
+    recs = [
+        ("long_one some description", "ACDEFGHIKLMNPQRSTVWY" * 7),  # 140 aa, wraps
+        ("short", "ACDEFGHIK"),
+        ("empty header-only", ""),
+    ]
+    df = sequences_from_records(spark, recs)
+    out = tmp_path / "out_fa"
+    write_fasta(df.coalesce(1), str(out))
+    back = read_fasta(spark, str(out)).orderBy("seq_id").collect()
+    assert [(r["header"], r["sequence"]) for r in back] == recs
+    # wrapping is real: no residue line exceeds 60 chars
+    raw = "".join(
+        open(out / f).read() for f in sorted(__import__("os").listdir(out)) if f.endswith(".txt")
+    )
+    assert max(len(line) for line in raw.splitlines() if not line.startswith(">")) <= 60
+
+
+def test_m8_write_read_roundtrip(spark):
+    """write_m8 -> read_m8 reproduces the hit table (both widths)."""
+    import random
+
+    from petasearch_spark.plans.search import search
+    from petasearch_spark.sources.m8 import read_m8, to_m8, write_m8
+
+    rng = random.Random(5)
+    core = "".join(rng.choice("ACDEFGHIKLMNPQRSTVWY") for _ in range(60))
+    q = sequences_from_records(spark, [("q0", core)])
+    t = sequences_from_records(
+        spark, [("t0 hit", core)] + [(f"n{i}", "".join(rng.choice("ACDEFGHIKLMNPQRSTVWY") for _ in range(70))) for i in range(4)]
+    )
+    res = search(q, t)
+    for with_lengths in (False, True):
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="m8rt_")
+        write_m8(res, out, with_lengths=with_lengths)
+        want = sorted(tuple(r) for r in to_m8(res, with_lengths).collect())
+        got = sorted(tuple(r) for r in read_m8(spark, out, with_lengths=with_lengths).collect())
+        assert got == want and len(got) > 0
