@@ -628,8 +628,12 @@ def protein_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     not SQL-derivable, so the oracle replays a committed REGRESSION
     golden (engine-generated, reviewed; scripts/gen_goldens.py) — the
     driver's value hash then pins the whole cascade's integer output.
-    Kernel-level correctness is carried by protein_ungapped (true SQL
-    oracle) plus tests/test_align.py's property tests vs full SW."""
+    INDEPENDENT verification of the cascade: tests/test_search_scalar_twin.py
+    re-implements the entire exact-mode pipeline in plain per-cell Python
+    and matches the engine's pair set + raw/bits/evalue exactly (committed
+    corpus AND randomized indel families); protein_ungapped adds a true
+    SQL oracle and tests/test_align.py property-tests the kernel vs full
+    SW."""
     from petasearch_spark.plans.search import search
 
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
