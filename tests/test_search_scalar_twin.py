@@ -61,9 +61,12 @@ def ungapped_best(qc: list[int], tc: list[int], diag: int) -> int:
     return best
 
 
-def banded_score(qc: list[int], tc: list[int], anchor: int) -> int:
+def banded_score(qc: list[int], tc: list[int], anchor: int, xdrop: int | None = None) -> int:
     """Textbook banded affine local alignment (score only): target rows,
-    band slot b covers query index j = (anchor - BAND//2) + b + i."""
+    band slot b covers query index j = (anchor - BAND//2) + b + i.
+    ``xdrop``: the reference's frontier rule — stop at the first row
+    whose best cell falls more than xdrop below the running best (tested
+    AFTER the best update, matching BlockAligner.cpp:60-93)."""
     half, B = BAND // 2, BAND + 1
     d_lo = anchor - half
     nq = len(qc)
@@ -74,6 +77,7 @@ def banded_score(qc: list[int], tc: list[int], anchor: int) -> int:
         H_row = [0.0] * B
         F_row = [NEG] * B
         E = NEG
+        row_best = 0.0
         for b in range(B):
             j = d_lo + b + i
             F_row[b] = max(
@@ -85,16 +89,53 @@ def banded_score(qc: list[int], tc: list[int], anchor: int) -> int:
             if 0 <= j < nq:
                 diag = H_prev[b] + sub_score(tc[i], qc[j])
                 H_row[b] = max(0.0, diag, E, F_row[b])
-                best = max(best, H_row[b])
+                row_best = max(row_best, H_row[b])
             else:
                 H_row[b] = 0.0
+        best = max(best, row_best)
+        if xdrop is not None and row_best < best - xdrop:
+            break
         H_prev, F_prev = H_row, F_row
     return int(best)
 
 
-def scalar_search(queries: list[str], targets: list[str]) -> dict:
-    """(q_idx, t_idx) -> (raw, bits, evalue) for every surviving pair."""
+def scalar_search(
+    queries: list[str],
+    targets: list[str],
+    mask: bool = False,
+    xdrop: int | None = None,
+    expand_threshold: int | None = None,
+    max_per_pos: int = 20,
+) -> dict:
+    """(q_idx, t_idx) -> (raw, bits, evalue) for every surviving pair.
+
+    ``mask``: tantan-mask the queries (golden_tools.tantan_mask_scalar —
+    the independent transliteration) before extraction; alignment still
+    runs on the unmasked residues, as in the engine and the reference.
+    ``expand_threshold``: T2 similar-k-mer expansion via
+    golden_tools.brute_expand (the independent enumerator), exact row
+    always kept, duplicates preserved (engine/reference behavior)."""
+    from tests.golden_tools import brute_expand, decode_kmer, tantan_mask_scalar
+
     db_residues = sum(len(t) for t in targets)
+    probe_seqs = [tantan_mask_scalar(q) if mask else q for q in queries]
+    expand_memo: dict[str, list[str]] = {}
+
+    def probe_rows(seq: str):
+        for p in range(len(seq) - K + 1):
+            w = seq[p : p + K]
+            if not all(c in AMINO_ALPHABET for c in w):
+                continue
+            yield p, w
+            if expand_threshold is not None:
+                if w not in expand_memo:
+                    wc = [AMINO_ALPHABET.index(c) for c in w]
+                    expand_memo[w] = [
+                        decode_kmer(code, K)
+                        for code, _s in brute_expand(wc, expand_threshold, max_per_pos)
+                    ]
+                for s in expand_memo[w]:
+                    yield p, s
     # J2 index: kmer -> representative target (longest, ties earliest)
     rep: dict[str, tuple[int, int]] = {}
     for tid, seq in enumerate(targets):
@@ -115,10 +156,9 @@ def scalar_search(queries: list[str], targets: list[str]) -> dict:
 
     # prefilter: matched (qpos, kmer) rows per (query, rep target), HAVING > REQ
     pairs: dict[tuple[int, int], list[tuple[int, str]]] = {}
-    for qid, seq in enumerate(queries):
-        for p in range(len(seq) - K + 1):
-            w = seq[p : p + K]
-            if all(c in AMINO_ALPHABET for c in w) and w in index:
+    for qid, seq in enumerate(probe_seqs):
+        for p, w in probe_rows(seq):
+            if w in index:
                 pairs.setdefault((qid, index[w]), []).append((p, w))
     out: dict[tuple[int, int], tuple[int, float, float]] = {}
     for (qid, tid), matches in pairs.items():
@@ -139,7 +179,7 @@ def scalar_search(queries: list[str], targets: list[str]) -> dict:
                 break
         if anchor is None:
             continue
-        raw = banded_score(qc, tc, anchor)
+        raw = banded_score(qc, tc, anchor, xdrop=xdrop)
         if raw <= 0:  # F7
             continue
         ev = KA_GAPPED_11_1.evalue(raw, len(qc), db_residues)
@@ -214,3 +254,40 @@ def test_exact_mode_search_matches_scalar_twin_random_families(spark):
         for r in search(q_df, t_df).collect()
     }
     _compare(engine, scalar_search(queries, targets), 12)
+
+
+def test_masked_xdrop_search_matches_scalar_twin(spark):
+    """The gated protein_search_masked CONFIGURATION (tantan masking +
+    the reference's x-drop termination), independently twinned: masking
+    via the scalar tantan transliteration, x-drop as a per-row frontier
+    in the textbook band."""
+    q_path = os.path.join(DATA, "golden_queries.fa")
+    t_path = os.path.join(DATA, "golden_targets.fa")
+    engine = {
+        (r["query_id"], r["target_id"]): (r["raw"], r["bits"], r["evalue"])
+        for r in search(
+            read_fasta(spark, q_path), read_fasta(spark, t_path), mask=True, xdrop=10
+        ).collect()
+    }
+    twin = scalar_search(
+        read_fa_scalar(q_path), read_fa_scalar(t_path), mask=True, xdrop=10
+    )
+    _compare(engine, twin, 1)
+
+
+def test_expanded_search_matches_scalar_twin(spark):
+    """The reference's default sensitivity mode (T2 expansion at
+    --k-score 225), independently twinned via the brute-force
+    enumerator; duplicates from re-included exact k-mers preserved."""
+    q_path = os.path.join(DATA, "golden_queries.fa")
+    t_path = os.path.join(DATA, "golden_targets.fa")
+    engine = {
+        (r["query_id"], r["target_id"]): (r["raw"], r["bits"], r["evalue"])
+        for r in search(
+            read_fasta(spark, q_path), read_fasta(spark, t_path), expand_similar=True
+        ).collect()
+    }
+    twin = scalar_search(
+        read_fa_scalar(q_path), read_fa_scalar(t_path), expand_threshold=225
+    )
+    _compare(engine, twin, 1)
