@@ -774,3 +774,96 @@ SELECT c.doc_id, c.source, c.n_toks, c.cum_before, b.budget,
 FROM cum c JOIN budgets b USING (source)
 ORDER BY c.doc_id
 """
+
+
+# --- semantic (embedding-cosine) decontamination ---------------------------
+
+SEM_DECON_COS = 0.35  # calibrated to the synthetic embeddings like
+                      # NEARDUP_COS (0.4): 15 contaminated vectors at
+                      # sf0.001 / 31 at sf0.01, so the parity rows carry
+                      # VALUE signal at every SF (a production threshold
+                      # on real embeddings would sit near 0.9)
+SEM_EVAL_MOD = 20     # eval vectors: vec_id % 20 == 0
+
+
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic train/eval decontamination — the fuzzy modality the
+    shingle-based passes cannot see (a paraphrase sharing no n-gram with
+    the benchmark still leaks it): a training vector whose embedding
+    cosine against ANY eval vector reaches the threshold is flagged.
+    Output: one row per contaminated training vector with its hit count
+    and max cosine.
+
+    Scale shape: the eval matrix (held-out benchmarks — tiny by
+    construction) rides INSIDE an Arrow kernel closure; the corpus makes
+    one narrow pass (per-batch BLAS against the eval matrix), so there is
+    no join, no shuffle before the final sort — the same
+    broadcast-the-small-side law as decontaminate_ngram_overlap, pushed
+    all the way into a kernel. Cosines are sequential-fold + round-6
+    (operators/similarity.py conventions), so the DuckDB oracle's
+    list_dot_product reproduces them exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from petasearch_spark.operators.similarity import (
+        _as_double,
+        _round_half_up6,
+        _seq_dot_norms,
+        _seq_norm2,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    ev_rows = emb.filter(F.col("vec_id") % SEM_EVAL_MOD == 0).collect()
+    if not ev_rows:
+        return spark.createDataFrame(
+            [], "vec_id long, n_eval_hits long, max_cos double"
+        )
+    E = np.array([list(r["v"]) for r in ev_rows], dtype=np.float64)
+    en = np.sqrt(_seq_norm2(E))
+
+    # no type hints: the struct-returning scalar pandas UDF form (Series
+    # in, DataFrame out) is selected by returnType, not by annotations
+    @F.pandas_udf("struct<n_eval_hits: long, max_cos: double>")
+    def hits(v):
+        if len(v) == 0:
+            return pd.DataFrame({"n_eval_hits": [], "max_cos": []})
+        X = np.stack(v.values)
+        acc, xsq = _seq_dot_norms(X, E)
+        cs = _round_half_up6(acc / (np.sqrt(xsq)[:, None] * en[None, :]))
+        hit = cs >= SEM_DECON_COS
+        return pd.DataFrame(
+            {
+                "n_eval_hits": hit.sum(axis=1).astype("int64"),
+                "max_cos": np.where(hit.any(axis=1), cs.max(axis=1), 0.0),
+            }
+        )
+
+    train = emb.filter(F.col("vec_id") % SEM_EVAL_MOD != 0)
+    scored = train.select("vec_id", hits(F.col("v")).alias("h"))
+    return (
+        scored.filter(F.col("h.n_eval_hits") > 0)
+        .select("vec_id", F.col("h.n_eval_hits").alias("n_eval_hits"), F.col("h.max_cos").alias("max_cos"))
+        .orderBy("vec_id")
+    )
+
+
+DECONTAMINATE_SEMANTIC_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+, ev AS (SELECT vec_id, v FROM emb WHERE vec_id % {SEM_EVAL_MOD} = 0)
+, train AS (SELECT vec_id, v FROM emb WHERE vec_id % {SEM_EVAL_MOD} <> 0)
+, scored AS (
+    SELECT t.vec_id,
+           ROUND(list_dot_product(t.v, e.v)
+                 / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+    FROM train t CROSS JOIN ev e
+)
+SELECT vec_id,
+       CAST(COUNT(CASE WHEN cos >= {SEM_DECON_COS} THEN 1 END) AS BIGINT) AS n_eval_hits,
+       MAX(cos) AS max_cos
+FROM scored
+GROUP BY vec_id
+HAVING COUNT(CASE WHEN cos >= {SEM_DECON_COS} THEN 1 END) > 0
+ORDER BY vec_id
+"""

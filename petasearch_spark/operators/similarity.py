@@ -202,7 +202,9 @@ N_BLOCKS = 8  # block-pair tasks = NB*(NB+1)/2; size so a block fits an executor
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine ≥ 0.95 — embedding-space near-duplicate pairs.
+    """All-pairs cosine ≥ NEARDUP_COS — embedding-space near-duplicate
+    pairs (0.4, calibrated to the synthetic embeddings; a production
+    threshold on real embeddings sits near 0.95).
 
     Blocked matrix multiply: vectors are hashed into N_BLOCKS blocks; each
     unordered block pair (i ≤ j) is one cogroup key, and its task computes

@@ -150,6 +150,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- corpus curation (sampling / decontamination / packing) ---
     "corpus_sample_stratified": (corpus.corpus_sample_stratified, corpus.CORPUS_SAMPLE_SQL),
     "decontaminate_ngram_overlap": (corpus.decontaminate_ngram_overlap, corpus.DECONTAMINATE_SQL),
+    # semantic (embedding-cosine) decontamination: the fuzzy modality the
+    # shingle passes cannot see; eval matrix rides inside an Arrow kernel
+    "decontaminate_semantic": (corpus.decontaminate_semantic, corpus.DECONTAMINATE_SEMANTIC_SQL),
     # training-example assembly: global token prefix-sum via the two-phase
     # distributed scan (bucket subtotals -> driver exclusive scan ->
     # per-bucket windows), oracle = single-window SUM() OVER
@@ -250,6 +253,11 @@ UNGATED: dict[str, str] = {
         "streaming twin whose output (and oracle) is exactly ann_ivf_topk;"
         " adds the partition-pruned materialized-index probe to the stream"
         " pattern, parity-checked at both SFs in tests/test_oracle_parity.py"
+    ),
+    "decontaminate_semantic": (
+        "late round-4 addition; the gate is at its 50-row cap and the cosine"
+        " kernel it rides is already gated via ann_cosine_topk/embedding_neardup —"
+        " full DuckDB parity at sf0.001 AND sf0.01 in tests/test_oracle_parity.py"
     ),
     "protein_prefilter_bucketed": (
         "logical output duplicates protein_prefilter (shares its oracle); the bucketed"

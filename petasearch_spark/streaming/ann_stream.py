@@ -54,6 +54,10 @@ def ann_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
+    if not emb.filter(F.col("vec_id") < N_QUERIES).take(1):
+        # no query vectors: skip staging + the whole streaming machinery
+        # (the empty-table sweep otherwise pays a full stream startup)
+        return spark.createDataFrame([], RESULT_SCHEMA)
     q_schema = "query_id long, qv array<double>"
     q_src = os.path.join(
         tempfile.gettempdir(),
