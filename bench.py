@@ -162,8 +162,12 @@ def main() -> None:
 
     line = encode(timings)
     if len(line) > MAX_LINE:
-        # degrade precision rather than lose the record to tail truncation
+        # degrade precision rather than lose the record to tail truncation;
+        # the integer step keeps even pathological 1000+s-per-entry runs
+        # under the buffer (69 entries x <= 6 digits)
         line = encode({k: round(v, 1) for k, v in timings.items()})
+    if len(line) > MAX_LINE:
+        line = encode({k: int(round(v)) for k, v in timings.items()})
     assert len(line) <= 1990, (
         f"bench JSON line is {len(line)} chars; the driver's tail capture "
         f"holds 2000 — trim BENCH_QUERIES (see MAX_LINE note)"

@@ -783,7 +783,13 @@ SEM_DECON_COS = 0.35  # calibrated to the synthetic embeddings like
                       # sf0.001 / 31 at sf0.01, so the parity rows carry
                       # VALUE signal at every SF (a production threshold
                       # on real embeddings would sit near 0.9)
-SEM_EVAL_MOD = 20     # eval vectors: vec_id % 20 == 0
+SEM_EVAL_MOD = 20     # eval vectors: vec_id % 20 == 0 ...
+SEM_EVAL_CAP = 200_000  # ... AND vec_id < CAP: bounds the eval matrix to
+                        # <= CAP/MOD = 10k vectors no matter how large the
+                        # corpus grows — a held-out benchmark is fixed-size;
+                        # an UNcapped mod rule would collect 5% of a 10M-row
+                        # corpus to the driver (round-4 review finding).
+                        # No effect at the test SFs (<= 5000 vectors).
 
 
 def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,8 +800,10 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per contaminated training vector with its hit count
     and max cosine.
 
-    Scale shape: the eval matrix (held-out benchmarks — tiny by
-    construction) rides INSIDE an Arrow kernel closure; the corpus makes
+    Scale shape: the eval matrix (held-out benchmarks — bounded to
+    SEM_EVAL_CAP/SEM_EVAL_MOD rows by the explicit cap, since a benchmark
+    set is fixed-size while the corpus grows) rides INSIDE an Arrow
+    kernel closure; the corpus makes
     one narrow pass (per-batch BLAS against the eval matrix), so there is
     no join, no shuffle before the final sort — the same
     broadcast-the-small-side law as decontaminate_ngram_overlap, pushed
@@ -815,7 +823,9 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    ev_rows = emb.filter(F.col("vec_id") % SEM_EVAL_MOD == 0).collect()
+    ev_rows = emb.filter(
+        (F.col("vec_id") % SEM_EVAL_MOD == 0) & (F.col("vec_id") < SEM_EVAL_CAP)
+    ).collect()
     if not ev_rows:
         return spark.createDataFrame(
             [], "vec_id long, n_eval_hits long, max_cos double"
@@ -840,7 +850,9 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    train = emb.filter(F.col("vec_id") % SEM_EVAL_MOD != 0)
+    train = emb.filter(
+        (F.col("vec_id") % SEM_EVAL_MOD != 0) | (F.col("vec_id") >= SEM_EVAL_CAP)
+    )
     scored = train.select("vec_id", hits(F.col("v")).alias("h"))
     return (
         scored.filter(F.col("h.n_eval_hits") > 0)
@@ -851,8 +863,8 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECONTAMINATE_SEMANTIC_SQL = f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-, ev AS (SELECT vec_id, v FROM emb WHERE vec_id % {SEM_EVAL_MOD} = 0)
-, train AS (SELECT vec_id, v FROM emb WHERE vec_id % {SEM_EVAL_MOD} <> 0)
+, ev AS (SELECT vec_id, v FROM emb WHERE vec_id % {SEM_EVAL_MOD} = 0 AND vec_id < {SEM_EVAL_CAP})
+, train AS (SELECT vec_id, v FROM emb WHERE vec_id % {SEM_EVAL_MOD} <> 0 OR vec_id >= {SEM_EVAL_CAP})
 , scored AS (
     SELECT t.vec_id,
            ROUND(list_dot_product(t.v, e.v)

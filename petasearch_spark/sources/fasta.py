@@ -211,17 +211,20 @@ def read_fastq_paired(
     matching accession stems (the trailing ``/1``/``/2`` or ``.1``/``.2``
     mate suffix stripped). A desynchronized pair of files — the classic
     silent corruption in paired-end data — fails loudly instead of
-    producing chimeric pairs. Validation is one broadcast-join count
-    (scalar action), skippable for trusted re-reads."""
+    producing chimeric pairs. Both parsed sides are persisted first, so
+    the validation counts, the stem join and the returned union all read
+    one cached parse instead of re-running the FASTQ record rebuild per
+    action (round-4 review finding); validation itself is then two cached
+    counts + one broadcast-join count, skippable for trusted re-reads."""
     mate_stem = F.regexp_replace("accession", r"[/.][12]$", "")
     r1 = read_fastq(spark, r1_path).select(
         F.col("seq_id").alias("pair_id"), "accession", "header", "sequence", "quality",
         F.lit(1).alias("mate"), mate_stem.alias("_stem"),
-    )
+    ).persist()
     r2 = read_fastq(spark, r2_path).select(
         F.col("seq_id").alias("pair_id"), "accession", "header", "sequence", "quality",
         F.lit(2).alias("mate"), mate_stem.alias("_stem"),
-    )
+    ).persist()
     if validate:
         n1, n2 = r1.count(), r2.count()
         if n1 != n2:

@@ -34,13 +34,17 @@ _TRUNC_LEN = 20  # always inside the {"id":"doc-..." prefix -> never valid JSON
 
 def _stage_jsonl_two_files(spark: SparkSession, sf_dir: str) -> str:
     """documents -> a 2-file JSONL staging dir (micro-batch bait) with
-    deterministically planted malformed lines. Cached per sf_dir like a
-    fixture: repeated gate/bench runs reuse one staging copy instead of
-    accumulating mkdtemp dirs in /tmp (round-3 ADVICE)."""
+    deterministically planted malformed lines. Cached per source CONTENT
+    like a fixture: repeated gate/bench runs reuse one staging copy
+    instead of accumulating mkdtemp dirs in /tmp (round-3 ADVICE), and a
+    regenerated documents table gets a fresh key instead of stale data."""
     import shutil
 
+    from petasearch_spark.streaming.stateful import source_fingerprint
+
     root = os.path.join(
-        tempfile.gettempdir(), f"ps_jsonl_stage_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(),
+        f"ps_jsonl_stage_{source_fingerprint(os.path.join(sf_dir, 'documents.parquet'))}",
     )
     flat = os.path.join(root, "flat")
     done_marker = os.path.join(root, "_STAGED")

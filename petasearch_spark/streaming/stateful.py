@@ -27,15 +27,34 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def source_fingerprint(*parts) -> str:
+    """Cache key for /tmp fixture staging: md5 over (abspath, size,
+    mtime_ns) of every path argument plus any literal tokens. Keying on
+    CONTENT identity — not just the path — means a regenerated source
+    (new testdata seed, rewritten parquet) invalidates the cache instead
+    of silently serving stale data forever (round-4 review finding)."""
+    import hashlib
+
+    h = hashlib.md5()
+    for p in parts:
+        p = str(p)
+        if os.path.exists(p):
+            st = os.stat(p)
+            h.update(f"{os.path.abspath(p)}|{st.st_size}|{st.st_mtime_ns}".encode())
+        else:
+            h.update(p.encode())
+    return h.hexdigest()[:12]
+
+
 def _stage_two_files(spark: SparkSession, src_parquet: str, split_col: str) -> str:
     """Split one parquet file into a 2-file staging dir (micro-batch bait).
-    Cached per (source, split column) like a fixture so repeated gate/
-    bench runs reuse one staging copy instead of leaking tempdirs (the
-    round-3 ADVICE finding on the JSONL stager, applied here too)."""
-    import hashlib
+    Cached per (source CONTENT, split column) like a fixture so repeated
+    gate/bench runs reuse one staging copy instead of leaking tempdirs
+    (the round-3 ADVICE finding on the JSONL stager, applied here too),
+    while a regenerated source gets a fresh key."""
     import shutil
 
-    key = hashlib.md5(f"{os.path.abspath(src_parquet)}|{split_col}".encode()).hexdigest()[:12]
+    key = source_fingerprint(src_parquet, split_col)
     root = os.path.join(tempfile.gettempdir(), f"ps_stream2_{key}")
     flat = os.path.join(root, "flat")
     done_marker = os.path.join(root, "_STAGED")

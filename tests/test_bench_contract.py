@@ -24,13 +24,18 @@ def _encode(values: dict) -> str:
 
 
 def test_bench_json_line_fits_driver_capture():
-    # the HARD guarantee: bench.py's 1-decimal fallback must fit the
-    # 2000-byte buffer even with every entry at 100+ seconds
-    fallback = _encode({k: 111.2 for k in bench.BENCH_QUERIES})
+    # the HARD guarantee: bench.py's final integer fallback must fit the
+    # 2000-byte buffer even with every entry in the 1000-9999 s range (a
+    # pathological stalled run — the 1-decimal model alone missed this,
+    # round-4 review finding)
+    fallback = _encode({k: 9999 for k in bench.BENCH_QUERIES})
     assert len(fallback) <= 1990, (
-        f"bench JSON line would be {len(fallback)} chars even at 1-decimal "
+        f"bench JSON line would be {len(fallback)} chars even at integer "
         f"precision; trim BENCH_QUERIES (see bench.py MAX_LINE note)"
     )
+    # the common fallback: 1-decimal with every entry at 100+ seconds
+    fallback1 = _encode({k: 111.2 for k in bench.BENCH_QUERIES})
+    assert len(fallback1) <= 1990
     # the common case: 2-decimal sub-100s entries should not even need
     # the fallback
     typical = _encode({k: 11.23 for k in bench.BENCH_QUERIES})
