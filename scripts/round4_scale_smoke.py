@@ -195,6 +195,7 @@ def main() -> None:
 
         def probe_batch(bdf, bid):
             probe_ivf_index(spark, idx, bdf, cent_rows).write.mode("append").parquet(sink)
+            spark.catalog.clearCache()  # flat storage memory per batch
 
         t0 = time.time()
         stream = (
