@@ -175,3 +175,37 @@ def test_decontaminate_bloom_probe_side_has_no_shuffle(spark):
     # count Exchanges that hash-partition on (doc_id, h) — the old
     # regrouping shuffle; the new plan has none
     assert not re.search(r"Exchange hashpartitioning\(doc_id[^)]*,\s*h#", plan), plan
+
+
+def test_decontaminate_semantic_single_narrow_pass(spark):
+    """The semantic decontamination claim: the eval matrix rides inside
+    the kernel closure, so there is NO join and NO Exchange below the
+    final sort — one corpus scan feeding the Arrow eval, then the global
+    orderBy exchange only."""
+    plan = plan_of(spark, "decontaminate_semantic")
+    assert "Join" not in plan, plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    # the only exchange is the rangepartitioning of the final orderBy
+    assert all("rangepartitioning" in ln for ln in exchanges), plan
+    # the corpus scan reads only (vec_id, embedding)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(
+        "vec_id" in s and "embedding" in s for s in schemas
+    ), plan
+
+
+def test_profile_vs_profile_prefilter_broadcasts_query_side(spark):
+    """Both-sides-consensus prefilter must keep the J1 law: the query
+    k-mer side is broadcast; the index side never shuffles into a
+    sort-merge join."""
+    plan = plan_of(spark, "profile_vs_profile_prefilter")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_prefilter_funnel_counters_share_one_derivation(spark):
+    """The funnel's five counters cross-join 1-row aggregates; every join
+    in the plan must be a Broadcast*Join of those scalar frames (no
+    sort-merge anywhere)."""
+    plan = plan_of(spark, "protein_prefilter_funnel")
+    assert "SortMergeJoin" not in plan, plan
