@@ -16,6 +16,14 @@ from petasearch_spark.sources.tables import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# pid-unique managed-table names: the warehouse dir (/tmp) is shared
+# across processes, so a concurrent session running these helpers with
+# the same fixed names can drop a table out from under this test
+# (observed as a one-off full-suite flake in round 4)
+import os as _os
+
+_P = f"_{_os.getpid()}"
+
 
 def _seqs(spark):
     docs = load_table(spark, "documents", SF_DIR, widen_scan=True)
@@ -27,9 +35,9 @@ def test_merge_equals_full_rebuild(spark):
     base_seqs = seqs.filter(F.col("seq_id") % 3 != 0)
     delta_seqs = seqs.filter(F.col("seq_id") % 3 == 0)
 
-    write_kmer_index_bucketed(build_kmer_index(base_seqs), "t_inc_base")
+    write_kmer_index_bucketed(build_kmer_index(base_seqs), f"t_inc_base{_P}")
     merged = merge_kmer_index_delta(
-        "t_inc_base", delta_seqs, "t_inc_out", delta_table="t_inc_delta"
+        f"t_inc_base{_P}", delta_seqs, f"t_inc_out{_P}", delta_table=f"t_inc_delta{_P}"
     )
     expect = {
         (r["kmer"], r["seq_id"], r["seq_len"]) for r in build_kmer_index(seqs).collect()
@@ -37,17 +45,17 @@ def test_merge_equals_full_rebuild(spark):
     got = {(r["kmer"], r["seq_id"], r["seq_len"]) for r in merged.collect()}
     assert got == expect
     # collisions actually happened (otherwise the J2 rule is untested)
-    base_k = {r["kmer"] for r in spark.table("t_inc_base").select("kmer").collect()}
-    delta_k = {r["kmer"] for r in spark.table("t_inc_delta").select("kmer").collect()}
+    base_k = {r["kmer"] for r in spark.table(f"t_inc_base{_P}").select("kmer").collect()}
+    delta_k = {r["kmer"] for r in spark.table(f"t_inc_delta{_P}").select("kmer").collect()}
     assert base_k & delta_k, "delta must overlap base kmers for a meaningful merge"
 
 
 def test_merge_join_is_bucket_local(spark):
     seqs = _seqs(spark)
-    write_kmer_index_bucketed(build_kmer_index(seqs.filter(F.col("seq_id") % 3 != 0)), "t_inc_base2")
-    write_kmer_index_bucketed(build_kmer_index(seqs.filter(F.col("seq_id") % 3 == 0)), "t_inc_delta2")
-    base = spark.table("t_inc_base2").alias("b")
-    delta = spark.table("t_inc_delta2").alias("d")
+    write_kmer_index_bucketed(build_kmer_index(seqs.filter(F.col("seq_id") % 3 != 0)), f"t_inc_base2{_P}")
+    write_kmer_index_bucketed(build_kmer_index(seqs.filter(F.col("seq_id") % 3 == 0)), f"t_inc_delta2{_P}")
+    base = spark.table(f"t_inc_base2{_P}").alias("b")
+    delta = spark.table(f"t_inc_delta2{_P}").alias("d")
     plan = (
         base.join(delta, "kmer", "full_outer")
         ._jdf.queryExecution()
@@ -65,8 +73,8 @@ def test_dedup_ledger_merge_equals_full_rebuild(spark):
     docs = load_table(spark, "documents", SF_DIR)
     base = docs.filter(F.col("doc_id") < 250)
     delta = docs.filter(F.col("doc_id") >= 250)
-    write_dedup_ledger(base, "t_ledger_base")
-    merged = merge_dedup_ledger("t_ledger_base", delta, "t_ledger_merged")
+    write_dedup_ledger(base, f"t_ledger_base{_P}")
+    merged = merge_dedup_ledger(f"t_ledger_base{_P}", delta, f"t_ledger_merged{_P}")
     full = (
         docs.groupBy(F.md5("text").alias("content_hash"))
         .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
@@ -82,10 +90,10 @@ def test_dedup_ledger_merge_is_bucket_local(spark):
     from petasearch_spark.operators.dedup import write_dedup_ledger
 
     docs = load_table(spark, "documents", SF_DIR)
-    write_dedup_ledger(docs.filter(F.col("doc_id") < 250), "t_ledger_b2")
-    write_dedup_ledger(docs.filter(F.col("doc_id") >= 250), "t_ledger_d2")
-    base = spark.table("t_ledger_b2").alias("b")
-    delta = spark.table("t_ledger_d2").alias("d")
+    write_dedup_ledger(docs.filter(F.col("doc_id") < 250), f"t_ledger_b2{_P}")
+    write_dedup_ledger(docs.filter(F.col("doc_id") >= 250), f"t_ledger_d2{_P}")
+    base = spark.table(f"t_ledger_b2{_P}").alias("b")
+    delta = spark.table(f"t_ledger_d2{_P}").alias("d")
     j = base.join(delta, "content_hash", "full_outer")
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan, plan

@@ -8,6 +8,11 @@ from pyspark.sql import functions as F
 
 from petasearch_spark.operators.skew import key_histogram, salted_join
 
+# pid-unique managed-table names: the /tmp warehouse is shared across
+# processes, so a concurrent session using the same fixed names can drop
+# a table out from under this test (round-4 full-suite flake class)
+_P = f"_{os.getpid()}"
+
 
 def test_salted_join_equals_plain_join(spark):
     # skewed left: 90% of rows share key 7
@@ -74,7 +79,7 @@ def test_bucketed_index_join_has_no_index_shuffle(spark, tmp_path):
     import shutil
 
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("idx_b", "qk_b"):
+    for t in (f"idx_b{_P}", f"qk_b{_P}"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     rng = random.Random(11)
@@ -85,12 +90,12 @@ def test_bucketed_index_join_has_no_index_shuffle(spark, tmp_path):
             for i in range(30)
         ],
     )
-    write_kmer_index_bucketed(build_kmer_index(seqs), "idx_b", num_buckets=8)
+    write_kmer_index_bucketed(build_kmer_index(seqs), f"idx_b{_P}", num_buckets=8)
     write_query_kmers_bucketed(
-        extract_query_kmers(seqs.filter("seq_id < 3")), "qk_b", num_buckets=8
+        extract_query_kmers(seqs.filter("seq_id < 3")), f"qk_b{_P}", num_buckets=8
     )
-    idx = spark.table("idx_b")
-    qk = spark.table("qk_b")
+    idx = spark.table(f"idx_b{_P}")
+    qk = spark.table(f"qk_b{_P}")
     # hint merge: at real scale neither side broadcasts; the point is the
     # SMJ over co-bucketed scans needs NO shuffle on either side
     joined = qk.hint("merge").join(idx.withColumnRenamed("seq_id", "target_id"), "kmer")
