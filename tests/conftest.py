@@ -18,6 +18,16 @@ def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     s = get_spark("petasearch_spark_tests", shuffle_partitions=8)
     yield s
+    # pid-unique managed tables (test_incremental_index, test_skew_pruning)
+    # leave directories in the shared /tmp warehouse that no later run
+    # will ever DROP by name — clean this process's own leftovers
+    import glob
+    import shutil
+
+    wh = s.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        for d in glob.glob(f"{wh.removeprefix('file:')}/*_{os.getpid()}"):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 @pytest.fixture(autouse=True)
