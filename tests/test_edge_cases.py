@@ -299,3 +299,19 @@ def test_m8_write_read_roundtrip(spark):
         want = sorted(tuple(r) for r in to_m8(res, with_lengths).collect())
         got = sorted(tuple(r) for r in read_m8(spark, out, with_lengths=with_lengths).collect())
         assert got == want and len(got) > 0
+
+
+def test_fasta_write_read_roundtrip_multifile(spark, tmp_path):
+    """Multi-partition write_fasta: record CONTENT survives a 3-file
+    write + read regardless of which partition each record landed in."""
+    from petasearch_spark.sources.fasta import read_fasta, sequences_from_records, write_fasta
+
+    recs = [(f"acc{i} d{i}", "ACDEFGHIKLMNPQRSTVWY" * (1 + i % 4)) for i in range(30)]
+    df = sequences_from_records(spark, recs)
+    out = tmp_path / "multi_fa"
+    write_fasta(df.repartition(3), str(out))
+    back = read_fasta(spark, str(out))
+    got = sorted((r["header"], r["sequence"]) for r in back.collect())
+    assert got == sorted(recs)
+    # ids are dense 0..N-1 over the written files
+    assert sorted(r["seq_id"] for r in back.collect()) == list(range(30))
