@@ -806,7 +806,8 @@ def merge_ivf_index_delta(spark: SparkSession, path: str, delta_emb: DataFrame, 
 
 
 def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame, centroids: list,
-                    nprobe: int = NPROBE, topk: int = TOPK) -> DataFrame:
+                    nprobe: int = NPROBE, topk: int = TOPK,
+                    _persisted: list | None = None) -> DataFrame:
     """Top-k cosine search against a materialized IVF index. The nprobe
     bucket ids per query come from the broadcast quantizer; the scan
     filter `bucket IN (...)` prunes to those partition DIRECTORIES —
@@ -818,7 +819,12 @@ def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame, centroid
     self-hit (the FAISS convention for corpus-internal probes). Queries
     from an EXTERNAL id space must not collide with corpus ids, or a
     legitimate neighbor is silently dropped — offset external query ids
-    (e.g. negative) before probing (round-3 ADVICE)."""
+    (e.g. negative) before probing (round-3 ADVICE).
+
+    `_persisted`: optional list the internal probe-assignment persist()
+    is appended to, so per-batch callers (the streaming probe) can
+    release exactly this cache after materializing — instead of a
+    session-wide clearCache that would evict caller state."""
     from petasearch_spark.operators.similarity import cosine, cosine_pair_udf
 
     cent = spark.createDataFrame(
@@ -837,6 +843,8 @@ def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame, centroid
         # window lineage runs twice (round-3 ADVICE)
         .persist()
     )
+    if _persisted is not None:
+        _persisted.append(qprobe)
     probed = [r["bucket"] for r in qprobe.select("bucket").distinct().collect()]
     idx = spark.read.parquet(path).filter(F.col("bucket").isin(probed))
     cand = qprobe.join(idx, "bucket").filter(F.col("vec_id") != F.col("query_id"))

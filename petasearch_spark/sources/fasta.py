@@ -211,34 +211,45 @@ def read_fastq_paired(
     matching accession stems (the trailing ``/1``/``/2`` or ``.1``/``.2``
     mate suffix stripped). A desynchronized pair of files — the classic
     silent corruption in paired-end data — fails loudly instead of
-    producing chimeric pairs. Both parsed sides are persisted first, so
-    the validation counts, the stem join and the returned union all read
-    one cached parse instead of re-running the FASTQ record rebuild per
-    action (round-4 review finding); validation itself is then two cached
-    counts + one broadcast-join count, skippable for trusted re-reads."""
+    producing chimeric pairs. Both parsed sides are persisted for the
+    DURATION OF VALIDATION only (counts + stem join read one cached parse
+    each — round-4 review finding), then unpersisted even on the raise
+    path: the caches exist to serve validation's multiple actions, and
+    pinning a whole ingest batch in executor storage past the call would
+    leak one parse cache per file pair in a long-lived session. The
+    returned lazy union therefore re-parses once when consumed — the
+    stream-through shape a 100 TB ingest needs anyway."""
     mate_stem = F.regexp_replace("accession", r"[/.][12]$", "")
     r1 = read_fastq(spark, r1_path).select(
         F.col("seq_id").alias("pair_id"), "accession", "header", "sequence", "quality",
         F.lit(1).alias("mate"), mate_stem.alias("_stem"),
-    ).persist()
+    )
     r2 = read_fastq(spark, r2_path).select(
         F.col("seq_id").alias("pair_id"), "accession", "header", "sequence", "quality",
         F.lit(2).alias("mate"), mate_stem.alias("_stem"),
-    ).persist()
+    )
     if validate:
-        n1, n2 = r1.count(), r2.count()
-        if n1 != n2:
-            raise ValueError(f"paired FASTQ desync: R1 has {n1} records, R2 has {n2}")
-        bad = (
-            r1.select("pair_id", F.col("_stem").alias("_s1"))
-            .join(r2.select("pair_id", F.col("_stem").alias("_s2")), "pair_id")
-            .filter(F.col("_s1") != F.col("_s2"))
-            .count()
-        )
-        if bad:
-            raise ValueError(
-                f"paired FASTQ desync: {bad} positions where R1/R2 accession stems differ"
+        r1, r2 = r1.persist(), r2.persist()
+        try:
+            n1, n2 = r1.count(), r2.count()
+            if n1 != n2:
+                raise ValueError(
+                    f"paired FASTQ desync: R1 has {n1} records, R2 has {n2}"
+                )
+            bad = (
+                r1.select("pair_id", F.col("_stem").alias("_s1"))
+                .join(r2.select("pair_id", F.col("_stem").alias("_s2")), "pair_id")
+                .filter(F.col("_s1") != F.col("_s2"))
+                .count()
             )
+            if bad:
+                raise ValueError(
+                    f"paired FASTQ desync: {bad} positions where R1/R2 "
+                    f"accession stems differ"
+                )
+        finally:
+            r1.unpersist()
+            r2.unpersist()
     return (
         r1.unionByName(r2)
         .select(

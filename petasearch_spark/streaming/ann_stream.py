@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 
 from petasearch_spark.operators.similarity import N_QUERIES, _as_double, cosine_topk
 from petasearch_spark.sources.tables import load_table
-from petasearch_spark.streaming.stateful import _stage_two_files, source_fingerprint
+from petasearch_spark.streaming.stateful import (
+    _stage_two_files,
+    source_fingerprint,
+    staged_cache,
+)
 
 #: output schema of both probes — used to return a TYPED empty frame when
 #: the stream produced no sink files (empty corpus / empty query set: a
@@ -46,34 +50,55 @@ def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stage_queries(spark: SparkSession, emb: DataFrame, sf_dir: str) -> str:
     """Stage the query vectors (vec_id < N_QUERIES) as a 2-file parquet
-    stream source, cached per source CONTENT (regenerated testdata gets
-    a fresh key — round-4 review finding)."""
-    fp = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-    q_src = os.path.join(tempfile.gettempdir(), f"ps_ann_qsrc_{fp}")
-    if not os.path.exists(os.path.join(q_src, "_SUCCESS")):
+    stream source. Cached per (source CONTENT, N_QUERIES) — the staged
+    rows depend on the cutoff, so changing N_QUERIES must invalidate the
+    cache, not silently serve the old query set (round-4 review finding) —
+    and published atomically so concurrent runs never see a partial
+    write."""
+    fp = source_fingerprint(
+        os.path.join(sf_dir, "embeddings.parquet"), f"nq={N_QUERIES}"
+    )
+    q_src = os.path.join(tempfile.gettempdir(), f"ps_ann_qsrc2_{fp}")
+
+    def build(tmp: str) -> None:
         emb.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-        ).coalesce(1).write.mode("overwrite").parquet(q_src)
-    return _stage_two_files(spark, q_src, "query_id")
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+
+    return _stage_two_files(spark, staged_cache(q_src, build), "query_id")
 
 
 def _run_foreach_stream(
     spark: SparkSession,
     staged: str,
     sink_tag: str,
-    probe_fn: Callable[[DataFrame], DataFrame],
+    probe_fn: Callable[[DataFrame, list], DataFrame],
 ) -> DataFrame:
     """Drive `staged` as a maxFilesPerTrigger=1 stream, run `probe_fn`
-    per micro-batch, append its result to a fixed per-tag sink (cleared
-    per run), and return the combined result — a typed empty frame if
-    nothing was produced. Per-batch persist() blocks are released after
-    each batch write so a continuous stream's cache stays flat."""
-    sink = os.path.join(tempfile.gettempdir(), f"ps_ann_stream_sink_{sink_tag}")
+    per micro-batch, append its result to a per-tag, PER-PROCESS sink
+    (cleared per run; pid-unique so concurrent suite runs cannot rmtree
+    or double-append each other's in-flight sink — round-4 review
+    finding), and return the combined result — a typed empty frame if
+    nothing was produced.
+
+    `probe_fn(batch_df, persisted)` must append any DataFrame it
+    persist()s to `persisted`; ONLY those frames are unpersisted after
+    the batch write. A continuous stream's cache thus stays flat without
+    the previous session-wide clearCache(), which evicted every cache the
+    CALLER held (e.g. a long-lived service's persisted corpus would have
+    been re-read cold every micro-batch)."""
+    sink = os.path.join(
+        tempfile.gettempdir(), f"ps_ann_stream_sink_{sink_tag}_{os.getpid()}"
+    )
     shutil.rmtree(sink, ignore_errors=True)
 
     def run_batch(batch_df: DataFrame, batch_id: int) -> None:
-        probe_fn(batch_df).write.mode("append").parquet(sink)
-        spark.catalog.clearCache()
+        persisted: list = []
+        try:
+            probe_fn(batch_df, persisted).write.mode("append").parquet(sink)
+        finally:
+            for df in persisted:
+                df.unpersist()
 
     stream = (
         spark.readStream.schema("query_id long, qv array<double>")
@@ -110,8 +135,9 @@ def ann_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _stage_queries(spark, emb, sf_dir)
     fp = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     # the SAME core as the batch operator — stream/batch cannot drift
+    # (cosine_topk persists nothing, so the tracked list stays empty)
     return _run_foreach_stream(
-        spark, staged, f"brute_{fp}", lambda batch: cosine_topk(batch, emb)
+        spark, staged, f"brute_{fp}", lambda batch, _p: cosine_topk(batch, emb)
     )
 
 
@@ -140,14 +166,23 @@ def ann_ivf_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # empty corpus: no quantizer can exist and write_ivf_index would
         # produce a fileless parquet dir — typed empty answer instead
         return spark.createDataFrame([], RESULT_SCHEMA)
-    fp = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-    idx_path = os.path.join(tempfile.gettempdir(), f"ps_ivf_stream_idx_{fp}")
-    if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
-        write_ivf_index(emb, idx_path, cent_rows)
+    # the materialized index depends on the quantizer size: a changed
+    # N_CENTROIDS must rebuild it, or probes would prune against bucket
+    # directories written by a DIFFERENT quantizer (round-4 review
+    # finding); published atomically like every staging cache
+    fp = source_fingerprint(
+        os.path.join(sf_dir, "embeddings.parquet"), f"nc={N_CENTROIDS}"
+    )
+    idx_path = staged_cache(
+        os.path.join(tempfile.gettempdir(), f"ps_ivf_stream_idx2_{fp}"),
+        lambda tmp: write_ivf_index(emb, tmp, cent_rows),
+    )
     staged = _stage_queries(spark, emb, sf_dir)
     return _run_foreach_stream(
         spark,
         staged,
         f"ivf_{fp}",
-        lambda batch: probe_ivf_index(spark, idx_path, batch, cent_rows),
+        lambda batch, persisted: probe_ivf_index(
+            spark, idx_path, batch, cent_rows, _persisted=persisted
+        ),
     )

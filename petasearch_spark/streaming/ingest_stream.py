@@ -37,46 +37,50 @@ def _stage_jsonl_two_files(spark: SparkSession, sf_dir: str) -> str:
     deterministically planted malformed lines. Cached per source CONTENT
     like a fixture: repeated gate/bench runs reuse one staging copy
     instead of accumulating mkdtemp dirs in /tmp (round-3 ADVICE), and a
-    regenerated documents table gets a fresh key instead of stale data."""
-    import shutil
+    regenerated documents table gets a fresh key instead of stale data.
+    The key also covers the corruption constants — staged lines DEPEND on
+    them, so editing BREAK_MOD/BREAK_AT/_TRUNC_LEN must invalidate the
+    cache — and publication is atomic (staged_cache), so concurrent
+    processes never see a half-built dir (round-4 review findings)."""
+    from petasearch_spark.streaming.stateful import source_fingerprint, staged_cache
 
-    from petasearch_spark.streaming.stateful import source_fingerprint
-
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"ps_jsonl_stage_{source_fingerprint(os.path.join(sf_dir, 'documents.parquet'))}",
+    key = source_fingerprint(
+        os.path.join(sf_dir, "documents.parquet"),
+        f"mod={BREAK_MOD}|at={BREAK_AT}|trunc={_TRUNC_LEN}",
     )
-    flat = os.path.join(root, "flat")
-    done_marker = os.path.join(root, "_STAGED")
-    if os.path.exists(done_marker):
-        return flat
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(flat)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    line = F.to_json(
-        F.struct(
-            F.concat(F.lit("doc-"), F.col("doc_id")).alias("id"),
-            "text",
-            "lang",
-            "source",
+    root = os.path.join(tempfile.gettempdir(), f"ps_jsonl_stage2_{key}")
+
+    def build(tmp: str) -> None:
+        flat = os.path.join(tmp, "flat")
+        os.makedirs(flat)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        line = F.to_json(
+            F.struct(
+                F.concat(F.lit("doc-"), F.col("doc_id")).alias("id"),
+                "text",
+                "lang",
+                "source",
+            )
         )
-    )
-    broken = F.when(
-        F.col("doc_id") % BREAK_MOD == BREAK_AT, F.substring(line, 1, _TRUNC_LEN)
-    ).otherwise(line)
-    for i in range(2):
-        docs.filter(F.col("doc_id") % 2 == i).select(broken.alias("value")).coalesce(
-            1
-        ).write.mode("overwrite").text(os.path.join(root, f"half{i}"))
-    n = 0
-    for i in range(2):
-        half = os.path.join(root, f"half{i}")
-        for f in sorted(os.listdir(half)):
-            if f.endswith(".txt"):
-                os.symlink(os.path.join(half, f), os.path.join(flat, f"part{n}.txt"))
-                n += 1
-    open(done_marker, "w").close()
-    return flat
+        broken = F.when(
+            F.col("doc_id") % BREAK_MOD == BREAK_AT, F.substring(line, 1, _TRUNC_LEN)
+        ).otherwise(line)
+        for i in range(2):
+            docs.filter(F.col("doc_id") % 2 == i).select(broken.alias("value")).coalesce(
+                1
+            ).write.mode("overwrite").text(os.path.join(tmp, f"half{i}"))
+        n = 0
+        for i in range(2):
+            half = os.path.join(tmp, f"half{i}")
+            for f in sorted(os.listdir(half)):
+                if f.endswith(".txt"):
+                    os.symlink(
+                        os.path.join("..", f"half{i}", f),
+                        os.path.join(flat, f"part{n}.txt"),
+                    )
+                    n += 1
+
+    return os.path.join(staged_cache(root, build), "flat")
 
 
 def docs_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

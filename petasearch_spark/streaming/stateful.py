@@ -46,36 +46,68 @@ def source_fingerprint(*parts) -> str:
     return h.hexdigest()[:12]
 
 
+def staged_cache(root: str, build) -> str:
+    """Claim-by-rename staging cache: if ``root`` exists it is COMPLETE
+    (only complete dirs are ever published); otherwise ``build(tmp_dir)``
+    fills a pid-unique sibling which is then atomically ``os.rename``d to
+    ``root``. Two processes racing on the same key both build, but each
+    sees only its own tmp dir or the published complete dir — the
+    check-then-rmtree race (process B deleting A's half-written staging
+    — round-4 review finding) cannot happen. The rename loser discards
+    its copy and uses the winner's."""
+    import shutil
+
+    if os.path.isdir(root):
+        return root
+    tmp = f"{root}.build{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    try:
+        build(tmp)
+        os.rename(tmp, root)
+    except OSError:
+        # rename onto an existing dir fails (ENOTEMPTY/EEXIST): another
+        # process published first — its copy is complete, use it
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(root):
+            raise
+    return root
+
+
 def _stage_two_files(spark: SparkSession, src_parquet: str, split_col: str) -> str:
     """Split one parquet file into a 2-file staging dir (micro-batch bait).
     Cached per (source CONTENT, split column) like a fixture so repeated
     gate/bench runs reuse one staging copy instead of leaking tempdirs
     (the round-3 ADVICE finding on the JSONL stager, applied here too),
-    while a regenerated source gets a fresh key."""
-    import shutil
-
+    while a regenerated source gets a fresh key. Published atomically via
+    :func:`staged_cache`, so concurrent processes cannot observe a
+    half-built dir."""
     key = source_fingerprint(src_parquet, split_col)
-    root = os.path.join(tempfile.gettempdir(), f"ps_stream2_{key}")
-    flat = os.path.join(root, "flat")
-    done_marker = os.path.join(root, "_STAGED")
-    if os.path.exists(done_marker):
-        return flat
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(flat)
-    df = spark.read.parquet(src_parquet)
-    for i in range(2):
-        df.filter(F.col(split_col) % 2 == i).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(root, f"half{i}")
-        )
-    n = 0
-    for i in range(2):
-        half = os.path.join(root, f"half{i}")
-        for f in sorted(os.listdir(half)):
-            if f.endswith(".parquet"):
-                os.symlink(os.path.join(half, f), os.path.join(flat, f"part{n}.parquet"))
-                n += 1
-    open(done_marker, "w").close()
-    return flat
+    # "2b": dirs under this prefix are only ever PUBLISHED complete (the
+    # pre-rename scheme's marker files don't exist here by construction)
+    root = os.path.join(tempfile.gettempdir(), f"ps_stage2b_{key}")
+
+    def build(tmp: str) -> None:
+        flat = os.path.join(tmp, "flat")
+        os.makedirs(flat)
+        df = spark.read.parquet(src_parquet)
+        for i in range(2):
+            df.filter(F.col(split_col) % 2 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(tmp, f"half{i}"))
+        n = 0
+        for i in range(2):
+            half = os.path.join(tmp, f"half{i}")
+            for f in sorted(os.listdir(half)):
+                if f.endswith(".parquet"):
+                    # RELATIVE symlink: survives the tmp -> root rename
+                    os.symlink(
+                        os.path.join("..", f"half{i}", f),
+                        os.path.join(flat, f"part{n}.parquet"),
+                    )
+                    n += 1
+
+    return os.path.join(staged_cache(root, build), "flat")
 
 
 def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> None:

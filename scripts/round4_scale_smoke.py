@@ -194,8 +194,12 @@ def main() -> None:
         sink = os.path.join(tmp, "sink")
 
         def probe_batch(bdf, bid):
-            probe_ivf_index(spark, idx, bdf, cent_rows).write.mode("append").parquet(sink)
-            spark.catalog.clearCache()  # flat storage memory per batch
+            persisted = []
+            probe_ivf_index(
+                spark, idx, bdf, cent_rows, _persisted=persisted
+            ).write.mode("append").parquet(sink)
+            for df in persisted:  # flat storage memory per batch, targeted
+                df.unpersist()
 
         t0 = time.time()
         stream = (
