@@ -144,14 +144,26 @@ DERIVED_SEQ_SQL = f"""
 """
 
 
-def protein_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The real k=9 prefilter (T1+J2+J1+A1) over derived sequences, with
-    k-mers as 9-char window STRINGS (portable to SQL; the integer encoding
-    of functions/kmer.py is a bijection, so semantics are identical).
-    Queries: every 20th doc. Targets: all docs. Matches the reference's
-    count>2 HAVING."""
-    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
-    seqs = derived_sequences(docs)
+def one_rep_idx_cte(src: str) -> str:
+    """The J2 one-representative rule as a SQL CTE (longest sequence,
+    ties -> lowest id) over a k-mer table ``src(seq_id, seq_len, kmer)``
+    — shared by every oracle that restates the index (round-4 review
+    finding: the rule must live in ONE place per engine)."""
+    return f"""idx AS (
+    SELECT kmer, seq_id AS target_id
+    FROM (SELECT kmer, seq_id,
+                 ROW_NUMBER() OVER (PARTITION BY kmer ORDER BY seq_len DESC, seq_id ASC) AS rn
+          FROM {src})
+    WHERE rn = 1
+)"""
+
+
+def _window_kmer_tables(seqs: DataFrame, query_mod: int = 20):
+    """Shared T1+J2 construction for the string-window prefilter family:
+    (kmers, one-representative index, %query_mod query side). Both
+    protein_prefilter and protein_prefilter_funnel ride this ONE helper
+    so the representative rule / window semantics cannot drift between
+    the gate query and the funnel that claims to summarize it."""
     k = 9
     win = F.when(
         F.length("sequence") >= k,
@@ -160,11 +172,36 @@ def protein_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.col("sequence").substr(i + 1, F.lit(k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    kmers = seqs.select("seq_id", F.length("sequence").cast("int").alias("seq_len"), F.explode(win).alias("kmer"))
+    kmers = seqs.select(
+        "seq_id", F.length("sequence").cast("int").alias("seq_len"), F.explode(win).alias("kmer")
+    )
     index = kmers.groupBy("kmer").agg(
         F.max_by(F.col("seq_id"), F.struct(F.col("seq_len"), (-F.col("seq_id")).alias("neg_id"))).alias("target_id")
     )
-    qk = kmers.filter(F.col("seq_id") % 20 == 0).select(F.col("seq_id").alias("query_id"), "kmer")
+    qk = kmers.filter(F.col("seq_id") % query_mod == 0).select(
+        F.col("seq_id").alias("query_id"), "kmer"
+    )
+    return kmers, index, qk
+
+
+#: the SQL twin of _window_kmer_tables — one fragment, two oracles
+WINDOW_KMER_CTES_SQL = f"""kmers AS (
+    SELECT seq_id, len(sequence) AS seq_len, substr(sequence, i, 9) AS kmer
+    FROM seqs, range(1, 8192) r(i)
+    WHERE i + 8 <= len(sequence)
+)
+, {one_rep_idx_cte("kmers")}
+, qk AS (SELECT seq_id AS query_id, kmer FROM kmers WHERE seq_id % 20 = 0)"""
+
+
+def protein_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real k=9 prefilter (T1+J2+J1+A1) over derived sequences, with
+    k-mers as 9-char window STRINGS (portable to SQL; the integer encoding
+    of functions/kmer.py is a bijection, so semantics are identical).
+    Queries: every 20th doc. Targets: all docs. Matches the reference's
+    count>2 HAVING."""
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    _, index, qk = _window_kmer_tables(derived_sequences(docs))
     pairs = F.broadcast(qk).join(index, "kmer", "inner")
     return (
         pairs.groupBy("query_id", "target_id")
@@ -176,19 +213,7 @@ def protein_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROTEIN_PREFILTER_SQL = f"""
 WITH {DERIVED_SEQ_SQL}
-, kmers AS (
-    SELECT seq_id, len(sequence) AS seq_len, substr(sequence, i, 9) AS kmer
-    FROM seqs, range(1, 8192) r(i)
-    WHERE i + 8 <= len(sequence)
-)
-, idx AS (
-    SELECT kmer, seq_id AS target_id
-    FROM (SELECT kmer, seq_id,
-                 ROW_NUMBER() OVER (PARTITION BY kmer ORDER BY seq_len DESC, seq_id ASC) AS rn
-          FROM kmers)
-    WHERE rn = 1
-)
-, qk AS (SELECT seq_id AS query_id, kmer FROM kmers WHERE seq_id % 20 = 0)
+, {WINDOW_KMER_CTES_SQL}
 SELECT query_id, target_id, COUNT(*) AS n_matches
 FROM qk JOIN idx USING (kmer)
 GROUP BY query_id, target_id
@@ -209,21 +234,8 @@ def protein_prefilter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the committed FASTA."""
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     seqs = derived_sequences(docs).persist()
-    k = 9
-    win = F.when(
-        F.length("sequence") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.length("sequence") - k),
-            lambda i: F.col("sequence").substr(i + 1, F.lit(k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    kmers = seqs.select(
-        "seq_id", F.length("sequence").cast("int").alias("seq_len"), F.explode(win).alias("kmer")
-    )
-    index = kmers.groupBy("kmer").agg(
-        F.max_by(F.col("seq_id"), F.struct(F.col("seq_len"), (-F.col("seq_id")).alias("neg_id"))).alias("target_id")
-    )
-    qk = kmers.filter(F.col("seq_id") % 20 == 0).select(F.col("seq_id").alias("query_id"), "kmer").persist()
+    _, index, qk = _window_kmer_tables(seqs)
+    qk = qk.persist()
     matches = F.broadcast(qk).join(index, "kmer", "inner").persist()
     pair = matches.groupBy("query_id", "target_id").agg(F.count(F.lit(1)).alias("n"))
     surv = pair.filter(F.col("n") > REQ_MATCHES)
@@ -245,19 +257,7 @@ def protein_prefilter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROTEIN_PREFILTER_FUNNEL_SQL = f"""
 WITH {DERIVED_SEQ_SQL}
-, kmers AS (
-    SELECT seq_id, len(sequence) AS seq_len, substr(sequence, i, 9) AS kmer
-    FROM seqs, range(1, 8192) r(i)
-    WHERE i + 8 <= len(sequence)
-)
-, idx AS (
-    SELECT kmer, seq_id AS target_id
-    FROM (SELECT kmer, seq_id,
-                 ROW_NUMBER() OVER (PARTITION BY kmer ORDER BY seq_len DESC, seq_id ASC) AS rn
-          FROM kmers)
-    WHERE rn = 1
-)
-, qk AS (SELECT seq_id AS query_id, kmer FROM kmers WHERE seq_id % 20 = 0)
+, {WINDOW_KMER_CTES_SQL}
 , m AS (SELECT query_id, target_id FROM qk JOIN idx USING (kmer))
 , pair AS (SELECT query_id, target_id, COUNT(*) AS n FROM m GROUP BY query_id, target_id)
 , surv AS (SELECT * FROM pair WHERE n > {REQ_MATCHES})
@@ -329,13 +329,7 @@ WITH {DERIVED_DNA_SQL}
 )
 -- F1: windows containing N (the invalid nucleotide) are skipped
 , valid AS (SELECT * FROM kmers WHERE kmer NOT LIKE '%N%')
-, idx AS (
-    SELECT kmer, seq_id AS target_id
-    FROM (SELECT kmer, seq_id,
-                 ROW_NUMBER() OVER (PARTITION BY kmer ORDER BY seq_len DESC, seq_id ASC) AS rn
-          FROM valid)
-    WHERE rn = 1
-)
+, {one_rep_idx_cte("valid")}
 , qk AS (SELECT seq_id AS query_id, kmer FROM valid WHERE seq_id % 20 = 0)
 SELECT query_id, target_id, COUNT(*) AS n_matches
 FROM qk JOIN idx USING (kmer)
@@ -448,13 +442,7 @@ WITH {DERIVED_SEQ_SQL}
     FROM seqs, range(1, 8192) r(i)
     WHERE i + 8 <= len(sequence)
 )
-, idx AS (
-    SELECT kmer, seq_id AS target_id
-    FROM (SELECT kmer, seq_id,
-                 ROW_NUMBER() OVER (PARTITION BY kmer ORDER BY seq_len DESC, seq_id ASC) AS rn
-          FROM kmers)
-    WHERE rn = 1
-)
+, {one_rep_idx_cte("kmers")}
 , qk AS (SELECT seq_id AS query_id, kmer, pos FROM kmers WHERE seq_id % 100 = 0)
 , expansion AS (
     -- goldens are tagged by total corpus chars (doc COUNTs collide across
@@ -517,13 +505,7 @@ WITH {DERIVED_SEQ_SQL}
     FROM seqs, range(1, 8192) r(i)
     WHERE i + 8 <= len(sequence)
 )
-, idx AS (
-    SELECT kmer, seq_id AS target_id
-    FROM (SELECT kmer, seq_id,
-                 ROW_NUMBER() OVER (PARTITION BY kmer ORDER BY seq_len DESC, seq_id ASC) AS rn
-          FROM kmers)
-    WHERE rn = 1
-)
+, {one_rep_idx_cte("kmers")}
 , qk AS (SELECT seq_id AS query_id, kmer, pos FROM kmers WHERE seq_id % 20 = 0)
 , hits AS (SELECT qk.query_id, idx.target_id, qk.kmer, qk.pos FROM qk JOIN idx USING (kmer))
 , pairs AS (
@@ -740,13 +722,7 @@ WITH {DERIVED_SEQ_SQL}
     FROM seqs, range(1, 8192) r(i)
     WHERE i + 8 <= len(sequence)
 )
-, idx AS (
-    SELECT kmer, seq_id AS target_id
-    FROM (SELECT kmer, seq_id,
-                 ROW_NUMBER() OVER (PARTITION BY kmer ORDER BY seq_len DESC, seq_id ASC) AS rn
-          FROM kmers)
-    WHERE rn = 1
-)
+, {one_rep_idx_cte("kmers")}
 , qk AS (SELECT seq_id AS query_id, kmer, pos FROM kmers WHERE seq_id % 100 = 0)
 , expansion AS (
     SELECT kmer, sim_kmer, score FROM '{GOLDEN_DIR}/expansion_golden.parquet'

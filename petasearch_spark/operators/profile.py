@@ -216,34 +216,50 @@ def profile_vs_profile_prefilter(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def _alpha_cte() -> str:
+    """The residue -> code VALUES table both profile oracles join for the
+    argmax tie rule."""
+    alpha_rows = ", ".join(f"('{c}', {i})" for i, c in enumerate(AMINO_ALPHABET))
+    return f"alpha(ch, code) AS (FROM (VALUES {alpha_rows}) v(ch, code) SELECT *)"
+
+
+def _prof_cte(chars: str) -> str:
+    """The window-summed PSSM CTE over a per-position character table
+    ``chars(seq_id, pos, c)`` — the consensus machinery shared VERBATIM
+    by the profile-vs-sequence and profile-vs-profile oracles (round-4
+    review finding: one statement of the PSSM rule per engine).
+    PSSM column = window-summed BLOSUM rows; consensus = argmax with
+    ties to the lowest residue code (numpy argmax first-occurrence
+    rule)."""
+    return f"""prof AS (
+    SELECT c1.seq_id, c1.pos, b.b AS cand, al.code, SUM(b.s) AS sc
+    FROM {chars} c1
+    JOIN {chars} c2 ON c2.seq_id = c1.seq_id
+                   AND c2.pos BETWEEN c1.pos - {PROFILE_WINDOW} AND c1.pos + {PROFILE_WINDOW}
+    JOIN blosum b ON b.a = c2.c
+    JOIN alpha al ON al.ch = b.b
+    GROUP BY c1.seq_id, c1.pos, b.b, al.code
+)"""
+
+
 def _profile_search_sql() -> str:
     from petasearch_spark.operators.doc_search import (
         DERIVED_SEQ_SQL,
         REQ_MATCHES,
         _blosum_values_sql,
+        one_rep_idx_cte,
     )
 
-    alpha_rows = ", ".join(f"('{c}', {i})" for i, c in enumerate(AMINO_ALPHABET))
     return f"""
 WITH {DERIVED_SEQ_SQL}
 , {_blosum_values_sql()}
-, alpha(ch, code) AS (FROM (VALUES {alpha_rows}) v(ch, code) SELECT *)
+, {_alpha_cte()}
 , qchars AS (
     SELECT seq_id, i AS pos, substr(sequence, i, 1) AS c
     FROM seqs, range(1, 8192) r(i)
     WHERE seq_id % {PROFILE_QUERY_MOD} = 0 AND i <= len(sequence)
 )
--- PSSM column = window-summed BLOSUM rows; consensus = argmax with ties
--- to the lowest residue code (numpy argmax first-occurrence rule)
-, prof AS (
-    SELECT c1.seq_id, c1.pos, b.b AS cand, al.code, SUM(b.s) AS sc
-    FROM qchars c1
-    JOIN qchars c2 ON c2.seq_id = c1.seq_id
-                  AND c2.pos BETWEEN c1.pos - {PROFILE_WINDOW} AND c1.pos + {PROFILE_WINDOW}
-    JOIN blosum b ON b.a = c2.c
-    JOIN alpha al ON al.ch = b.b
-    GROUP BY c1.seq_id, c1.pos, b.b, al.code
-)
+, {_prof_cte("qchars")}
 , cons_pos AS (
     SELECT seq_id, pos, cand
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY seq_id, pos ORDER BY sc DESC, code ASC) AS rn
@@ -264,13 +280,7 @@ WITH {DERIVED_SEQ_SQL}
     FROM seqs, range(1, 8192) r(i)
     WHERE i + 8 <= len(sequence)
 )
-, idx AS (
-    SELECT kmer, seq_id AS target_id
-    FROM (SELECT kmer, seq_id,
-                 ROW_NUMBER() OVER (PARTITION BY kmer ORDER BY seq_len DESC, seq_id ASC) AS rn
-          FROM kmers)
-    WHERE rn = 1
-)
+, {one_rep_idx_cte("kmers")}
 , qk AS (
     SELECT seq_id AS query_id, substr(sequence, i, 9) AS kmer
     FROM cons, range(1, 8192) r(i)
@@ -308,28 +318,20 @@ def _profile_vs_profile_sql() -> str:
         DERIVED_SEQ_SQL,
         REQ_MATCHES,
         _blosum_values_sql,
+        one_rep_idx_cte,
     )
 
-    alpha_rows = ", ".join(f"('{c}', {i})" for i, c in enumerate(AMINO_ALPHABET))
     return f"""
 WITH {DERIVED_SEQ_SQL}
 , {_blosum_values_sql()}
-, alpha(ch, code) AS (FROM (VALUES {alpha_rows}) v(ch, code) SELECT *)
+, {_alpha_cte()}
 -- consensus for EVERY sequence (targets); queries are the %-filtered subset
 , allchars AS (
     SELECT seq_id, i AS pos, substr(sequence, i, 1) AS c
     FROM seqs, range(1, 8192) r(i)
     WHERE i <= len(sequence)
 )
-, prof AS (
-    SELECT c1.seq_id, c1.pos, b.b AS cand, al.code, SUM(b.s) AS sc
-    FROM allchars c1
-    JOIN allchars c2 ON c2.seq_id = c1.seq_id
-                    AND c2.pos BETWEEN c1.pos - {PROFILE_WINDOW} AND c1.pos + {PROFILE_WINDOW}
-    JOIN blosum b ON b.a = c2.c
-    JOIN alpha al ON al.ch = b.b
-    GROUP BY c1.seq_id, c1.pos, b.b, al.code
-)
+, {_prof_cte("allchars")}
 , cons AS (
     SELECT seq_id, string_agg(cand, '' ORDER BY pos) AS sequence
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY seq_id, pos ORDER BY sc DESC, code ASC) AS rn
@@ -341,13 +343,7 @@ WITH {DERIVED_SEQ_SQL}
     FROM cons, range(1, 8192) r(i)
     WHERE i + 8 <= len(sequence)
 )
-, idx AS (
-    SELECT kmer, seq_id AS target_id
-    FROM (SELECT kmer, seq_id,
-                 ROW_NUMBER() OVER (PARTITION BY kmer ORDER BY seq_len DESC, seq_id ASC) AS rn
-          FROM tk)
-    WHERE rn = 1
-)
+, {one_rep_idx_cte("tk")}
 , qk AS (
     SELECT seq_id AS query_id, substr(sequence, i, 9) AS kmer
     FROM cons, range(1, 8192) r(i)
