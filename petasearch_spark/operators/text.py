@@ -462,3 +462,153 @@ SELECT doc_id, cluster,
 FROM assign
 ORDER BY doc_id
 """
+
+
+# --- Distributed BPE tokenizer training -------------------------------------
+
+#: merge rounds learned by bpe_train_merges; the DuckDB oracle is a chained
+#: CTE per round, so keep this small enough that the oracle stays cheap at
+#: the parity SFs (6 rounds ~ the textbook toy-corpus demonstration depth)
+N_BPE_MERGES = 6
+
+
+def _apply_merge(toks, lhs: str, rhs: str):
+    """Greedy left-to-right non-overlapping application of one merge rule
+    to a token array, as a pure column fold: walk the array once, and
+    whenever the accumulated tail is `lhs` and the next token is `rhs`,
+    replace the tail with the merged token. Token-boundary exact (the
+    comparison is on whole array elements), matching the SQL twin's
+    space-delimited fold."""
+    merged = lhs + rhs
+    first = F.slice(toks, 1, 1)
+    rest = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    return F.aggregate(
+        rest,
+        first,
+        lambda acc, x: F.when(
+            (x == F.lit(rhs)) & (F.element_at(acc, -1) == F.lit(lhs)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_BPE_MERGES
+) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (not just counting): learn the
+    first `n_merges` merge rules over the documents corpus, returning
+    (step, lhs, rhs, merged, pair_count) per learned rule.
+
+    The reference engine has no tokenizer trainer; this is part of the
+    beyond-parity LLM-data-pipeline surface (a 100 TB pretraining corpus
+    needs its tokenizer learned from the same distributed table it is
+    cleaned on). Algorithm = textbook word-level BPE (Sennrich et al.
+    2016): collapse the corpus to a (word, count) vocabulary first — ONE
+    corpus-wide shuffle, after which every round works on the vocabulary
+    table, which is bounded by DISTINCT words, not corpus size. Each
+    round: count adjacent token pairs weighted by word count (one agg
+    shuffle over the small vocab), pick the most frequent pair (count
+    desc, then lexicographic lhs/rhs — fully deterministic), collect that
+    ONE scalar row to the driver, and apply the merge as a narrow column
+    fold. The vocabulary is re-persisted per round with the previous
+    cache released, so lineage and storage stay flat regardless of
+    n_merges; the driver only ever holds the n_merges rule rows.
+
+    Words are lowercase a-z runs (digits/punctuation excluded), so token
+    strings are collation-safe across engines."""
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    return train_bpe(spark, docs, n_merges)
+
+
+def train_bpe(spark: SparkSession, docs: DataFrame, n_merges: int) -> DataFrame:
+    """The trainer core over any docs(text) frame — see bpe_train_merges."""
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    vocab = words.select(
+        "wc",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ).alias("toks"),
+    ).persist()
+    rules: list[tuple] = []
+    try:
+        for step in range(1, n_merges + 1):
+            pair = F.zip_with(
+                F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+            best = (
+                vocab.select("wc", F.explode(pair).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("wc").alias("cnt"))
+                .orderBy(F.desc("cnt"), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+            rules.append((step, a, b, a + b, cnt))
+            if step < n_merges:
+                nxt = vocab.withColumn("toks", _apply_merge(F.col("toks"), a, b)).persist()
+                nxt.count()  # materialize from the cached vocab (narrow map)
+                vocab.unpersist()
+                vocab = nxt
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        rules, "step int, lhs string, rhs string, merged string, pair_count long"
+    ).orderBy("step")
+
+
+def _bpe_train_sql(n_merges: int = N_BPE_MERGES) -> str:
+    """The DuckDB twin: one chained CTE block per merge round. The merge
+    application is the same boundary-exact greedy fold, expressed as
+    list_reduce over the token list with a space-delimited accumulator
+    (tokens are a-z only, so the space boundary and LIKE pattern are
+    exact)."""
+    parts = [
+        """words AS (
+    SELECT w, COUNT(*) AS wc
+    FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w FROM documents)
+    WHERE w <> '' GROUP BY w
+)""",
+        "t0 AS (SELECT wc, string_split(w, '') AS toks FROM words)",
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""p{i} AS (
+    SELECT toks[i] AS a, toks[i+1] AS b, CAST(SUM(wc) AS BIGINT) AS cnt
+    FROM t{i}, range(1, 8192) r(i)
+    WHERE i + 1 <= len(toks)
+    GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"
+        )
+        if i < n_merges - 1:
+            parts.append(
+                f"""t{i + 1} AS (
+    SELECT wc, string_split(list_reduce(toks, (acc, x) ->
+        CASE WHEN x = b AND (acc = a OR acc LIKE '%' || ' ' || a)
+             THEN CASE WHEN acc = a THEN a || b
+                  ELSE substr(acc, 1, len(acc) - len(a) - 1) || ' ' || a || b END
+             ELSE acc || ' ' || x END), ' ') AS toks
+    FROM t{i}, b{i}
+)"""
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return "WITH " + "\n, ".join(parts) + f"\nSELECT * FROM ({selects}) ORDER BY step"
+
+
+BPE_TRAIN_SQL = _bpe_train_sql()

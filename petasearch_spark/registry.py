@@ -172,6 +172,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_quality_stats": (text.text_quality_stats, text.TEXT_QUALITY_SQL),
     "lang_id_heuristic": (text.lang_id_heuristic, text.LANG_ID_SQL),
     "token_count_bpe": (text.token_count_bpe, text.TOKEN_COUNT_SQL),
+    # BPE tokenizer TRAINING: word-vocab collapse then n iterative merge
+    # rounds; oracle = one chained CTE block per round (same greedy fold)
+    "bpe_train_merges": (text.bpe_train_merges, text.BPE_TRAIN_SQL),
     "doc_fingerprint": (text.doc_fingerprint, text.DOC_FINGERPRINT_SQL),
     # RAG-corpus chunking: overlapping token windows, portable chunk hash
     "doc_chunk_overlap": (text.doc_chunk_overlap, text.DOC_CHUNK_SQL),
@@ -313,6 +316,12 @@ UNGATED: dict[str, str] = {
     "doc_chunk_overlap": (
         "added after the gate filled; full DuckDB parity in pytest; per-doc"
         " explode/slice machinery akin to the gated window/shingle rows"
+    ),
+    "bpe_train_merges": (
+        "added after the gate filled; its 6-row merge-rule output carries the"
+        " weakest hash mass of the text family while its iterative Spark loop"
+        " is the slowest text query at the gate SF; exact cross-engine parity"
+        " (values + tie-breaks, both SFs) stays in pytest"
     ),
     "kmv_distinct_tokens": (
         "added after the gate filled; full DuckDB parity in pytest; the only"

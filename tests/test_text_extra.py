@@ -131,3 +131,44 @@ def test_doc_cluster_tfidf_invariants(spark):
     for c, n in sizes.items():
         assert sampled[c] == min(CLUSTER_SAMPLE_K, n), (c, n, sampled[c])
         assert 1 <= by_doc[c]["rank_in_cluster"] if c in by_doc else True
+
+
+def test_bpe_train_hand_computed_merges(spark):
+    """Textbook word-level BPE on a constructed corpus, every round
+    hand-computed, including the greedy non-overlap fold on 'aaaa'."""
+    # vocabulary (after lowercase a-z extraction): low x4, lowest x2, aaaa x1
+    rows = [
+        (0, "low low LOW lowest."),
+        (1, "low!  lowest"),
+        (2, "aaaa"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [tuple(r) for r in text.train_bpe(spark, docs, 4).collect()]
+    # round 1 pairs: (l,o)=6 (o,w)=6 (w,e)=2 (e,s)=2 (s,t)=2 (a,a)=3
+    #   (overlapping count: 'aaaa' has 3 adjacent (a,a) pairs)
+    #   -> tie (l,o) vs (o,w) at 6, lexicographic: (l,o) wins
+    # round 2: low* -> [lo,w,...]; (lo,w)=6 (a,a)=3 (w,e)=2 ... -> (lo,w)
+    # round 3: [low], [low,e,s,t], [a,a,a,a]; (a,a)=3 beats the 2s -> (a,a);
+    #   greedy non-overlap fold: 'aaaa' -> [aa, aa]
+    # round 4: (low,e)=2 (e,s)=2 (s,t)=2 (aa,aa)=1 -> tie at 2,
+    #   lexicographic lhs: 'e' < 'low' < 's' -> (e,s)
+    assert got == [
+        (1, "l", "o", "lo", 6),
+        (2, "lo", "w", "low", 6),
+        (3, "a", "a", "aa", 3),
+        (4, "e", "s", "es", 2),
+    ]
+
+
+def test_bpe_overlap_fold_is_greedy_nonoverlapping(spark):
+    """'aaaa' under merge (a,a) must become [aa, aa], and 'aaa' [aa, a] —
+    the left-to-right non-overlapping rule both engines implement."""
+    df = spark.createDataFrame([("aaaa",), ("aaa",)], ["w"])
+    toks = F.transform(
+        F.sequence(F.lit(1), F.length("w")), lambda i: F.col("w").substr(i, F.lit(1))
+    )
+    out = df.select(
+        "w", text._apply_merge(toks, "a", "a").alias("m")
+    ).orderBy(F.length("w").desc()).collect()
+    assert out[0]["m"] == ["aa", "aa"]
+    assert out[1]["m"] == ["aa", "a"]
