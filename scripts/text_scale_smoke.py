@@ -116,6 +116,21 @@ def main() -> None:
             out[f"{name}_rows"] = REGISTRY[name][0](spark, tmp).count()
             out[f"{name}_s"] = round(time.time() - t0, 1)
 
+        # --- distributed BPE tokenizer training at scale ---
+        from petasearch_spark.operators.text import train_bpe
+
+        t0 = time.time()
+        rules = [tuple(r) for r in train_bpe(spark, docs, 6).collect()]
+        out["bpe_train_s"] = round(time.time() - t0, 1)
+        out["bpe_rules"] = [f"{r[1]}+{r[2]}" for r in rules]
+        assert len(rules) == 6, rules
+        counts = [r[4] for r in rules]
+        # merging can only remove or split existing adjacencies, so the
+        # best-pair count is non-increasing round over round
+        assert counts == sorted(counts, reverse=True), counts
+        # run-to-run determinism (tie-breaks are total)
+        assert [tuple(r) for r in train_bpe(spark, docs, 6).collect()] == rules
+
         # --- the full curation composition at scale ---
         t0 = time.time()
         funnel = REGISTRY["corpus_curation_funnel"][0](spark, tmp)
