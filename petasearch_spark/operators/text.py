@@ -520,15 +520,23 @@ def bpe_train_merges(
     return train_bpe(spark, docs, n_merges)
 
 
-def train_bpe(spark: SparkSession, docs: DataFrame, n_merges: int) -> DataFrame:
-    """The trainer core over any docs(text) frame — see bpe_train_merges."""
-    words = (
-        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("wc"))
-    )
+def _corpus_words(docs: DataFrame) -> DataFrame:
+    """Lowercase a-z word occurrences: (w) one row per occurrence."""
+    return docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+    ).filter(F.col("w") != "")
+
+
+def _train_bpe_core(
+    spark: SparkSession, docs: DataFrame, n_merges: int, keep_vocab: bool
+):
+    """Shared trainer loop: returns (rules, vocab | None). With
+    ``keep_vocab`` the FINAL merge is applied too and the persisted
+    (w, wc, toks) vocabulary is returned — the caller must unpersist it
+    after consuming (bpe_fertility does)."""
+    words = _corpus_words(docs).groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
     vocab = words.select(
+        "w",
         "wc",
         F.transform(
             F.sequence(F.lit(1), F.length("w")),
@@ -536,50 +544,102 @@ def train_bpe(spark: SparkSession, docs: DataFrame, n_merges: int) -> DataFrame:
         ).alias("toks"),
     ).persist()
     rules: list[tuple] = []
-    try:
-        for step in range(1, n_merges + 1):
-            pair = F.zip_with(
-                F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
-                F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-            )
-            best = (
-                vocab.select("wc", F.explode(pair).alias("p"))
-                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-                .agg(F.sum("wc").alias("cnt"))
-                .orderBy(F.desc("cnt"), "a", "b")
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break
-            a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
-            rules.append((step, a, b, a + b, cnt))
-            if step < n_merges:
-                nxt = vocab.withColumn("toks", _apply_merge(F.col("toks"), a, b)).persist()
-                nxt.count()  # materialize from the cached vocab (narrow map)
-                vocab.unpersist()
-                vocab = nxt
-    finally:
-        vocab.unpersist()
+    for step in range(1, n_merges + 1):
+        pair = F.zip_with(
+            F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+            F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        best = (
+            vocab.select("wc", F.explode(pair).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        rules.append((step, a, b, a + b, cnt))
+        if step < n_merges or keep_vocab:
+            nxt = vocab.withColumn("toks", _apply_merge(F.col("toks"), a, b)).persist()
+            nxt.count()  # materialize from the cached vocab (narrow map)
+            vocab.unpersist()
+            vocab = nxt
+    if keep_vocab:
+        return rules, vocab
+    vocab.unpersist()
+    return rules, None
+
+
+def train_bpe(spark: SparkSession, docs: DataFrame, n_merges: int) -> DataFrame:
+    """The trainer core over any docs(text) frame — see bpe_train_merges."""
+    rules, _ = _train_bpe_core(spark, docs, n_merges, keep_vocab=False)
     return spark.createDataFrame(
         rules, "step int, lhs string, rhs string, merged string, pair_count long"
     ).orderBy("step")
 
 
-def _bpe_train_sql(n_merges: int = N_BPE_MERGES) -> str:
-    """The DuckDB twin: one chained CTE block per merge round. The merge
-    application is the same boundary-exact greedy fold, expressed as
-    list_reduce over the token list with a space-delimited accumulator
-    (tokens are a-z only, so the space boundary and LIKE pattern are
-    exact)."""
+def bpe_fertility(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_BPE_MERGES
+) -> DataFrame:
+    """Tokenizer EVALUATION: train the `n_merges`-rule BPE on the corpus,
+    apply all learned rules back to the vocabulary, and report per-source
+    fertility — tokens emitted per word, the standard "is this tokenizer
+    efficient on this corpus" metric (lower is better; 1.0 = every word
+    is a single learned token).
+
+    Plan shape: training as in bpe_train_merges (vocabulary-bounded),
+    then ONE join of the word-occurrence stream against the tiny
+    (w -> token-count) vocabulary — broadcast-able whenever the distinct
+    vocabulary fits, an ordinary shuffle join otherwise — and one
+    per-source aggregation. Fertility is a single BIGINT/BIGINT division,
+    so the doubles are bit-identical cross-engine."""
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    rules, vocab = _train_bpe_core(spark, docs, n_merges, keep_vocab=True)
+    try:
+        word_tok = vocab.select("w", F.size("toks").alias("n_tok"))
+        dw = docs.select(
+            "source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+        ).filter(F.col("w") != "")
+        out = (
+            dw.join(word_tok, "w")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("n_tok").alias("bpe_tokens"),
+                F.sum(F.length("w")).alias("n_chars"),
+                (
+                    F.sum("n_tok").cast("double") / F.count(F.lit(1))
+                ).alias("fertility"),
+            )
+            .orderBy("source")
+        )
+        # materialize before releasing the vocabulary cache the join reads
+        rows = out.collect()
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _bpe_stage_ctes(n_merges: int, apply_final: bool) -> list[str]:
+    """The shared chained-CTE stages of the DuckDB BPE twin: one
+    pair-count + best-pair block per round, plus the fold applying each
+    learned rule. The fold is the same boundary-exact greedy rule as
+    _apply_merge, expressed as list_reduce over the token list with a
+    space-delimited accumulator (tokens are a-z only, so the space
+    boundary and LIKE pattern are exact). With ``apply_final`` the last
+    rule is applied too (t{n} exists — the fully tokenized vocabulary
+    bpe_fertility consumes); otherwise the chain stops at b{n-1} like
+    the trainer."""
     parts = [
         """words AS (
     SELECT w, COUNT(*) AS wc
     FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w FROM documents)
     WHERE w <> '' GROUP BY w
 )""",
-        "t0 AS (SELECT wc, string_split(w, '') AS toks FROM words)",
+        "t0 AS (SELECT w, wc, string_split(w, '') AS toks FROM words)",
     ]
     for i in range(n_merges):
         parts.append(
@@ -593,10 +653,10 @@ def _bpe_train_sql(n_merges: int = N_BPE_MERGES) -> str:
         parts.append(
             f"b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"
         )
-        if i < n_merges - 1:
+        if i < n_merges - 1 or apply_final:
             parts.append(
                 f"""t{i + 1} AS (
-    SELECT wc, string_split(list_reduce(toks, (acc, x) ->
+    SELECT w, wc, string_split(list_reduce(toks, (acc, x) ->
         CASE WHEN x = b AND (acc = a OR acc LIKE '%' || ' ' || a)
              THEN CASE WHEN acc = a THEN a || b
                   ELSE substr(acc, 1, len(acc) - len(a) - 1) || ' ' || a || b END
@@ -604,6 +664,12 @@ def _bpe_train_sql(n_merges: int = N_BPE_MERGES) -> str:
     FROM t{i}, b{i}
 )"""
             )
+    return parts
+
+
+def _bpe_train_sql(n_merges: int = N_BPE_MERGES) -> str:
+    """The DuckDB trainer twin — see _bpe_stage_ctes."""
+    parts = _bpe_stage_ctes(n_merges, apply_final=False)
     selects = " UNION ALL ".join(
         f"SELECT {i + 1} AS step, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count FROM b{i}"
         for i in range(n_merges)
@@ -611,4 +677,34 @@ def _bpe_train_sql(n_merges: int = N_BPE_MERGES) -> str:
     return "WITH " + "\n, ".join(parts) + f"\nSELECT * FROM ({selects}) ORDER BY step"
 
 
+def _bpe_fertility_sql(n_merges: int = N_BPE_MERGES) -> str:
+    """The DuckDB fertility twin: the same trained chain with the final
+    rule applied, joined back to the word-occurrence stream."""
+    parts = _bpe_stage_ctes(n_merges, apply_final=True)
+    parts.append(f"final AS (SELECT w, len(toks) AS n_tok FROM t{n_merges})")
+    parts.append(
+        """dw AS (
+    SELECT source, w FROM (
+        SELECT source, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents
+    ) WHERE w <> ''
+)"""
+    )
+    return (
+        "WITH "
+        + "\n, ".join(parts)
+        + """
+SELECT d.source,
+       COUNT(*) AS n_words,
+       CAST(SUM(f.n_tok) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(len(d.w)) AS BIGINT) AS n_chars,
+       CAST(SUM(f.n_tok) AS DOUBLE) / COUNT(*) AS fertility
+FROM dw d JOIN final f USING (w)
+GROUP BY d.source
+ORDER BY d.source
+"""
+    )
+
+
 BPE_TRAIN_SQL = _bpe_train_sql()
+BPE_FERTILITY_SQL = _bpe_fertility_sql()

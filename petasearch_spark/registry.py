@@ -175,6 +175,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # BPE tokenizer TRAINING: word-vocab collapse then n iterative merge
     # rounds; oracle = one chained CTE block per round (same greedy fold)
     "bpe_train_merges": (text.bpe_train_merges, text.BPE_TRAIN_SQL),
+    # tokenizer EVALUATION: apply the learned rules back to the corpus,
+    # per-source fertility (tokens per word) via one vocab join
+    "bpe_fertility": (text.bpe_fertility, text.BPE_FERTILITY_SQL),
     "doc_fingerprint": (text.doc_fingerprint, text.DOC_FINGERPRINT_SQL),
     # RAG-corpus chunking: overlapping token windows, portable chunk hash
     "doc_chunk_overlap": (text.doc_chunk_overlap, text.DOC_CHUNK_SQL),
@@ -322,6 +325,11 @@ UNGATED: dict[str, str] = {
         " weakest hash mass of the text family while its iterative Spark loop"
         " is the slowest text query at the gate SF; exact cross-engine parity"
         " (values + tie-breaks, both SFs) stays in pytest"
+    ),
+    "bpe_fertility": (
+        "added after the gate filled; shares bpe_train_merges' iterative"
+        " trainer (same gate-SF cost) plus one vocab join; exact cross-engine"
+        " parity at both SFs stays in pytest"
     ),
     "kmv_distinct_tokens": (
         "added after the gate filled; full DuckDB parity in pytest; the only"
