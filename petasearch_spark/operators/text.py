@@ -544,29 +544,35 @@ def _train_bpe_core(
         ).alias("toks"),
     ).persist()
     rules: list[tuple] = []
-    for step in range(1, n_merges + 1):
-        pair = F.zip_with(
-            F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
-            F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
-            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-        )
-        best = (
-            vocab.select("wc", F.explode(pair).alias("p"))
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("wc").alias("cnt"))
-            .orderBy(F.desc("cnt"), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
-        rules.append((step, a, b, a + b, cnt))
-        if step < n_merges or keep_vocab:
-            nxt = vocab.withColumn("toks", _apply_merge(F.col("toks"), a, b)).persist()
-            nxt.count()  # materialize from the cached vocab (narrow map)
-            vocab.unpersist()
-            vocab = nxt
+    try:
+        for step in range(1, n_merges + 1):
+            pair = F.zip_with(
+                F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+            best = (
+                vocab.select("wc", F.explode(pair).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("wc").alias("cnt"))
+                .orderBy(F.desc("cnt"), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+            rules.append((step, a, b, a + b, cnt))
+            if step < n_merges or keep_vocab:
+                nxt = vocab.withColumn(
+                    "toks", _apply_merge(F.col("toks"), a, b)
+                ).persist()
+                nxt.count()  # materialize from the cached vocab (narrow map)
+                vocab.unpersist()
+                vocab = nxt
+    except Exception:
+        vocab.unpersist()
+        raise
     if keep_vocab:
         return rules, vocab
     vocab.unpersist()
