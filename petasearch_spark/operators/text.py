@@ -520,11 +520,50 @@ def bpe_train_merges(
     return train_bpe(spark, docs, n_merges)
 
 
-def _corpus_words(docs: DataFrame) -> DataFrame:
-    """Lowercase a-z word occurrences: (w) one row per occurrence."""
+#: the BPE word definition, stated ONCE per engine: lowercase a-z runs,
+#: capped at BPE_MAX_WORD_LEN chars so the SQL twin's range(1, 8192)
+#: pair enumeration is exhaustive — an unbounded letter run would be
+#: pair-counted fully by Spark but truncated by the oracle
+BPE_WORD_RE = "[^a-z]+"
+BPE_MAX_WORD_LEN = 8191
+
+
+def _corpus_words(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """Word occurrences (one row each): (*extra_cols, w) — the single
+    statement of the BPE word rule on the Spark side."""
     return docs.select(
-        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
-    ).filter(F.col("w") != "")
+        *extra_cols, F.explode(F.split(F.lower("text"), BPE_WORD_RE)).alias("w")
+    ).filter((F.col("w") != "") & (F.length("w") <= BPE_MAX_WORD_LEN))
+
+
+def _initial_vocab(docs: DataFrame) -> DataFrame:
+    """(w, wc, toks): the word-collapsed vocabulary with single-char
+    token arrays — round 0 of the trainer."""
+    words = _corpus_words(docs).groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    return words.select(
+        "w",
+        "wc",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ).alias("toks"),
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent-token pair counts weighted by word count —
+    the one shuffle each training round pays (plan shape pinned by
+    tests/test_plan_pushdown.py against THIS function)."""
+    pair = F.zip_with(
+        F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+        F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return (
+        vocab.select("wc", F.explode(pair).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("wc").alias("cnt"))
+    )
 
 
 def _train_bpe_core(
@@ -534,27 +573,12 @@ def _train_bpe_core(
     ``keep_vocab`` the FINAL merge is applied too and the persisted
     (w, wc, toks) vocabulary is returned — the caller must unpersist it
     after consuming (bpe_fertility does)."""
-    words = _corpus_words(docs).groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
-    vocab = words.select(
-        "w",
-        "wc",
-        F.transform(
-            F.sequence(F.lit(1), F.length("w")),
-            lambda i: F.col("w").substr(i, F.lit(1)),
-        ).alias("toks"),
-    ).persist()
+    vocab = _initial_vocab(docs).persist()
     rules: list[tuple] = []
     try:
         for step in range(1, n_merges + 1):
-            pair = F.zip_with(
-                F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
-                F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-            )
             best = (
-                vocab.select("wc", F.explode(pair).alias("p"))
-                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-                .agg(F.sum("wc").alias("cnt"))
+                _pair_counts(vocab)
                 .orderBy(F.desc("cnt"), "a", "b")
                 .limit(1)
                 .collect()
@@ -567,7 +591,11 @@ def _train_bpe_core(
                 nxt = vocab.withColumn(
                     "toks", _apply_merge(F.col("toks"), a, b)
                 ).persist()
-                nxt.count()  # materialize from the cached vocab (narrow map)
+                try:
+                    nxt.count()  # materialize from the cached vocab (narrow map)
+                except Exception:
+                    nxt.unpersist()  # the outer handler releases `vocab`
+                    raise
                 vocab.unpersist()
                 vocab = nxt
     except Exception:
@@ -606,9 +634,7 @@ def bpe_fertility(
     rules, vocab = _train_bpe_core(spark, docs, n_merges, keep_vocab=True)
     try:
         word_tok = vocab.select("w", F.size("toks").alias("n_tok"))
-        dw = docs.select(
-            "source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
-        ).filter(F.col("w") != "")
+        dw = _corpus_words(docs, "source")
         out = (
             dw.join(word_tok, "w")
             .groupBy("source")
@@ -629,6 +655,16 @@ def bpe_fertility(
     return spark.createDataFrame(rows, out.schema)
 
 
+def _bpe_words_src_sql(cols: str = "") -> str:
+    """The SQL statement of the BPE word rule (the _corpus_words twin) —
+    stated ONCE and reused by the vocabulary CTE and the fertility
+    occurrence stream. `cols` is a 'col, ' prefix for extra columns."""
+    return f"""SELECT {cols}w FROM (
+        SELECT {cols}unnest(regexp_split_to_array(lower(text), '{BPE_WORD_RE}')) AS w
+        FROM documents
+    ) WHERE w <> '' AND len(w) <= {BPE_MAX_WORD_LEN}"""
+
+
 def _bpe_stage_ctes(n_merges: int, apply_final: bool) -> list[str]:
     """The shared chained-CTE stages of the DuckDB BPE twin: one
     pair-count + best-pair block per round, plus the fold applying each
@@ -638,12 +674,15 @@ def _bpe_stage_ctes(n_merges: int, apply_final: bool) -> list[str]:
     boundary and LIKE pattern are exact). With ``apply_final`` the last
     rule is applied too (t{n} exists — the fully tokenized vocabulary
     bpe_fertility consumes); otherwise the chain stops at b{n-1} like
-    the trainer."""
+    the trainer. Each fold stage LEFT-joins its (at most one-row) best
+    pair and passes tokens through unchanged when the round ran dry —
+    a cross join against an EMPTY b{i} would wipe the vocabulary chain
+    and diverge from the trainer's break (round-4 review finding)."""
     parts = [
-        """words AS (
+        f"""words AS (
     SELECT w, COUNT(*) AS wc
-    FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w FROM documents)
-    WHERE w <> '' GROUP BY w
+    FROM ({_bpe_words_src_sql()})
+    GROUP BY w
 )""",
         "t0 AS (SELECT w, wc, string_split(w, '') AS toks FROM words)",
     ]
@@ -662,12 +701,15 @@ def _bpe_stage_ctes(n_merges: int, apply_final: bool) -> list[str]:
         if i < n_merges - 1 or apply_final:
             parts.append(
                 f"""t{i + 1} AS (
-    SELECT w, wc, string_split(list_reduce(toks, (acc, x) ->
+    SELECT w, wc,
+           CASE WHEN a IS NULL THEN toks
+                ELSE string_split(list_reduce(toks, (acc, x) ->
         CASE WHEN x = b AND (acc = a OR acc LIKE '%' || ' ' || a)
              THEN CASE WHEN acc = a THEN a || b
                   ELSE substr(acc, 1, len(acc) - len(a) - 1) || ' ' || a || b END
-             ELSE acc || ' ' || x END), ' ') AS toks
-    FROM t{i}, b{i}
+             ELSE acc || ' ' || x END), ' ')
+           END AS toks
+    FROM t{i} LEFT JOIN b{i} ON TRUE
 )"""
             )
     return parts
@@ -688,14 +730,7 @@ def _bpe_fertility_sql(n_merges: int = N_BPE_MERGES) -> str:
     rule applied, joined back to the word-occurrence stream."""
     parts = _bpe_stage_ctes(n_merges, apply_final=True)
     parts.append(f"final AS (SELECT w, len(toks) AS n_tok FROM t{n_merges})")
-    parts.append(
-        """dw AS (
-    SELECT source, w FROM (
-        SELECT source, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
-        FROM documents
-    ) WHERE w <> ''
-)"""
-    )
+    parts.append(f"dw AS ({_bpe_words_src_sql('source, ')})")
     return (
         "WITH "
         + "\n, ".join(parts)

@@ -68,6 +68,28 @@ def _stage_queries(spark: SparkSession, emb: DataFrame, sf_dir: str) -> str:
     return _stage_two_files(spark, staged_cache(q_src, build), "query_id")
 
 
+def _sweep_dead_sinks() -> None:
+    """Remove pid-suffixed sinks left by processes that no longer exist.
+    A sink must outlive its own run (the returned DataFrame reads it
+    lazily), so each process cleans up after its PREDECESSORS instead of
+    itself — without this, every fresh pid would leave one result-set
+    dir in /tmp forever (round-4 review finding)."""
+    import glob
+
+    for d in glob.glob(
+        os.path.join(tempfile.gettempdir(), "ps_ann_stream_sink_*_*")
+    ):
+        pid_part = d.rsplit("_", 1)[-1]
+        if not pid_part.isdigit() or int(pid_part) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_part), 0)  # raises if the pid is gone
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another user — leave its sink alone
+
+
 def _run_foreach_stream(
     spark: SparkSession,
     staged: str,
@@ -87,6 +109,7 @@ def _run_foreach_stream(
     the previous session-wide clearCache(), which evicted every cache the
     CALLER held (e.g. a long-lived service's persisted corpus would have
     been re-read cold every micro-batch)."""
+    _sweep_dead_sinks()
     sink = os.path.join(
         tempfile.gettempdir(), f"ps_ann_stream_sink_{sink_tag}_{os.getpid()}"
     )

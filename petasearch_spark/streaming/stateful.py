@@ -71,6 +71,11 @@ def staged_cache(root: str, build) -> str:
         shutil.rmtree(tmp, ignore_errors=True)
         if not os.path.isdir(root):
             raise
+    except BaseException:
+        # a failed build (e.g. a Spark write error) must not leave its
+        # pid-unique debris behind — no later pid would ever clean it
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     return root
 
 

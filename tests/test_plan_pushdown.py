@@ -218,33 +218,15 @@ def test_bpe_pair_count_single_shuffle_and_pruned_scan(spark):
     plus the top-1 sort — and the documents scan must read text alone."""
     from pyspark.sql import functions as F
 
-    from petasearch_spark.operators.text import train_bpe  # noqa: F401
+    from petasearch_spark.operators.text import _initial_vocab, _pair_counts
     from petasearch_spark.sources.tables import load_table
 
     spark.catalog.clearCache()
     docs = load_table(spark, "documents", SF_DIR, widen_scan=True)
-    words = (
-        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("wc"))
-    )
-    vocab = words.select(
-        "wc",
-        F.transform(
-            F.sequence(F.lit(1), F.length("w")),
-            lambda i: F.col("w").substr(i, F.lit(1)),
-        ).alias("toks"),
-    )
-    pair = F.zip_with(
-        F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
-        F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-    )
+    # the PRODUCTION round-1 lineage: _train_bpe_core's per-round plan is
+    # exactly _pair_counts(_initial_vocab(...)) + the top-1 sort
     counted = (
-        vocab.select("wc", F.explode(pair).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .agg(F.sum("wc").alias("cnt"))
+        _pair_counts(_initial_vocab(docs))
         .orderBy(F.desc("cnt"), "a", "b")
         .limit(1)
     )

@@ -172,3 +172,47 @@ def test_bpe_overlap_fold_is_greedy_nonoverlapping(spark):
     ).orderBy(F.length("w").desc()).collect()
     assert out[0]["m"] == ["aa", "aa"]
     assert out[1]["m"] == ["aa", "a"]
+
+
+def test_bpe_dry_corpus_train_and_fertility_match_oracle(spark):
+    """When merges run dry before n_merges (fewer distinct pairs than
+    rounds), the trainer breaks early and the fertility vocabulary stays
+    at its last state. The SQL twins must agree: the fold stage passes
+    tokens through on an EMPTY best-pair round instead of wiping the
+    chain (the round-4 review reproduction: 'ab ab cd', n_merges=4)."""
+    import duckdb
+    import os
+    import tempfile
+
+    rows = [(0, "ab ab cd", "s0")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    tmp = tempfile.mkdtemp(prefix="bpe_dry_")
+    try:
+        docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+        )
+        got_rules = [
+            tuple(r) for r in text.train_bpe(spark, docs, 4).collect()
+        ]
+        oracle_rules = [
+            tuple(r) for r in con.execute(text._bpe_train_sql(4)).fetchall()
+        ]
+        # pairs: (a,b)=2 (c,d)=1 -> two rounds then dry
+        assert got_rules == [(1, "a", "b", "ab", 2), (2, "c", "d", "cd", 1)]
+        assert oracle_rules == got_rules
+        got_fert = [
+            tuple(r) for r in text.bpe_fertility(spark, tmp, n_merges=4).collect()
+        ]
+        oracle_fert = [
+            tuple(r) for r in con.execute(text._bpe_fertility_sql(4)).fetchall()
+        ]
+        # every word collapses to ONE learned token: fertility exactly 1.0
+        assert got_fert == [("s0", 3, 3, 6, 1.0)]
+        assert oracle_fert == got_fert
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
