@@ -612,6 +612,114 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+#: leading decimal digits kept per sketch bucket: 3 digits -> buckets are
+#: exact below 1000 cents ($10) and have relative half-width <= 0.5/100.5
+#: (~0.5%) above; state per group is bounded by <= 900 buckets per decimal
+#: decade regardless of row count.
+SKETCH_LEAD_DIGITS = 3
+
+
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state quantile SKETCH over (event_type, value) — the
+    100 TB companion to :func:`events_value_quantiles` (which is exact
+    but keeps one histogram row per DISTINCT value; for true continuous
+    doubles that is the whole dataset).
+
+    DDSketch-style log-ish buckets (Masson et al., VLDB 2019) realized
+    in pure decimal-integer arithmetic so the result is deterministic,
+    order/partition-insensitive, and EXACTLY cross-engine hashable (no
+    float log anywhere near a bucket boundary): value -> integer cents,
+    bucket key = (digit count D of cents, first ``SKETCH_LEAD_DIGITS``
+    digits L). Buckets are exact for cents < 10^3; above that the
+    bucket covers [L*10^(D-3), (L+1)*10^(D-3)) cents, i.e. relative
+    half-width <= 0.5/100.5. The estimate for percentile p is the
+    midpoint of the bucket containing the ceil(p*n/100)-th value, so
+    |est - exact_quantile| <= half the width of that bucket (asserted
+    as a hard bound in tests/test_events_extra.py).
+
+    Scale shape: ONE map-side-combined groupBy whose output is bounded
+    by #buckets (<= ~900 per decade per group), never by rows or by
+    distinct values; the per-group cumulative window then runs over
+    that bounded bucket set. Merging two sketches = adding bucket
+    counts, which is what the groupBy combiner already does — the
+    operator IS its own merge, with no order sensitivity by
+    construction (pinned by a repartition-invariance test)."""
+    e = load_table(spark, "events", sf_dir)
+    return quantile_sketch(e)
+
+
+def quantile_sketch(e: DataFrame) -> DataFrame:
+    """Core of :func:`events_quantile_sketch` over an
+    ``(event_type, value)`` frame (separated for constructed-group
+    tests, mirroring :func:`value_quantiles`)."""
+    e = e.filter(F.col("value").isNotNull())
+    cents = e.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    )
+    d = F.length(F.col("v").cast("string"))
+    lead = F.when(
+        d <= SKETCH_LEAD_DIGITS, F.col("v")
+    ).otherwise(F.substring(F.col("v").cast("string"), 1, SKETCH_LEAD_DIGITS).cast("long"))
+    hist = (
+        cents.select("event_type", d.alias("d"), lead.alias("l"))
+        .groupBy("event_type", "d", "l")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # bucket midpoint in DOUBLED cents so it stays integer (width may be odd
+    # in halves); /200.0 at the end is one correctly-rounded IEEE division of
+    # exact integers — identical in both engines.
+    width = F.pow(F.lit(10.0), (F.col("d") - SKETCH_LEAD_DIGITS).cast("double")).cast("long")
+    rep_x2 = F.when(F.col("d") <= SKETCH_LEAD_DIGITS, 2 * F.col("l")).otherwise(
+        2 * F.col("l") * width + width
+    )
+    wc = Window.partitionBy("event_type").orderBy("d", "l")
+    wn = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+        rep_x2.alias("rep_x2"),
+    )
+    aggs = [F.max("n").alias("n_events"), F.count(F.lit(1)).alias("n_buckets")]
+    for p in QUANTILE_PCTS:
+        rank = F.expr(f"({p} * n + 99) div 100")
+        # rep_x2 is monotone in (d, l), so min over qualifying buckets is
+        # exactly the first bucket whose cumulative count reaches the rank
+        aggs.append(
+            (F.min(F.when(F.col("cum") >= rank, F.col("rep_x2"))) / F.lit(200.0)).alias(f"p{p}_est")
+        )
+    return cum.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+EVENTS_QUANTILE_SKETCH_SQL = f"""
+WITH cents AS (
+    SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+    FROM events WHERE value IS NOT NULL
+), bucketed AS (
+    SELECT event_type,
+           LENGTH(CAST(v AS VARCHAR)) AS d,
+           CASE WHEN LENGTH(CAST(v AS VARCHAR)) <= {SKETCH_LEAD_DIGITS} THEN v
+                ELSE CAST(SUBSTR(CAST(v AS VARCHAR), 1, {SKETCH_LEAD_DIGITS}) AS BIGINT) END AS l
+    FROM cents
+), hist AS (
+    SELECT event_type, d, l, COUNT(*) AS c FROM bucketed GROUP BY 1, 2, 3
+), cum AS (
+    SELECT event_type,
+           CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY d, l) AS BIGINT) AS cum,
+           CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+           CASE WHEN d <= {SKETCH_LEAD_DIGITS} THEN 2 * l
+                ELSE 2 * l * CAST(POWER(10, d - {SKETCH_LEAD_DIGITS}) AS BIGINT)
+                     + CAST(POWER(10, d - {SKETCH_LEAD_DIGITS}) AS BIGINT) END AS rep_x2
+    FROM hist
+)
+SELECT event_type, MAX(n) AS n_events, COUNT(*) AS n_buckets,
+       {", ".join(f"MIN(CASE WHEN cum >= ({p} * n + 99) // 100 THEN rep_x2 END) / 200.0 AS p{p}_est" for p in QUANTILE_PCTS)}
+FROM cum
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SESSION rows via Spark's native ``session_window`` — the

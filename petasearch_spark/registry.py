@@ -131,6 +131,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "semdedup_clusters": (ivf.semdedup_clusters, ivf.SEMDEDUP_CLUSTERS_SQL),
     "phrase_search": (bm25.phrase_search, bm25.PHRASE_SEARCH_SQL),
     "events_value_quantiles": (events.events_value_quantiles, events.EVENTS_VALUE_QUANTILES_SQL),
+    # bounded-state decimal-DDSketch quantiles — the continuous-value scale
+    # path the exact histogram formulation documents but cannot be
+    "events_quantile_sketch": (events.events_quantile_sketch, events.EVENTS_QUANTILE_SKETCH_SQL),
     "embedding_profile": (similarity.embedding_profile, similarity.EMBEDDING_PROFILE_SQL),
     "cm_stream_heavy_hitters": (stateful.cm_stream_heavy_hitters, sketches.CM_HEAVY_HITTERS_SQL),
     "doc_cluster_tfidf": (text.doc_cluster_tfidf, text.DOC_CLUSTER_TFIDF_SQL),
@@ -430,6 +433,15 @@ UNGATED: dict[str, str] = {
         "added after the gate filled; full DuckDB parity in pytest — the engine's"
         " histogram+running-count formulation vs an INDEPENDENT row_number-over-"
         "raw-rows oracle; rank edge cases pinned on constructed groups in"
+        " tests/test_events_extra.py"
+    ),
+    "events_quantile_sketch": (
+        "added after the gate filled; same family as the gated"
+        " events_value_quantiles (exact ranks) — this is its bounded-state"
+        " DDSketch-style scale variant; full DuckDB parity in pytest (the"
+        " decimal-integer bucketing is deterministic, so even the sketch is"
+        " exactly cross-engine hashable); the <=half-bucket-width error bound"
+        " vs exact quantiles and repartition-invariance are pinned in"
         " tests/test_events_extra.py"
     ),
     "embedding_profile": (

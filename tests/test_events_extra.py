@@ -156,3 +156,78 @@ def test_mad_outliers_robust_to_spike_and_constant_group(spark):
     c = out["c"]
     # MAD 0: the single 7.0 is beyond 3*0
     assert (c["median_value"], c["mad"], c["n_outliers"]) == (5.0, 0.0, 1)
+
+
+def test_quantile_sketch_buckets_and_midpoints(spark):
+    """Constructed groups pin the bucket arithmetic: values < $10 are
+    EXACT (one bucket per cent); values >= $10 report the midpoint of
+    their (digit-count, 3-leading-digit) bucket; the rank rule is the
+    same ceil(p*n/100) as the exact operator."""
+    from petasearch_spark.operators.events import quantile_sketch
+
+    # group a: 10 small values 0.01..0.10 -> all exact cents buckets
+    rows = [("a", v / 100.0) for v in range(1, 11)]
+    # group b: one value per regime — exact ($3.33), D=4 ($98.76 ->
+    # cents 9876, bucket [9870, 9880), midpoint 98.75), D=7
+    # ($12345.67 -> cents 1234567, bucket [1230000, 1240000),
+    # midpoint 12350.00)
+    rows += [("b", 3.33)] * 98 + [("b", 98.76), ("b", 12345.67)]
+    e = spark.createDataFrame(rows, ["event_type", "value"])
+    out = {r["event_type"]: r for r in quantile_sketch(e).collect()}
+    a = out["a"]
+    # exact regime: identical to the exact operator's ceil-rank answers
+    assert (a["p50_est"], a["p90_est"], a["p99_est"]) == (0.05, 0.09, 0.10)
+    assert a["n_buckets"] == 10
+    b = out["b"]
+    # n=100: rank(p50)=50 -> 3.33 exact; rank(p90)=90 -> still 3.33;
+    # rank(p99)=99 -> the 9876-cent value's bucket midpoint 98.75
+    assert (b["p50_est"], b["p90_est"], b["p99_est"]) == (3.33, 3.33, 98.75)
+    assert b["n_buckets"] == 3
+    # and the D=7 bucket midpoint is reachable at p100... p99 of n=100
+    # stops at rank 99; verify the big bucket via a tiny group instead
+    out2 = {
+        r["event_type"]: r
+        for r in quantile_sketch(
+            spark.createDataFrame([("c", 12345.67)], ["event_type", "value"])
+        ).collect()
+    }
+    assert out2["c"]["p50_est"] == 12350.0
+
+
+def test_quantile_sketch_error_bound_vs_exact(spark):
+    """Hard guarantee on real data: the sketch estimate sits within half
+    a bucket width of the EXACT ceil-rank quantile — exact equality
+    below $10, relative error <= 0.5/100.5 above."""
+    from petasearch_spark.operators.events import events_quantile_sketch, events_value_quantiles
+
+    exact = {r["event_type"]: r for r in events_value_quantiles(spark, SF).collect()}
+    est = {r["event_type"]: r for r in events_quantile_sketch(spark, SF).collect()}
+    assert set(exact) == set(est) and exact
+    checked = 0
+    for g in exact:
+        for p in (50, 90, 99):
+            ev, sv = exact[g][f"p{p}"], est[g][f"p{p}_est"]
+            cents = round(ev * 100)
+            if cents < 1000:
+                assert sv == ev, (g, p, ev, sv)
+            else:
+                # compare in doubled cents so the half-width bound is exact
+                # integer arithmetic (est can sit exactly on the bound when
+                # the true quantile is a bucket edge)
+                width = 10 ** (len(str(cents)) - 3)
+                assert abs(round(sv * 200) - 2 * cents) <= width, (g, p, ev, sv)
+            checked += 1
+    assert checked >= 15
+
+
+def test_quantile_sketch_partition_invariance(spark):
+    """The sketch is its own merge: bucket counts add under the groupBy
+    combiner, so ANY partitioning of the input yields byte-identical
+    results (the property a mergeable sketch must have at 100 TB)."""
+    from petasearch_spark.operators.events import quantile_sketch
+    from petasearch_spark.sources.tables import load_table
+
+    e = load_table(spark, "events", SF).select("event_type", "value")
+    a = quantile_sketch(e.repartition(3)).collect()
+    b = quantile_sketch(e.repartition(13, "value")).collect()
+    assert a == b
