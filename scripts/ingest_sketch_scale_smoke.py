@@ -140,7 +140,51 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    quantile_sketch_smoke(spark, out)
+
     print(json.dumps(out))
+
+
+def quantile_sketch_smoke(spark, out: dict, n_events: int = 5_000_000) -> None:
+    """events_quantile_sketch on 5M events with CONTINUOUS values (~2M
+    distinct cents — the regime the exact histogram formulation cannot
+    survive at 100 TB): sketch state must stay bounded by the bucket
+    grammar (<= ~900 per decade per group), every estimate must sit
+    within half a bucket width of the exact ceil-rank quantile, and the
+    whole pass is one map-side-combined shuffle + a window over buckets
+    (vs the exact operator's window over millions of distinct values)."""
+    from petasearch_spark.operators.events import QUANTILE_PCTS, quantile_sketch, value_quantiles
+
+    # Weyl-style multiplicative scramble -> ~uniform cents in [0, 2e6):
+    # ~1.85M distinct values over 5M rows, 5 groups
+    ev = spark.range(n_events).select(
+        F.concat(F.lit("t"), (F.col("id") % 5)).alias("event_type"),
+        (((F.col("id") * 2654435761) % 2_000_000) / 100.0).alias("value"),
+    )
+    ev = ev.persist()
+    ev.count()
+    t0 = time.time()
+    est = {r["event_type"]: r for r in quantile_sketch(ev).collect()}
+    out["qsketch_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    exact = {r["event_type"]: r for r in value_quantiles(ev).collect()}
+    out["qexact_s"] = round(time.time() - t0, 1)
+    ev.unpersist()
+    assert set(est) == set(exact) and len(est) == 5
+    # state bound: values span [0, $20k) -> 4 decades above the exact
+    # range + 1000 exact buckets; growing n_events CANNOT grow this
+    max_buckets = max(r["n_buckets"] for r in est.values())
+    assert max_buckets <= 1000 + 4 * 900, max_buckets
+    out["qsketch_max_buckets"] = max_buckets
+    worst_rel = 0.0
+    for g, r in est.items():
+        for p in QUANTILE_PCTS:
+            cents = round(exact[g][f"p{p}"] * 100)
+            width = 1 if cents < 1000 else 10 ** (len(str(cents)) - 3)
+            err_x2 = abs(round(r[f"p{p}_est"] * 200) - 2 * cents)
+            assert err_x2 <= width, (g, p, exact[g][f"p{p}"], r[f"p{p}_est"])
+            worst_rel = max(worst_rel, err_x2 / (2 * cents))
+    out["qsketch_worst_rel_error"] = round(worst_rel, 6)
 
 
 if __name__ == "__main__":
