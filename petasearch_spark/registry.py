@@ -136,6 +136,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_quantile_sketch": (events.events_quantile_sketch, events.EVENTS_QUANTILE_SKETCH_SQL),
     "embedding_profile": (similarity.embedding_profile, similarity.EMBEDDING_PROFILE_SQL),
     "cm_stream_heavy_hitters": (stateful.cm_stream_heavy_hitters, sketches.CM_HEAVY_HITTERS_SQL),
+    # ingest-time quantile sketch — bucket histogram as streaming state;
+    # oracle = the batch sketch twin verbatim (counts add commutatively)
+    "events_stream_quantiles": (stateful.events_stream_quantiles, events.EVENTS_QUANTILE_SKETCH_SQL),
     "doc_cluster_tfidf": (text.doc_cluster_tfidf, text.DOC_CLUSTER_TFIDF_SQL),
     "events_session_window": (events.events_session_window, events.EVENTS_SESSION_WINDOW_SQL),
     "events_value_outliers": (events.events_value_outliers, events.EVENTS_VALUE_OUTLIERS_SQL),
@@ -454,6 +457,14 @@ UNGATED: dict[str, str] = {
         " sharing its DuckDB oracle (counter addition is order-independent, so the"
         " stream-built matrix must equal the batch sketch exactly); cross-batch"
         " state growth asserted in tests/test_streaming_stateful.py"
+    ),
+    "events_stream_quantiles": (
+        "added after the gate filled; streaming twin of events_quantile_sketch"
+        " sharing its DuckDB oracle verbatim (bucket counts add commutatively, so"
+        " the stream-built histogram must equal the batch sketch exactly); custom"
+        " stateful streaming stays gated via events_stream_user_totals +"
+        " cm_stream_heavy_hitters; bounded state and mid-stream partial emissions"
+        " pinned in tests/test_streaming_stateful.py"
     ),
     "doc_cluster_tfidf": (
         "added after the gate filled; full DuckDB parity in pytest; centroid"

@@ -303,3 +303,114 @@ def cm_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), "term")
     )
+
+
+def events_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile sketch: the per-type decimal-DDSketch bucket
+    histogram of ``operators.events.quantile_sketch`` maintained as
+    ``applyInPandasWithState`` state across micro-batches — the
+    ingest-time form (a production pipeline folds values into the sketch
+    as data ARRIVES; the batch query is the rebuild).
+
+    Bucket counts add associatively and commutatively, so after the
+    final batch the state histogram equals the batch-built sketch
+    EXACTLY and the query sits under the same DuckDB oracle as the
+    batch twin (the cm_stream_heavy_hitters pattern). State per
+    event_type is bounded by the bucket grammar (<= ~900 buckets per
+    decimal decade + 1000 exact cents buckets) REGARDLESS of stream
+    length — the property that makes the sketch a legal unbounded-
+    stream operator where the exact distinct-value histogram is not.
+    Each micro-batch emits the type's current running quantile
+    estimates; the emission with the largest n_events is the final
+    answer."""
+    from petasearch_spark.operators.events import QUANTILE_PCTS, SKETCH_LEAD_DIGITS
+
+    import numpy as np
+
+    stage = _stage_two_files(spark, f"{sf_dir}/events.parquet", "event_id")
+    schema = spark.read.parquet(stage).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+
+    def precount(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # STATELESS per-Arrow-batch bucket combine (same reasoning as
+        # cm_stream's precount): shrinks the state op's input from one
+        # row per event to <= |buckets| rows per batch. The bucketing
+        # must mirror the engine/SQL exactly: HALF_UP cents (values are
+        # positive), digit count, leading digits.
+        for pdf in batches:
+            v = np.floor(pdf["value"].to_numpy("float64") * 100 + 0.5).astype("int64")
+            s = pd.Series(v).astype(str)
+            d = s.str.len().to_numpy().astype("int64")
+            lead = np.where(d <= SKETCH_LEAD_DIGITS, v, s.str[:SKETCH_LEAD_DIGITS].astype("int64"))
+            g = (
+                pd.DataFrame({"event_type": pdf["event_type"], "d": d, "l": lead})
+                .groupby(["event_type", "d", "l"], sort=False)
+                .size()
+                .reset_index(name="w")
+            )
+            yield g
+
+    stream = raw.mapInPandas(precount, schema="event_type string, d long, l long, w long")
+
+    def _estimates(buckets: dict) -> dict:
+        items = sorted(buckets.items())
+        n = sum(c for _, c in items)
+        out = {"n_events": n, "n_buckets": len(items)}
+        for p in QUANTILE_PCTS:
+            rank = (p * n + 99) // 100
+            cum = 0
+            est = None
+            for (d, l), c in items:
+                cum += c
+                if cum >= rank:
+                    if d <= SKETCH_LEAD_DIGITS:
+                        rep_x2 = 2 * l
+                    else:
+                        width = 10 ** (d - SKETCH_LEAD_DIGITS)
+                        rep_x2 = 2 * l * width + width
+                    est = rep_x2 / 200.0
+                    break
+            out[f"p{p}_est"] = est
+        return out
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            ds, ls, cs = state.get
+            buckets = {(int(d), int(l)): int(c) for d, l, c in zip(ds, ls, cs)}
+        else:
+            buckets = {}
+        for pdf in pdfs:
+            for d, l, w in zip(pdf["d"], pdf["l"], pdf["w"]):
+                k = (int(d), int(l))
+                buckets[k] = buckets.get(k, 0) + int(w)
+        ks = sorted(buckets)
+        state.update(([d for d, _ in ks], [l for _, l in ks], [buckets[k] for k in ks]))
+        est = _estimates(buckets)
+        yield pd.DataFrame([{"event_type": key[0], **est}])
+
+    out_schema = "event_type string, n_events long, n_buckets long, " + ", ".join(
+        f"p{p}_est double" for p in QUANTILE_PCTS
+    )
+    out = stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="ds array<long>, ls array<long>, cs array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "events_stream_quantiles_sink"
+    _run_to_memory(out, name, "update")
+    emitted = spark.table(name)
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"))
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("event_type")
+    )

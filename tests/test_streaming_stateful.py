@@ -172,3 +172,32 @@ def test_cm_stream_equals_batch_sketch(spark):
     multi = emitted.filter(F.col("n_emits") >= 2)
     assert multi.count() > 0, "no counter spanned both micro-batches - state never exercised"
     assert multi.filter(F.col("c1") <= F.col("c0")).count() == 0, "running counters must grow"
+
+
+def test_stream_quantiles_equals_batch_sketch(spark):
+    """The stream-built bucket histogram must reproduce the batch
+    quantile sketch EXACTLY (bucket counts add commutatively), state
+    must span micro-batches (every type emits once per batch with
+    strictly growing n_events), and the mid-stream emission is a valid
+    partial sketch (n_buckets within the same grammar bound)."""
+    from petasearch_spark.operators.events import events_quantile_sketch
+    from petasearch_spark.streaming.stateful import events_stream_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    stream_rows = [tuple(r) for r in events_stream_quantiles(spark, sf).collect()]
+    batch_rows = [tuple(r) for r in events_quantile_sketch(spark, sf).collect()]
+    assert stream_rows == batch_rows and len(stream_rows) > 0
+    emitted = spark.table("events_stream_quantiles_sink")
+    per_type = emitted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_emits"),
+        F.min("n_events").alias("n0"),
+        F.max("n_events").alias("n1"),
+        F.max("n_buckets").alias("mb"),
+    )
+    rows = {r["event_type"]: r for r in per_type.collect()}
+    assert rows and all(r["n_emits"] >= 2 for r in rows.values()), (
+        "every type must be touched by both staged micro-batches"
+    )
+    assert all(r["n0"] < r["n1"] for r in rows.values()), "running n_events must grow"
+    # bucket-grammar bound: cents < 10^5 at this SF -> 1000 exact + 2*900
+    assert all(r["mb"] <= 1000 + 2 * 900 for r in rows.values())
