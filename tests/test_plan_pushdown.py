@@ -236,3 +236,18 @@ def test_bpe_pair_count_single_shuffle_and_pruned_scan(spark):
     for ln in scans(plan):
         if "FileScan parquet" in ln:
             assert "text" in ln and "doc_id" not in ln, ln
+
+
+def test_quantile_sketch_plan_one_data_shuffle_and_pruned_scan(spark):
+    """events_quantile_sketch: the ONLY Exchange that sees data volume is
+    the map-side-combined bucket aggregation on (event_type, d, l); the
+    window reshuffle afterwards moves bucket rows only (hash on
+    event_type alone). The scan reads just (event_type, value)."""
+    plan = plan_of(spark, "events_quantile_sketch")
+    hashex = [m.strip() for m in re.findall(r"Exchange hashpartitioning\(([^,#]+)", plan)]
+    assert sorted(set(hashex)) == ["event_type"], hashex
+    # partial_count before the first exchange = map-side combine on buckets
+    assert "partial_count" in plan, plan
+    body = plan.split("ReadSchema")[1]
+    assert "event_type" in body and "value" in body
+    assert "props" not in body and "user_id" not in body, body
