@@ -29,6 +29,7 @@ from petasearch_spark.operators import (
     profile,
     quality,
     relational,
+    selection,
     similarity,
     text,
 )
@@ -159,6 +160,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # semantic (embedding-cosine) decontamination: the fuzzy modality the
     # shingle passes cannot see; eval matrix rides inside an Arrow kernel
     "decontaminate_semantic": (corpus.decontaminate_semantic, corpus.DECONTAMINATE_SEMANTIC_SQL),
+    # data SELECTION: DSIR importance resampling (hashed uni+bigram log
+    # ratio vs a target slice, Laplace-smoothed, deterministic top-K)
+    "dsir_importance_sample": (selection.dsir_importance_sample, selection.DSIR_SQL),
+    # closed-form hashed-unigram Naive-Bayes classifier (CCNet-style
+    # quality/domain filter) -> resubstitution confusion matrix
+    "lang_classifier_nb": (selection.lang_classifier_nb, selection.LANG_NB_SQL),
     # training-example assembly: global token prefix-sum via the two-phase
     # distributed scan (bucket subtotals -> driver exclusive scan ->
     # per-bucket windows), oracle = single-window SUM() OVER
@@ -270,6 +277,17 @@ UNGATED: dict[str, str] = {
         "late round-4 addition; the gate is at its 50-row cap and the cosine"
         " kernel it rides is already gated via ann_cosine_topk/embedding_neardup —"
         " full DuckDB parity at sf0.001 AND sf0.01 in tests/test_oracle_parity.py"
+    ),
+    "dsir_importance_sample": (
+        "late round-4 addition; the gate is at its 50-row cap and the hashed-gram +"
+        " decimal-ln machinery it rides is already gated via unigram_logprob_score /"
+        " gopher_quality — full DuckDB parity at sf0.001 AND sf0.01 in"
+        " tests/test_oracle_parity.py"
+    ),
+    "lang_classifier_nb": (
+        "late round-4 addition; same gate-cap rationale and the same gated"
+        " hashed-gram/decimal precedent (unigram_logprob_score); exact-decimal argmax"
+        " tie-break pinned in tests/test_selection.py, parity at both SFs"
     ),
     "protein_prefilter_bucketed": (
         "logical output duplicates protein_prefilter (shares its oracle); the bucketed"

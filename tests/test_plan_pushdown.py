@@ -238,6 +238,30 @@ def test_bpe_pair_count_single_shuffle_and_pruned_scan(spark):
             assert "text" in ln and "doc_id" not in ln, ln
 
 
+def test_dsir_plan_broadcast_model_and_take_ordered(spark):
+    """dsir_importance_sample: data-volume shuffles are ONLY the model
+    reduction (b) and the per-doc partial sums (doc_id); the model comes
+    back as a broadcast join; top-K is TakeOrdered, never a global sort
+    exchange; scans never read n_chars."""
+    plan = plan_of(spark, "dsir_importance_sample")
+    hashex = [m.strip() for m in re.findall(r"Exchange hashpartitioning\(([^,#]+)", plan)]
+    assert sorted(set(hashex)) == ["b", "doc_id"], hashex
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "n_chars" not in plan
+
+
+def test_nb_plan_broadcast_pivoted_model(spark):
+    """lang_classifier_nb: one pivoted-model broadcast join (no per-class
+    row fan-out), shuffles only on b / doc_id / the tiny confusion keys."""
+    plan = plan_of(spark, "lang_classifier_nb")
+    hashex = [m.strip() for m in re.findall(r"Exchange hashpartitioning\(([^,#]+)", plan)]
+    assert sorted(set(hashex)) == ["b", "doc_id", "lang"], hashex
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "n_chars" not in plan and "source" not in plan
+
+
 def test_quantile_sketch_plan_one_data_shuffle_and_pruned_scan(spark):
     """events_quantile_sketch: the ONLY Exchange that sees data volume is
     the map-side-combined bucket aggregation on (event_type, d, l); the
