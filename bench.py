@@ -41,6 +41,10 @@ BENCH_ONLY = {
 #:   decontaminate_minhash    -> dedup_minhash_lsh (same banding machinery)
 #:   ann_pq_topk              -> ann_ivfpq_topk (superset: ADC + IVF bucketing)
 #:   embedding_quantize_int8  -> embedding_profile (same zero-shuffle column map)
+#: The round-4 selection pair stays out for the same reason:
+#:   dsir_importance_sample / lang_classifier_nb -> unigram_logprob_score
+#:   (same cost class: gram explode + broadcast model join + per-doc agg;
+#:   adding both would push the 1-decimal fallback line past the buffer)
 MAX_LINE = 1900
 
 BENCH_QUERIES = [
