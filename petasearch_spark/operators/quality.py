@@ -252,3 +252,104 @@ SELECT b.doc_id, b.n_toks,
 FROM base b JOIN top2 t USING (doc_id) JOIN dup3 d USING (doc_id)
 ORDER BY b.doc_id
 """
+
+
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span REMOVAL (Lee et al. 2021 semantics: of every
+    substring occurring more than once in the corpus, keep one copy and
+    cut the rest) — the rewrite twin of ``dup_span_coverage``.
+
+    Rules, all deterministic:
+
+    * a window (``SPAN_W`` tokens) is duplicated when it occurs >= 2
+      times corpus-wide (within-doc repeats count, so self-repetition is
+      trimmed too — coverage's >=2-distinct-docs rule only flags
+      cross-doc copies);
+    * the CANONICAL occurrence of a duplicated window is the smallest
+      (doc_id, start); its token positions are protected;
+    * a token position is removed iff some non-canonical duplicated
+      window covers it and no canonical occurrence in the same document
+      does.
+
+    Returns only rewritten docs (n_removed > 0): doc_id, n_toks,
+    n_removed, and the portable hash of the text rebuilt from surviving
+    tokens (cell-exact against the SQL oracle's string_agg rebuild).
+
+    Scale shape: window counting is ONE map-side-combined shuffle on the
+    8-byte window hash; the join back is bounded by true duplicate
+    occurrences, and only those fan out x SPAN_W into positions; the
+    rebuild joins one removed-position-set row per rewritten doc against
+    one token-array row per doc (both 1 row/doc) and filters the array
+    with an index lambda — no token-stream shuffle.
+    """
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(_windows(F.col("ts"), SPAN_W)).alias("idx", "wh"),
+    )
+    occ = wins.groupBy("wh").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("doc_id", "idx")).alias("canon"),
+    ).filter(F.col("n_occ") >= 2)
+    # one row per duplicated-window occurrence; positions fan out x SPAN_W
+    pos = (
+        wins.join(occ, "wh")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("idx") + 1, F.col("idx") + SPAN_W)).alias("p"),
+            (F.struct("doc_id", "idx") == F.col("canon")).alias("is_canon"),
+        )
+        .groupBy("doc_id", "p")
+        .agg(F.max("is_canon").alias("protected"))
+        .filter(~F.col("protected"))
+    )
+    rm = pos.groupBy("doc_id").agg(F.collect_set("p").alias("rm"))
+    kept = toks.join(rm, "doc_id").select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_toks"),
+        F.size("rm").cast("long").alias("n_removed"),
+        hash64(
+            F.concat_ws(
+                " ", F.filter(F.col("ts"), lambda t, i: ~F.array_contains(F.col("rm"), i + 1))
+            )
+        ).alias("kept_hash"),
+    )
+    return kept.orderBy("doc_id")
+
+
+DEDUP_SPAN_REMOVAL_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL.format(col="text")} AS ts FROM documents
+), wins AS (
+    SELECT doc_id, i,
+           {hash64_sql(f"array_to_string(ts[i:i+{SPAN_W - 1}], ' ')")} AS wh
+    FROM toks, range(1, 8192) r(i)
+    WHERE i + {SPAN_W - 1} <= len(ts)
+), marked AS (
+    SELECT doc_id, i, wh,
+           COUNT(*) OVER (PARTITION BY wh) AS n_occ,
+           row_number() OVER (PARTITION BY wh ORDER BY doc_id, i) AS rn
+    FROM wins
+), rm AS (
+    SELECT doc_id, i + o AS p
+    FROM marked, range(0, {SPAN_W}) t(o)
+    WHERE n_occ >= 2
+    GROUP BY doc_id, i + o
+    HAVING MAX(CASE WHEN rn = 1 THEN 1 ELSE 0 END) = 0
+), tokpos AS (
+    SELECT doc_id, i AS p, ts[i] AS tok, len(ts) AS n_toks
+    FROM toks, range(1, 8192) r(i) WHERE i <= len(ts)
+), rebuilt AS (
+    SELECT t.doc_id,
+           CAST(MAX(t.n_toks) AS BIGINT) AS n_toks,
+           CAST(SUM(CASE WHEN rm.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN rm.p IS NULL THEN t.tok END, ' ' ORDER BY t.p), '') AS kept
+    FROM tokpos t LEFT JOIN rm ON rm.doc_id = t.doc_id AND rm.p = t.p
+    GROUP BY t.doc_id
+)
+SELECT doc_id, n_toks, n_removed, {hash64_sql("kept")} AS kept_hash
+FROM rebuilt
+WHERE n_removed > 0
+ORDER BY doc_id
+"""

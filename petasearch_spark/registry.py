@@ -200,6 +200,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tfidf_top_terms": (text.tfidf_top_terms, text.TFIDF_SQL),
     # --- corpus quality (exact-substring dup coverage, Gopher signals) ---
     "dup_span_coverage": (quality.dup_span_coverage, quality.DUP_SPAN_SQL),
+    # exact duplicated-span REMOVAL (Lee et al. 2021): canonical
+    # occurrence protected, every other copy cut, rebuilt text hashed
+    "dedup_span_removal": (quality.dedup_span_removal, quality.DEDUP_SPAN_REMOVAL_SQL),
     "gopher_quality": (quality.gopher_quality, quality.GOPHER_QUALITY_SQL),
     "unigram_logprob_score": (quality.unigram_logprob_score, quality.UNIGRAM_LOGPROB_SQL),
     # PII scrubbing: regex count + cascading redaction, RE2∩Java pattern
@@ -276,6 +279,12 @@ UNGATED: dict[str, str] = {
     "decontaminate_semantic": (
         "late round-4 addition; the gate is at its 50-row cap and the cosine"
         " kernel it rides is already gated via ann_cosine_topk/embedding_neardup —"
+        " full DuckDB parity at sf0.001 AND sf0.01 in tests/test_oracle_parity.py"
+    ),
+    "dedup_span_removal": (
+        "late round-4 addition; the detection half (window hashing, dup join,"
+        " position coverage) is already gated via dup_span_coverage — the rewrite"
+        " rule is pinned by engineered-corpus units in tests/test_selection.py and"
         " full DuckDB parity at sf0.001 AND sf0.01 in tests/test_oracle_parity.py"
     ),
     "dsir_importance_sample": (

@@ -262,6 +262,18 @@ def test_nb_plan_broadcast_pivoted_model(spark):
     assert "n_chars" not in plan and "source" not in plan
 
 
+def test_span_removal_plan_shuffles_only_on_wh_and_doc(spark):
+    """dedup_span_removal: data shuffles only on the 8-byte window hash
+    (dup counting) and doc_id (removed-set agg / rebuild join / final
+    sort); scans read nothing beyond (doc_id, text)."""
+    plan = plan_of(spark, "dedup_span_removal")
+    hashex = [m.strip() for m in re.findall(r"Exchange hashpartitioning\(([^,#]+)", plan)]
+    assert sorted(set(hashex)) == ["doc_id", "wh"], hashex
+    for ln in scans(plan):
+        if "FileScan parquet" in ln:
+            assert "text" in ln and "lang" not in ln and "n_chars" not in ln, ln
+
+
 def test_quantile_sketch_plan_one_data_shuffle_and_pruned_scan(spark):
     """events_quantile_sketch: the ONLY Exchange that sees data volume is
     the map-side-combined bucket aggregation on (event_type, d, l); the

@@ -72,3 +72,45 @@ def test_zero_token_docs_are_excluded(spark, tmp_path):
     assert [r["doc_id"] for r in selection.dsir_importance_sample(spark, sf).collect()] == [1]
     nb = selection.lang_classifier_nb(spark, sf).collect()
     assert [(r["lang"], r["pred_lang"], r["n_docs"]) for r in nb] == [("en", "en", 1)]
+
+
+# --- dedup_span_removal (quality.py) — engineered-corpus semantics ---
+
+import hashlib
+
+from petasearch_spark.operators.quality import dedup_span_removal
+
+
+def _h64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_span_removal_cross_doc_and_within_doc(spark, tmp_path):
+    span = " ".join(f"a{i}" for i in range(8))
+    rep = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (0, f"{span} x y z", "en", "s0", 0),       # canonical holder: untouched
+        (1, f"p q {span} r", "en", "s0", 0),        # loses the 8-token span
+        (2, f"{rep} {rep}", "en", "s0", 0),         # within-doc repeat trimmed
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in dedup_span_removal(spark, sf).collect()}
+    assert sorted(out) == [1, 2]  # doc 0 is canonical everywhere -> no rewrite
+    assert (out[1]["n_toks"], out[1]["n_removed"]) == (11, 8)
+    assert out[1]["kept_hash"] == _h64("p q r")
+    assert (out[2]["n_toks"], out[2]["n_removed"]) == (16, 8)
+    assert out[2]["kept_hash"] == _h64(rep)
+
+
+def test_span_removal_canonical_overlap_protects_and_full_removal(spark, tmp_path):
+    c = " ".join(f"c{i}" for i in range(8))
+    d = " ".join(f"d{i}" for i in range(8))
+    rows = [
+        (3, f"{c} {d}", "en", "s0", 0),  # canonical for both spans -> protected
+        (4, f"{d} {c}", "en", "s0", 0),  # both spans non-canonical -> emptied
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in dedup_span_removal(spark, sf).collect()}
+    assert sorted(out) == [4]
+    assert (out[4]["n_toks"], out[4]["n_removed"]) == (16, 16)
+    assert out[4]["kept_hash"] == _h64("")
