@@ -70,19 +70,44 @@ def bm25_rank(
     candidate, which is the one way this plan's cost stops being
     output-bounded at 100 TB. None (default) scores every query term —
     the oracle-exact mode the driver gate checks."""
-    spark = docs.sparkSession
     toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
-    # posting list: one corpus shuffle, map-side combined; dl rides along
-    # (functionally dependent on doc_id, so it does not widen the key)
+    posting, doclen = _build_postings(docs)
+    # corpus scalars (2 numbers — the same collect precedent as tfidf's N)
+    n_docs, total_tokens = toks.agg(
+        F.count(F.lit(1)), F.sum(F.size("ts").cast("long"))
+    ).collect()[0]
+    return _score_postings(posting, n_docs, total_tokens, queries, top_k, max_df_frac)
+
+
+def _build_postings(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens) for a ``(doc_id, text)`` frame — the BM25
+    index state. Postings are ONE corpus shuffle, map-side combined; dl
+    rides along (functionally dependent on doc_id, so it does not widen
+    the key). Doclens carry the corpus stats (n_docs, total tokens) so
+    an incrementally-maintained index never needs a distinct over the
+    postings to recover them."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
     posting = (
         toks.select("doc_id", F.size("ts").cast("long").alias("dl"), F.explode("ts").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # corpus scalars (2 numbers — the same collect precedent as tfidf's N)
-    n_docs, total_tokens = toks.agg(
-        F.count(F.lit(1)), F.sum(F.size("ts").cast("long"))
-    ).collect()[0]
+    return posting, toks.select("doc_id", F.size("ts").cast("long").alias("dl"))
+
+
+def _score_postings(
+    posting: DataFrame,
+    n_docs: int,
+    total_tokens: int,
+    queries: dict[str, tuple[str, ...]],
+    top_k: int = TOP_K,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """The BM25 scoring rule, stated ONCE for both the inline path
+    (:func:`bm25_rank`) and the prebuilt-index probe
+    (:func:`bm25_probe_prebuilt`) — identical inputs give cell-identical
+    rankings by construction."""
+    spark = posting.sparkSession
     # one IEEE division, mirrored in SQL; 1.0 on an empty corpus (no
     # postings exist, so the value never reaches a score — it just keeps
     # the plan constructible)
@@ -122,6 +147,81 @@ def bm25_rank(
         .filter(F.col("rk") <= top_k)
         .orderBy("query_id", "rk")
     )
+
+
+#: term-bucket count for the persisted posting index
+POSTINGS_BUCKETS = 16
+
+
+def write_postings_bucketed(docs: DataFrame, prefix: str, num_buckets: int = POSTINGS_BUCKETS) -> None:
+    """Persist the BM25 index state: ``{prefix}_postings`` BUCKETED (and
+    per-file sorted) by term, plus ``{prefix}_doclens`` (doc_id, dl).
+
+    Bucketing by term makes every probe-side operation keyed on term —
+    the df aggregation and any term-bucketed candidate join — bucket-
+    local: NO Exchange above the postings scan (the same layout economics
+    as the bucketed k-mer index, kmer_index.write_kmer_index_bucketed).
+    """
+    from petasearch_spark.operators.kmer_index import _drop_managed_table
+
+    spark = docs.sparkSession
+    posting, doclen = _build_postings(docs)
+    _drop_managed_table(spark, f"{prefix}_postings")
+    _drop_managed_table(spark, f"{prefix}_doclens")
+    (
+        posting.write.mode("overwrite")
+        .format("parquet")
+        .option("compression", "zstd")
+        .bucketBy(num_buckets, "term")
+        .sortBy("term")
+        .saveAsTable(f"{prefix}_postings")
+    )
+    doclen.write.mode("overwrite").format("parquet").saveAsTable(f"{prefix}_doclens")
+
+
+def merge_postings_delta(spark: SparkSession, prefix: str, delta_docs: DataFrame, num_buckets: int = POSTINGS_BUCKETS) -> None:
+    """Incremental BM25 index maintenance — the fourth member of the
+    delta-merge family (kmer_index.merge_kmer_index_delta,
+    dedup.merge_dedup_ledger, ivf.merge_ivf_index_delta).
+
+    New documents' doc_ids are disjoint from the base corpus, so a
+    posting row never collides: the merge is APPEND-ONLY. The delta's
+    postings are built (one shuffle, proportional to the DELTA alone)
+    and appended bucket-aligned; base files are never read or rewritten.
+    Corpus statistics are NOT frozen at build time — df/avgdl/n_docs are
+    recomputed from the merged state at probe time, so scores of OLD
+    documents correctly shift as the corpus grows (the property the
+    rebuild-equivalence test pins; a stats-frozen index would drift).
+    """
+    posting, doclen = _build_postings(delta_docs)
+    (
+        posting.write.mode("append")
+        .format("parquet")
+        .option("compression", "zstd")
+        .bucketBy(num_buckets, "term")
+        .sortBy("term")
+        .saveAsTable(f"{prefix}_postings")
+    )
+    doclen.write.mode("append").format("parquet").saveAsTable(f"{prefix}_doclens")
+
+
+def bm25_probe_prebuilt(
+    spark: SparkSession,
+    prefix: str,
+    queries: dict[str, tuple[str, ...]] = QUERIES,
+    top_k: int = TOP_K,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Steady-state BM25 search against the persisted (incrementally
+    maintained) index: corpus stats come from the doclens table (1 row
+    per doc — never a distinct over the postings), df for the query's
+    terms is a bucket-local aggregation over the term-bucketed postings,
+    and the scoring rule is byte-identical to the inline path
+    (:func:`_score_postings` is shared)."""
+    posting = spark.table(f"{prefix}_postings")
+    doclen = spark.table(f"{prefix}_doclens")
+    n_docs, total_tokens = doclen.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
+    return _score_postings(posting, n_docs, total_tokens, queries, top_k, max_df_frac)
 
 
 _QUERY_VALUES = ", ".join(

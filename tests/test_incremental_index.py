@@ -192,3 +192,87 @@ class TestIvfIndexMerge:
         m = re.search(r"PartitionFilters: \[bucket#\d+ IN \(([\d,]+)\)", plan)
         assert m, plan
         assert len(m.group(1).split(",")) <= NPROBE, m.group(1)
+
+
+class TestBM25PostingsDelta:
+    """Fourth member of the delta-merge family: append-only BM25
+    postings. Pins (a) base files untouched by a merge, (b) probe over
+    the merged index == inline BM25 over the full corpus CELL-EXACTLY
+    (stats recomputed at probe time, so old docs' scores shift with the
+    growing corpus), (c) the df aggregation is bucket-local — no
+    Exchange above the postings scan."""
+
+    @staticmethod
+    def _docs(spark):
+        return load_table(spark, "documents", SF_DIR, widen_scan=True).select(
+            "doc_id", "text"
+        )
+
+    def test_append_only_and_probe_equals_rebuild(self, spark):
+        import glob
+        import os
+
+        from petasearch_spark.operators.bm25 import (
+            QUERIES,
+            bm25_probe_prebuilt,
+            bm25_rank,
+            merge_postings_delta,
+            write_postings_bucketed,
+        )
+
+        docs = self._docs(spark).persist()
+        base = docs.filter(F.col("doc_id") % 3 != 0)
+        delta = docs.filter(F.col("doc_id") % 3 == 0)
+        prefix = f"t_bm25inc{_P}"
+        write_postings_bucketed(base, prefix)
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        pdir = os.path.join(wh, f"{prefix}_postings")
+        before = {
+            f: os.path.getmtime(f) for f in glob.glob(f"{pdir}/**/*.parquet", recursive=True)
+        }
+        merge_postings_delta(spark, prefix, delta)
+        after = {
+            f: os.path.getmtime(f) for f in glob.glob(f"{pdir}/**/*.parquet", recursive=True)
+        }
+        for f, mt in before.items():
+            assert f in after and after[f] == mt, f
+        assert len(after) > len(before)
+
+        got = [tuple(r) for r in bm25_probe_prebuilt(spark, prefix, QUERIES).collect()]
+        want = [tuple(r) for r in bm25_rank(docs, QUERIES).collect()]
+        assert got == want and len(got) > 0
+        docs.unpersist()
+
+    def test_probe_df_agg_is_bucket_local(self, spark):
+        from petasearch_spark.operators.bm25 import (
+            QUERIES,
+            bm25_probe_prebuilt,
+            write_postings_bucketed,
+        )
+
+        prefix = f"t_bm25plan{_P}"
+        write_postings_bucketed(self._docs(spark), prefix)
+        plan = (
+            bm25_probe_prebuilt(spark, prefix, QUERIES)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the term-bucketed layout makes the df aggregation bucket-local:
+        # the term key is NEVER reshuffled (the partial and final
+        # HashAggregate(keys=[term]) sit back to back over the scan, and
+        # candidate probing is a broadcast join); the only hash exchanges
+        # move (query_id, doc_id) partial scores and the window key
+        # (the one term exchange in the plan is the few-row query-term
+        # distinct under its BroadcastExchange — never the postings)
+        import re
+
+        adj = re.search(
+            r"HashAggregate\(keys=\[term[^\n]*functions=\[count\(1\)[^\n]*\n"
+            r"[^\n]*HashAggregate\(keys=\[term[^\n]*partial_count",
+            plan,
+        )
+        assert adj, "df partial/final aggs are not back-to-back (reshuffled):\n" + plan
+        assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+        assert plan.count("BroadcastHashJoin") >= 2
