@@ -965,3 +965,115 @@ SELECT day, event_type, n_events FROM (
 WHERE n_events > 0
 ORDER BY day, event_type
 """
+
+
+#: SAX motif parameters: window of 8 consecutive-rank days, 4 segments
+#: of 2 days, a 4-letter alphabet, top-25 motifs reported.
+SAX_W = 8
+SAX_SEG_LEN = 2
+SAX_TOP = 25
+
+
+def events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series MOTIF DISCOVERY via SAX (Lin et al. 2003, "A Symbolic
+    Representation of Time Series"): per user, the daily value series is
+    cut into sliding 8-day windows (rank-based: the user's observed days
+    in order, calendar gaps ignored — the documented rule), each window
+    is piecewise-aggregated into 4 two-day segments, each segment sum is
+    discretized into a 4-letter alphabet by global equal-width
+    breakpoints, and the corpus-wide most frequent SAX words are the
+    motifs (recurring weekly-scale activity shapes).
+
+    Determinism: day sums and segment sums are exact DECIMAL; the
+    breakpoint comparisons multiply through by 4 instead of dividing
+    ((ssum-mn)*4 >= k*(mx-mn)), so no float ever exists; ordering is
+    (n_windows DESC, word) — a total order.
+
+    Scale shape: three map-side-combined shuffles (user-day sums, segment
+    sums, word counts) plus one per-user window function; the window
+    self-join fans each user-day out x SAX_W — bounded by 8, never by
+    corpus size — and per-user state is the day count, never raw events.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "user_id",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("dsum"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    rnk = daily.select("user_id", "dsum", F.row_number().over(w).alias("rn"))
+    nd = rnk.groupBy("user_id").agg(F.max("rn").alias("nd"))
+    starts = (
+        rnk.join(nd, "user_id")
+        .filter(F.col("rn") <= F.col("nd") - SAX_W + 1)
+        .select("user_id", F.col("rn").alias("s"))
+    )
+    memb = starts.join(rnk, "user_id").filter(
+        (F.col("rn") >= F.col("s")) & (F.col("rn") < F.col("s") + SAX_W)
+    )
+    seg = memb.groupBy(
+        "user_id", "s", F.floor((F.col("rn") - F.col("s")) / SAX_SEG_LEN).alias("g")
+    ).agg(F.sum("dsum").alias("ssum"))
+    mm = seg.agg(F.min("ssum").alias("mn"), F.max("ssum").alias("mx"))
+    lv = (F.col("ssum") - F.col("mn")) * 4
+    span = F.col("mx") - F.col("mn")
+    letter = (
+        F.when(lv >= 3 * span, "d")
+        .when(lv >= 2 * span, "c")
+        .when(lv >= span, "b")
+        .otherwise("a")
+    )
+    sym = seg.crossJoin(F.broadcast(mm)).select("user_id", "s", "g", letter.alias("letter"))
+    words = sym.groupBy("user_id", "s").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("g", "letter"))), lambda x: x["letter"]
+            ),
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_windows"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy(F.desc("n_windows"), "word")
+        .limit(SAX_TOP)
+    )
+
+
+EVENTS_SAX_MOTIFS_SQL = f"""
+WITH daily AS (
+    SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           SUM(CAST(value AS DECIMAL(18,4))) AS dsum
+    FROM events GROUP BY 1, 2
+), rnk AS (
+    SELECT user_id, dsum, row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+    FROM daily
+), nd AS (
+    SELECT user_id, MAX(rn) AS nd FROM rnk GROUP BY user_id
+), starts AS (
+    SELECT r.user_id, r.rn AS s
+    FROM rnk r JOIN nd USING (user_id)
+    WHERE r.rn <= nd.nd - {SAX_W} + 1
+), memb AS (
+    SELECT st.user_id, st.s, (r.rn - st.s) // {SAX_SEG_LEN} AS g, r.dsum
+    FROM starts st
+    JOIN rnk r ON r.user_id = st.user_id AND r.rn >= st.s AND r.rn < st.s + {SAX_W}
+), seg AS (
+    SELECT user_id, s, g, SUM(dsum) AS ssum FROM memb GROUP BY 1, 2, 3
+), mm AS (
+    SELECT MIN(ssum) AS mn, MAX(ssum) AS mx FROM seg
+), sym AS (
+    SELECT user_id, s, g,
+           CASE WHEN (ssum - mn) * 4 >= 3 * (mx - mn) THEN 'd'
+                WHEN (ssum - mn) * 4 >= 2 * (mx - mn) THEN 'c'
+                WHEN (ssum - mn) * 4 >= (mx - mn) THEN 'b'
+                ELSE 'a' END AS letter
+    FROM seg CROSS JOIN mm
+), words AS (
+    SELECT user_id, s, string_agg(letter, '' ORDER BY g) AS word
+    FROM sym GROUP BY user_id, s
+)
+SELECT word, COUNT(*) AS n_windows, COUNT(DISTINCT user_id) AS n_users
+FROM words GROUP BY word
+ORDER BY n_windows DESC, word
+LIMIT {SAX_TOP}
+"""

@@ -241,6 +241,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # long->wide PIVOT with an explicit value list (one conditional-agg
     # shuffle; never the value-inferring extra scan)
     "events_type_pivot": (events.events_type_pivot, events.EVENTS_TYPE_PIVOT_SQL),
+    # SAX motif discovery (Lin et al. 2003): rank-based 8-day windows ->
+    # 4x2-day exact-decimal PAA -> equal-width 4-letter words -> top-25
+    "events_sax_motifs": (events.events_sax_motifs, events.EVENTS_SAX_MOTIFS_SQL),
     # the wide->long inverse: native unpivot/stack melt (zero-shuffle
     # projection; the pivot's agg is the only shuffle in the round trip)
     "events_type_unpivot": (events.events_type_unpivot, events.EVENTS_TYPE_UNPIVOT_SQL),
@@ -539,6 +542,13 @@ UNGATED: dict[str, str] = {
         "added after the gate filled; full DuckDB parity in pytest; the pivot"
         " compiles to the same conditional-aggregation shuffle class as the"
         " gated events_hourly/events_rollup rows"
+    ),
+    "events_sax_motifs": (
+        "late round-4 addition; the gate is at its 50-row cap and its building"
+        " blocks (per-user window ranks, exact-decimal day sums) are gated via"
+        " events_sessionize/events_hourly — full DuckDB parity at sf0.001 AND"
+        " sf0.01 in tests/test_oracle_parity.py, engineered-series units in"
+        " tests/test_events_extra.py"
     ),
     "events_type_unpivot": (
         "added after the gate filled; full DuckDB parity in pytest; zero-"

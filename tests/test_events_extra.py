@@ -231,3 +231,39 @@ def test_quantile_sketch_partition_invariance(spark):
     a = quantile_sketch(e.repartition(3)).collect()
     b = quantile_sketch(e.repartition(13, "value")).collect()
     assert a == b
+
+
+def test_sax_motifs_constructed_series_and_gap_rule(spark):
+    """Engineered daily series with known discretization: global segment
+    sums span [0, 30], so thresholds sit at 7.5/15/22.5 -> letters
+    a/c/d are forced exactly; a user whose 8 observed days have calendar
+    GAPS still forms one window (rank-based rule)."""
+    import datetime
+
+    rows = []
+    eid = 0
+
+    def add(user, day, value):
+        nonlocal eid
+        rows.append(
+            (eid, datetime.datetime(2024, 3, day, 12, 0, 0), user, "x", value, "{}")
+        )
+        eid += 1
+
+    for d in range(1, 9):
+        add(1, d, 0.0 if d < 8 else 30.0)  # segments 0,0,0,30 -> "aaad"
+        add(2, d, 10.0)                     # segments all 20   -> "cccc"
+    for i in range(8):
+        add(3, 1 + 3 * i, 10.0)             # gapped days, same -> "cccc"
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import petasearch_spark.operators.events as E
+
+    orig = E.load_table
+    try:
+        E.load_table = lambda _s, _n, _d, **_k: df
+        out = [(r["word"], r["n_windows"], r["n_users"]) for r in E.events_sax_motifs(spark, SF).collect()]
+    finally:
+        E.load_table = orig
+    assert out == [("cccc", 2, 2), ("aaad", 1, 1)]
