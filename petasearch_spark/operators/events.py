@@ -989,47 +989,57 @@ def events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((ssum-mn)*4 >= k*(mx-mn)), so no float ever exists; ordering is
     (n_windows DESC, word) — a total order.
 
-    Scale shape: three map-side-combined shuffles (user-day sums, segment
-    sums, word counts) plus one per-user window function; the window
-    self-join fans each user-day out x SAX_W — bounded by 8, never by
-    corpus size — and per-user state is the day count, never raw events.
+    Scale shape: two map-side-combined data shuffles (user-day sums,
+    then the per-user series collect), one tiny segment-sum min/max agg,
+    and the word-count agg. Windows are sliced from the per-user DAY
+    ARRAY with HOFs — per-user state is the day count (bounded, e.g.
+    365), and the oracle's relational form (a rank-range self-join that
+    fans each user out by days x windows before filtering) is never
+    executed by the engine.
     """
     ev = load_table(spark, "events", sf_dir)
     daily = ev.groupBy(
         "user_id",
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
     ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("dsum"))
-    w = Window.partitionBy("user_id").orderBy("day")
-    rnk = daily.select("user_id", "dsum", F.row_number().over(w).alias("rn"))
-    nd = rnk.groupBy("user_id").agg(F.max("rn").alias("nd"))
-    starts = (
-        rnk.join(nd, "user_id")
-        .filter(F.col("rn") <= F.col("nd") - SAX_W + 1)
-        .select("user_id", F.col("rn").alias("s"))
+    ser = daily.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "dsum"))), lambda x: x["dsum"]
+        ).alias("vals")
     )
-    memb = starts.join(rnk, "user_id").filter(
-        (F.col("rn") >= F.col("s")) & (F.col("rn") < F.col("s") + SAX_W)
+    n_seg = SAX_W // SAX_SEG_LEN
+    segsums = lambda s: F.transform(  # noqa: E731 — segment sums of the window at 1-based start s
+        F.sequence(F.lit(0), F.lit(n_seg - 1)),
+        lambda g: F.aggregate(
+            F.slice(F.col("vals"), s + g * SAX_SEG_LEN, SAX_SEG_LEN),
+            F.lit(0).cast("decimal(28,4)"),
+            lambda acc, x: (acc + x).cast("decimal(28,4)"),
+        ),
     )
-    seg = memb.groupBy(
-        "user_id", "s", F.floor((F.col("rn") - F.col("s")) / SAX_SEG_LEN).alias("g")
-    ).agg(F.sum("dsum").alias("ssum"))
-    mm = seg.agg(F.min("ssum").alias("mn"), F.max("ssum").alias("mx"))
-    lv = (F.col("ssum") - F.col("mn")) * 4
+    wins = ser.select(
+        "user_id",
+        F.explode(
+            F.when(
+                F.size("vals") >= SAX_W,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("vals") - SAX_W + 1), lambda s: segsums(s)
+                ),
+            ).otherwise(F.array().cast("array<array<decimal(28,4)>>"))
+        ).alias("segs"),
+    )
+    mm = wins.select(F.explode("segs").alias("ssum")).agg(
+        F.min("ssum").alias("mn"), F.max("ssum").alias("mx")
+    )
     span = F.col("mx") - F.col("mn")
-    letter = (
-        F.when(lv >= 3 * span, "d")
-        .when(lv >= 2 * span, "c")
-        .when(lv >= span, "b")
+    letter = lambda ssum: (  # noqa: E731
+        F.when((ssum - F.col("mn")) * 4 >= 3 * span, "d")
+        .when((ssum - F.col("mn")) * 4 >= 2 * span, "c")
+        .when((ssum - F.col("mn")) * 4 >= span, "b")
         .otherwise("a")
     )
-    sym = seg.crossJoin(F.broadcast(mm)).select("user_id", "s", "g", letter.alias("letter"))
-    words = sym.groupBy("user_id", "s").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("g", "letter"))), lambda x: x["letter"]
-            ),
-        ).alias("word")
+    words = wins.crossJoin(F.broadcast(mm)).select(
+        "user_id",
+        F.concat_ws("", F.transform("segs", lambda ssum: letter(ssum))).alias("word"),
     )
     return (
         words.groupBy("word")
