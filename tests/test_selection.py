@@ -114,3 +114,53 @@ def test_span_removal_canonical_overlap_protects_and_full_removal(spark, tmp_pat
     assert sorted(out) == [4]
     assert (out[4]["n_toks"], out[4]["n_removed"]) == (16, 16)
     assert out[4]["kept_hash"] == _h64("")
+
+
+def _removal_twin(texts: dict[int, str], w: int = 8):
+    """Plain-Python statement of the removal rule (exact token tuples, no
+    hashing) — an independent check that the engine and the SQL oracle
+    don't share a misconception."""
+    toks = {d: [t for t in text.split() if t] for d, text in texts.items()}
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for d, ts in toks.items():
+        for i in range(1, len(ts) - w + 2):
+            occ.setdefault(tuple(ts[i - 1 : i - 1 + w]), []).append((d, i))
+    protected: dict[int, set[int]] = {d: set() for d in toks}
+    covered: dict[int, set[int]] = {d: set() for d in toks}
+    for win, places in occ.items():
+        if len(places) < 2:
+            continue
+        cd, ci = min(places)
+        protected[cd].update(range(ci, ci + w))
+        for d, i in places:
+            if (d, i) != (cd, ci):
+                covered[d].update(range(i, i + w))
+    out = {}
+    for d, ts in toks.items():
+        removed = covered[d] - protected[d]
+        if removed:
+            kept = " ".join(t for p, t in enumerate(ts, 1) if p not in removed)
+            out[d] = (len(ts), len(removed), _h64(kept))
+    return out
+
+
+def test_span_removal_matches_scalar_twin_on_random_corpora(spark, tmp_path):
+    import random
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        vocab = ["u", "v", "w", "x", "y", "z"]
+        texts = {
+            d: " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 22)))
+            for d in range(12)
+        }
+        sf = _write_docs(
+            spark,
+            tmp_path / str(seed),
+            [(d, t, "en", "s0", len(t)) for d, t in texts.items()],
+        )
+        got = {
+            r["doc_id"]: (r["n_toks"], r["n_removed"], r["kept_hash"])
+            for r in dedup_span_removal(spark, sf).collect()
+        }
+        assert got == _removal_twin(texts), f"seed={seed}"
