@@ -62,6 +62,87 @@ def _search_kwargs(args: argparse.Namespace) -> dict:
     )
 
 
+def _curate(spark, input_path: str, out_dir: str) -> int:
+    """The end-to-end "raw dump -> training set" run, the text-pipeline
+    analogue of easy-search: ingest/quarantine, normalize ONCE to the
+    canonical zstd-parquet store (the createdb economics — every later
+    stage scans columnar), run the composed curation funnel
+    (quality -> exact dup -> near dup -> decontamination -> holdout ->
+    sampling, one lazy plan), persist the kept subset, and pack it into
+    fixed-context training examples. Prints one JSON accounting line
+    whose stage counts are exactly reconcilable: parsed = quarantined +
+    staged, and every funnel verdict is a persisted per-doc row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from petasearch_spark.operators.corpus import (
+        CTX_LEN,
+        corpus_curation_funnel,
+        sequence_packing,
+    )
+    from petasearch_spark.operators.portable import tokens
+    from petasearch_spark.sources.jsonl import (
+        read_jsonl_docs,
+        split_malformed,
+        write_documents,
+    )
+
+    staging = os.path.join(out_dir, "staging")
+    curated = os.path.join(out_dir, "curated")
+    report: dict[str, object] = {"input": input_path, "out_dir": out_dir}
+
+    if input_path.rstrip("/").endswith(".parquet") or os.path.exists(
+        os.path.join(input_path, "documents.parquet")
+    ):
+        src = input_path if input_path.rstrip("/").endswith(".parquet") else os.path.join(
+            input_path, "documents.parquet"
+        )
+        docs = spark.read.parquet(src)
+        report["n_quarantined"] = 0
+    else:
+        parsed = read_jsonl_docs(spark, input_path)
+        docs, bad = split_malformed(parsed)
+        report["n_quarantined"] = bad.count()
+    docs = docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull()).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    write_documents(docs, os.path.join(staging, "documents.parquet"))
+    report["n_staged"] = spark.read.parquet(os.path.join(staging, "documents.parquet")).count()
+
+    funnel = corpus_curation_funnel(spark, staging)
+    funnel.write.mode("overwrite").option("compression", "zstd").parquet(
+        os.path.join(out_dir, "funnel.parquet")
+    )
+    fun = spark.read.parquet(os.path.join(out_dir, "funnel.parquet"))
+    counts = fun.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(F.col(c).cast("long")).alias(c)
+            for c in ["is_eval", "quality_keep", "exact_dup", "near_dup", "contaminated", "sampled", "kept"]
+        ],
+    ).collect()[0]
+    report["funnel"] = {k: int(counts[k] or 0) for k in counts.asDict()}
+
+    staged = spark.read.parquet(os.path.join(staging, "documents.parquet"))
+    kept_docs = staged.join(fun.filter("kept").select("doc_id"), "doc_id")
+    write_documents(kept_docs, os.path.join(curated, "documents.parquet"))
+    kept = spark.read.parquet(os.path.join(curated, "documents.parquet"))
+    report["n_kept"] = kept.count()
+    report["kept_tokens"] = int(
+        kept.agg(F.sum(F.size(tokens(F.col("text"))).cast("long"))).collect()[0][0] or 0
+    )
+
+    packs = sequence_packing(spark, curated)
+    packs.write.mode("overwrite").option("compression", "zstd").parquet(
+        os.path.join(out_dir, "packs.parquet")
+    )
+    report["ctx_len"] = CTX_LEN
+    report["n_packs"] = spark.read.parquet(os.path.join(out_dir, "packs.parquet")).count()
+    print(json.dumps(report))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     top = argparse.ArgumentParser(prog="petasearch_spark")
     sub = top.add_subparsers(dest="cmd", required=True)
@@ -101,8 +182,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("out_dir")
     _add_search_args(p)
 
+    p = sub.add_parser(
+        "curate",
+        help="training-data pipeline: JSONL/parquet corpus -> funnel verdicts,"
+        " curated canonical store, packed training examples",
+    )
+    p.add_argument("input", help=".jsonl[.gz] dump (file or dir) or a documents parquet dir")
+    p.add_argument("out_dir")
+
     args = top.parse_args(argv)
     spark = get_spark("petasearch-cli")
+
+    if args.cmd == "curate":
+        return _curate(spark, args.input, args.out_dir)
 
     from petasearch_spark.sources.m8 import write_m8
     from petasearch_spark.sources.targetlist import load_target

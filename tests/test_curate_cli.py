@@ -1,0 +1,72 @@
+"""End-to-end test of the `curate` CLI: JSONL dump with planted
+malformed lines -> quarantine accounting -> staged canonical store ->
+funnel verdicts -> curated subset -> packed training examples, with
+every count in the printed JSON line exactly reconcilable."""
+
+import json
+import math
+import os
+
+from pyspark.sql import functions as F
+
+from petasearch_spark.cli import main
+from petasearch_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+MALFORMED_MOD = 50
+
+
+def test_curate_end_to_end_accounting(spark, tmp_path, capsys):
+    docs = load_table(spark, "documents", SF)
+    n_docs = docs.count()
+    line = F.to_json(
+        F.struct(
+            F.concat(F.lit("doc-"), F.col("doc_id")).alias("id"),
+            "text",
+            "lang",
+            "source",
+        )
+    )
+    broken = F.when(
+        F.col("doc_id") % MALFORMED_MOD == 7, F.substring(line, 1, 15)
+    ).otherwise(line)
+    dump = str(tmp_path / "dump.jsonl")
+    docs.select(broken.alias("value")).coalesce(2).write.mode("overwrite").text(dump)
+    n_bad = docs.filter(F.col("doc_id") % MALFORMED_MOD == 7).count()
+
+    out = str(tmp_path / "out")
+    rc = main(["curate", dump, out])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # ingest accounting: every input line is either quarantined or staged
+    assert report["n_quarantined"] == n_bad
+    assert report["n_staged"] == n_docs - n_bad
+    # funnel verdicts cover exactly the staged docs; kept is consistent
+    assert report["funnel"]["n_docs"] == report["n_staged"]
+    assert report["n_kept"] == report["funnel"]["kept"]
+    assert 0 < report["n_kept"] < report["n_staged"]
+    # packing: contiguous concatenation of the kept tokens
+    assert report["n_packs"] == math.ceil(report["kept_tokens"] / report["ctx_len"])
+
+    # persisted artifacts agree with the report
+    assert spark.read.parquet(os.path.join(out, "curated", "documents.parquet")).count() == report["n_kept"]
+    fun = spark.read.parquet(os.path.join(out, "funnel.parquet"))
+    assert fun.filter("kept").count() == report["n_kept"]
+    # a kept doc is never eval, dup, contaminated, unsampled, or low-quality
+    assert (
+        fun.filter(
+            "kept AND (is_eval OR exact_dup OR near_dup OR contaminated OR NOT sampled OR NOT quality_keep)"
+        ).count()
+        == 0
+    )
+
+
+def test_curate_accepts_parquet_documents_dir(spark, tmp_path, capsys):
+    out = str(tmp_path / "out2")
+    rc = main(["curate", SF, out])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n_quarantined"] == 0
+    assert report["n_staged"] == 500
+    assert report["n_kept"] == report["funnel"]["kept"] > 0
