@@ -274,6 +274,21 @@ def test_span_removal_plan_shuffles_only_on_wh_and_doc(spark):
             assert "text" in ln and "lang" not in ln and "n_chars" not in ln, ln
 
 
+def test_sax_motifs_plan_user_array_form(spark):
+    """events_sax_motifs: hash shuffles only on user_id (day sums +
+    series collect) and word (count agg) — never a rank-range self-join
+    reshuffle; top-K is TakeOrdered; scans read only (ts, user_id,
+    value)."""
+    plan = plan_of(spark, "events_sax_motifs")
+    hashex = [m.strip() for m in re.findall(r"Exchange hashpartitioning\(([^,#]+)", plan)]
+    assert sorted(set(hashex)) == ["user_id", "word"], hashex
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    for ln in scans(plan):
+        if "FileScan parquet" in ln:
+            assert "value" in ln and "event_type" not in ln and "props" not in ln, ln
+
+
 def test_quantile_sketch_plan_one_data_shuffle_and_pruned_scan(spark):
     """events_quantile_sketch: the ONLY Exchange that sees data volume is
     the map-side-combined bucket aggregation on (event_type, d, l); the
