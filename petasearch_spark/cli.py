@@ -70,8 +70,10 @@ def _curate(spark, input_path: str, out_dir: str) -> int:
     (quality -> exact dup -> near dup -> decontamination -> holdout ->
     sampling, one lazy plan), persist the kept subset, and pack it into
     fixed-context training examples. Prints one JSON accounting line
-    whose stage counts are exactly reconcilable: parsed = quarantined +
-    staged, and every funnel verdict is a persisted per-doc row."""
+    whose stage counts are exactly reconcilable: input lines =
+    quarantined (unparseable) + dropped_null_fields (valid JSON missing
+    id/text) + staged, and every funnel verdict is a persisted per-doc
+    row."""
     import os
 
     from pyspark.sql import functions as F
@@ -104,11 +106,16 @@ def _curate(spark, input_path: str, out_dir: str) -> int:
         parsed = read_jsonl_docs(spark, input_path)
         docs, bad = split_malformed(parsed)
         report["n_quarantined"] = bad.count()
+    n_parsed = docs.count()
     docs = docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull()).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
     write_documents(docs, os.path.join(staging, "documents.parquet"))
     report["n_staged"] = spark.read.parquet(os.path.join(staging, "documents.parquet")).count()
+    # valid JSON that lacks id/text is DROPPED, not quarantined — report
+    # it so the line accounting stays exact (input = quarantined +
+    # dropped_null_fields + staged)
+    report["n_dropped_null_fields"] = n_parsed - report["n_staged"]
 
     funnel = corpus_curation_funnel(spark, staging)
     funnel.write.mode("overwrite").option("compression", "zstd").parquet(

@@ -70,12 +70,9 @@ def bm25_rank(
     candidate, which is the one way this plan's cost stops being
     output-bounded at 100 TB. None (default) scores every query term —
     the oracle-exact mode the driver gate checks."""
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
     posting, doclen = _build_postings(docs)
     # corpus scalars (2 numbers — the same collect precedent as tfidf's N)
-    n_docs, total_tokens = toks.agg(
-        F.count(F.lit(1)), F.sum(F.size("ts").cast("long"))
-    ).collect()[0]
+    n_docs, total_tokens = doclen.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
     return _score_postings(posting, n_docs, total_tokens, queries, top_k, max_df_frac)
 
 

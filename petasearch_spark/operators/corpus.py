@@ -34,8 +34,28 @@ from petasearch_spark.sources.tables import load_table
 
 # per-source permille rates: source "srcN" -> 50*(1 + N%10) in [50, 500].
 # A real mixing config is a user-supplied table; a derived rate keeps the
-# demo self-contained and oracle-checkable.
+# demo self-contained and oracle-checkable. Arbitrary real-world sources
+# (the curate CLI ingests any dump) fall back to the portable hash of the
+# source string — same [50, 500] band, NEVER NULL (a NULL rate would make
+# `sampled`/`kept` NULL and silently empty the curated output), and
+# TRY_CAST keeps ANSI mode crash-free. Stated once per engine:
 SAMPLE_SALT = "sample:v1:"
+
+
+def _rate_digit() -> F.Column:
+    return (
+        F.coalesce(
+            F.expr("TRY_CAST(substring(source, 4) AS INT)"),
+            hash64(F.coalesce(F.col("source"), F.lit(""))),
+        )
+        % 10
+        + 1
+    )
+
+
+def _rate_digit_sql(source: str = "source") -> str:
+    fallback = hash64_sql(f"COALESCE({source}, '')")
+    return f"(COALESCE(TRY_CAST(substr({source}, 4) AS INT), {fallback}) % 10 + 1)"
 
 DECON_NGRAM = 8  # contamination n-gram size (13 in the Lee et al. setup;
                  # 8 keeps hits present on the short synthetic docs)
@@ -55,9 +75,7 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight (for unbiased downstream stats). No shuffle: the whole plan is
     scan -> filter -> project."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "n_chars")
-    rate = (F.lit(50) * (F.expr("CAST(substring(source, 4) AS INT)") % 10 + 1)).alias(
-        "rate_permille"
-    )
+    rate = (F.lit(50) * _rate_digit()).alias("rate_permille")
     key = hash64(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))) % 1000
     return (
         docs.select("doc_id", "source", "n_chars", rate)
@@ -69,8 +87,8 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORPUS_SAMPLE_SQL = f"""
 SELECT doc_id, source, n_chars,
-       50 * (CAST(substr(source, 4) AS INT) % 10 + 1) AS rate_permille,
-       ROUND(1000.0 / (50 * (CAST(substr(source, 4) AS INT) % 10 + 1)), 6) AS weight
+       50 * {_rate_digit_sql()} AS rate_permille,
+       ROUND(1000.0 / (50 * {_rate_digit_sql()}), 6) AS weight
 FROM documents
 WHERE {hash64_sql("'" + SAMPLE_SALT + "' || CAST(doc_id AS VARCHAR)")} % 1000
       < 50 * (CAST(substr(source, 4) AS INT) % 10 + 1)
@@ -177,6 +195,7 @@ CTX_LEN = 64     # tokens per training example (synthetic docs are 10-99
                  # tokens, so packs mix several docs and split others —
                  # both packing cases exist at every SF)
 PACK_BUCKET = 64  # docs per prefix-sum bucket (phase-1 granularity)
+PACK_MAX_BUCKETS = 4096  # cap on phase-2 subtotal rows for sparse id spaces
 
 
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,10 +230,21 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pack_token_lengths(lengths: DataFrame, ctx_len: int = CTX_LEN) -> DataFrame:
     """Core of :func:`sequence_packing` over a ``(doc_id, n_toks)`` frame
-    (separated so constructed corpora can be packed in tests)."""
+    (separated so constructed corpora can be packed in tests).
+
+    The prefix-sum bucket divisor scales to the ID RANGE, not a fixed
+    width: dense ids get PACK_BUCKET docs per bucket as before, while
+    SPARSE id spaces (the curate CLI ingests JSONL with 60-bit
+    content-hash doc ids) would put every doc in its own bucket under a
+    fixed divisor and turn the phase-2 collect into one row per document.
+    The scaled divisor keeps the collect <= ~PACK_MAX_BUCKETS rows for
+    any id distribution; bucket order still follows doc_id order, which
+    is all the exclusive scan needs. Output is divisor-invariant."""
     spark = lengths.sparkSession
+    max_id = lengths.agg(F.max("doc_id")).collect()[0][0]
+    div = max(PACK_BUCKET, (int(max_id) // PACK_MAX_BUCKETS) + 1) if max_id is not None else PACK_BUCKET
     d = lengths.select(
-        "doc_id", "n_toks", F.expr(f"doc_id DIV {PACK_BUCKET}").alias("bucket")
+        "doc_id", "n_toks", F.expr(f"doc_id DIV {div}").alias("bucket")
     )
     # phase 1+2: bucket subtotals -> driver exclusive scan -> broadcast
     totals = sorted(
@@ -476,7 +506,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontaminate_ngram_overlap(spark, sf_dir).select("doc_id")
         .withColumn("contaminated", F.lit(True))
     )
-    rate = F.lit(50) * (F.expr("CAST(substring(source, 4) AS INT)") % 10 + 1)
+    rate = F.lit(50) * _rate_digit()
     sampled = (
         hash64(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))) % 1000 < rate
     )
@@ -531,11 +561,11 @@ SELECT d.doc_id,
        n.doc_id IS NOT NULL AS near_dup,
        c.doc_id IS NOT NULL AS contaminated,
        {hash64_sql("'" + SAMPLE_SALT + "' || CAST(d.doc_id AS VARCHAR)")} % 1000
-           < 50 * (CAST(substr(d.source, 4) AS INT) % 10 + 1) AS sampled,
+           < 50 * {_rate_digit_sql("d.source")} AS sampled,
        (NOT d.doc_id % {EVAL_MOD} = 0) AND q.quality_keep AND (NOT e.exact_dup)
            AND n.doc_id IS NULL AND c.doc_id IS NULL
            AND {hash64_sql("'" + SAMPLE_SALT + "' || CAST(d.doc_id AS VARCHAR)")} % 1000
-               < 50 * (CAST(substr(d.source, 4) AS INT) % 10 + 1) AS kept
+               < 50 * {_rate_digit_sql("d.source")} AS kept
 FROM documents d
 JOIN quality q USING (doc_id)
 JOIN exact e USING (doc_id)

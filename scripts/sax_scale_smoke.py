@@ -60,10 +60,10 @@ def main() -> None:
         ev.unpersist()
 
     w = n_days - SAX_W + 1  # windows per user
-    u0 = (n_users + 2) // 3  # user_ids == 0 (mod 3)
-    u12 = n_users // 3
+    # exact count of user_ids < n_users with user_id % 3 == c
+    u = [(n_users - c + 2) // 3 for c in range(3)]
     expect = sorted(
-        [("aaaa", u0 * w, u0), ("cccc", u12 * w, u12), ("dddd", u12 * w, u12)],
+        [("aaaa", u[0] * w, u[0]), ("cccc", u[2] * w, u[2]), ("dddd", u[1] * w, u[1])],
         key=lambda r: (-r[1], r[0]),
     )
     assert rows == expect, (rows[:5], expect)

@@ -113,6 +113,24 @@ class TestPackingConstructed:
             ]
             assert got == _brute_packs(lengths, 64), f"case {case}"
 
+    def test_sparse_hash_ids_match_brute_force(self, spark):
+        """60-bit content-hash doc ids (the curate CLI's JSONL id space):
+        the scaled bucket divisor must keep the phase-2 subtotal collect
+        bounded AND leave the output identical to the reference walk —
+        a fixed 64-wide divisor would collect one row per document."""
+        import random
+
+        rng = random.Random(11)
+        lengths = sorted(
+            (rng.randrange(0, 1 << 60), rng.randrange(0, 150)) for _ in range(150)
+        )
+        df = spark.createDataFrame(lengths, "doc_id long, n_toks long")
+        got = [
+            (r["pack_id"], r["n_docs"], r["n_full_docs"], r["first_doc"], r["last_doc"], r["fill_tokens"])
+            for r in corpus.pack_token_lengths(df, ctx_len=64).collect()
+        ]
+        assert got == _brute_packs(lengths, 64)
+
 
 def _brute_bm25(docs: dict[int, list[str]], queries: dict[str, tuple[str, ...]], k1=1.2, b=0.75):
     import math

@@ -31,7 +31,13 @@ def test_curate_end_to_end_accounting(spark, tmp_path, capsys):
         F.col("doc_id") % MALFORMED_MOD == 7, F.substring(line, 1, 15)
     ).otherwise(line)
     dump = str(tmp_path / "dump.jsonl")
-    docs.select(broken.alias("value")).coalesce(2).write.mode("overwrite").text(dump)
+    # plus two VALID-JSON lines with missing id/text: parsed but dropped
+    nulls = spark.createDataFrame(
+        [('{"text": "orphan line without id"}',), ('{"id": "doc-x"}',)], ["value"]
+    )
+    docs.select(broken.alias("value")).union(nulls).coalesce(2).write.mode(
+        "overwrite"
+    ).text(dump)
     n_bad = docs.filter(F.col("doc_id") % MALFORMED_MOD == 7).count()
 
     out = str(tmp_path / "out")
@@ -39,9 +45,11 @@ def test_curate_end_to_end_accounting(spark, tmp_path, capsys):
     assert rc == 0
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
 
-    # ingest accounting: every input line is either quarantined or staged
+    # ingest accounting: every input line is quarantined, dropped, or staged
     assert report["n_quarantined"] == n_bad
+    assert report["n_dropped_null_fields"] == 2
     assert report["n_staged"] == n_docs - n_bad
+    assert report["n_quarantined"] + report["n_dropped_null_fields"] + report["n_staged"] == n_docs + 2
     # funnel verdicts cover exactly the staged docs; kept is consistent
     assert report["funnel"]["n_docs"] == report["n_staged"]
     assert report["n_kept"] == report["funnel"]["kept"]
@@ -70,3 +78,29 @@ def test_curate_accepts_parquet_documents_dir(spark, tmp_path, capsys):
     assert report["n_quarantined"] == 0
     assert report["n_staged"] == 500
     assert report["n_kept"] == report["funnel"]["kept"] > 0
+
+
+def test_curate_real_world_sources_never_null_kept(spark, tmp_path, capsys):
+    """Sources that don't match the synthetic 'srcN' shape (or are NULL)
+    must fall back to the hashed rate — never a NULL `sampled`/`kept`
+    that silently empties the curated output."""
+    rows = []
+    for i in range(60):
+        src = ["commoncrawl", "the-stack", None][i % 3]
+        rows.append((f"doc-{i}", f"unique text body number {i} with words {i*7} {i*13}", "en", src))
+    df = spark.createDataFrame(rows, ["id", "text", "lang", "source"])
+    dump = str(tmp_path / "rw.jsonl")
+    df.select(F.to_json(F.struct("id", "text", "lang", "source")).alias("value")).coalesce(
+        1
+    ).write.mode("overwrite").text(dump)
+
+    out = str(tmp_path / "out3")
+    rc = main(["curate", dump, out])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n_quarantined"] == 0 and report["n_staged"] == 60
+    fun = spark.read.parquet(os.path.join(out, "funnel.parquet"))
+    assert fun.filter("kept IS NULL OR sampled IS NULL").count() == 0
+    assert report["funnel"]["n_docs"] == 60
+    # with rates in [50,500] permille over 60 docs, some docs must sample in
+    assert report["funnel"]["sampled"] > 0
