@@ -102,11 +102,18 @@ def _curate(spark, input_path: str, out_dir: str) -> int:
         )
         docs = spark.read.parquet(src)
         report["n_quarantined"] = 0
+        n_parsed = docs.count()  # parquet metadata count, no parse cost
     else:
         parsed = read_jsonl_docs(spark, input_path)
-        docs, bad = split_malformed(parsed)
-        report["n_quarantined"] = bad.count()
-    n_parsed = docs.count()
+        # one aggregation pass for the whole line accounting (a separate
+        # count per class would re-parse the full dump per action)
+        acct = parsed.agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("_malformed").isNotNull().cast("long")).alias("n_bad"),
+        ).collect()[0]
+        report["n_quarantined"] = int(acct["n_bad"] or 0)
+        n_parsed = int(acct["n_lines"] or 0) - report["n_quarantined"]
+        docs, _ = split_malformed(parsed)
     docs = docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull()).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )

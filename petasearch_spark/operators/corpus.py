@@ -36,26 +36,36 @@ from petasearch_spark.sources.tables import load_table
 # A real mixing config is a user-supplied table; a derived rate keeps the
 # demo self-contained and oracle-checkable. Arbitrary real-world sources
 # (the curate CLI ingests any dump) fall back to the portable hash of the
-# source string — same [50, 500] band, NEVER NULL (a NULL rate would make
-# `sampled`/`kept` NULL and silently empty the curated output), and
-# TRY_CAST keeps ANSI mode crash-free. Stated once per engine:
+# source string — same [50, 500] band, NEVER NULL or non-positive (a NULL
+# rate would make `sampled`/`kept` NULL, and a negative suffix parse like
+# 'cc:-3' would make it negative — either silently empties the curated
+# output), and TRY_CAST keeps ANSI mode crash-free. Stated once per
+# engine; only NON-NEGATIVE suffix parses count as the synthetic shape:
 SAMPLE_SALT = "sample:v1:"
 
 
-def _rate_digit() -> F.Column:
-    return (
-        F.coalesce(
-            F.expr("TRY_CAST(substring(source, 4) AS INT)"),
-            hash64(F.coalesce(F.col("source"), F.lit(""))),
-        )
-        % 10
-        + 1
+def _source_num() -> F.Column:
+    """Non-negative per-source number: the parsed 'srcN' suffix, else the
+    portable hash of the source string."""
+    parsed = F.expr("TRY_CAST(substring(source, 4) AS INT)")
+    return F.coalesce(
+        F.when(parsed >= 0, parsed),
+        hash64(F.coalesce(F.col("source"), F.lit(""))),
     )
 
 
-def _rate_digit_sql(source: str = "source") -> str:
+def _source_num_sql(source: str = "source") -> str:
+    parsed = f"TRY_CAST(substr({source}, 4) AS INT)"
     fallback = hash64_sql(f"COALESCE({source}, '')")
-    return f"(COALESCE(TRY_CAST(substr({source}, 4) AS INT), {fallback}) % 10 + 1)"
+    return f"COALESCE(CASE WHEN {parsed} >= 0 THEN {parsed} END, {fallback})"
+
+
+def _rate_digit() -> F.Column:
+    return _source_num() % 10 + 1
+
+
+def _rate_digit_sql(source: str = "source") -> str:
+    return f"({_source_num_sql(source)} % 10 + 1)"
 
 DECON_NGRAM = 8  # contamination n-gram size (13 in the Lee et al. setup;
                  # 8 keeps hits present on the short synthetic docs)
@@ -91,7 +101,7 @@ SELECT doc_id, source, n_chars,
        ROUND(1000.0 / (50 * {_rate_digit_sql()}), 6) AS weight
 FROM documents
 WHERE {hash64_sql("'" + SAMPLE_SALT + "' || CAST(doc_id AS VARCHAR)")} % 1000
-      < 50 * (CAST(substr(source, 4) AS INT) % 10 + 1)
+      < 50 * {_rate_digit_sql()}
 ORDER BY doc_id
 """
 
@@ -194,8 +204,7 @@ ORDER BY t.doc_id
 CTX_LEN = 64     # tokens per training example (synthetic docs are 10-99
                  # tokens, so packs mix several docs and split others —
                  # both packing cases exist at every SF)
-PACK_BUCKET = 64  # docs per prefix-sum bucket (phase-1 granularity)
-PACK_MAX_BUCKETS = 4096  # cap on phase-2 subtotal rows for sparse id spaces
+PACK_BUCKET = 64  # target docs per prefix-sum bucket (phase-1 granularity)
 
 
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,8 +219,11 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnels 100 TB through one task. Instead this runs the two-phase
     distributed prefix sum:
 
-    1. bucket docs by ``doc_id DIV PACK_BUCKET`` and aggregate per-bucket
-       token subtotals (map-side combined; one small shuffle);
+    1. bucket docs into contiguous id ranges of ~``PACK_BUCKET`` docs
+       each (the divisor scales to the id range over a count-derived
+       bucket target, so sparse content-hash id spaces bucket exactly
+       like dense ones — see :func:`pack_token_lengths`) and aggregate
+       per-bucket token subtotals (map-side combined; one small shuffle);
     2. collect ONLY the bucket subtotals (corpus_size / PACK_BUCKET rows —
        thousands, not billions), exclusive-scan them on the driver, and
        broadcast the offsets back;
@@ -232,17 +244,21 @@ def pack_token_lengths(lengths: DataFrame, ctx_len: int = CTX_LEN) -> DataFrame:
     """Core of :func:`sequence_packing` over a ``(doc_id, n_toks)`` frame
     (separated so constructed corpora can be packed in tests).
 
-    The prefix-sum bucket divisor scales to the ID RANGE, not a fixed
-    width: dense ids get PACK_BUCKET docs per bucket as before, while
-    SPARSE id spaces (the curate CLI ingests JSONL with 60-bit
-    content-hash doc ids) would put every doc in its own bucket under a
-    fixed divisor and turn the phase-2 collect into one row per document.
-    The scaled divisor keeps the collect <= ~PACK_MAX_BUCKETS rows for
-    any id distribution; bucket order still follows doc_id order, which
-    is all the exclusive scan needs. Output is divisor-invariant."""
+    The prefix-sum bucket divisor scales to the ID RANGE over a
+    COUNT-derived bucket target (~n_docs / PACK_BUCKET buckets, the same
+    economics as the original fixed dense divisor): dense ids keep
+    ~PACK_BUCKET docs per bucket, while SPARSE id spaces (the curate CLI
+    ingests JSONL with 60-bit content-hash doc ids) would put every doc
+    in its own bucket under a fixed width and turn the phase-2 collect
+    into one row per document. Because the target tracks the doc count,
+    phase-3 per-bucket windows stay ~PACK_BUCKET rows at ANY corpus
+    size (a fixed bucket cap would instead grow them linearly). Bucket
+    order still follows doc_id order, which is all the exclusive scan
+    needs; output is divisor-invariant."""
     spark = lengths.sparkSession
-    max_id = lengths.agg(F.max("doc_id")).collect()[0][0]
-    div = max(PACK_BUCKET, (int(max_id) // PACK_MAX_BUCKETS) + 1) if max_id is not None else PACK_BUCKET
+    n, max_id = lengths.agg(F.count(F.lit(1)), F.max("doc_id")).collect()[0]
+    target_buckets = max(1, int(n) // PACK_BUCKET + 1)
+    div = max(PACK_BUCKET, int(max_id) // target_buckets + 1) if max_id is not None else PACK_BUCKET
     d = lengths.select(
         "doc_id", "n_toks", F.expr(f"doc_id DIV {div}").alias("bucket")
     )
@@ -702,9 +718,10 @@ MIX_SALT = "mix|"
 
 def mixture_weight_expr():
     """Per-source mixture weight 1..4 derived from the source name
-    (``srcN`` -> ``1 + N % 4``) — a stand-in for the hand-tuned
+    (``srcN`` -> ``1 + N % 4``; arbitrary real-world sources use the
+    hashed fallback, never NULL) — a stand-in for the hand-tuned
     DoReMi/Pile-style domain weights a real run would load from config."""
-    return 1 + (F.substring(F.col("source"), 4, 10).cast("int") % 4)
+    return 1 + (_source_num() % 4)
 
 
 def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -780,7 +797,7 @@ WITH d AS (
     SELECT doc_id, source,
            CAST(len({TOKENS_SQL.format(col="text")}) AS BIGINT) AS n_toks,
            {hash64_sql("'" + MIX_SALT + "' || source || '|' || CAST(doc_id AS VARCHAR)")} AS h,
-           CAST(1 + (CAST(substr(source, 4, 10) AS INT) % 4) AS BIGINT) AS w
+           CAST(1 + ({_source_num_sql()} % 4) AS BIGINT) AS w
     FROM documents
 ), totals AS (
     SELECT source, w, SUM(n_toks) AS src_toks FROM d GROUP BY source, w

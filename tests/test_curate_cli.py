@@ -86,7 +86,9 @@ def test_curate_real_world_sources_never_null_kept(spark, tmp_path, capsys):
     that silently empties the curated output."""
     rows = []
     for i in range(60):
-        src = ["commoncrawl", "the-stack", None][i % 3]
+        # incl. a source whose suffix parses NEGATIVE ('cc:-3'): must hit
+        # the hashed fallback, not a negative rate that samples nothing
+        src = ["commoncrawl", "cc:-3", None][i % 3]
         rows.append((f"doc-{i}", f"unique text body number {i} with words {i*7} {i*13}", "en", src))
     df = spark.createDataFrame(rows, ["id", "text", "lang", "source"])
     dump = str(tmp_path / "rw.jsonl")
@@ -104,3 +106,11 @@ def test_curate_real_world_sources_never_null_kept(spark, tmp_path, capsys):
     assert report["funnel"]["n_docs"] == 60
     # with rates in [50,500] permille over 60 docs, some docs must sample in
     assert report["funnel"]["sampled"] > 0
+    # the stratified sampler over the same staged store emits only
+    # in-band rates for every source shape (incl. negative-suffix, NULL)
+    from petasearch_spark.operators.corpus import corpus_sample_stratified
+
+    rates = corpus_sample_stratified(spark, os.path.join(out, "staging")).select(
+        "rate_permille"
+    ).collect()
+    assert all(50 <= r["rate_permille"] <= 500 for r in rates)
