@@ -546,3 +546,50 @@ FROM per_vec
 GROUP BY label
 ORDER BY label
 """
+
+
+#: filtered-search predicate: corpus restricted to these labels (the
+#: "WHERE category IN (...) AND vector near q" query every production
+#: vector store must serve)
+ANN_FILTER_LABELS = (2, 5, 7)
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: top-k cosine neighbours restricted to
+    corpus vectors whose ``label`` is in ``ANN_FILTER_LABELS`` (queries
+    themselves are not label-restricted; self still excluded).
+
+    The scale-defining choice is WHERE the predicate runs. Post-filtering
+    an unfiltered top-k loses recall (a query may have fewer than k
+    in-label neighbours among its global top-k); pre-filtering at the
+    SCAN is both exact and cheaper — the label predicate is pushed into
+    the parquet reader (PushedFilters, plan-pinned), so non-matching row
+    groups are never read and the broadcast-probe cost scales with the
+    SELECTED subset, not the corpus. The ranking core is
+    :func:`cosine_topk`, shared verbatim with the unfiltered and
+    streaming paths.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    corpus = emb.filter(F.col("label").isin(*ANN_FILTER_LABELS)).select("vec_id", "v")
+    return cosine_topk(q, corpus)
+
+
+ANN_FILTERED_TOPK_SQL = f"""
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+, q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES})
+, scored AS (
+    SELECT query_id, e.vec_id AS neighbor_id,
+           ROUND(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos
+    FROM q JOIN emb e ON e.vec_id <> q.query_id
+    WHERE e.label IN {ANN_FILTER_LABELS}
+)
+SELECT query_id, neighbor_id, cos, rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+WHERE rk <= {TOPK}
+ORDER BY query_id, rk
+"""

@@ -241,6 +241,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # long->wide PIVOT with an explicit value list (one conditional-agg
     # shuffle; never the value-inferring extra scan)
     "events_type_pivot": (events.events_type_pivot, events.EVENTS_TYPE_PIVOT_SQL),
+    # FILTERED vector search: label predicate pushed into the parquet
+    # scan (exact, recall-lossless — not post-filtered top-k)
+    "ann_filtered_topk": (similarity.ann_filtered_topk, similarity.ANN_FILTERED_TOPK_SQL),
     # SAX motif discovery (Lin et al. 2003): rank-based 8-day windows ->
     # 4x2-day exact-decimal PAA -> equal-width 4-letter words -> top-25
     "events_sax_motifs": (events.events_sax_motifs, events.EVENTS_SAX_MOTIFS_SQL),
@@ -542,6 +545,12 @@ UNGATED: dict[str, str] = {
         "added after the gate filled; full DuckDB parity in pytest; the pivot"
         " compiles to the same conditional-aggregation shuffle class as the"
         " gated events_hourly/events_rollup rows"
+    ),
+    "ann_filtered_topk": (
+        "late round-4 addition; the cosine_topk core it wraps is gated via"
+        " ann_cosine_topk — the new behavior (label predicate at the scan, not a"
+        " recall-lossy post-filter) is plan-pinned in tests/test_plan_pushdown.py"
+        " and oracle-checked at both SFs in tests/test_oracle_parity.py"
     ),
     "events_sax_motifs": (
         "late round-4 addition; the gate is at its 50-row cap and its building"

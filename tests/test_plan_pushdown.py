@@ -274,6 +274,16 @@ def test_span_removal_plan_shuffles_only_on_wh_and_doc(spark):
             assert "text" in ln and "lang" not in ln and "n_chars" not in ln, ln
 
 
+def test_ann_filtered_topk_label_predicate_reaches_scan(spark):
+    """ann_filtered_topk: the label IN-filter must be pushed into the
+    parquet scan (pre-filter, exact) — never applied after the cosine
+    join as a recall-lossy post-filter."""
+    plan = plan_of(spark, "ann_filtered_topk")
+    scan_lines = [ln for ln in scans(plan) if "FileScan parquet" in ln and "label" in ln]
+    # the scan itself carries the IN-predicate (DataFilters/PushedFilters)
+    assert any("IN (2,5,7)" in ln or "In(label" in ln for ln in scan_lines), plan
+
+
 def test_sax_motifs_plan_user_array_form(spark):
     """events_sax_motifs: hash shuffles only on user_id (day sums +
     series collect) and word (count agg) — never a rank-range self-join
