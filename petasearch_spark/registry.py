@@ -33,6 +33,7 @@ from petasearch_spark.operators import (
     similarity,
     text,
 )
+from petasearch_spark.sources import csv_events
 from petasearch_spark.streaming import events_stream, ingest_stream, stateful
 from petasearch_spark.streaming.ann_stream import (
     ann_ivf_stream_topk as _ann_ivf_stream_topk,
@@ -238,6 +239,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # streaming JSONL ingest with malformed-line quarantine accounting —
     # the continuous twin of sources/jsonl.py, same from_json expression
     "docs_stream_ingest": (ingest_stream.docs_stream_ingest, ingest_stream.DOCS_STREAM_INGEST_SQL),
+    # CSV events ingest: read.text + from_csv so the corrupt record is an
+    # ordinary quarantine column; planted bad-value rows, arithmetic oracle
+    "events_csv_ingest": (csv_events.events_csv_ingest, csv_events.EVENTS_CSV_INGEST_SQL),
     # long->wide PIVOT with an explicit value list (one conditional-agg
     # shuffle; never the value-inferring extra scan)
     "events_type_pivot": (events.events_type_pivot, events.EVENTS_TYPE_PIVOT_SQL),
@@ -545,6 +549,12 @@ UNGATED: dict[str, str] = {
         "added after the gate filled; full DuckDB parity in pytest; the pivot"
         " compiles to the same conditional-aggregation shuffle class as the"
         " gated events_hourly/events_rollup rows"
+    ),
+    "events_csv_ingest": (
+        "late round-4 addition; the quarantine-accounting machinery is gated via"
+        " docs_stream_ingest (same from_*/ordinary-corrupt-column design, same"
+        " arithmetic oracle pattern) — full DuckDB parity at sf0.001 AND sf0.01"
+        " in tests/test_oracle_parity.py, parser-level units in tests/test_jsonl.py"
     ),
     "ann_filtered_topk": (
         "late round-4 addition; the cosine_topk core it wraps is gated via"

@@ -1,0 +1,139 @@
+"""CSV events source: schema-first PERMISSIVE ingest with quarantine.
+
+Event logs arrive as CSV at least as often as JSONL; this is the CSV
+twin of sources/jsonl.py, same design choices: an EXPLICIT schema (no
+inferSchema — inference is a second full scan and a type lottery at
+100 TB), PERMISSIVE mode with the corrupt record landing in an ORDINARY
+``_malformed`` column (so quarantine is a plain filter), and one
+accounting aggregation whose numbers are exactly reconcilable against
+the staged input.
+
+The registry query ``events_csv_ingest`` stages the events table as CSV
+with deterministically planted rows whose ``value`` field is not a
+number (every ``CSV_BREAK_MOD``-th event) — the parser must quarantine
+EXACTLY those rows, so the DuckDB oracle recomputes the expected
+accounting arithmetically from the original table (the
+docs_stream_ingest pattern, streaming/ingest_stream.py).
+
+Scale shape: one pass, no shuffle before the per-type aggregation;
+staging is fixture-cached per source content (staged_cache — atomic
+publication, content-keyed invalidation).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: every CSV_BREAK_MOD-th event (by id, at offset CSV_BREAK_AT) is staged
+#: with a non-numeric value field -> must be quarantined by the parser
+CSV_BREAK_MOD = 40
+CSV_BREAK_AT = 3
+_BAD_VALUE = "not-a-number"
+
+CSV_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.StringType()),  # typed downstream; the raw
+        # wire format stays a string so ingest accounting never depends
+        # on timestamp-format lottery
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("_malformed", T.StringType()),
+    ]
+)
+
+
+def read_events_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Read an events CSV (no header, explicit schema). Well-formed rows
+    carry ``_malformed IS NULL``; rows with an unparseable field carry
+    the raw line in ``_malformed``.
+
+    Deliberately ``read.text`` + ``from_csv`` rather than ``read.csv``
+    with columnNameOfCorruptRecord: the native reader's corrupt column
+    is INTERNAL and forbids any query that prunes to it alone
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — the
+    quarantine count is exactly such a query); with ``from_csv`` it is
+    an ordinary struct field. Same rationale and shape as
+    sources/jsonl.py::read_jsonl_docs."""
+    raw = spark.read.text(path)
+    return raw.select(
+        F.from_csv(
+            "value",
+            CSV_EVENTS_SCHEMA.simpleString(),
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_malformed"},
+        ).alias("r")
+    ).select("r.*")
+
+
+def _stage_events_csv(spark: SparkSession, sf_dir: str) -> str:
+    """events -> a CSV staging dir with planted bad-value rows, cached
+    per source CONTENT + corruption constants (the jsonl staging
+    economics: no /tmp accumulation, stale-data-proof)."""
+    from petasearch_spark.streaming.stateful import source_fingerprint, staged_cache
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = source_fingerprint(src, f"mod={CSV_BREAK_MOD}|at={CSV_BREAK_AT}|v=1")
+    root = os.path.join(tempfile.gettempdir(), f"ps_csv_stage_{key}")
+
+    def build(tmp: str) -> None:
+        ev = spark.read.parquet(src)
+        value_str = F.when(
+            F.col("event_id") % CSV_BREAK_MOD == CSV_BREAK_AT, F.lit(_BAD_VALUE)
+        ).otherwise(F.col("value").cast("string"))
+        (
+            ev.select(
+                "event_id",
+                F.col("ts").cast("string").alias("ts"),
+                "user_id",
+                "event_type",
+                value_str.alias("value"),
+            )
+            .coalesce(2)
+            .write.mode("overwrite")
+            .csv(os.path.join(tmp, "csv"))
+        )
+
+    return os.path.join(staged_cache(root, build), "csv")
+
+
+def events_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest accounting over the staged CSV: per event type the row
+    count and exact-decimal value sum, plus one ``__quarantine__`` row
+    for the planted bad-value lines. The parser must quarantine exactly
+    the planted set for the oracle's arithmetic reconstruction to
+    hash-match."""
+    ev = read_events_csv(spark, _stage_events_csv(spark, sf_dir))
+    good = ev.filter(F.col("_malformed").isNull())
+    bad = ev.filter(F.col("_malformed").isNotNull())
+    per_type = good.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+        .cast("double")
+        .alias("sum_value"),
+    )
+    quarantine = bad.agg(
+        F.lit("__quarantine__").alias("event_type"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.lit(0.0).alias("sum_value"),
+    )
+    return per_type.unionByName(quarantine).orderBy("event_type")
+
+
+EVENTS_CSV_INGEST_SQL = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_id % {CSV_BREAK_MOD} <> {CSV_BREAK_AT}
+GROUP BY event_type
+UNION ALL
+SELECT '__quarantine__' AS event_type, COUNT(*) AS n_events, 0.0 AS sum_value
+FROM events
+WHERE event_id % {CSV_BREAK_MOD} = {CSV_BREAK_AT}
+ORDER BY event_type
+"""

@@ -80,3 +80,32 @@ def test_parquet_roundtrip_feeds_pipeline(spark, tmp_path):
         .count()
     )
     assert dups == 1
+
+
+# --- CSV events ingest (sources/csv_events.py) — parser-level units ---
+
+
+def test_csv_reader_quarantines_bad_value_only(spark, tmp_path):
+    from petasearch_spark.sources.csv_events import read_events_csv
+
+    p = tmp_path / "ev.csv"
+    p.write_text(
+        "1,2024-01-01 00:00:00,10,purchase,5.5\n"
+        "2,2024-01-01 00:01:00,11,view,not-a-number\n"
+        "3,2024-01-01 00:02:00,12,view,0.25\n"
+    )
+    rows = read_events_csv(spark, str(p)).collect()
+    by_id = {r["event_id"]: r for r in rows}
+    assert by_id[1]["_malformed"] is None and by_id[1]["value"] == 5.5
+    assert by_id[3]["_malformed"] is None and by_id[3]["value"] == 0.25
+    bad = [r for r in rows if r["_malformed"] is not None]
+    assert len(bad) == 1 and bad[0]["event_type"] == "view"
+    assert "not-a-number" in bad[0]["_malformed"]
+
+
+def test_csv_ingest_staging_is_content_cached(spark):
+    from petasearch_spark.sources.csv_events import _stage_events_csv
+
+    a = _stage_events_csv(spark, "/root/testdata/sf0.001")
+    b = _stage_events_csv(spark, "/root/testdata/sf0.001")
+    assert a == b  # second call reuses the published staging dir
