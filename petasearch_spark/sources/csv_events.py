@@ -78,11 +78,16 @@ def _stage_events_csv(spark: SparkSession, sf_dir: str) -> str:
     from petasearch_spark.streaming.stateful import source_fingerprint, staged_cache
 
     src = os.path.join(sf_dir, "events.parquet")
-    key = source_fingerprint(src, f"mod={CSV_BREAK_MOD}|at={CSV_BREAK_AT}|v=1")
+    key = source_fingerprint(src, f"mod={CSV_BREAK_MOD}|at={CSV_BREAK_AT}|v=2")
     root = os.path.join(tempfile.gettempdir(), f"ps_csv_stage_{key}")
 
     def build(tmp: str) -> None:
-        ev = spark.read.parquet(src)
+        from petasearch_spark.sources.tables import load_table
+
+        # route through load_table: events has shipped as TIMESTAMP(NANOS)
+        # (raw read.parquet rejects it / leaks a session conf) — the
+        # normalized ts makes the staged strings raw-format-independent
+        ev = load_table(spark, "events", sf_dir)
         value_str = F.when(
             F.col("event_id") % CSV_BREAK_MOD == CSV_BREAK_AT, F.lit(_BAD_VALUE)
         ).otherwise(F.col("value").cast("string"))
@@ -108,21 +113,25 @@ def events_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the planted bad-value lines. The parser must quarantine exactly
     the planted set for the oracle's arithmetic reconstruction to
     hash-match."""
+    from petasearch_spark.operators.portable import decimal_sum
+
     ev = read_events_csv(spark, _stage_events_csv(spark, sf_dir))
-    good = ev.filter(F.col("_malformed").isNull())
-    bad = ev.filter(F.col("_malformed").isNotNull())
-    per_type = good.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
-        .cast("double")
-        .alias("sum_value"),
+    # ONE scan/parse: quarantined rows fold into their own group key (the
+    # docs_stream_ingest pattern); their value sum is NULL -> coalesce 0
+    key = F.when(F.col("_malformed").isNotNull(), F.lit("__quarantine__")).otherwise(
+        F.col("event_type")
     )
-    quarantine = bad.agg(
-        F.lit("__quarantine__").alias("event_type"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.lit(0.0).alias("sum_value"),
+    return (
+        ev.groupBy(key.alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(
+                decimal_sum(F.when(F.col("_malformed").isNull(), F.col("value"))),
+                F.lit(0.0),
+            ).alias("sum_value"),
+        )
+        .orderBy("event_type")
     )
-    return per_type.unionByName(quarantine).orderBy("event_type")
 
 
 EVENTS_CSV_INGEST_SQL = f"""

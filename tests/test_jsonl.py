@@ -103,9 +103,26 @@ def test_csv_reader_quarantines_bad_value_only(spark, tmp_path):
     assert "not-a-number" in bad[0]["_malformed"]
 
 
-def test_csv_ingest_staging_is_content_cached(spark):
+def test_csv_ingest_staging_is_content_cached(spark, monkeypatch):
+    """A repeat call must NOT rebuild: pin the build-invocation count
+    across the staged_cache boundary (path equality alone is vacuous —
+    the path is derived from the content key either way)."""
+    import petasearch_spark.streaming.stateful as st
     from petasearch_spark.sources.csv_events import _stage_events_csv
 
+    calls = []
+    orig = st.staged_cache
+
+    def counting(root, build):
+        def wrapped(tmp):
+            calls.append(1)
+            build(tmp)
+
+        return orig(root, wrapped)
+
+    monkeypatch.setattr(st, "staged_cache", counting)
     a = _stage_events_csv(spark, "/root/testdata/sf0.001")
+    n_after_first = len(calls)  # 0 if an earlier run already published
     b = _stage_events_csv(spark, "/root/testdata/sf0.001")
-    assert a == b  # second call reuses the published staging dir
+    assert a == b
+    assert len(calls) == n_after_first  # second call never rebuilds
