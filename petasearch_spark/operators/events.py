@@ -651,35 +651,56 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quantile_sketch(e: DataFrame) -> DataFrame:
     """Core of :func:`events_quantile_sketch` over an
     ``(event_type, value)`` frame (separated for constructed-group
-    tests, mirroring :func:`value_quantiles`)."""
+    tests, mirroring :func:`value_quantiles`).
+
+    Negative values bucket on ``(sign, digits(|cents|), lead(|cents|))``
+    — the digit grammar runs over the ABSOLUTE cents so a '-' sign never
+    counts as a digit, and the signed bucket midpoint keeps the
+    cumulative order correct across zero (round-4 ADVICE: the previous
+    formulation silently mis-bucketed any negative value; pinned with
+    constructed negative groups in tests/test_events_extra.py)."""
     e = e.filter(F.col("value").isNotNull())
+    # Spark ROUND is HALF_UP away from zero for negatives, matching
+    # DuckDB's ROUND — the sign split below happens AFTER rounding so
+    # -0.004 -> cents 0 -> the non-negative zero bucket in both engines
     cents = e.select(
         "event_type",
         F.round(F.col("value") * 100, 0).cast("long").alias("v"),
     )
-    d = F.length(F.col("v").cast("string"))
+    s = F.when(F.col("v") < 0, F.lit(-1)).otherwise(F.lit(1))
+    a = F.abs(F.col("v"))
+    d = F.length(a.cast("string"))
     lead = F.when(
-        d <= SKETCH_LEAD_DIGITS, F.col("v")
-    ).otherwise(F.substring(F.col("v").cast("string"), 1, SKETCH_LEAD_DIGITS).cast("long"))
+        d <= SKETCH_LEAD_DIGITS, a
+    ).otherwise(F.substring(a.cast("string"), 1, SKETCH_LEAD_DIGITS).cast("long"))
     hist = (
-        cents.select("event_type", d.alias("d"), lead.alias("l"))
-        .groupBy("event_type", "d", "l")
+        cents.select("event_type", s.alias("s"), d.alias("d"), lead.alias("l"))
+        .groupBy("event_type", "s", "d", "l")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     # bucket midpoint in DOUBLED cents so it stays integer (width may be odd
     # in halves); /200.0 at the end is one correctly-rounded IEEE division of
-    # exact integers — identical in both engines.
+    # exact integers — identical in both engines. The SIGNED midpoint is
+    # strictly monotone in value order (buckets are disjoint intervals), so
+    # ordering the cumulative window by rep_x2 itself sorts negatives
+    # largest-magnitude-first, then zero/positives ascending.
     width = F.pow(F.lit(10.0), (F.col("d") - SKETCH_LEAD_DIGITS).cast("double")).cast("long")
-    rep_x2 = F.when(F.col("d") <= SKETCH_LEAD_DIGITS, 2 * F.col("l")).otherwise(
-        2 * F.col("l") * width + width
+    rep_x2 = F.col("s") * (
+        F.when(F.col("d") <= SKETCH_LEAD_DIGITS, 2 * F.col("l")).otherwise(
+            2 * F.col("l") * width + width
+        )
     )
-    wc = Window.partitionBy("event_type").orderBy("d", "l")
+    wc = Window.partitionBy("event_type").orderBy("rep_x2")
     wn = Window.partitionBy("event_type")
     cum = hist.select(
         "event_type",
+        rep_x2.alias("rep_x2"),
+        F.col("c"),
+    ).select(
+        "event_type",
         F.sum("c").over(wc).alias("cum"),
         F.sum("c").over(wn).alias("n"),
-        rep_x2.alias("rep_x2"),
+        "rep_x2",
     )
     aggs = [F.max("n").alias("n_events"), F.count(F.lit(1)).alias("n_buckets")]
     for p in QUANTILE_PCTS:
@@ -698,20 +719,25 @@ WITH cents AS (
     FROM events WHERE value IS NOT NULL
 ), bucketed AS (
     SELECT event_type,
-           LENGTH(CAST(v AS VARCHAR)) AS d,
-           CASE WHEN LENGTH(CAST(v AS VARCHAR)) <= {SKETCH_LEAD_DIGITS} THEN v
-                ELSE CAST(SUBSTR(CAST(v AS VARCHAR), 1, {SKETCH_LEAD_DIGITS}) AS BIGINT) END AS l
+           CASE WHEN v < 0 THEN -1 ELSE 1 END AS s,
+           LENGTH(CAST(ABS(v) AS VARCHAR)) AS d,
+           CASE WHEN LENGTH(CAST(ABS(v) AS VARCHAR)) <= {SKETCH_LEAD_DIGITS} THEN ABS(v)
+                ELSE CAST(SUBSTR(CAST(ABS(v) AS VARCHAR), 1, {SKETCH_LEAD_DIGITS}) AS BIGINT) END AS l
     FROM cents
 ), hist AS (
-    SELECT event_type, d, l, COUNT(*) AS c FROM bucketed GROUP BY 1, 2, 3
+    SELECT event_type, s, d, l, COUNT(*) AS c FROM bucketed GROUP BY 1, 2, 3, 4
+), reps AS (
+    SELECT event_type, c,
+           s * (CASE WHEN d <= {SKETCH_LEAD_DIGITS} THEN 2 * l
+                ELSE 2 * l * CAST(POWER(10, d - {SKETCH_LEAD_DIGITS}) AS BIGINT)
+                     + CAST(POWER(10, d - {SKETCH_LEAD_DIGITS}) AS BIGINT) END) AS rep_x2
+    FROM hist
 ), cum AS (
     SELECT event_type,
-           CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY d, l) AS BIGINT) AS cum,
+           CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY rep_x2) AS BIGINT) AS cum,
            CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n,
-           CASE WHEN d <= {SKETCH_LEAD_DIGITS} THEN 2 * l
-                ELSE 2 * l * CAST(POWER(10, d - {SKETCH_LEAD_DIGITS}) AS BIGINT)
-                     + CAST(POWER(10, d - {SKETCH_LEAD_DIGITS}) AS BIGINT) END AS rep_x2
-    FROM hist
+           rep_x2
+    FROM reps
 )
 SELECT event_type, MAX(n) AS n_events, COUNT(*) AS n_buckets,
        {", ".join(f"MIN(CASE WHEN cum >= ({p} * n + 99) // 100 THEN rep_x2 END) / 200.0 AS p{p}_est" for p in QUANTILE_PCTS)}

@@ -305,6 +305,34 @@ def cm_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantile_bucket_counts(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sign-aware decimal bucket combine over an ``(event_type, value)``
+    pandas batch — the streaming precount kernel, module-level so its
+    rounding/bucketing parity with the batch engine is unit-testable.
+
+    Must mirror the engine/SQL exactly: HALF_UP-away-from-zero cents
+    (``sign * floor(|v|*100 + 0.5)`` — a bare ``floor(v*100+0.5)`` would
+    round negative halves toward +inf, diverging from the batch engine's
+    ROUND; round-4 ADVICE), then sign + digit count + leading digits of
+    the ABSOLUTE cents (so '-' never counts as a digit)."""
+    import numpy as np
+
+    from petasearch_spark.operators.events import SKETCH_LEAD_DIGITS
+
+    raw_v = pdf["value"].to_numpy("float64")
+    a = np.floor(np.abs(raw_v) * 100 + 0.5).astype("int64")
+    sgn = np.where(a == 0, 1, np.sign(raw_v)).astype("int64")
+    s = pd.Series(a).astype(str)
+    d = s.str.len().to_numpy().astype("int64")
+    lead = np.where(d <= SKETCH_LEAD_DIGITS, a, s.str[:SKETCH_LEAD_DIGITS].astype("int64"))
+    return (
+        pd.DataFrame({"event_type": pdf["event_type"], "s": sgn, "d": d, "l": lead})
+        .groupby(["event_type", "s", "d", "l"], sort=False)
+        .size()
+        .reset_index(name="w")
+    )
+
+
 def events_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming quantile sketch: the per-type decimal-DDSketch bucket
     histogram of ``operators.events.quantile_sketch`` maintained as
@@ -340,57 +368,62 @@ def events_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     def precount(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # STATELESS per-Arrow-batch bucket combine (same reasoning as
         # cm_stream's precount): shrinks the state op's input from one
-        # row per event to <= |buckets| rows per batch. The bucketing
-        # must mirror the engine/SQL exactly: HALF_UP cents (values are
-        # positive), digit count, leading digits.
+        # row per event to <= |buckets| rows per batch
         for pdf in batches:
-            v = np.floor(pdf["value"].to_numpy("float64") * 100 + 0.5).astype("int64")
-            s = pd.Series(v).astype(str)
-            d = s.str.len().to_numpy().astype("int64")
-            lead = np.where(d <= SKETCH_LEAD_DIGITS, v, s.str[:SKETCH_LEAD_DIGITS].astype("int64"))
-            g = (
-                pd.DataFrame({"event_type": pdf["event_type"], "d": d, "l": lead})
-                .groupby(["event_type", "d", "l"], sort=False)
-                .size()
-                .reset_index(name="w")
-            )
-            yield g
+            yield quantile_bucket_counts(pdf)
 
-    stream = raw.mapInPandas(precount, schema="event_type string, d long, l long, w long")
+    stream = raw.mapInPandas(
+        precount, schema="event_type string, s long, d long, l long, w long"
+    )
+
+    def _rep_x2(s: int, d: int, l: int) -> int:
+        # signed doubled-cents bucket midpoint — identical to the batch
+        # engine's rep_x2; monotone in value order, so sorting buckets by
+        # it walks negatives largest-magnitude-first then positives
+        if d <= SKETCH_LEAD_DIGITS:
+            r = 2 * l
+        else:
+            width = 10 ** (d - SKETCH_LEAD_DIGITS)
+            r = 2 * l * width + width
+        return s * r
 
     def _estimates(buckets: dict) -> dict:
-        items = sorted(buckets.items())
+        items = sorted(buckets.items(), key=lambda kv: _rep_x2(*kv[0]))
         n = sum(c for _, c in items)
         out = {"n_events": n, "n_buckets": len(items)}
         for p in QUANTILE_PCTS:
             rank = (p * n + 99) // 100
             cum = 0
             est = None
-            for (d, l), c in items:
+            for (s, d, l), c in items:
                 cum += c
                 if cum >= rank:
-                    if d <= SKETCH_LEAD_DIGITS:
-                        rep_x2 = 2 * l
-                    else:
-                        width = 10 ** (d - SKETCH_LEAD_DIGITS)
-                        rep_x2 = 2 * l * width + width
-                    est = rep_x2 / 200.0
+                    est = _rep_x2(s, d, l) / 200.0
                     break
             out[f"p{p}_est"] = est
         return out
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
-            ds, ls, cs = state.get
-            buckets = {(int(d), int(l)): int(c) for d, l, c in zip(ds, ls, cs)}
+            ss, ds, ls, cs = state.get
+            buckets = {
+                (int(s), int(d), int(l)): int(c) for s, d, l, c in zip(ss, ds, ls, cs)
+            }
         else:
             buckets = {}
         for pdf in pdfs:
-            for d, l, w in zip(pdf["d"], pdf["l"], pdf["w"]):
-                k = (int(d), int(l))
+            for s, d, l, w in zip(pdf["s"], pdf["d"], pdf["l"], pdf["w"]):
+                k = (int(s), int(d), int(l))
                 buckets[k] = buckets.get(k, 0) + int(w)
         ks = sorted(buckets)
-        state.update(([d for d, _ in ks], [l for _, l in ks], [buckets[k] for k in ks]))
+        state.update(
+            (
+                [s for s, _, _ in ks],
+                [d for _, d, _ in ks],
+                [l for _, _, l in ks],
+                [buckets[k] for k in ks],
+            )
+        )
         est = _estimates(buckets)
         yield pd.DataFrame([{"event_type": key[0], **est}])
 
@@ -400,7 +433,7 @@ def events_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stream.groupBy("event_type").applyInPandasWithState(
         update,
         outputStructType=out_schema,
-        stateStructType="ds array<long>, ls array<long>, cs array<long>",
+        stateStructType="ss array<long>, ds array<long>, ls array<long>, cs array<long>",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

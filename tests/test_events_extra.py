@@ -220,6 +220,107 @@ def test_quantile_sketch_error_bound_vs_exact(spark):
     assert checked >= 15
 
 
+def test_quantile_sketch_negative_values_match_oracle(spark):
+    """Round-4 ADVICE: the old bucket key counted a negative value's '-'
+    sign as a digit, silently mis-bucketing — and the fixture could not
+    catch it because events.value >= 0. Constructed groups with negatives
+    now pin: (1) exact equality vs the DuckDB SQL twin on a mixed-sign
+    frame (including near-half rounding inputs), (2) exact-regime
+    answers for |cents| < 1000, (3) the signed midpoint for a big
+    negative bucket."""
+    import random
+
+    import duckdb
+
+    from petasearch_spark.operators.events import EVENTS_QUANTILE_SKETCH_SQL, quantile_sketch
+
+    rng = random.Random(5)
+    rows = [("m", round(rng.uniform(-20000, 20000), rng.choice([2, 3, 4]))) for _ in range(500)]
+    # deterministic edge pins: sign flips around zero, near-half cents,
+    # exact-regime negatives, and one big negative bucket
+    rows += [
+        ("n", -0.004),  # rounds to cents 0 -> positive zero bucket
+        ("n", -0.01),
+        ("n", -2.005),
+        ("n", -9.99),
+        ("n", -98.76),  # cents -9876 -> bucket [-9880,-9870), midpoint -98.75
+        ("n", -12345.67),
+        ("n", 0.0),
+        ("n", 0.01),
+    ]
+    e = spark.createDataFrame(rows, ["event_type", "value"])
+    got = {
+        r["event_type"]: r
+        for r in quantile_sketch(e).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (event_type VARCHAR, value DOUBLE)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    res = con.execute(EVENTS_QUANTILE_SKETCH_SQL)
+    cols = [d[0] for d in res.description]
+    want = {r[0]: dict(zip(cols, r)) for r in res.fetchall()}
+    assert set(got) == set(want)
+    for g in got:
+        for c in cols:
+            assert got[g][c] == want[g][c], (g, c, got[g][c], want[g][c])
+
+    # n=8 group: p50 rank = ceil(50*8/100) = 4, walking from the most
+    # negative value: -12345.67 (midpoint -12350.0), -98.76 (cents -9876
+    # -> midpoint -98.75), -9.99, then -2.005 — whose double sits just
+    # ABOVE the half (200.50000000000003 cents), so HALF_UP-away-from-
+    # zero lands on exact bucket -201 in all three implementations
+    n = got["n"]
+    assert n["p50_est"] == -2.01
+    one = {
+        r["event_type"]: r
+        for r in quantile_sketch(
+            spark.createDataFrame([("z", -12345.67)], ["event_type", "value"])
+        ).collect()
+    }
+    assert one["z"]["p50_est"] == -12350.0
+
+
+def test_stream_precount_buckets_match_batch_engine_on_negatives(spark):
+    """The streaming precount's numpy rounding must agree with the batch
+    engine's ROUND for negatives (floor(v*100+0.5) rounds negative halves
+    toward +inf — round-4 ADVICE): compare the (s,d,l) histogram built by
+    the real precount kernel against the batch engine's own bucketing on
+    a mixed-sign frame."""
+    import random
+
+    import pandas as pd
+
+    from petasearch_spark.operators.events import SKETCH_LEAD_DIGITS
+    from petasearch_spark.streaming.stateful import quantile_bucket_counts
+
+    rng = random.Random(7)
+    vals = [round(rng.uniform(-500, 500), rng.choice([2, 3])) for _ in range(400)]
+    vals += [-0.004, -0.005, -2.005, -98.755, 0.0, 0.005]
+    pdf = pd.DataFrame({"event_type": "x", "value": vals})
+    stream_hist = {
+        (int(r["s"]), int(r["d"]), int(r["l"])): int(r["w"])
+        for _, r in quantile_bucket_counts(pdf).iterrows()
+    }
+
+    e = spark.createDataFrame([("x", v) for v in vals], ["event_type", "value"])
+    cents = e.select(F.round(F.col("value") * 100, 0).cast("long").alias("v"))
+    s = F.when(F.col("v") < 0, F.lit(-1)).otherwise(F.lit(1))
+    a = F.abs(F.col("v"))
+    d = F.length(a.cast("string"))
+    lead = F.when(d <= SKETCH_LEAD_DIGITS, a).otherwise(
+        F.substring(a.cast("string"), 1, SKETCH_LEAD_DIGITS).cast("long")
+    )
+    batch_hist = {
+        (r["s"], r["d"], r["l"]): r["c"]
+        for r in cents.select(s.alias("s"), d.alias("d"), lead.alias("l"))
+        .groupBy("s", "d", "l")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert stream_hist == batch_hist
+
+
 def test_quantile_sketch_partition_invariance(spark):
     """The sketch is its own merge: bucket counts add under the groupBy
     combiner, so ANY partitioning of the input yields byte-identical
