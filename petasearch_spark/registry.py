@@ -275,11 +275,12 @@ UNGATED: dict[str, str] = {
         " the foreachBatch probe reuses the batch top-k core verbatim, and"
         " streaming-vs-batch equality holds at both SFs in tests/test_oracle_parity.py"
     ),
-    "protein_prefilter_funnel": (
-        "1-row summary of the gated protein_prefilter's 533-row output (weaker"
-        " hash signal than the member rows the gate already hashes); full SQL"
-        " parity at sf0.001 AND sf0.01 in tests/test_oracle_parity.py, and the"
-        " counters are independently enumeration-pinned in test_funnel_golden.py"
+    "q5_local_supplier": (
+        "weakest gated hash row of the relational family (5 rows x 2 cols at the"
+        " gate SF); its join classes (multi-dim broadcast + region filter) stay"
+        " gated via q1/q3 and pytest-parity-checked here and in q7/q18 — slot"
+        " given to protein_prefilter_funnel, the reference's own parity metric"
+        " (reference src/sra/comparekmertables.cpp:616-619, blockalign.cpp:465-481)"
     ),
     "ann_ivf_stream_topk": (
         "streaming twin whose output (and oracle) is exactly ann_ivf_topk;"
