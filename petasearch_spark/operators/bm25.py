@@ -176,7 +176,13 @@ def write_postings_bucketed(docs: DataFrame, prefix: str, num_buckets: int = POS
     doclen.write.mode("overwrite").format("parquet").saveAsTable(f"{prefix}_doclens")
 
 
-def merge_postings_delta(spark: SparkSession, prefix: str, delta_docs: DataFrame, num_buckets: int = POSTINGS_BUCKETS) -> None:
+def merge_postings_delta(
+    spark: SparkSession,
+    prefix: str,
+    delta_docs: DataFrame,
+    num_buckets: int = POSTINGS_BUCKETS,
+    validate_disjoint: bool = True,
+) -> None:
     """Incremental BM25 index maintenance — the fourth member of the
     delta-merge family (kmer_index.merge_kmer_index_delta,
     dedup.merge_dedup_ledger, ivf.merge_ivf_index_delta).
@@ -189,7 +195,30 @@ def merge_postings_delta(spark: SparkSession, prefix: str, delta_docs: DataFrame
     recomputed from the merged state at probe time, so scores of OLD
     documents correctly shift as the corpus grows (the property the
     rebuild-equivalence test pins; a stats-frozen index would drift).
+
+    ``validate_disjoint`` (default ON) fails loudly when the delta
+    re-submits an existing doc_id — a silent append would double that
+    document's postings/doclen rows and inflate n_docs/total_tokens,
+    corrupting every later probe score (round-4 ADVICE). The check is
+    one semi-join of the (small) delta id set against the 1-row-per-doc
+    doclens table; pass ``validate_disjoint=False`` only when the caller
+    guarantees disjointness upstream (e.g. a monotone id allocator) and
+    the extra doclens scan matters.
     """
+    if validate_disjoint:
+        dup = (
+            delta_docs.select("doc_id")
+            .join(spark.table(f"{prefix}_doclens"), "doc_id", "left_semi")
+            .limit(5)
+            .collect()
+        )
+        if dup:
+            ids = sorted(r["doc_id"] for r in dup)
+            raise ValueError(
+                f"merge_postings_delta: delta doc_ids already present in "
+                f"{prefix}_doclens (e.g. {ids}); the merge is append-only — "
+                f"re-submitting a document would double its postings"
+            )
     posting, doclen = _build_postings(delta_docs)
     (
         posting.write.mode("append")

@@ -172,8 +172,18 @@ def lang_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     and broadcast, so scoring adds no per-class row fan-out: each gram
     row carries all class counts and the per-document exchange moves one
     partial-sum row per document.
+
+    Unlabeled docs (``lang IS NULL``) are EXCLUDED from both training
+    and the confusion matrix — a null class can neither be pivoted to a
+    count column nor sorted among the class strings, and resubstitution
+    accuracy is undefined without a true label (round-4 ADVICE: the
+    synthetic fixture is fully labeled, but the operator sits next to a
+    curate CLI that ingests arbitrary dumps). The SQL twin carries the
+    same filter.
     """
-    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True).filter(
+        F.col("lang").isNotNull()
+    )
     bg = _doc_gram_buckets(docs, NB_B, bigrams=False).drop("source")
 
     # n_classes+1 bounded driver collects: class list, doc priors, gram totals
@@ -230,14 +240,16 @@ def lang_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LANG_NB_SQL = f"""
-WITH toks AS (
-    SELECT doc_id, lang, {TOKENS_SQL.format(col="text")} AS ts FROM documents
+WITH labeled AS (
+    SELECT * FROM documents WHERE lang IS NOT NULL
+), toks AS (
+    SELECT doc_id, lang, {TOKENS_SQL.format(col="text")} AS ts FROM labeled
 ), bg AS (
     SELECT doc_id, lang, {hash64_sql("unnest(ts)")} % {NB_B} AS b FROM toks
 ), cls AS (
-    SELECT lang AS c, COUNT(*) AS nd FROM documents GROUP BY lang
+    SELECT lang AS c, COUNT(*) AS nd FROM labeled GROUP BY lang
 ), tot AS (
-    SELECT COUNT(*) AS n FROM documents
+    SELECT COUNT(*) AS n FROM labeled
 ), cnt AS (
     SELECT lang AS c, b, COUNT(*) AS cb FROM bg GROUP BY lang, b
 ), tg AS (

@@ -655,6 +655,138 @@ def bpe_fertility(
     return spark.createDataFrame(rows, out.schema)
 
 
+def bpe_encode_corpus(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_BPE_MERGES
+) -> DataFrame:
+    """Tokenizer APPLICATION — the step a training-data pipeline runs
+    after training: train the ``n_merges``-rule BPE on the corpus, then
+    tokenize every document with the learned merges and emit per doc
+    ``(doc_id, n_words, n_tokens, fertility, token_ids)`` where
+    ``token_ids`` is the space-joined integer id sequence in document
+    order. This completes the train -> evaluate -> apply triple
+    (bpe_train_merges / bpe_fertility / here — round-4 VERDICT item 5).
+
+    Token ids are assigned by lexicographic rank over the DISTINCT final
+    tokens (row_number from 1) — deterministic and cross-engine exact.
+    The id table is bounded by |alphabet| + n_merges entries (each merge
+    mints exactly one new token), so it is a scalar-bounded driver
+    collect turned into a literal map column: tokenization itself adds
+    NO join for the id step. Plan shape: the vocabulary-bounded trainer,
+    then ONE join of the (doc_id, pos, word) occurrence stream against
+    the distinct-word vocabulary (broadcast-able when the vocab fits,
+    AQE otherwise) and one per-doc aggregation that reassembles ids in
+    position order — the same two exchanges a production distributed
+    tokenizer pays regardless of corpus size."""
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    return encode_corpus(spark, docs, n_merges)
+
+
+def encode_corpus(spark: SparkSession, docs: DataFrame, n_merges: int) -> DataFrame:
+    """The encode core over any docs(doc_id, text) frame (separated for
+    constructed-corpus tests) — see :func:`bpe_encode_corpus`."""
+    rules, vocab = _train_bpe_core(spark, docs, n_merges, keep_vocab=True)
+    out_schema = (
+        "doc_id long, n_words bigint, n_tokens bigint, fertility double,"
+        " token_ids string"
+    )
+    try:
+        # bounded collect: <= 26 + n_merges distinct token strings
+        toks = sorted(
+            r["t"] for r in vocab.select(F.explode("toks").alias("t")).distinct().collect()
+        )
+        if not toks:
+            return spark.createDataFrame([], out_schema)
+        id_map = F.create_map(
+            *[F.lit(x) for t, i in zip(toks, range(1, len(toks) + 1)) for x in (t, i)]
+        )
+        word_ids = vocab.select(
+            "w",
+            F.transform("toks", lambda t: F.element_at(id_map, t)).alias("ids"),
+            F.size("toks").cast("long").alias("n_tok"),
+        )
+        # word occurrences with document-order positions (pre-filter
+        # split indices on both engines, so ordering matches exactly)
+        ws = (
+            docs.select(
+                "doc_id",
+                F.posexplode(F.split(F.lower("text"), BPE_WORD_RE)).alias("pos", "w"),
+            )
+            .filter((F.col("w") != "") & (F.length("w") <= BPE_MAX_WORD_LEN))
+        )
+        ordered = F.array_sort(F.collect_list(F.struct("pos", "ids")))
+        flat_ids = F.flatten(F.transform(ordered, lambda s: s["ids"]))
+        out = (
+            ws.join(word_ids, "w")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("n_tok").alias("n_tokens"),
+                (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("fertility"),
+                F.array_join(
+                    F.transform(flat_ids, lambda x: x.cast("string")), " "
+                ).alias("token_ids"),
+            )
+            .orderBy("doc_id")
+        )
+        # materialize EXECUTOR-side before releasing the vocabulary cache
+        # the join reads: the output is one row per document (unbounded),
+        # so a driver collect would not scale — localCheckpoint cuts the
+        # lineage at the executors (a production run would write straight
+        # to its sink here instead)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        vocab.unpersist()
+    return out
+
+
+def _bpe_encode_sql(n_merges: int = N_BPE_MERGES) -> str:
+    """The DuckDB encode twin: the trained chain with the final rule
+    applied, an id per distinct token by lexicographic row_number, and a
+    position-ordered flatten back to one id string per document."""
+    parts = _bpe_stage_ctes(n_merges, apply_final=True)
+    parts.append(
+        f"""tok_ids AS (
+    SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY tok) AS INT) AS id
+    FROM (SELECT DISTINCT toks[i] AS tok FROM t{n_merges}, range(1, 8192) r(i)
+          WHERE i <= len(toks))
+)"""
+    )
+    parts.append(
+        f"""word_ids AS (
+    SELECT w, list(id ORDER BY i) AS ids, COUNT(*) AS n_tok
+    FROM (SELECT w, toks[i] AS tok, i FROM t{n_merges}, range(1, 8192) r(i)
+          WHERE i <= len(toks)) x
+    JOIN tok_ids USING (tok)
+    GROUP BY w
+)"""
+    )
+    parts.append(
+        f"""dw AS (
+    SELECT doc_id, pos, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '{BPE_WORD_RE}')) AS w,
+               unnest(range(1, len(regexp_split_to_array(lower(text), '{BPE_WORD_RE}')) + 1)) AS pos
+        FROM documents
+    ) WHERE w <> '' AND len(w) <= {BPE_MAX_WORD_LEN}
+)"""
+    )
+    return (
+        "WITH "
+        + "\n, ".join(parts)
+        + """
+SELECT d.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(wi.n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(wi.n_tok) AS DOUBLE) / COUNT(*) AS fertility,
+       array_to_string(list_transform(flatten(list(wi.ids ORDER BY d.pos)),
+                                      x -> CAST(x AS VARCHAR)), ' ') AS token_ids
+FROM dw d JOIN word_ids wi USING (w)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+    )
+
+
 def _bpe_words_src_sql(cols: str = "") -> str:
     """The SQL statement of the BPE word rule (the _corpus_words twin) —
     stated ONCE and reused by the vocabulary CTE and the fertility
@@ -749,3 +881,4 @@ ORDER BY d.source
 
 BPE_TRAIN_SQL = _bpe_train_sql()
 BPE_FERTILITY_SQL = _bpe_fertility_sql()
+BPE_ENCODE_SQL = _bpe_encode_sql()

@@ -192,6 +192,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # tokenizer EVALUATION: apply the learned rules back to the corpus,
     # per-source fertility (tokens per word) via one vocab join
     "bpe_fertility": (text.bpe_fertility, text.BPE_FERTILITY_SQL),
+    "bpe_encode_corpus": (text.bpe_encode_corpus, text.BPE_ENCODE_SQL),
     "doc_fingerprint": (text.doc_fingerprint, text.DOC_FINGERPRINT_SQL),
     # RAG-corpus chunking: overlapping token windows, portable chunk hash
     "doc_chunk_overlap": (text.doc_chunk_overlap, text.DOC_CHUNK_SQL),
@@ -369,6 +370,12 @@ UNGATED: dict[str, str] = {
         " weakest hash mass of the text family while its iterative Spark loop"
         " is the slowest text query at the gate SF; exact cross-engine parity"
         " (values + tie-breaks, both SFs) stays in pytest"
+    ),
+    "bpe_encode_corpus": (
+        "round-5 addition completing the BPE train->evaluate->apply triple;"
+        " shares the iterative trainer (same gate-SF cost as bpe_fertility)"
+        " plus one occurrence-stream join — exact cross-engine parity"
+        " (position-ordered token-id strings) at both SFs stays in pytest"
     ),
     "bpe_fertility": (
         "added after the gate filled; shares bpe_train_merges' iterative"

@@ -46,6 +46,60 @@ def source_fingerprint(*parts) -> str:
     return h.hexdigest()[:12]
 
 
+#: staleness horizon for content-keyed /tmp staging caches: a key dies
+#: when its source is regenerated (new size/mtime), so a cache dir that
+#: has not been re-claimed in this long is almost certainly orphaned
+STAGING_TTL_DAYS = 7
+
+_CACHE_DIR_RE = None  # compiled lazily; see _sweep_stale_siblings
+
+
+def _sweep_stale_siblings(root: str) -> None:
+    """Best-effort TTL sweep of ORPHANED cache keys next to ``root``:
+    content-keyed caches never expire on their own — regenerated
+    testdata changes the fingerprint and strands the old ``ps_*_<key>``
+    dir forever (round-4 VERDICT item 7). Each claim therefore removes
+    same-prefix siblings (a) whose 12-hex key differs from the one being
+    claimed AND whose mtime is older than :data:`STAGING_TTL_DAYS`, or
+    (b) ``.build<pid>`` debris of a pid that no longer exists (the
+    ann_stream dead-pid sweep pattern). The CURRENT key is never swept —
+    a live cache is re-claimed (not touched) on every run, and the TTL
+    only has to outlast the longest gap between testdata regenerations."""
+    import glob
+    import re
+    import shutil
+    import time
+
+    global _CACHE_DIR_RE
+    if _CACHE_DIR_RE is None:
+        _CACHE_DIR_RE = re.compile(r"^(?P<prefix>.*_)(?P<key>[0-9a-f]{12})(?:\.build(?P<pid>\d+))?$")
+    parent, base = os.path.split(root)
+    m = _CACHE_DIR_RE.match(base)
+    if not m:
+        return
+    horizon = time.time() - STAGING_TTL_DAYS * 86400
+    for d in glob.glob(os.path.join(parent, m.group("prefix") + "*")):
+        sm = _CACHE_DIR_RE.match(os.path.basename(d))
+        if not sm or sm.group("key") == m.group("key"):
+            continue
+        try:
+            if sm.group("pid") is not None:
+                if int(sm.group("pid")) == os.getpid():
+                    continue
+                try:
+                    os.kill(int(sm.group("pid")), 0)
+                    continue  # builder still alive
+                except ProcessLookupError:
+                    pass
+                except PermissionError:
+                    continue  # alive under another user
+            elif os.stat(d).st_mtime > horizon:
+                continue
+            shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            continue  # raced with another sweeper — fine
+
+
 def staged_cache(root: str, build) -> str:
     """Claim-by-rename staging cache: if ``root`` exists it is COMPLETE
     (only complete dirs are ever published); otherwise ``build(tmp_dir)``
@@ -54,10 +108,20 @@ def staged_cache(root: str, build) -> str:
     sees only its own tmp dir or the published complete dir — the
     check-then-rmtree race (process B deleting A's half-written staging
     — round-4 review finding) cannot happen. The rename loser discards
-    its copy and uses the winner's."""
+    its copy and uses the winner's. Every claim also TTL-sweeps orphaned
+    sibling keys (:func:`_sweep_stale_siblings`)."""
     import shutil
 
+    _sweep_stale_siblings(root)
     if os.path.isdir(root):
+        # refresh mtime so the TTL measures time since last USE — two
+        # live keys can share a prefix (e.g. two SF dirs), and a
+        # regularly re-claimed cache must never age into another key's
+        # sweep horizon
+        try:
+            os.utime(root)
+        except OSError:
+            pass
         return root
     tmp = f"{root}.build{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)

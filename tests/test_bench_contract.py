@@ -1,13 +1,18 @@
 """Bench output contract: the driver's capture keeps only the last 2000
 bytes and parses the final line, so the emitted JSON must fit — this
 failed silently in round 3 (BENCH_r03 parsed: null) when the query list
-outgrew the buffer. Fail at test time, not at bench time."""
+outgrew the buffer. Round 5 compresses the emitted dict to short
+positional keys (k0..kN) with a committed key map; these tests pin the
+line budget AND the map. Fail at test time, not at bench time."""
 
 from __future__ import annotations
 
 import json
+import os
 
 import bench
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 
 def _encode(values: dict) -> str:
@@ -16,6 +21,7 @@ def _encode(values: dict) -> str:
             "metric": "bench_total_seconds",
             "value": 99999.99,
             "unit": "sec",
+            "key_map": "BENCH_KEYS.json",
             "queries": values,
             "sf": 0.1,
         },
@@ -24,23 +30,24 @@ def _encode(values: dict) -> str:
 
 
 def test_bench_json_line_fits_driver_capture():
+    keys = list(bench.BENCH_KEYS.values())
     # the HARD guarantee: bench.py's final integer fallback must fit the
     # 2000-byte buffer even with every entry in the 1000-9999 s range (a
     # pathological stalled run — the 1-decimal model alone missed this,
     # round-4 review finding)
-    fallback = _encode({k: 9999 for k in bench.BENCH_QUERIES})
+    fallback = _encode({k: 9999 for k in keys})
     assert len(fallback) <= 1990, (
         f"bench JSON line would be {len(fallback)} chars even at integer "
         f"precision; trim BENCH_QUERIES (see bench.py MAX_LINE note)"
     )
     # the common fallback: 1-decimal with every entry at 100+ seconds
-    fallback1 = _encode({k: 111.2 for k in bench.BENCH_QUERIES})
+    fallback1 = _encode({k: 111.2 for k in keys})
     assert len(fallback1) <= 1990
     # the common case: 2-decimal sub-100s entries should not even need
     # the fallback
-    typical = _encode({k: 11.23 for k in bench.BENCH_QUERIES})
-    assert len(typical) <= bench.MAX_LINE + 69, (
-        "typical 2-decimal line is drifting toward the fallback threshold; "
+    typical = _encode({k: 11.23 for k in keys})
+    assert len(typical) <= bench.MAX_LINE, (
+        "typical 2-decimal line no longer fits without the fallback; "
         "consider trimming BENCH_QUERIES"
     )
 
@@ -50,3 +57,22 @@ def test_bench_queries_resolve():
 
     for name in bench.BENCH_QUERIES:
         assert name in bench.BENCH_ONLY or name in REGISTRY, name
+    # everything registered is benched, except the documented combined
+    # bucketed-prefilter entry whose cost is exactly the benched
+    # build + query split (bench.py BENCH_ONLY note)
+    unbenched = set(REGISTRY) - set(bench.BENCH_QUERIES)
+    assert unbenched == {"protein_prefilter_bucketed"}, unbenched
+
+
+def test_bench_key_map_committed_and_stable():
+    # keys are positional and the list is append-only, so the committed
+    # BENCH_KEYS.json must match bench.py's derivation exactly — a drifted
+    # map silently mislabels every BENCH_r*.json entry
+    with open(os.path.join(REPO, "BENCH_KEYS.json")) as f:
+        committed = json.load(f)
+    derived = {k: name for name, k in bench.BENCH_KEYS.items()}
+    assert committed == derived, (
+        "BENCH_KEYS.json drifted from bench.BENCH_KEYS — rerun "
+        "scripts/gen_bench_keys.py (append-only: existing keys must not move)"
+    )
+    assert len(set(bench.BENCH_KEYS.values())) == len(bench.BENCH_QUERIES)

@@ -276,3 +276,33 @@ class TestBM25PostingsDelta:
         assert adj, "df partial/final aggs are not back-to-back (reshuffled):\n" + plan
         assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
         assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_merge_postings_delta_rejects_overlapping_doc_ids(spark):
+    """Round-4 ADVICE: a delta re-submitting an existing doc_id would
+    silently double that document's postings/doclens rows and corrupt
+    every later probe score. The default-on disjointness check must fail
+    loudly, leave the index unchanged, and still accept a disjoint delta."""
+    import pytest
+
+    from petasearch_spark.operators.bm25 import (
+        merge_postings_delta,
+        write_postings_bucketed,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR, widen_scan=True).select(
+        "doc_id", "text"
+    )
+    prefix = f"t_bm25ovl{_P}"
+    base = docs.filter(F.col("doc_id") < 100)
+    write_postings_bucketed(base, prefix)
+    n_before = spark.table(f"{prefix}_doclens").count()
+
+    overlapping = docs.filter((F.col("doc_id") >= 90) & (F.col("doc_id") < 110))
+    with pytest.raises(ValueError, match="append-only"):
+        merge_postings_delta(spark, prefix, overlapping)
+    assert spark.table(f"{prefix}_doclens").count() == n_before
+
+    disjoint = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
+    merge_postings_delta(spark, prefix, disjoint)
+    assert spark.table(f"{prefix}_doclens").count() == n_before + disjoint.count()

@@ -164,3 +164,34 @@ def test_span_removal_matches_scalar_twin_on_random_corpora(spark, tmp_path):
             for r in dedup_span_removal(spark, sf).collect()
         }
         assert got == _removal_twin(texts), f"seed={seed}"
+
+
+def test_nb_excludes_unlabeled_docs(spark, tmp_path):
+    """Round-4 ADVICE: lang IS NULL docs can neither be pivoted to a
+    count column nor sorted among class strings — they are excluded from
+    training and the confusion matrix (documented contract), instead of
+    raising TypeError on sorted([None, 'aa', ...])."""
+    rows = []
+    for i in range(6):
+        rows.append((i, "alpha beta gamma alpha", "aa", "s0", 20))
+    for i in range(6, 12):
+        rows.append((i, "delta epsilon zeta zeta", "bb", "s0", 20))
+    rows.append((12, "alpha beta noise rows", None, "s0", 20))
+    rows.append((13, "delta zeta noise rows", None, "s0", 20))
+    sf = _write_docs(spark, tmp_path, rows)
+    out = selection.lang_classifier_nb(spark, sf).collect()
+    cells = {(r["lang"], r["pred_lang"]): r["n_docs"] for r in out}
+    assert cells == {("aa", "aa"): 6, ("bb", "bb"): 6}
+
+    # and the SQL twin applies the same filter
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = {
+        (r[0], r[1]): r[2] for r in con.execute(selection.LANG_NB_SQL).fetchall()
+    }
+    assert {k: v for k, (v) in cells.items()} == want

@@ -63,3 +63,54 @@ def test_existing_dir_is_trusted_without_rebuild(tmp_path):
     assert staged_cache(root, build) == root
     assert staged_cache(root, build) == root
     assert len(calls) == 1  # second call is a pure cache hit
+
+
+def test_ttl_sweep_removes_stale_sibling_keys(tmp_path):
+    """Round-4 VERDICT item 7: content-keyed caches never expire on their
+    own, so a regenerated source strands the old key forever. A claim of
+    a NEW key must remove same-prefix siblings older than the TTL, keep
+    fresh siblings (another live key, e.g. a second SF dir), keep other
+    prefixes, and reap .build debris of dead pids regardless of age."""
+    import time
+
+    from petasearch_spark.streaming.stateful import STAGING_TTL_DAYS, staged_cache
+
+    old = time.time() - (STAGING_TTL_DAYS + 1) * 86400
+    stale = tmp_path / "ps_stage2b_aaaaaaaaaaaa"
+    fresh = tmp_path / "ps_stage2b_bbbbbbbbbbbb"
+    other_prefix = tmp_path / "ps_jsonl_stage2_cccccccccccc"
+    dead_debris = tmp_path / "ps_stage2b_dddddddddddd.build999999999"
+    for d in (stale, fresh, other_prefix, dead_debris):
+        d.mkdir()
+        (d / "x").write_text("x")
+    os.utime(stale, (old, old))
+    os.utime(other_prefix, (old, old))
+
+    root = str(tmp_path / "ps_stage2b_eeeeeeeeeeee")
+    staged_cache(root, lambda tmp: open(os.path.join(tmp, "y"), "w").close())
+
+    assert not stale.exists(), "stale same-prefix key must be swept"
+    assert not dead_debris.exists(), "dead-pid build debris must be swept"
+    assert fresh.exists(), "fresh sibling key (another live source) must survive"
+    assert other_prefix.exists(), "other cache families must never be touched"
+    assert os.path.isdir(root)
+
+
+def test_ttl_sweep_refreshes_mtime_on_reclaim(tmp_path):
+    """A regularly re-used cache must never age into another key's sweep
+    horizon: every cache-hit claim refreshes the published dir's mtime."""
+    import time
+
+    from petasearch_spark.streaming.stateful import STAGING_TTL_DAYS, staged_cache
+
+    root = str(tmp_path / "ps_stage2b_ffffffffffff")
+    staged_cache(root, lambda tmp: open(os.path.join(tmp, "y"), "w").close())
+    old = time.time() - (STAGING_TTL_DAYS + 1) * 86400
+    os.utime(root, (old, old))
+    staged_cache(root, lambda tmp: (_ for _ in ()).throw(AssertionError("rebuild")))
+    assert os.stat(root).st_mtime > old + 86400
+
+    # and a claim of a DIFFERENT key right after the re-claim leaves it alone
+    other = str(tmp_path / "ps_stage2b_012345678901")
+    staged_cache(other, lambda tmp: open(os.path.join(tmp, "y"), "w").close())
+    assert os.path.isdir(root)

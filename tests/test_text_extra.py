@@ -216,3 +216,55 @@ def test_bpe_dry_corpus_train_and_fertility_match_oracle(spark):
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bpe_encode_corpus_hand_computed_and_matches_oracle(spark, tmp_path):
+    """Tokenizer APPLICATION on the hand-computed trainer corpus: after
+    the 4 learned merges (lo, low, aa, es) the final tokens are
+    {aa, es, low, t} with lexicographic ids 1..4, so every per-doc id
+    string is hand-checkable; the DuckDB twin must agree cell-exactly."""
+    import os
+
+    import duckdb
+
+    rows = [
+        (0, "low low LOW lowest."),
+        (1, "low!  lowest"),
+        (2, "aaaa"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: tuple(r)[1:] for r in text.encode_corpus(spark, docs, 4).collect()}
+    # doc0: low low low lowest -> [low][low][low][low es t] -> 3 3 3 3 2 4
+    assert got[0] == (4, 6, 1.5, "3 3 3 3 2 4")
+    assert got[1] == (2, 4, 2.0, "3 3 2 4")
+    # doc2: aaaa -> greedy non-overlap [aa, aa] -> 1 1
+    assert got[2] == (1, 2, 2.0, "1 1")
+
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: tuple(r)[1:] for r in con.execute(text._bpe_encode_sql(4)).fetchall()
+    }
+    assert got == want
+
+
+def test_bpe_encode_corpus_dry_and_empty_edges(spark):
+    """A corpus whose merges run dry still encodes (ids over whatever
+    tokens exist after the last non-dry round), and an all-invalid-word
+    corpus returns an EMPTY frame with the contract schema instead of
+    raising on the empty id map."""
+    dry = spark.createDataFrame([(0, "ab ab cd")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["token_ids"] for r in text.encode_corpus(spark, dry, 4).collect()}
+    # rules: (a,b)->ab then (c,d)->cd then dry; tokens {ab, cd} -> ids 1, 2
+    assert out == {0: "1 1 2"}
+
+    empty = spark.createDataFrame([(0, "123 !!! 456")], ["doc_id", "text"])
+    res = text.encode_corpus(spark, empty, 4)
+    assert res.collect() == []
+    assert res.columns == ["doc_id", "n_words", "n_tokens", "fertility", "token_ids"]
