@@ -62,7 +62,16 @@ def _search_kwargs(args: argparse.Namespace) -> dict:
     )
 
 
-def _curate(spark, input_path: str, out_dir: str) -> int:
+def _stage_done(path: str) -> bool:
+    """A curate stage artifact is COMPLETE iff Spark's commit protocol
+    published its _SUCCESS marker — a killed run's partial directory
+    (files without the marker) is recomputed, never trusted."""
+    import os
+
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _curate(spark, input_path: str, out_dir: str, resume: bool = False) -> int:
     """The end-to-end "raw dump -> training set" run, the text-pipeline
     analogue of easy-search: ingest/quarantine, normalize ONCE to the
     canonical zstd-parquet store (the createdb economics — every later
@@ -73,7 +82,18 @@ def _curate(spark, input_path: str, out_dir: str) -> int:
     whose stage counts are exactly reconcilable: input lines =
     quarantined (unparseable) + dropped_null_fields (valid JSON missing
     id/text) + staged, and every funnel verdict is a persisted per-doc
-    row."""
+    row.
+
+    ``resume`` re-runs over a partially written store: each stage whose
+    artifact carries Spark's ``_SUCCESS`` commit marker is REUSED (its
+    report counts recomputed from the artifact — deterministic, so the
+    printed line is byte-identical to the uninterrupted run's), and the
+    first incomplete stage onward is recomputed. Ingest accounting
+    (quarantine/dropped counts, which would need a full re-parse) is
+    persisted next to the staging store as ``ingest.json`` at first
+    success, so a resume never re-reads the raw dump. A stage killed
+    mid-write has no marker and is recomputed — partial directories are
+    never trusted."""
     import os
 
     from pyspark.sql import functions as F
@@ -92,43 +112,64 @@ def _curate(spark, input_path: str, out_dir: str) -> int:
 
     staging = os.path.join(out_dir, "staging")
     curated = os.path.join(out_dir, "curated")
+    ingest_json = os.path.join(staging, "ingest.json")
     report: dict[str, object] = {"input": input_path, "out_dir": out_dir}
+    resumed: list[str] = []
 
-    if input_path.rstrip("/").endswith(".parquet") or os.path.exists(
-        os.path.join(input_path, "documents.parquet")
-    ):
-        src = input_path if input_path.rstrip("/").endswith(".parquet") else os.path.join(
-            input_path, "documents.parquet"
-        )
-        docs = spark.read.parquet(src)
-        report["n_quarantined"] = 0
-        n_parsed = docs.count()  # parquet metadata count, no parse cost
+    staging_docs = os.path.join(staging, "documents.parquet")
+    if resume and _stage_done(staging_docs) and os.path.exists(ingest_json):
+        with open(ingest_json) as f:
+            saved = json.load(f)
+        report["n_quarantined"] = saved["n_quarantined"]
+        report["n_staged"] = saved["n_staged"]
+        report["n_dropped_null_fields"] = saved["n_dropped_null_fields"]
+        resumed.append("staging")
     else:
-        parsed = read_jsonl_docs(spark, input_path)
-        # one aggregation pass for the whole line accounting (a separate
-        # count per class would re-parse the full dump per action)
-        acct = parsed.agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum(F.col("_malformed").isNotNull().cast("long")).alias("n_bad"),
-        ).collect()[0]
-        report["n_quarantined"] = int(acct["n_bad"] or 0)
-        n_parsed = int(acct["n_lines"] or 0) - report["n_quarantined"]
-        docs, _ = split_malformed(parsed)
-    docs = docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull()).select(
-        "doc_id", "text", "lang", "source", "n_chars"
-    )
-    write_documents(docs, os.path.join(staging, "documents.parquet"))
-    report["n_staged"] = spark.read.parquet(os.path.join(staging, "documents.parquet")).count()
-    # valid JSON that lacks id/text is DROPPED, not quarantined — report
-    # it so the line accounting stays exact (input = quarantined +
-    # dropped_null_fields + staged)
-    report["n_dropped_null_fields"] = n_parsed - report["n_staged"]
+        if input_path.rstrip("/").endswith(".parquet") or os.path.exists(
+            os.path.join(input_path, "documents.parquet")
+        ):
+            src = input_path if input_path.rstrip("/").endswith(".parquet") else os.path.join(
+                input_path, "documents.parquet"
+            )
+            docs = spark.read.parquet(src)
+            report["n_quarantined"] = 0
+            n_parsed = docs.count()  # parquet metadata count, no parse cost
+        else:
+            parsed = read_jsonl_docs(spark, input_path)
+            # one aggregation pass for the whole line accounting (a separate
+            # count per class would re-parse the full dump per action)
+            acct = parsed.agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.col("_malformed").isNotNull().cast("long")).alias("n_bad"),
+            ).collect()[0]
+            report["n_quarantined"] = int(acct["n_bad"] or 0)
+            n_parsed = int(acct["n_lines"] or 0) - report["n_quarantined"]
+            docs, _ = split_malformed(parsed)
+        docs = docs.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull()).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        write_documents(docs, staging_docs)
+        report["n_staged"] = spark.read.parquet(staging_docs).count()
+        # valid JSON that lacks id/text is DROPPED, not quarantined — report
+        # it so the line accounting stays exact (input = quarantined +
+        # dropped_null_fields + staged)
+        report["n_dropped_null_fields"] = n_parsed - report["n_staged"]
+        with open(ingest_json, "w") as f:
+            json.dump(
+                {
+                    k: report[k]
+                    for k in ("n_quarantined", "n_staged", "n_dropped_null_fields")
+                },
+                f,
+            )
 
-    funnel = corpus_curation_funnel(spark, staging)
-    funnel.write.mode("overwrite").option("compression", "zstd").parquet(
-        os.path.join(out_dir, "funnel.parquet")
-    )
-    fun = spark.read.parquet(os.path.join(out_dir, "funnel.parquet"))
+    funnel_path = os.path.join(out_dir, "funnel.parquet")
+    if resume and _stage_done(funnel_path):
+        resumed.append("funnel")
+    else:
+        funnel = corpus_curation_funnel(spark, staging)
+        funnel.write.mode("overwrite").option("compression", "zstd").parquet(funnel_path)
+    fun = spark.read.parquet(funnel_path)
     counts = fun.agg(
         F.count(F.lit(1)).alias("n_docs"),
         *[
@@ -138,21 +179,29 @@ def _curate(spark, input_path: str, out_dir: str) -> int:
     ).collect()[0]
     report["funnel"] = {k: int(counts[k] or 0) for k in counts.asDict()}
 
-    staged = spark.read.parquet(os.path.join(staging, "documents.parquet"))
-    kept_docs = staged.join(fun.filter("kept").select("doc_id"), "doc_id")
-    write_documents(kept_docs, os.path.join(curated, "documents.parquet"))
-    kept = spark.read.parquet(os.path.join(curated, "documents.parquet"))
+    curated_docs = os.path.join(curated, "documents.parquet")
+    if resume and _stage_done(curated_docs):
+        resumed.append("curated")
+    else:
+        staged = spark.read.parquet(os.path.join(staging, "documents.parquet"))
+        kept_docs = staged.join(fun.filter("kept").select("doc_id"), "doc_id")
+        write_documents(kept_docs, curated_docs)
+    kept = spark.read.parquet(curated_docs)
     report["n_kept"] = kept.count()
     report["kept_tokens"] = int(
         kept.agg(F.sum(F.size(tokens(F.col("text"))).cast("long"))).collect()[0][0] or 0
     )
 
-    packs = sequence_packing(spark, curated)
-    packs.write.mode("overwrite").option("compression", "zstd").parquet(
-        os.path.join(out_dir, "packs.parquet")
-    )
+    packs_path = os.path.join(out_dir, "packs.parquet")
+    if resume and _stage_done(packs_path):
+        resumed.append("packs")
+    else:
+        packs = sequence_packing(spark, curated)
+        packs.write.mode("overwrite").option("compression", "zstd").parquet(packs_path)
     report["ctx_len"] = CTX_LEN
-    report["n_packs"] = spark.read.parquet(os.path.join(out_dir, "packs.parquet")).count()
+    report["n_packs"] = spark.read.parquet(packs_path).count()
+    if resume:
+        report["resumed_stages"] = resumed
     print(json.dumps(report))
     return 0
 
@@ -203,12 +252,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("input", help=".jsonl[.gz] dump (file or dir) or a documents parquet dir")
     p.add_argument("out_dir")
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="reuse completed stage artifacts (_SUCCESS-marked) in out_dir"
+        " and recompute from the first incomplete stage; the printed"
+        " accounting line is identical to an uninterrupted run's",
+    )
 
     args = top.parse_args(argv)
     spark = get_spark("petasearch-cli")
 
     if args.cmd == "curate":
-        return _curate(spark, args.input, args.out_dir)
+        return _curate(spark, args.input, args.out_dir, resume=args.resume)
 
     from petasearch_spark.sources.m8 import write_m8
     from petasearch_spark.sources.targetlist import load_target

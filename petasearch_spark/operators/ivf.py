@@ -17,10 +17,13 @@ algorithm, so the (approximate) result sets match exactly.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from petasearch_spark.operators.similarity import (
+    ANN_FILTER_LABELS,
     _as_double,
     cosine,
     cosine_pair_udf,
@@ -769,7 +772,9 @@ ORDER BY s.vec_id
 # ---------------------------------------------------------------------------
 
 
-def write_ivf_index(emb: DataFrame, path: str, centroids: list) -> None:
+def write_ivf_index(
+    emb: DataFrame, path: str, centroids: list, extra_cols: tuple = ()
+) -> None:
     """Materialize an IVF index: vectors assigned to their nearest coarse
     centroid (broadcast Arrow kernel — no shuffle) and written
     PARTITIONED BY bucket, so a probe's nprobe bucket selection becomes
@@ -777,11 +782,15 @@ def write_ivf_index(emb: DataFrame, path: str, centroids: list) -> None:
     layout: a query physically reads nprobe/len(centroids) of the index).
 
     `centroids` = collected (cent_id, vector) rows — the trained coarse
-    quantizer (tiny by construction)."""
+    quantizer (tiny by construction). `extra_cols` carries filterable
+    payload attributes (e.g. `label`) INTO the index files, the
+    production filtered-ANN layout: a probe-time predicate on them is an
+    ordinary parquet PushedFilter inside the pruned bucket directories
+    instead of a join back to the source table."""
     from petasearch_spark.operators.similarity import nearest_centroid_udf
 
     nearest = nearest_centroid_udf(centroids)
-    emb.select("vec_id", "v", nearest("v").alias("bucket")).write.mode(
+    emb.select("vec_id", "v", *extra_cols, nearest("v").alias("bucket")).write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(path)
 
@@ -807,6 +816,7 @@ def merge_ivf_index_delta(spark: SparkSession, path: str, delta_emb: DataFrame, 
 
 def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame, centroids: list,
                     nprobe: int = NPROBE, topk: int = TOPK,
+                    scan_filter=None,
                     _persisted: list | None = None) -> DataFrame:
     """Top-k cosine search against a materialized IVF index. The nprobe
     bucket ids per query come from the broadcast quantizer; the scan
@@ -820,6 +830,13 @@ def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame, centroid
     from an EXTERNAL id space must not collide with corpus ids, or a
     legitimate neighbor is silently dropped — offset external query ids
     (e.g. negative) before probing (round-3 ADVICE).
+
+    `scan_filter`: optional Column predicate over the index's payload
+    columns (see write_ivf_index's `extra_cols`), applied directly to
+    the index SCAN so it composes with the bucket partition pruning as
+    a parquet PushedFilter — exact pre-filtering, never a recall-losing
+    post-filter (the same argument as similarity.ann_filtered_topk, at
+    the materialized-index layer).
 
     `_persisted`: optional list the internal probe-assignment persist()
     is appended to, so per-batch callers (the streaming probe) can
@@ -847,6 +864,8 @@ def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame, centroid
         _persisted.append(qprobe)
     probed = [r["bucket"] for r in qprobe.select("bucket").distinct().collect()]
     idx = spark.read.parquet(path).filter(F.col("bucket").isin(probed))
+    if scan_filter is not None:
+        idx = idx.filter(scan_filter)
     cand = qprobe.join(idx, "bucket").filter(F.col("vec_id") != F.col("query_id"))
     scored = cand.select(
         "query_id",
@@ -859,3 +878,93 @@ def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame, centroid
         .filter(F.col("rk") <= topk)
         .orderBy("query_id", "rk")
     )
+
+
+def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED search against the MATERIALIZED IVF index — the
+    production filtered-ANN shape at scale: the corpus lives as a
+    bucket-partitioned parquet index that also CARRIES the filterable
+    ``label`` attribute (write_ivf_index ``extra_cols``), and a probe
+    composes nprobe partition-directory pruning with an ordinary
+    parquet PushedFilter on the label INSIDE those directories. The
+    executor never opens a file outside the probed buckets, and within
+    them row groups failing the label predicate are skipped by parquet
+    statistics — exact pre-filtering with no recall loss and no join
+    back to the source table (combines similarity.ann_filtered_topk's
+    predicate-placement argument with probe_ivf_index; round-4 VERDICT
+    item 8). Quantizer, queries, ranking = ann_ivf_topk exactly.
+    """
+    import tempfile
+
+    from petasearch_spark.streaming.stateful import source_fingerprint, staged_cache
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    cent_rows = [
+        (r["vec_id"], r["v"])
+        for r in emb.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "v").collect()
+    ]
+    if not cent_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rk int"
+        )
+    # labeled-index cache: keyed on source content + quantizer size +
+    # the payload schema marker, same invalidation law as the streaming
+    # index (a changed N_CENTROIDS must rebuild — round-4 review finding)
+    fp = source_fingerprint(
+        os.path.join(sf_dir, "embeddings.parquet"), f"nc={N_CENTROIDS}", "payload=label"
+    )
+    idx_path = staged_cache(
+        os.path.join(tempfile.gettempdir(), f"ps_ivf_lbl_idx_{fp}"),
+        lambda tmp: write_ivf_index(emb, tmp, cent_rows, extra_cols=("label",)),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    persisted: list = []
+    out = probe_ivf_index(
+        spark,
+        idx_path,
+        q,
+        cent_rows,
+        scan_filter=F.col("label").isin(*ANN_FILTER_LABELS),
+        _persisted=persisted,
+    )
+    out = out.localCheckpoint(eager=True)
+    for p in persisted:
+        p.unpersist()
+    return out
+
+
+ANN_IVF_FILTERED_TOPK_SQL = f"""
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+, cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < {N_CENTROIDS})
+, assign AS (
+    SELECT vec_id, label, v, cent_id AS bucket FROM (
+        SELECT e.vec_id, e.label, e.v, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS.format(a="e.v", b="c.cv")} DESC, c.cent_id) AS rn
+        FROM emb e CROSS JOIN cent c
+    ) WHERE rn = 1
+)
+, q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES})
+, qprobe AS (
+    SELECT query_id, qv, cent_id AS bucket FROM (
+        SELECT q.query_id, q.qv, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_COS.format(a="q.qv", b="c.cv")} DESC, c.cent_id) AS rn
+        FROM q CROSS JOIN cent c
+    ) WHERE rn <= {NPROBE}
+)
+, cand AS (
+    SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+           {_COS.format(a="p.qv", b="a.v")} AS cos
+    FROM qprobe p JOIN assign a ON a.bucket = p.bucket AND a.vec_id <> p.query_id
+    WHERE a.label IN {ANN_FILTER_LABELS}
+)
+SELECT query_id, neighbor_id, cos, rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM cand)
+WHERE rk <= {TOPK}
+ORDER BY query_id, rk
+"""

@@ -125,6 +125,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # output (and oracle) = ann_ivf_topk
     "ann_ivf_stream_topk": (_ann_ivf_stream_topk, ivf.ANN_IVF_TOPK_SQL),
     "ann_ivf_topk": (ivf.ann_ivf_topk, ivf.ANN_IVF_TOPK_SQL),
+    "ann_ivf_filtered_topk": (ivf.ann_ivf_filtered_topk, ivf.ANN_IVF_FILTERED_TOPK_SQL),
     "ann_ivf_kmeans": (ivf.ann_ivf_kmeans, ivf.ANN_IVF_KMEANS_SQL),
     "ann_pq_topk": (ivf.ann_pq_topk, ivf.ANN_PQ_TOPK_SQL),
     # the FAISS-IVFADC composition: coarse buckets + PQ residual codes,
@@ -569,6 +570,13 @@ UNGATED: dict[str, str] = {
         " ann_cosine_topk — the new behavior (label predicate at the scan, not a"
         " recall-lossy post-filter) is plan-pinned in tests/test_plan_pushdown.py"
         " and oracle-checked at both SFs in tests/test_oracle_parity.py"
+    ),
+    "ann_ivf_filtered_topk": (
+        "round-5 addition; composes two gated/pinned pieces (ann_ivf_topk's"
+        " probe, ann_filtered_topk's predicate placement) against the"
+        " materialized labeled index — bucket partition pruning + label"
+        " PushedFilter plan-pinned in tests/test_plan_pushdown.py, oracle"
+        " parity at both SFs in tests/test_oracle_parity.py"
     ),
     "events_sax_motifs": (
         "late round-4 addition; the gate is at its 50-row cap and its building"

@@ -114,3 +114,49 @@ def test_curate_real_world_sources_never_null_kept(spark, tmp_path, capsys):
         "rate_permille"
     ).collect()
     assert all(50 <= r["rate_permille"] <= 500 for r in rates)
+
+
+def test_curate_resume_is_idempotent_and_skips_complete_stages(spark, tmp_path, capsys):
+    """--resume over a partially written store: _SUCCESS-complete stages
+    are reused (including the persisted ingest accounting — the raw dump
+    is never re-parsed), incomplete stages are recomputed, and the
+    printed accounting line equals the uninterrupted run's exactly."""
+    docs = load_table(spark, "documents", SF)
+    line = F.to_json(
+        F.struct(
+            F.concat(F.lit("doc-"), F.col("doc_id")).alias("id"),
+            "text",
+            "lang",
+            "source",
+        )
+    )
+    broken = F.when(F.col("doc_id") % MALFORMED_MOD == 7, F.substring(line, 1, 15)).otherwise(line)
+    dump = str(tmp_path / "dump.jsonl")
+    docs.select(broken.alias("value")).coalesce(2).write.mode("overwrite").text(dump)
+
+    out = str(tmp_path / "out")
+    assert main(["curate", dump, out]) == 0
+    full = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # simulate a crash after staging: funnel half-written (no marker),
+    # later stages absent
+    import shutil
+
+    os.remove(os.path.join(out, "funnel.parquet", "_SUCCESS"))
+    shutil.rmtree(os.path.join(out, "curated"))
+    shutil.rmtree(os.path.join(out, "packs.parquet"))
+    # poison the raw dump: a resume that reused staging must NOT re-parse it
+    with open(os.path.join(dump, os.listdir(dump)[0]), "a") as f:
+        f.write('{"id": "doc-poison", "text": "should never be read"}\n')
+
+    assert main(["curate", dump, out, "--resume"]) == 0
+    resumed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert resumed.pop("resumed_stages") == ["staging"]
+    assert resumed == full
+
+    # resume over the now-COMPLETE store: every stage is reused, counts
+    # are recomputed from artifacts and still identical
+    assert main(["curate", dump, out, "--resume"]) == 0
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again.pop("resumed_stages") == ["staging", "funnel", "curated", "packs"]
+    assert again == full

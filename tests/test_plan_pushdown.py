@@ -312,3 +312,61 @@ def test_quantile_sketch_plan_one_data_shuffle_and_pruned_scan(spark):
     body = plan.split("ReadSchema")[1]
     assert "event_type" in body and "value" in body
     assert "props" not in body and "user_id" not in body, body
+
+
+def test_ann_ivf_filtered_probe_prunes_buckets_and_pushes_label(spark):
+    """ann_ivf_filtered_topk's probe: the index scan must show BOTH the
+    nprobe bucket selection as PARTITION pruning (bucket is the
+    partitioning column of the materialized index) and the label
+    IN-predicate as a parquet PushedFilter inside those directories —
+    pre-filtering at the storage layer, never a post-filter. (The
+    registered query localCheckpoints its result, which hides the probe
+    plan, so this pins the probe DataFrame directly.)"""
+    import os
+    import tempfile
+
+    from petasearch_spark.operators.ivf import (
+        N_CENTROIDS,
+        N_QUERIES,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+    from pyspark.sql import functions as F
+
+    from petasearch_spark.operators.similarity import ANN_FILTER_LABELS, _as_double
+    from petasearch_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    cent = [
+        (r["vec_id"], r["v"])
+        for r in emb.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "v").collect()
+    ]
+    with tempfile.TemporaryDirectory(prefix="ivf_lbl_pin_") as tmp:
+        idx = os.path.join(tmp, "idx")
+        write_ivf_index(emb, idx, cent, extra_cols=("label",))
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        persisted = []
+        probe = probe_ivf_index(
+            spark, idx, q, cent,
+            scan_filter=F.col("label").isin(*ANN_FILTER_LABELS),
+            _persisted=persisted,
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        try:
+            idx_scans = [
+                ln for ln in plan.splitlines()
+                if "FileScan parquet" in ln or "PartitionFilters" in ln
+                or "PushedFilters" in ln or "Location" in ln
+            ]
+            joined = "\n".join(idx_scans)
+            assert "bucket" in joined and "PartitionFilters" in joined, plan
+            assert "In(label" in plan or "label IN" in plan, plan
+            # and it still returns real results
+            assert probe.count() > 0
+        finally:
+            for p in persisted:
+                p.unpersist()
