@@ -88,12 +88,18 @@ def _curate(spark, input_path: str, out_dir: str, resume: bool = False) -> int:
     artifact carries Spark's ``_SUCCESS`` commit marker is REUSED (its
     report counts recomputed from the artifact — deterministic, so the
     printed line is byte-identical to the uninterrupted run's), and the
-    first incomplete stage onward is recomputed. Ingest accounting
-    (quarantine/dropped counts, which would need a full re-parse) is
-    persisted next to the staging store as ``ingest.json`` at first
-    success, so a resume never re-reads the raw dump. A stage killed
-    mid-write has no marker and is recomputed — partial directories are
-    never trusted."""
+    first incomplete stage onward is recomputed — INCLUDING every
+    downstream stage regardless of its own marker, since a recomputed
+    upstream means the downstream artifact belongs to an older
+    generation (round-5 review finding: per-stage marker checks alone
+    would pair a fresh staging store with a stale funnel). Ingest
+    accounting (quarantine/dropped counts, which would need a full
+    re-parse) is persisted next to the staging store as ``ingest.json``
+    — invalidated BEFORE the staging rewrite and re-published atomically
+    (tmp + rename) after it, so a kill at any point leaves either both
+    artifacts of one generation or a missing/unreadable sidecar that
+    forces recomputation. A stage killed mid-write has no marker and is
+    recomputed — partial directories are never trusted."""
     import os
 
     from pyspark.sql import functions as F
@@ -117,14 +123,28 @@ def _curate(spark, input_path: str, out_dir: str, resume: bool = False) -> int:
     resumed: list[str] = []
 
     staging_docs = os.path.join(staging, "documents.parquet")
-    if resume and _stage_done(staging_docs) and os.path.exists(ingest_json):
-        with open(ingest_json) as f:
-            saved = json.load(f)
+    # once any stage recomputes, every later stage must too — its marker
+    # belongs to the previous generation
+    recompute_rest = not resume
+    saved = None
+    if not recompute_rest and _stage_done(staging_docs) and os.path.exists(ingest_json):
+        try:
+            with open(ingest_json) as f:
+                saved = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            saved = None  # truncated/unreadable sidecar: recompute, don't crash
+    if saved is not None:
         report["n_quarantined"] = saved["n_quarantined"]
         report["n_staged"] = saved["n_staged"]
         report["n_dropped_null_fields"] = saved["n_dropped_null_fields"]
         resumed.append("staging")
     else:
+        recompute_rest = True
+        # invalidate the sidecar FIRST: a kill after the staging rewrite
+        # but before the new sidecar must not leave old counts paired
+        # with new data
+        if os.path.exists(ingest_json):
+            os.remove(ingest_json)
         if input_path.rstrip("/").endswith(".parquet") or os.path.exists(
             os.path.join(input_path, "documents.parquet")
         ):
@@ -154,7 +174,8 @@ def _curate(spark, input_path: str, out_dir: str, resume: bool = False) -> int:
         # it so the line accounting stays exact (input = quarantined +
         # dropped_null_fields + staged)
         report["n_dropped_null_fields"] = n_parsed - report["n_staged"]
-        with open(ingest_json, "w") as f:
+        tmp_json = f"{ingest_json}.tmp{os.getpid()}"
+        with open(tmp_json, "w") as f:
             json.dump(
                 {
                     k: report[k]
@@ -162,11 +183,13 @@ def _curate(spark, input_path: str, out_dir: str, resume: bool = False) -> int:
                 },
                 f,
             )
+        os.replace(tmp_json, ingest_json)
 
     funnel_path = os.path.join(out_dir, "funnel.parquet")
-    if resume and _stage_done(funnel_path):
+    if not recompute_rest and _stage_done(funnel_path):
         resumed.append("funnel")
     else:
+        recompute_rest = True
         funnel = corpus_curation_funnel(spark, staging)
         funnel.write.mode("overwrite").option("compression", "zstd").parquet(funnel_path)
     fun = spark.read.parquet(funnel_path)
@@ -180,9 +203,10 @@ def _curate(spark, input_path: str, out_dir: str, resume: bool = False) -> int:
     report["funnel"] = {k: int(counts[k] or 0) for k in counts.asDict()}
 
     curated_docs = os.path.join(curated, "documents.parquet")
-    if resume and _stage_done(curated_docs):
+    if not recompute_rest and _stage_done(curated_docs):
         resumed.append("curated")
     else:
+        recompute_rest = True
         staged = spark.read.parquet(os.path.join(staging, "documents.parquet"))
         kept_docs = staged.join(fun.filter("kept").select("doc_id"), "doc_id")
         write_documents(kept_docs, curated_docs)
@@ -193,7 +217,7 @@ def _curate(spark, input_path: str, out_dir: str, resume: bool = False) -> int:
     )
 
     packs_path = os.path.join(out_dir, "packs.parquet")
-    if resume and _stage_done(packs_path):
+    if not recompute_rest and _stage_done(packs_path):
         resumed.append("packs")
     else:
         packs = sequence_packing(spark, curated)

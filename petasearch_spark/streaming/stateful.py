@@ -93,8 +93,17 @@ def _sweep_stale_siblings(root: str) -> None:
                     pass
                 except PermissionError:
                     continue  # alive under another user
-            elif os.stat(d).st_mtime > horizon:
-                continue
+            else:
+                if os.stat(d).st_mtime > horizon:
+                    continue
+                # re-stat IMMEDIATELY before deleting: a concurrent claim
+                # of this key refreshes its mtime first thing (staged_cache
+                # touches before sweeping), so the recheck narrows the
+                # stat->rmtree race to microseconds. Residual contract: a
+                # process must not sit on a claimed path UNUSED for longer
+                # than the TTL — re-claim instead (round-5 review finding).
+                if os.stat(d).st_mtime > horizon:
+                    continue
             shutil.rmtree(d, ignore_errors=True)
         except OSError:
             continue  # raced with another sweeper — fine
@@ -112,17 +121,19 @@ def staged_cache(root: str, build) -> str:
     sibling keys (:func:`_sweep_stale_siblings`)."""
     import shutil
 
-    _sweep_stale_siblings(root)
     if os.path.isdir(root):
-        # refresh mtime so the TTL measures time since last USE — two
-        # live keys can share a prefix (e.g. two SF dirs), and a
-        # regularly re-claimed cache must never age into another key's
-        # sweep horizon
+        # refresh mtime FIRST (before our own sweep, and so before any
+        # concurrent sweeper's pre-delete recheck can miss it): the TTL
+        # measures time since last USE — two live keys can share a
+        # prefix (e.g. two SF dirs), and a regularly re-claimed cache
+        # must never age into another key's sweep horizon
         try:
             os.utime(root)
         except OSError:
             pass
+        _sweep_stale_siblings(root)
         return root
+    _sweep_stale_siblings(root)
     tmp = f"{root}.build{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
@@ -375,17 +386,28 @@ def quantile_bucket_counts(pdf: pd.DataFrame) -> pd.DataFrame:
     rounding/bucketing parity with the batch engine is unit-testable.
 
     Must mirror the engine/SQL exactly: HALF_UP-away-from-zero cents
-    (``sign * floor(|v|*100 + 0.5)`` — a bare ``floor(v*100+0.5)`` would
-    round negative halves toward +inf, diverging from the batch engine's
-    ROUND; round-4 ADVICE), then sign + digit count + leading digits of
-    the ABSOLUTE cents (so '-' never counts as a digit)."""
+    of the double product ``v*100``, computed as ``trunc + exact
+    fractional comparison against 0.5``. Both subtleties matter:
+    ``floor(v*100+0.5)`` rounds negative halves toward +inf (round-4
+    ADVICE), and the literal ``+ 0.5`` float ADDITION is inexact — for
+    a product like 0.49999999999999994 it lands on exactly 1.0 and
+    rounds UP where Spark's decimal HALF_UP and DuckDB's binary
+    half-away-from-zero both round DOWN (round-5 review finding).
+    ``prod - trunc(prod)`` is exact in IEEE754 (Sterbenz for |prod|>=1,
+    trivially for |prod|<1) and n.5 boundaries are exactly
+    representable, so the >= 0.5 comparison is the true comparison —
+    which is also why Spark's shortest-decimal-repr HALF_UP and
+    DuckDB's binary rounding agree with it. Then sign + digit count +
+    leading digits of the ABSOLUTE cents (so '-' never counts as a
+    digit)."""
     import numpy as np
 
     from petasearch_spark.operators.events import SKETCH_LEAD_DIGITS
 
-    raw_v = pdf["value"].to_numpy("float64")
-    a = np.floor(np.abs(raw_v) * 100 + 0.5).astype("int64")
-    sgn = np.where(a == 0, 1, np.sign(raw_v)).astype("int64")
+    prod = np.abs(pdf["value"].to_numpy("float64")) * 100.0
+    t = np.trunc(prod)
+    a = (t + (prod - t >= 0.5)).astype("int64")
+    sgn = np.where(a == 0, 1, np.sign(pdf["value"].to_numpy("float64"))).astype("int64")
     s = pd.Series(a).astype(str)
     d = s.str.len().to_numpy().astype("int64")
     lead = np.where(d <= SKETCH_LEAD_DIGITS, a, s.str[:SKETCH_LEAD_DIGITS].astype("int64"))

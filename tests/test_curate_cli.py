@@ -145,8 +145,11 @@ def test_curate_resume_is_idempotent_and_skips_complete_stages(spark, tmp_path, 
     os.remove(os.path.join(out, "funnel.parquet", "_SUCCESS"))
     shutil.rmtree(os.path.join(out, "curated"))
     shutil.rmtree(os.path.join(out, "packs.parquet"))
-    # poison the raw dump: a resume that reused staging must NOT re-parse it
-    with open(os.path.join(dump, os.listdir(dump)[0]), "a") as f:
+    # poison the raw dump: a resume that reused staging must NOT re-parse
+    # it (append to a DATA part file — _SUCCESS/.crc siblings are ignored
+    # by the text reader, so poisoning them would verify nothing)
+    part = sorted(f for f in os.listdir(dump) if f.startswith("part-"))[0]
+    with open(os.path.join(dump, part), "a") as f:
         f.write('{"id": "doc-poison", "text": "should never be read"}\n')
 
     assert main(["curate", dump, out, "--resume"]) == 0
@@ -160,3 +163,52 @@ def test_curate_resume_is_idempotent_and_skips_complete_stages(spark, tmp_path, 
     again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert again.pop("resumed_stages") == ["staging", "funnel", "curated", "packs"]
     assert again == full
+
+
+def test_curate_resume_recomputes_downstream_of_a_recomputed_stage(spark, tmp_path, capsys):
+    """Round-5 review finding: stage markers are per-generation — when an
+    upstream stage recomputes (here: staging, after the dump grew and a
+    rerun died mid-staging), every downstream stage must recompute too,
+    even though its own _SUCCESS survives from the old generation.
+    Without the cascade the report pairs the new n_staged with the old
+    funnel/kept/packs counts."""
+    import shutil
+
+    docs = load_table(spark, "documents", SF).limit(200)
+    line = F.to_json(
+        F.struct(
+            F.concat(F.lit("doc-"), F.col("doc_id")).alias("id"),
+            "text",
+            "lang",
+            "source",
+        )
+    )
+    dump = str(tmp_path / "dump.jsonl")
+    docs.filter(F.col("doc_id") < 100).select(line.alias("value")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(dump)
+    out = str(tmp_path / "out")
+    assert main(["curate", dump, out]) == 0
+    capsys.readouterr()
+
+    # the dump GROWS, and a rerun dies mid-staging (marker + sidecar gone)
+    docs.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(dump)
+    os.remove(os.path.join(out, "staging", "documents.parquet", "_SUCCESS"))
+    os.remove(os.path.join(out, "staging", "ingest.json"))
+
+    assert main(["curate", dump, out, "--resume"]) == 0
+    resumed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # nothing reusable: staging had no marker, and everything downstream
+    # belonged to the 100-doc generation
+    assert resumed["resumed_stages"] == []
+    assert resumed["n_staged"] == 200
+    assert resumed["funnel"]["n_docs"] == 200
+
+    # the resumed store equals a from-scratch run over the same dump
+    scratch = str(tmp_path / "scratch")
+    assert main(["curate", dump, scratch]) == 0
+    fresh = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    resumed.pop("resumed_stages")
+    resumed["out_dir"] = fresh["out_dir"]
+    assert resumed == fresh
+    shutil.rmtree(scratch)

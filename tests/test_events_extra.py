@@ -297,6 +297,11 @@ def test_stream_precount_buckets_match_batch_engine_on_negatives(spark):
     rng = random.Random(7)
     vals = [round(rng.uniform(-500, 500), rng.choice([2, 3])) for _ in range(400)]
     vals += [-0.004, -0.005, -2.005, -98.755, 0.0, 0.005]
+    # round-5 review finding: v*100 == 0.49999999999999994, and the float
+    # ADDITION +0.5 lands on exactly 1.0 — a floor(prod+0.5) kernel would
+    # bucket cents 1 where the batch engine's HALF_UP gives 0; the exact
+    # trunc/frac comparison must agree with the engine on both signs
+    vals += [0.004999999999999999, -0.004999999999999999]
     pdf = pd.DataFrame({"event_type": "x", "value": vals})
     stream_hist = {
         (int(r["s"]), int(r["d"]), int(r["l"])): int(r["w"])
