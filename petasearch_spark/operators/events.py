@@ -381,8 +381,18 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("r2")).alias("n2"),
     ).collect()[0]
     ns = [counts["n0"], counts["n1"], counts["n2"]]
+
+    def _rate(a: int, b: int) -> float:
+        # half-AWAY-from-zero at 6 decimals via exact trunc/frac on the
+        # same double ops as DuckDB's ROUND(a/b, 6) — Python's builtin
+        # round is HALF_EVEN and diverges on exact 7th-decimal halves
+        # (e.g. a ratio of k/128; round-5 audit)
+        y = (a / b) * 1e6
+        t = float(int(y))
+        return (t + (y - t >= 0.5)) / 1e6
+
     rows = [
-        (i, FUNNEL_STEPS[i], ns[i], round(ns[i] / ns[i - 1], 6) if i > 0 and ns[i - 1] else None)
+        (i, FUNNEL_STEPS[i], ns[i], _rate(ns[i], ns[i - 1]) if i > 0 and ns[i - 1] else None)
         for i in range(3)
     ]
     return spark.createDataFrame(

@@ -9,9 +9,10 @@ round-trips. Over the full file set the result must equal the batch
 answer, which is what the DuckDB oracle checks.
 
 Determinism: per-user money totals are accumulated as integer cents
-(floor(value*100 + 0.5) — values are positive 2-decimal amounts), so the
-running state is exact and the final doubles are bit-identical to the
-oracle's integer arithmetic regardless of row order across batches.
+(floor(value*100 + 0.5), the identical float ops on both engines — exact
+for all signs, not just the fixture's positive 2-decimal amounts), so
+the running state is exact and the final doubles are bit-identical to
+the oracle's integer arithmetic regardless of row order across batches.
 """
 
 from __future__ import annotations
@@ -224,11 +225,18 @@ def events_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
             v = pdf["value"].to_numpy()
-            cents += int((v * 100 + 0.5).astype("int64").sum())
+            # np.floor, NOT astype-truncation: the SQL twin's floor()
+            # rounds toward -inf, truncation toward zero — identical on
+            # the fixture's positive amounts but divergent on any
+            # negative (refund) value; floor of the SAME float ops is
+            # cross-engine exact for all signs (round-5 audit)
+            cents += int(np.floor(v * 100 + 0.5).sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}

@@ -373,3 +373,35 @@ def test_sax_motifs_constructed_series_and_gap_rule(spark):
     finally:
         E.load_table = orig
     assert out == [("cccc", 2, 2), ("aaad", 1, 1)]
+
+
+def test_conversion_funnel_rate_rounds_half_away_like_oracle(spark):
+    """Round-5 audit: the driver-side conversion rate must round half
+    AWAY from zero like DuckDB's ROUND — Python's builtin round is
+    HALF_EVEN and on an exact 7th-decimal half (128 step-0 users, 1
+    converting: 1/128 = 0.0078125) emits 0.007812 where the oracle says
+    0.007813."""
+    import datetime
+
+    from petasearch_spark.operators.events import FUNNEL_STEPS
+
+    rows = []
+    eid = 0
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    for u in range(128):
+        rows.append((eid, t0, u, FUNNEL_STEPS[0], 0.0, "{}"))
+        eid += 1
+    rows.append((eid, t0 + datetime.timedelta(hours=1), 0, FUNNEL_STEPS[1], 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import petasearch_spark.operators.events as E
+
+    orig = E.load_table
+    try:
+        E.load_table = lambda _s, _n, _d, **_k: df
+        out = {r["step"]: r for r in E.events_conversion_funnel(spark, SF).collect()}
+    finally:
+        E.load_table = orig
+    assert out[0]["n_users"] == 128 and out[1]["n_users"] == 1
+    assert out[1]["conv_rate"] == 0.007813  # half-away, NOT half-even 0.007812

@@ -201,3 +201,21 @@ def test_stream_quantiles_equals_batch_sketch(spark):
     assert all(r["n0"] < r["n1"] for r in rows.values()), "running n_events must grow"
     # bucket-grammar bound: cents < 10^5 at this SF -> 1000 exact + 2*900
     assert all(r["mb"] <= 1000 + 2 * 900 for r in rows.values())
+
+
+def test_user_totals_cents_kernel_matches_sql_floor_on_negatives():
+    """Round-5 audit: the stream's cents accumulation uses np.floor of
+    the same float ops as the SQL twin's floor(value*100 + 0.5) — NOT
+    astype-truncation, which truncates toward zero and diverges on any
+    negative (refund) amount. Pure-arithmetic pin, no stream needed."""
+    import duckdb
+    import numpy as np
+
+    vals = [-3.335, -0.005, -0.004, -12.5, 0.0, 0.005, 7.775, 123.45]
+    got = int(np.floor(np.array(vals) * 100 + 0.5).sum())
+    want = duckdb.connect().execute(
+        "SELECT CAST(SUM(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "FROM (SELECT unnest(?::DOUBLE[]) AS v)",
+        [vals],
+    ).fetchone()[0]
+    assert got == int(want)
