@@ -76,3 +76,78 @@ def test_bench_key_map_committed_and_stable():
         "scripts/gen_bench_keys.py (append-only: existing keys must not move)"
     )
     assert len(set(bench.BENCH_KEYS.values())) == len(bench.BENCH_QUERIES)
+
+
+def test_bench_survives_a_failing_entry(monkeypatch, capsys):
+    """One broken query must not cost the round's whole per-query record:
+    the loop records the failure under "failed" and keeps timing the
+    rest, and the final line still fits the driver buffer."""
+    calls = []
+
+    class _FakeWriter:
+        def format(self, *_a):
+            return self
+
+        def mode(self, *_a):
+            return self
+
+        def save(self):
+            return None
+
+    class _FakeDF:
+        write = _FakeWriter()
+
+    class _FakeCatalog:
+        def clearCache(self):
+            return None
+
+    class _FakeRange:
+        def selectExpr(self, *_a):
+            return self
+
+        def collect(self):
+            return [(0, 0)]
+
+        def mapInPandas(self, *_a, **_k):
+            return self
+
+        def count(self):
+            return 0
+
+    class _FakeRead:
+        def parquet(self, *_a):
+            return _FakeRange()
+
+    class _FakeSpark:
+        catalog = _FakeCatalog()
+        read = _FakeRead()
+
+        def range(self, *_a):
+            return _FakeRange()
+
+        def stop(self):
+            return None
+
+    def fake_fn_ok(_s, _d):
+        calls.append("ok")
+        return _FakeDF()
+
+    def fake_fn_boom(_s, _d):
+        raise RuntimeError("synthetic failure")
+
+    fakes = {}
+    for i, name in enumerate(bench.BENCH_QUERIES):
+        fakes[name] = (fake_fn_boom if i == 1 else fake_fn_ok, None)
+    monkeypatch.setattr(bench, "REGISTRY", fakes)
+    monkeypatch.setattr(bench, "BENCH_ONLY", {})
+    monkeypatch.setattr(bench, "get_spark", lambda *_a, **_k: _FakeSpark())
+    bench.main()
+    out = capsys.readouterr()
+    line = out.out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    bad_key = bench.BENCH_KEYS[bench.BENCH_QUERIES[1]]
+    assert rec["failed"] == [bad_key]
+    assert bad_key not in rec["queries"]
+    assert len(rec["queries"]) == len(bench.BENCH_QUERIES) - 1
+    assert len(line) <= 1990
+    assert "synthetic failure" in out.err
