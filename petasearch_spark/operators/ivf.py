@@ -968,3 +968,62 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neig
 WHERE rk <= {TOPK}
 ORDER BY query_id, rk
 """
+
+
+def recluster_ivf_index(
+    spark: SparkSession, path: str, iters: int = KMEANS_ITERS
+) -> list:
+    """Periodic IVF re-clustering — the maintenance job the append-only
+    merge defers (merge_ivf_index_delta freezes the coarse quantizer à la
+    FAISS add(); after enough drift the buckets skew and nprobe recall
+    decays, so production stores re-train and rewrite on a schedule).
+    Completes the index lifecycle: write -> merge delta -> probe (batch /
+    stream / filtered) -> RECLUSTER.
+
+    Seeding needs no external quantizer: the CURRENT buckets are the
+    clusters, so round 0's centroids are the per-bucket decimal-exact
+    means (_recenter over the stored assignment), followed by ``iters``
+    Lloyd iterations (cosine assign via the Arrow kernel -> decimal-exact
+    recenter, the same plan shape as the registered ann_ivf_kmeans — one
+    broadcast join + one aggregation per round; cells that lose all
+    members are dropped, as FAISS does). The index is then REWRITTEN
+    partitioned by the refined buckets: built in a pid-unique sibling and
+    swapped in with two renames (a real deployment would commit through a
+    table format; the brief swap window is the /tmp-index trade-off, same
+    as the bucketed-table rebuilds). Payload columns (e.g. ``label``
+    from write_ivf_index's extra_cols) ride through the rewrite, so
+    filtered probes keep working. Returns the refined (cent_id, vector)
+    rows — the new quantizer every subsequent probe/merge must use; the
+    collect is bounded by the centroid count.
+    """
+    import shutil
+
+    stored = spark.read.parquet(path)
+    payload = tuple(c for c in stored.columns if c not in ("vec_id", "v", "bucket"))
+    vecs = stored.select("vec_id", "v", *payload)
+    kept: list = []
+    cent = _recenter(stored.select("vec_id", "v", F.col("bucket").alias("cent_id")))
+    try:
+        cent = cent.persist()
+        kept.append(cent)
+        for _ in range(iters):
+            cent = _recenter(_assign(vecs.select("vec_id", "v"), cent)).persist()
+            kept.append(cent)
+        # sorted: the returned quantizer's ORDER is part of its identity
+        # (assignment tie-breaks by centroid id), and collect order is
+        # arbitrary
+        cent_rows = sorted(
+            (int(r["cent_id"]), list(map(float, r["cv"]))) for r in cent.collect()
+        )
+        tmp = f"{path}.recluster{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_ivf_index(vecs, tmp, cent_rows, extra_cols=payload)
+    finally:
+        for c in kept:
+            c.unpersist()
+    old = f"{path}.old{os.getpid()}"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return cent_rows

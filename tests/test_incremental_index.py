@@ -306,3 +306,97 @@ def test_merge_postings_delta_rejects_overlapping_doc_ids(spark):
     disjoint = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
     merge_postings_delta(spark, prefix, disjoint)
     assert spark.table(f"{prefix}_doclens").count() == n_before + disjoint.count()
+
+
+class TestIvfRecluster:
+    """recluster_ivf_index: the lifecycle maintenance job — self-seeded
+    Lloyd refinement, partitioned rewrite with payload survival, probe
+    continuity under the returned quantizer."""
+
+    def _labeled_index(self, spark, tmp_path):
+        import os
+
+        from petasearch_spark.operators.ivf import N_CENTROIDS, write_ivf_index
+        from petasearch_spark.operators.similarity import _as_double
+
+        emb = load_table(spark, "embeddings", SF_DIR).select(
+            "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+        )
+        cent = [
+            (r["vec_id"], r["v"])
+            for r in emb.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "v").collect()
+        ]
+        path = os.path.join(str(tmp_path), "idx")
+        write_ivf_index(emb, path, cent, extra_cols=("label",))
+        return emb, cent, path
+
+    def test_recluster_probe_equivalence_payload_and_pruning(self, spark, tmp_path):
+        import glob
+        import os
+
+        from petasearch_spark.operators.ivf import (
+            N_QUERIES,
+            probe_ivf_index,
+            recluster_ivf_index,
+            write_ivf_index,
+        )
+        from petasearch_spark.operators.similarity import ANN_FILTER_LABELS
+
+        emb, cent0, path = self._labeled_index(spark, tmp_path)
+        new_cent = recluster_ivf_index(spark, path, iters=2)
+        # refined quantizer: bounded by the old centroid count, non-trivial
+        assert 1 < len(new_cent) <= len(cent0)
+        assert [c for c, _ in new_cent] == sorted(c for c, _ in new_cent)
+
+        # layout: still partitioned by bucket dirs, only refined ids, no
+        # swap debris left behind
+        buckets = {
+            int(os.path.basename(d).split("=")[1])
+            for d in glob.glob(os.path.join(path, "bucket=*"))
+        }
+        assert buckets == {c for c, _ in new_cent}
+        assert glob.glob(f"{path}.recluster*") == [] and glob.glob(f"{path}.old*") == []
+
+        # payload survived: label is queryable and the filtered probe works
+        assert "label" in spark.read.parquet(path).columns
+
+        # probe continuity: results against the reclustered index equal a
+        # FRESH index written from the source vectors with the SAME
+        # refined quantizer (rewrite adds/loses nothing)
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        fresh = os.path.join(str(tmp_path), "fresh")
+        write_ivf_index(emb, fresh, new_cent, extra_cols=("label",))
+        for flt in (None, F.col("label").isin(*ANN_FILTER_LABELS)):
+            got = [
+                tuple(r)
+                for r in probe_ivf_index(spark, path, q, new_cent, scan_filter=flt).collect()
+            ]
+            want = [
+                tuple(r)
+                for r in probe_ivf_index(spark, fresh, q, new_cent, scan_filter=flt).collect()
+            ]
+            assert got == want and len(got) > 0
+
+    def test_recluster_then_merge_delta_uses_new_quantizer(self, spark, tmp_path):
+        from petasearch_spark.operators.ivf import (
+            merge_ivf_index_delta,
+            recluster_ivf_index,
+        )
+
+        emb, _cent0, path = self._labeled_index(spark, tmp_path)
+        new_cent = recluster_ivf_index(spark, path, iters=1)
+        n_before = spark.read.parquet(path).count()
+        # append a shifted-id delta under the refined quantizer (payload
+        # column included so the delta schema matches the labeled index)
+        delta = emb.limit(20).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "v", "label"
+        )
+        from petasearch_spark.operators.similarity import nearest_centroid_udf
+
+        nearest = nearest_centroid_udf(new_cent)
+        delta.select("vec_id", "v", "label", nearest("v").alias("bucket")).write.mode(
+            "append"
+        ).partitionBy("bucket").parquet(path)
+        assert spark.read.parquet(path).count() == n_before + 20
