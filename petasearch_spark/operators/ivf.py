@@ -799,17 +799,34 @@ def merge_ivf_index_delta(spark: SparkSession, path: str, delta_emb: DataFrame, 
     """Fold newly-arrived vectors into an existing IVF index with ZERO
     base work: assignment uses the SAME frozen coarse quantizer (FAISS
     `add()` semantics — adding never retrains; periodic re-clustering is
-    a separate batch job), and because vector ingest is append-only
+    recluster_ivf_index), and because vector ingest is append-only
     (ids are unique, there is no collision rule to resolve), the merge
     is a partitioned APPEND — new files land inside the affected bucket
     directories and the base index's files are never read, moved or
     rewritten. Cost is proportional to the DELTA alone; contrast
     merge_kmer_index_delta, whose representative rule forces a
-    bucket-local full-outer join."""
+    bucket-local full-outer join.
+
+    Payload columns (write_ivf_index's ``extra_cols``, e.g. ``label``)
+    are discovered from the BASE index's schema (one footer read) and
+    must all be present on the delta — appending a delta without the
+    base's label column would land NULL-labeled rows that every
+    filtered probe silently excludes, recall loss with no error
+    (round-5 review finding); fail loudly instead."""
     from petasearch_spark.operators.similarity import nearest_centroid_udf
 
+    payload = tuple(
+        c for c in spark.read.parquet(path).columns if c not in ("vec_id", "v", "bucket")
+    )
+    missing = [c for c in payload if c not in delta_emb.columns]
+    if missing:
+        raise ValueError(
+            f"merge_ivf_index_delta: delta is missing the base index's payload "
+            f"column(s) {missing}; appended rows would be NULL there and "
+            f"silently excluded by filtered probes"
+        )
     nearest = nearest_centroid_udf(centroids)
-    delta_emb.select("vec_id", "v", nearest("v").alias("bucket")).write.mode(
+    delta_emb.select("vec_id", "v", *payload, nearest("v").alias("bucket")).write.mode(
         "append"
     ).partitionBy("bucket").parquet(path)
 
@@ -998,11 +1015,13 @@ def recluster_ivf_index(
     """
     import shutil
 
+    _recover_recluster_swap(path)
     stored = spark.read.parquet(path)
     payload = tuple(c for c in stored.columns if c not in ("vec_id", "v", "bucket"))
     vecs = stored.select("vec_id", "v", *payload)
     kept: list = []
     cent = _recenter(stored.select("vec_id", "v", F.col("bucket").alias("cent_id")))
+    tmp = f"{path}.recluster{os.getpid()}"
     try:
         cent = cent.persist()
         kept.append(cent)
@@ -1015,9 +1034,14 @@ def recluster_ivf_index(
         cent_rows = sorted(
             (int(r["cent_id"]), list(map(float, r["cv"]))) for r in cent.collect()
         )
-        tmp = f"{path}.recluster{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         write_ivf_index(vecs, tmp, cent_rows, extra_cols=payload)
+    except BaseException:
+        # a failed rewrite must not strand its pid-unique build dir — a
+        # fresh process would never reuse this pid, so nobody else could
+        # ever clean it (round-5 review finding)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     finally:
         for c in kept:
             c.unpersist()
@@ -1027,3 +1051,34 @@ def recluster_ivf_index(
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return cent_rows
+
+
+def _recover_recluster_swap(path: str) -> None:
+    """Crash recovery for recluster_ivf_index's two-rename swap: a kill
+    between the renames leaves the live index only at ``{path}.old<pid>``;
+    a kill mid-rewrite leaves ``{path}.recluster<pid>`` debris. On entry,
+    restore the newest dead-pid ``.old`` when ``path`` is missing, and
+    reap dead-pid debris of both kinds (the staging-cache dead-pid sweep
+    pattern — round-5 review finding)."""
+    import glob
+    import shutil
+
+    def _dead(pid_str: str) -> bool:
+        if not pid_str.isdigit() or int(pid_str) == os.getpid():
+            return False
+        try:
+            os.kill(int(pid_str), 0)
+            return False
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            return False
+
+    olds = [d for d in glob.glob(f"{path}.old*") if _dead(d.rsplit(".old", 1)[-1])]
+    if not os.path.exists(path) and olds:
+        os.rename(max(olds, key=os.path.getmtime), path)
+        olds = [d for d in olds if os.path.exists(d)]
+    for d in olds + [
+        d for d in glob.glob(f"{path}.recluster*") if _dead(d.rsplit(".recluster", 1)[-1])
+    ]:
+        shutil.rmtree(d, ignore_errors=True)

@@ -380,6 +380,8 @@ class TestIvfRecluster:
             assert got == want and len(got) > 0
 
     def test_recluster_then_merge_delta_uses_new_quantizer(self, spark, tmp_path):
+        import pytest
+
         from petasearch_spark.operators.ivf import (
             merge_ivf_index_delta,
             recluster_ivf_index,
@@ -388,15 +390,61 @@ class TestIvfRecluster:
         emb, _cent0, path = self._labeled_index(spark, tmp_path)
         new_cent = recluster_ivf_index(spark, path, iters=1)
         n_before = spark.read.parquet(path).count()
-        # append a shifted-id delta under the refined quantizer (payload
-        # column included so the delta schema matches the labeled index)
+        # the REAL merge carries the base's payload schema through: a
+        # delta missing `label` must fail loudly (NULL-labeled rows would
+        # be silently excluded by filtered probes — round-5 review
+        # finding), and a complete delta appends labeled rows
         delta = emb.limit(20).select(
             (F.col("vec_id") + 1_000_000).alias("vec_id"), "v", "label"
         )
-        from petasearch_spark.operators.similarity import nearest_centroid_udf
+        with pytest.raises(ValueError, match="payload"):
+            merge_ivf_index_delta(spark, path, delta.drop("label"), new_cent)
+        merge_ivf_index_delta(spark, path, delta, new_cent)
+        merged = spark.read.parquet(path)
+        assert merged.count() == n_before + 20
+        assert merged.filter(
+            (F.col("vec_id") >= 1_000_000) & F.col("label").isNull()
+        ).count() == 0
 
-        nearest = nearest_centroid_udf(new_cent)
-        delta.select("vec_id", "v", "label", nearest("v").alias("bucket")).write.mode(
-            "append"
-        ).partitionBy("bucket").parquet(path)
-        assert spark.read.parquet(path).count() == n_before + 20
+    def test_recluster_failed_rewrite_leaves_no_debris_and_index_intact(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import glob
+
+        import pytest
+
+        from petasearch_spark.operators import ivf
+
+        _emb, _cent0, path = self._labeled_index(spark, tmp_path)
+        n = spark.read.parquet(path).count()
+
+        def boom(*_a, **_k):
+            raise RuntimeError("synthetic rewrite failure")
+
+        monkeypatch.setattr(ivf, "write_ivf_index", boom)
+        with pytest.raises(RuntimeError, match="synthetic"):
+            ivf.recluster_ivf_index(spark, path, iters=1)
+        # no pid-unique build debris survives, and the live index is
+        # untouched (swap never started)
+        assert glob.glob(f"{path}.recluster*") == []
+        assert spark.read.parquet(path).count() == n
+
+    def test_recluster_recovers_interrupted_swap(self, spark, tmp_path):
+        import glob
+        import os
+        import shutil
+
+        from petasearch_spark.operators.ivf import _recover_recluster_swap
+
+        _emb, _cent0, path = self._labeled_index(spark, tmp_path)
+        n = spark.read.parquet(path).count()
+        # simulate a kill between the two renames by a DEAD pid: the live
+        # index sits only at .old<pid>, plus stale .recluster debris
+        dead = 999_999_999
+        os.rename(path, f"{path}.old{dead}")
+        os.makedirs(f"{path}.recluster{dead}")
+        _recover_recluster_swap(path)
+        assert spark.read.parquet(path).count() == n
+        assert glob.glob(f"{path}.old*") == []
+        assert glob.glob(f"{path}.recluster*") == []
+        shutil.rmtree(path, ignore_errors=True)
