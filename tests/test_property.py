@@ -133,3 +133,61 @@ def test_profile_consensus_roundtrip_kernel(s):
     for i, c in enumerate(s):
         m[i, idx[c]] = 2.0
     assert "".join(letters[np.argmax(m, axis=1)]) == s
+
+
+def test_quantile_bucket_kernel_matches_duckdb_on_adversarial_floats():
+    """Hypothesis fuzz of the streaming quantile precount's sign-aware
+    decimal bucketing against DuckDB's ROUND-based bucketing — the layer
+    where round-4/5 found two real divergences (sign counted as a digit;
+    inexact float +0.5). Mixed signs, magnitudes across every digit
+    regime, and near-half boundary constructions."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from petasearch_spark.operators.events import SKETCH_LEAD_DIGITS
+    from petasearch_spark.streaming.stateful import quantile_bucket_counts
+
+    con = duckdb.connect()
+
+    def duck_hist(vals):
+        rows = con.execute(
+            f"""
+            WITH cents AS (
+                SELECT CAST(ROUND(v * 100, 0) AS BIGINT) AS c
+                FROM (SELECT unnest(?::DOUBLE[]) AS v)
+            )
+            SELECT CASE WHEN c < 0 THEN -1 ELSE 1 END AS s,
+                   LENGTH(CAST(ABS(c) AS VARCHAR)) AS d,
+                   CASE WHEN LENGTH(CAST(ABS(c) AS VARCHAR)) <= {SKETCH_LEAD_DIGITS}
+                        THEN ABS(c)
+                        ELSE CAST(SUBSTR(CAST(ABS(c) AS VARCHAR), 1, {SKETCH_LEAD_DIGITS}) AS BIGINT)
+                   END AS l,
+                   COUNT(*) AS w
+            FROM cents GROUP BY 1, 2, 3
+            """,
+            [vals],
+        ).fetchall()
+        return {(r[0], r[1], r[2]): r[3] for r in rows}
+
+    finite = st.floats(
+        min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
+    )
+    near_half = st.integers(min_value=-10**6, max_value=10**6).map(
+        lambda n: (n + 0.5) / 100.0
+    )
+    ulp_prev = near_half.map(lambda x: float(__import__("numpy").nextafter(x, -1e18)))
+    ulp_next = near_half.map(lambda x: float(__import__("numpy").nextafter(x, 1e18)))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.one_of(finite, near_half, ulp_prev, ulp_next), min_size=1, max_size=40))
+    def check(vals):
+        pdf = pd.DataFrame({"event_type": "x", "value": vals})
+        got = {
+            (int(r["s"]), int(r["d"]), int(r["l"])): int(r["w"])
+            for _, r in quantile_bucket_counts(pdf).iterrows()
+        }
+        assert got == duck_hist(vals)
+
+    check()
