@@ -685,6 +685,41 @@ def encode_corpus(spark: SparkSession, docs: DataFrame, n_merges: int) -> DataFr
     """The encode core over any docs(doc_id, text) frame (separated for
     constructed-corpus tests) — see :func:`bpe_encode_corpus`."""
     rules, vocab = _train_bpe_core(spark, docs, n_merges, keep_vocab=True)
+    return _encode_with_vocab(spark, docs, vocab)
+
+
+def encode_corpus_with_rules(
+    spark: SparkSession, docs: DataFrame, rules: list[tuple[str, str]]
+) -> DataFrame:
+    """Tokenize ``docs`` with EXTERNALLY trained merge rules — the
+    production decoupling (train once on a reference corpus, apply to
+    every new dump; same output contract as :func:`encode_corpus`).
+    The docs' own distinct-word vocabulary is built (the one
+    corpus-wide shuffle), each rule is folded over it IN ORDER — the
+    greedy non-overlapping fold, exactly as during training — and the
+    shared id/join/assembly core runs from there. Words containing
+    characters outside the trained alphabet still tokenize (their
+    untouched single chars just mint ids of their own, the standard
+    byte-fallback analogue). Token ids are lexicographic ranks over the
+    tokens PRESENT after folding, so two corpora encoded under the same
+    rules agree on ids exactly when they surface the same token set —
+    ship the id table alongside the rules when cross-corpus id
+    stability matters. Each rule adds one expression layer to the fold,
+    so this form suits the engine's demonstration-depth rule counts;
+    a 32k-merge production tokenizer would move the fold into one
+    Arrow-batched kernel over the same vocabulary table (identical plan
+    shape, constant expression depth)."""
+    vocab = _initial_vocab(docs)
+    for lhs, rhs in rules:
+        vocab = vocab.withColumn("toks", _apply_merge(F.col("toks"), lhs, rhs))
+    vocab = vocab.persist()
+    return _encode_with_vocab(spark, docs, vocab)
+
+
+def _encode_with_vocab(spark: SparkSession, docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Shared encode tail: id assignment over the folded (w, toks)
+    vocabulary (which must arrive PERSISTED; released here), the
+    occurrence-stream join, and the position-ordered reassembly."""
     out_schema = (
         "doc_id long, n_words bigint, n_tokens bigint, fertility double,"
         " token_ids string"

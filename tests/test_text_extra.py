@@ -268,3 +268,34 @@ def test_bpe_encode_corpus_dry_and_empty_edges(spark):
     res = text.encode_corpus(spark, empty, 4)
     assert res.collect() == []
     assert res.columns == ["doc_id", "n_words", "n_tokens", "fertility", "token_ids"]
+
+
+def test_bpe_encode_with_external_rules(spark):
+    """Train on corpus A, apply A's rules to corpus B: the production
+    decoupling. B's encode must equal hand-application of A's rules —
+    including words with characters A never saw (byte-fallback
+    analogue: untouched single chars mint their own ids) — and equal
+    encode_corpus when A IS B."""
+    a = spark.createDataFrame(
+        [(0, "low low LOW lowest."), (1, "low!  lowest"), (2, "aaaa")],
+        ["doc_id", "text"],
+    )
+    rules = [(r["lhs"], r["rhs"]) for r in text.train_bpe(spark, a, 4).collect()]
+    assert rules == [("l", "o"), ("lo", "w"), ("a", "a"), ("e", "s")]
+
+    # corpus B: "lower" folds lo->low then leftovers e,r; "zz" is outside
+    # A's trained tokens entirely
+    b = spark.createDataFrame([(0, "low lower"), (1, "zz aaa")], ["doc_id", "text"])
+    got = {r["doc_id"]: tuple(r)[1:] for r in text.encode_corpus_with_rules(spark, b, rules).collect()}
+    # folded B vocab: low->[low], lower->[low,e,r], zz->[z,z], aaa->[aa,a]
+    # tokens sorted: a=1, aa=2, e=3, low=4, r=5, z=6
+    assert got[0] == (2, 4, 2.0, "4 4 3 5")
+    assert got[1] == (2, 4, 2.0, "6 6 2 1")
+
+    # same-corpus equivalence with the self-training path
+    self_enc = {r["doc_id"]: tuple(r)[1:] for r in text.encode_corpus(spark, a, 4).collect()}
+    ext_enc = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in text.encode_corpus_with_rules(spark, a, rules).collect()
+    }
+    assert self_enc == ext_enc
