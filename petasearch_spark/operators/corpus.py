@@ -40,24 +40,31 @@ from petasearch_spark.sources.tables import load_table
 # rate would make `sampled`/`kept` NULL, and a negative suffix parse like
 # 'cc:-3' would make it negative — either silently empties the curated
 # output), and TRY_CAST keeps ANSI mode crash-free. Stated once per
-# engine; only NON-NEGATIVE suffix parses count as the synthetic shape:
+# engine; only DIGITS-ONLY suffixes count as the synthetic shape — the
+# regexp guard matters because the engines' bare TRY_CAST semantics
+# DIFFER on non-integral strings (Spark TRY_CAST('3.5' AS INT) is NULL,
+# DuckDB's rounds to 4 — round-5 audit): a source like 'src3.5' must
+# take the hash fallback in BOTH engines, not a different rate in each.
 SAMPLE_SALT = "sample:v1:"
 
 
 def _source_num() -> F.Column:
-    """Non-negative per-source number: the parsed 'srcN' suffix, else the
-    portable hash of the source string."""
-    parsed = F.expr("TRY_CAST(substring(source, 4) AS INT)")
-    return F.coalesce(
-        F.when(parsed >= 0, parsed),
-        hash64(F.coalesce(F.col("source"), F.lit(""))),
+    """Non-negative per-source number: the digits-only 'srcN' suffix,
+    else the portable hash of the source string."""
+    parsed = F.expr(
+        "CASE WHEN substring(source, 4) RLIKE '^[0-9]+$'"
+        " THEN TRY_CAST(substring(source, 4) AS INT) END"
     )
+    return F.coalesce(parsed, hash64(F.coalesce(F.col("source"), F.lit(""))))
 
 
 def _source_num_sql(source: str = "source") -> str:
-    parsed = f"TRY_CAST(substr({source}, 4) AS INT)"
+    parsed = (
+        f"CASE WHEN regexp_matches(substr({source}, 4), '^[0-9]+$')"
+        f" THEN TRY_CAST(substr({source}, 4) AS INT) END"
+    )
     fallback = hash64_sql(f"COALESCE({source}, '')")
-    return f"COALESCE(CASE WHEN {parsed} >= 0 THEN {parsed} END, {fallback})"
+    return f"COALESCE({parsed}, {fallback})"
 
 
 def _rate_digit() -> F.Column:
@@ -771,9 +778,13 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("budget"),
         "src_toks",
     )
+    # doc_id tie-break: a ROWS-frame running sum over tied ORDER BY keys
+    # is order-dependent, so two same-source docs with colliding 60-bit
+    # hashes straddling the budget boundary could swap keep verdicts
+    # between engines/runs without it (round-5 audit)
     win = (
         W.partitionBy("source")
-        .orderBy("h")
+        .orderBy("h", "doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     cum = d.withColumn("cum_before", F.sum("n_toks").over(win) - F.col("n_toks"))
@@ -811,7 +822,7 @@ WITH d AS (
 ), cum AS (
     SELECT doc_id, source, n_toks,
            CAST(COALESCE(SUM(n_toks) OVER (
-               PARTITION BY source ORDER BY h
+               PARTITION BY source ORDER BY h, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
     FROM d
 )
@@ -889,6 +900,11 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         X = np.stack(v.values)
         acc, xsq = _seq_dot_norms(X, E)
         cs = _round_half_up6(acc / (np.sqrt(xsq)[:, None] * en[None, :]))
+        # NaN cosines (corrupt/zero-norm vectors) are neutral: numpy's
+        # NaN >= thr is False but the DuckDB twin's total order put NaN
+        # above every threshold — both engines now exclude them from
+        # the hit count AND the max (round-5 audit)
+        cs = np.where(np.isnan(cs), -np.inf, cs)
         hit = cs >= SEM_DECON_COS
         return pd.DataFrame(
             {
@@ -918,10 +934,14 @@ WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
                  / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
     FROM train t CROSS JOIN ev e
 )
+-- NaN cosines (corrupt vectors) are NOT hits: DuckDB's total order puts
+-- NaN above every threshold, the numpy kernel's comparison is False --
+-- both engines now EXCLUDE them (round-5 audit)
+, finite AS (SELECT * FROM scored WHERE NOT isnan(cos))
 SELECT vec_id,
        CAST(COUNT(CASE WHEN cos >= {SEM_DECON_COS} THEN 1 END) AS BIGINT) AS n_eval_hits,
        MAX(cos) AS max_cos
-FROM scored
+FROM finite
 GROUP BY vec_id
 HAVING COUNT(CASE WHEN cos >= {SEM_DECON_COS} THEN 1 END) > 0
 ORDER BY vec_id

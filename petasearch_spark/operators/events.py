@@ -45,8 +45,11 @@ ORDER BY hour, event_type
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts after >30 min idle.
     Window lag + cumulative sum — the batch shape of stateful streaming
-    session windows."""
-    e = load_table(spark, "events", sf_dir)
+    session windows. NULL-timestamp rows are excluded: they cannot be
+    placed in any session, and unfiltered they sort NULLS FIRST in
+    Spark's lag window but NULLS LAST in the oracle's, silently changing
+    n_sessions (round-5 audit)."""
+    e = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     with_breaks = e.withColumn(
@@ -68,7 +71,7 @@ WITH marked AS (
                      > {SESSION_GAP_SECONDS * 1_000_000}
                 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 THEN 1 ELSE 0 END AS new_session
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 )
 SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
@@ -79,9 +82,16 @@ ORDER BY user_id
 
 
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured extraction: pull `k` out of the JSON props column."""
+    """Semi-structured extraction: pull `k` out of the JSON props column.
+
+    `k` counts only when it extracts as an INTEGRAL string — try_cast,
+    not cast: under Spark 4's default ANSI mode a plain cast ABORTS the
+    whole job on the first non-integral k (e.g. ``{"k":3.0}``), and the
+    old DuckDB twin's ::BIGINT rounded 3.5 to 4 instead — the oracle's
+    regexp-guarded cast now mirrors try_cast's integral-only rule
+    exactly (round-5 audit)."""
     e = load_table(spark, "events", sf_dir)
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return (
         e.groupBy("event_type")
         .agg(
@@ -95,12 +105,25 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_JSON_SQL = """
+WITH raw AS (
+    -- json_valid guard: DuckDB's json_extract ERRORS on a malformed
+    -- props row where Spark's get_json_object returns NULL
+    SELECT event_type,
+           CASE WHEN json_valid(props)
+                THEN trim(json_extract_string(props, '$.k')) END AS ks
+    FROM events
+), ext AS (
+    SELECT event_type,
+           CASE WHEN regexp_matches(ks, '^[+-]?[0-9]+$')
+                THEN CAST(ks AS BIGINT) END AS k
+    FROM raw
+)
 SELECT event_type,
-       CAST(SUM(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
-       MIN(json_extract(props, '$.k')::BIGINT) AS min_k,
-       MAX(json_extract(props, '$.k')::BIGINT) AS max_k,
-       CAST(SUM(json_extract(props, '$.k')::BIGINT) AS DOUBLE) / COUNT(json_extract(props, '$.k')::BIGINT) AS avg_k
-FROM events
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+FROM ext
 GROUP BY event_type
 ORDER BY event_type
 """
@@ -200,10 +223,13 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Clicks are pre-deduped to one row per (user, ts) — max event_id —
     so equal-timestamp ties are deterministic in both engines; all
     outputs are integers (unix micros), immune to timestamp
-    serialization differences in the value hash."""
+    serialization differences in the value hash. NULL-timestamp rows
+    are excluded — an undated click would sort NULLS FIRST into Spark's
+    carry-forward window (becoming everyone's "most recent" click)
+    while the oracle's ASOF ``>=`` never matches it (round-5 audit)."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, "events", sf_dir)
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id", "ts")
@@ -253,10 +279,10 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_ASOF_SQL = """
 WITH clicks AS (
     SELECT user_id, ts, MAX(event_id) AS click_id
-    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    FROM events WHERE event_type = 'click' AND ts IS NOT NULL GROUP BY user_id, ts
 ), p AS (
     SELECT event_id AS purchase_id, user_id, ts
-    FROM events WHERE event_type = 'purchase'
+    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
 )
 SELECT p.purchase_id, p.user_id,
        epoch_us(p.ts) AS purchase_us,
@@ -590,7 +616,11 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def value_quantiles(e: DataFrame) -> DataFrame:
     """Core of :func:`events_value_quantiles` over an
     ``(event_type, value)`` frame (separated for constructed-group
-    tests)."""
+    tests). NULL values are excluded like the sketch sibling — without
+    the filter Spark's cumulative window ranks the NULL bucket FIRST
+    while the oracle's row_number ranks it LAST, shifting every
+    quantile pick (round-5 audit)."""
+    e = e.filter(F.col("value").isNotNull())
     hist = e.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
     wc = Window.partitionBy("event_type").orderBy("value")
     wn = Window.partitionBy("event_type")
@@ -613,7 +643,7 @@ WITH ranked AS (
     SELECT event_type, value,
            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
            COUNT(*) OVER (PARTITION BY event_type) AS n
-    FROM events
+    FROM events WHERE value IS NOT NULL
 )
 SELECT event_type, MAX(n) AS n_events,
        {", ".join(f"MAX(CASE WHEN rn = ({p} * n + 99) // 100 THEN value END) AS p{p}" for p in QUANTILE_PCTS)}
@@ -843,7 +873,10 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def value_mad_outliers(e: DataFrame) -> DataFrame:
-    """Core of :func:`events_value_outliers` over ``(event_type, value)``."""
+    """Core of :func:`events_value_outliers` over ``(event_type, value)``.
+    NULL values excluded (same NULLS FIRST/LAST blind spot as
+    value_quantiles — round-5 audit)."""
+    e = e.filter(F.col("value").isNotNull())
     h1 = e.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
     wc = Window.partitionBy("event_type").orderBy("value")
     wn = Window.partitionBy("event_type")
@@ -885,11 +918,14 @@ def value_mad_outliers(e: DataFrame) -> DataFrame:
 
 
 EVENTS_VALUE_OUTLIERS_SQL = f"""
-WITH ranked AS (
+WITH evts AS (
+    SELECT event_type, value FROM events WHERE value IS NOT NULL
+)
+, ranked AS (
     SELECT event_type, value,
            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
            COUNT(*) OVER (PARTITION BY event_type) AS n
-    FROM events
+    FROM evts
 )
 , med AS (
     SELECT event_type, MAX(n) AS n_events,
@@ -900,7 +936,7 @@ WITH ranked AS (
     SELECT e.event_type, abs(e.value - m.median_value) AS ad,
            ROW_NUMBER() OVER (PARTITION BY e.event_type ORDER BY abs(e.value - m.median_value)) AS rn,
            COUNT(*) OVER (PARTITION BY e.event_type) AS n
-    FROM events e JOIN med m USING (event_type)
+    FROM evts e JOIN med m USING (event_type)
 )
 , mad AS (
     SELECT event_type, MAX(CASE WHEN rn = (n + 1) // 2 THEN ad END) AS mad

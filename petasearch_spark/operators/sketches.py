@@ -30,6 +30,13 @@ from petasearch_spark.sources.tables import load_table
 
 KMV_K = 64
 HASH_SPACE = float(1 << 60)
+#: per-doc token bound for the sketch operators, stated ONCE and applied
+#: on BOTH engines: the oracle's range(1, N+1) bigram enumeration is
+#: finite by construction, so the Spark side slices its token array to
+#: the same bound — without this a >8191-token document would shingle
+#: fully in Spark but truncate in the oracle (round-5 audit; same
+#: pattern as text.BPE_MAX_WORD_LEN)
+SKETCH_MAX_TOKENS = 8191
 
 
 def kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,7 +61,7 @@ def kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the within-doc dedup is array_distinct — the cluster-wide
     # .distinct() then shuffles only what crosses documents
     th = (
-        docs.select("source", tokens(F.col("text")).alias("ts"))
+        docs.select("source", F.slice(tokens(F.col("text")), 1, SKETCH_MAX_TOKENS).alias("ts"))
         .select("source", F.explode(F.array_distinct(word_shingles(F.col("ts"), 2))).alias("t"))
         .select("source", hash64(F.col("t")).alias("h"))
         .distinct()
@@ -66,9 +73,15 @@ def kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("h").alias("h_k"))
     )
     exact = th.groupBy("source").agg(F.count(F.lit(1)).alias("exact_distinct"))
-    est = F.round(F.lit(float(KMV_K - 1)) * (F.lit(HASH_SPACE) / F.col("h_k")), 6)
+    # a source with fewer than K distinct values has no K-th minimum —
+    # standard KMV then IS the exact count (round-5 audit: the old inner
+    # join silently DROPPED such sources from the audit in both engines)
+    est = F.when(
+        F.col("h_k").isNotNull(),
+        F.round(F.lit(float(KMV_K - 1)) * (F.lit(HASH_SPACE) / F.col("h_k")), 6),
+    ).otherwise(F.col("exact_distinct").cast("double"))
     return (
-        exact.join(kth, "source")
+        exact.join(kth, "source", "left")
         .select(
             "source",
             "exact_distinct",
@@ -86,7 +99,7 @@ WITH toks AS (
     SELECT source, {TOKENS_SQL.format(col="text")} AS ts FROM documents
 ), tok AS (
     SELECT source, t[i] || ' ' || t[i+1] AS t
-    FROM (SELECT source, ts AS t FROM toks), range(1, 8192) r(i)
+    FROM (SELECT source, ts AS t FROM toks), range(1, {SKETCH_MAX_TOKENS + 1}) r(i)
     WHERE i + 1 <= len(t)
 ), th AS (
     SELECT DISTINCT source, {hash64_sql("t")} AS h FROM tok
@@ -97,13 +110,16 @@ WITH toks AS (
     ) WHERE rk = {KMV_K}
 ), exact AS (
     SELECT source, COUNT(*) AS exact_distinct FROM th GROUP BY source
+), est AS (
+    SELECT e.source, e.exact_distinct,
+           CASE WHEN k.h_k IS NULL THEN CAST(e.exact_distinct AS DOUBLE)
+                ELSE ROUND({float(KMV_K - 1)} * ({HASH_SPACE} / k.h_k), 6) END AS kmv_estimate
+    FROM exact e LEFT JOIN kth k USING (source)
 )
-SELECT e.source, e.exact_distinct,
-       ROUND({float(KMV_K - 1)} * ({HASH_SPACE} / k.h_k), 6) AS kmv_estimate,
-       ROUND((ROUND({float(KMV_K - 1)} * ({HASH_SPACE} / k.h_k), 6) - e.exact_distinct)
-             / e.exact_distinct, 6) AS rel_error
-FROM exact e JOIN kth k USING (source)
-ORDER BY e.source
+SELECT source, exact_distinct, kmv_estimate,
+       ROUND((kmv_estimate - exact_distinct) / exact_distinct, 6) AS rel_error
+FROM est
+ORDER BY source
 """
 
 
@@ -236,7 +252,7 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petasearch_spark.operators.portable import word_shingles
 
     th = (
-        docs.select("source", tokens(F.col("text")).alias("ts"))
+        docs.select("source", F.slice(tokens(F.col("text")), 1, SKETCH_MAX_TOKENS).alias("ts"))
         .select("source", F.explode(F.array_distinct(word_shingles(F.col("ts"), 2))).alias("t"))
         .select("source", hash64(F.col("t")).alias("h"))
         .distinct()
@@ -285,7 +301,7 @@ WITH toks AS (
     SELECT source, {TOKENS_SQL.format(col="text")} AS ts FROM documents
 ), tok AS (
     SELECT source, t[i] || ' ' || t[i+1] AS t
-    FROM (SELECT source, ts AS t FROM toks), range(1, 8192) r(i)
+    FROM (SELECT source, ts AS t FROM toks), range(1, {SKETCH_MAX_TOKENS + 1}) r(i)
     WHERE i + 1 <= len(t)
 ), th AS (
     SELECT DISTINCT source, {hash64_sql("t")} AS h FROM tok

@@ -1,0 +1,241 @@
+"""Round-5 cross-engine audit regressions: oracle-blind-spot and
+engine-divergence bugs the synthetic fixtures (positive 2-3-decimal
+money values, dense non-null ids/timestamps, integer 'srcN' sources,
+short word-soup docs, finite embeddings) could never trigger. Each test
+constructs the adversarial input and checks Spark against the REAL
+DuckDB oracle SQL (or pins the loud contract)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str, view: str, df, spark, tmp_path, name: str):
+    """Write df as parquet, register as `view`, run the oracle SQL."""
+    path = os.path.join(str(tmp_path), f"{name}.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {view} AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    res = con.execute(sql)
+    cols = [d[0] for d in res.description]
+    return [dict(zip(cols, r)) for r in res.fetchall()]
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def _run_events_op(spark, fn, df):
+    import petasearch_spark.operators.events as E
+
+    orig = E.load_table
+    try:
+        E.load_table = lambda _s, _n, _d, **_k: df
+        return fn(spark, SF).collect()
+    finally:
+        E.load_table = orig
+
+
+def test_json_stats_survives_and_matches_oracle_on_messy_props(spark, tmp_path):
+    """ANSI-mode crash + rounding divergence: {"k":3.0} aborted the whole
+    Spark job (CAST_INVALID_INPUT), and the old oracle's ::BIGINT rounded
+    3.5 to 4. The integral-string rule must now hold on both engines."""
+    from petasearch_spark.operators import events
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        (1, t0, 1, "click", 1.0, '{"k": 2}'),
+        (2, t0, 1, "click", 1.0, '{"k": 3.0}'),   # non-integral repr: ignored
+        (3, t0, 1, "click", 1.0, '{"k": 3.5}'),   # ignored (old oracle said 4)
+        (4, t0, 1, "click", 1.0, '{"k": "7"}'),   # quoted integral: counts
+        (5, t0, 1, "click", 1.0, '{"k": true}'),  # ignored
+        (6, t0, 1, "click", 1.0, "{}"),
+        (7, t0, 1, "error", 1.0, '{"k": -4}'),
+        (8, t0, 1, "error", 1.0, "not json"),
+    ]
+    df = _events_df(spark, rows)
+    got = [r.asDict() for r in _run_events_op(spark, events.events_json_stats, df)]
+    want = _duck(events.EVENTS_JSON_SQL, "events", df, spark, tmp_path, "ev_json")
+    assert got == want
+    by_type = {r["event_type"]: r for r in got}
+    assert by_type["click"]["sum_k"] == 9 and by_type["click"]["min_k"] == 2
+    assert by_type["error"]["sum_k"] == -4
+
+
+def test_value_quantiles_and_mad_exclude_null_values(spark, tmp_path):
+    """NULL values ordered NULLS FIRST in Spark's cumulative window but
+    NULLS LAST in the oracle's row_number — both now exclude them, and
+    the quantiles are those of the non-null values."""
+    from petasearch_spark.operators.events import (
+        EVENTS_VALUE_OUTLIERS_SQL,
+        EVENTS_VALUE_QUANTILES_SQL,
+        value_mad_outliers,
+        value_quantiles,
+    )
+
+    rows = [("a", None), ("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", None), ("b", 5.0)]
+    e = spark.createDataFrame(rows, "event_type string, value double")
+    got_q = sorted(tuple(r) for r in value_quantiles(e).collect())
+    want_q = sorted(
+        tuple(r.values())
+        for r in _duck(EVENTS_VALUE_QUANTILES_SQL, "events", e, spark, tmp_path, "evq")
+    )
+    assert got_q == want_q
+    qa = {r["event_type"]: r for r in value_quantiles(e).collect()}
+    assert qa["a"]["n_events"] == 3 and qa["a"]["p50"] == 2.0
+
+    got_m = sorted(tuple(r) for r in value_mad_outliers(e).collect())
+    want_m = sorted(
+        tuple(r.values())
+        for r in _duck(EVENTS_VALUE_OUTLIERS_SQL, "events", e, spark, tmp_path, "evm")
+    )
+    assert got_m == want_m
+
+
+def test_sessionize_and_asof_exclude_null_timestamps(spark, tmp_path):
+    """A NULL ts sorted NULLS FIRST in Spark's lag/carry-forward windows
+    but NULLS LAST (or never-matching) in the oracle — both engines now
+    exclude undated events."""
+    from petasearch_spark.operators import events
+
+    t0 = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (1, None, 1, "click", 1.0, "{}"),
+        (2, t0, 1, "click", 1.0, "{}"),
+        (3, t0 + datetime.timedelta(minutes=5), 1, "purchase", 2.0, "{}"),
+        (4, None, 1, "purchase", 2.0, "{}"),
+    ]
+    df = _events_df(spark, rows)
+    got = [r.asDict() for r in _run_events_op(spark, events.events_sessionize, df)]
+    want = _duck(events.EVENTS_SESSIONIZE_SQL, "events", df, spark, tmp_path, "ev_s")
+    assert got == want
+    assert got[0]["n_sessions"] == 1 and got[0]["n_events"] == 2
+
+    got_a = [r.asDict() for r in _run_events_op(spark, events.events_asof_join, df)]
+    want_a = _duck(events.EVENTS_ASOF_SQL, "events", df, spark, tmp_path, "ev_a")
+    assert got_a == want_a
+    # the dated purchase matched the dated click; the undated pair is gone
+    assert len(got_a) == 1 and got_a[0]["last_click_id"] == 2
+
+
+def test_source_num_non_integer_suffix_agrees_across_engines(spark, tmp_path):
+    """'src3.5': Spark TRY_CAST -> NULL but DuckDB TRY_CAST -> 4, so the
+    two engines sampled DIFFERENT rates before the digits-only regexp
+    guard. Every source shape must now take the same rate in both."""
+    from petasearch_spark.operators.corpus import (
+        CORPUS_SAMPLE_SQL,
+        corpus_sample_stratified,
+    )
+
+    rows = [
+        (i, f"text body {i}", "en", src, 20)
+        for i, src in enumerate(
+            ["src3", "src3.5", "src+4", "src007", "commoncrawl", None, "src-2", "src3e2"]
+            * 8
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    got = sorted(
+        tuple(r) for r in corpus_sample_stratified(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(CORPUS_SAMPLE_SQL).fetchall())
+    assert got == want
+    # integer suffixes still parse as the synthetic shape
+    rates = {r[1]: r[3] for r in got}
+    if "src3" in rates:
+        assert rates["src3"] == 50 * (3 % 10 + 1)
+    if "src007" in rates:
+        assert rates["src007"] == 50 * (7 % 10 + 1)
+
+
+def test_decontaminate_semantic_nan_vector_is_not_a_hit(spark, tmp_path):
+    """A NaN cosine was a hit in the DuckDB oracle (NaN sorts above every
+    threshold) but not in the numpy kernel — both engines now exclude
+    it, and a corrupt (NaN-component) vector contaminates nothing."""
+    import math
+
+    from petasearch_spark.operators.corpus import (
+        DECONTAMINATE_SEMANTIC_SQL,
+        SEM_EVAL_MOD,
+        decontaminate_semantic,
+    )
+
+    dim = 64
+    base = [1.0] + [0.0] * (dim - 1)
+    rows = []
+    for vid in range(30):
+        v = list(base)
+        v[vid % 8] = 1.0
+        if vid == 3:  # train vector with a NaN component
+            v[5] = math.nan
+        rows.append((vid, v, int(vid % 10)))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    path = os.path.join(str(tmp_path), "embeddings.parquet")
+    emb.coalesce(1).write.mode("overwrite").parquet(path)
+
+    got = sorted(tuple(r) for r in decontaminate_semantic(spark, str(tmp_path)).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(DECONTAMINATE_SEMANTIC_SQL).fetchall())
+    assert got == want
+    assert 3 % SEM_EVAL_MOD != 0  # vid 3 is a train vector in this layout
+    assert all(r[0] != 3 for r in got), "NaN train vector must not be flagged"
+
+
+def test_kmv_small_source_falls_back_to_exact(spark, tmp_path):
+    """A source with fewer than K distinct bigrams VANISHED from the KMV
+    audit in both engines (inner join on rk == K) — standard KMV returns
+    the exact count below K; parity must hold too."""
+    from petasearch_spark.operators.sketches import (
+        KMV_DISTINCT_SQL,
+        KMV_K,
+        kmv_distinct_tokens,
+    )
+
+    rows = [(0, "tiny doc few words", "en", "small", 20)]
+    rows += [
+        (i, " ".join(f"w{i}x{j}" for j in range(40)), "en", "big", 200)
+        for i in range(1, 8)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    got = {r["source"]: r.asDict() for r in kmv_distinct_tokens(spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    res = con.execute(KMV_DISTINCT_SQL)
+    cols = [d[0] for d in res.description]
+    want = {r[0]: dict(zip(cols, r)) for r in res.fetchall()}
+    assert got == want
+    small = got["small"]
+    assert small["exact_distinct"] == 3 < KMV_K
+    assert small["kmv_estimate"] == 3.0 and small["rel_error"] == 0.0
+    assert got["big"]["exact_distinct"] >= KMV_K  # estimate path still taken
+    assert got["big"]["kmv_estimate"] != got["big"]["exact_distinct"]
