@@ -336,8 +336,16 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def phrase_rank(docs: DataFrame) -> DataFrame:
     """Core of :func:`phrase_search` over a ``(doc_id, text)`` frame
-    (separated so constructed corpora can be probed in tests)."""
-    toked = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    (separated so constructed corpora can be probed in tests).
+    Match starts are bounded at quality.WINDOW_MAX_STARTS on BOTH
+    engines (the oracle's range enumeration is finite by construction;
+    the engine slices its token stream to the same horizon — round-5
+    audit)."""
+    from petasearch_spark.operators.quality import WINDOW_MAX_STARTS
+
+    toked = docs.select(
+        "doc_id", F.slice(tokens(F.col("text")), 1, WINDOW_MAX_STARTS + 2).alias("ts")
+    )
     postings = (
         toked.select("doc_id", F.posexplode("ts").alias("pos", "term"))
         .groupBy("term", "doc_id")

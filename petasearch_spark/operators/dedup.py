@@ -77,17 +77,25 @@ def _shingle_hashes(docs: DataFrame, n: int = 3, col: str = "sh_h") -> DataFrame
 
     import pandas as pd
 
-    ws = re.compile(r"\s+")
+    from petasearch_spark.operators.portable import SHINGLE_MAX_TOKENS, WS_PATTERN
+
+    # the SHARED whitespace class — a bare \s here is Unicode-aware in
+    # Python re and split on \xa0 etc. where neither SQL twin does
+    # (round-5 audit); and the SAME shingle-start bound as the oracles'
+    # range(1, N) enumeration
+    ws = re.compile(WS_PATTERN)
 
     def gen(batches):
         for pdf in batches:
             ids: list[int] = []
             hs: list[int] = []
             for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+                if text is None:
+                    continue  # SQL twins NULL-propagate to zero shingles
                 toks = [t for t in ws.split(text) if t]
                 seen = {
                     int(hashlib.md5(" ".join(toks[i : i + n]).encode()).hexdigest()[:15], 16)
-                    for i in range(len(toks) - n + 1)
+                    for i in range(min(len(toks) - n + 1, SHINGLE_MAX_TOKENS - 1))
                 }
                 ids.extend([doc_id] * len(seen))
                 hs.extend(seen)

@@ -32,12 +32,26 @@ def hash64_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+#: THE whitespace rule, stated once as an explicit ASCII class because
+#: the three regex dialects disagree on bare ``\s``: Java (Spark)
+#: includes \x0B, RE2 (DuckDB) does not, and Python re is Unicode-aware
+#: (\xa0,  , ...) — bare \s made every token-based operator diverge
+#: from its oracle on text containing vertical tab or non-ASCII
+#: whitespace (round-5 audit). The explicit class means the SAME set of
+#: separator characters in all three engines; non-ASCII whitespace is
+#: deliberately NOT a separator anywhere.
+WS_CHARS = r" \t\n\r\f\x0B"
+WS_PATTERN = f"[{WS_CHARS}]+"
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization, empty tokens dropped (array<string>)."""
-    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+    return F.filter(F.split(col, WS_PATTERN), lambda t: t != F.lit(""))
 
 
-TOKENS_SQL = "list_filter(regexp_split_to_array({col}, '\\s+'), x -> x <> '')"
+# DuckDB single-quoted literals pass backslashes through verbatim, so
+# the raw pattern lands in RE2 exactly as written
+TOKENS_SQL = "list_filter(regexp_split_to_array({col}, '" + WS_PATTERN + "'), x -> x <> '')"
 
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
@@ -51,12 +65,21 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def shingles_sql(table: str, id_col: str, text_col: str, n: int = 3, extra_cols: str = "", max_tokens: int = 4096, distinct: bool = True) -> str:
+#: shingle-start bound shared by the SQL twins' range(1, N) enumeration
+#: AND the Spark-side kernels — an oracle-only cap would silently
+#: truncate the comparison for >4095-token docs while the engine
+#: shingled them fully (round-5 audit; the kmer/sketch families carry
+#: the same both-sides rule)
+SHINGLE_MAX_TOKENS = 4096
+
+
+def shingles_sql(table: str, id_col: str, text_col: str, n: int = 3, extra_cols: str = "", max_tokens: int = SHINGLE_MAX_TOKENS, distinct: bool = True) -> str:
     """DuckDB CTE body producing (id, shingle) rows (DISTINCT by default).
 
     DuckDB 1.0 can't use a correlated lateral generate_series, so we cross
     join a constant `range` and filter to the token count (oracle runs at
-    sf<=0.01 only; the bound is generous)."""
+    sf<=0.01 only; the bound is generous — and applied on BOTH engines,
+    see SHINGLE_MAX_TOKENS)."""
     toks = TOKENS_SQL.format(col=text_col)
     parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
     extra = f", {extra_cols}" if extra_cols else ""

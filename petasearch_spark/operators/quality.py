@@ -46,15 +46,29 @@ SPAN_W = 8
 #: mass on synthetic text, same semantics).
 TOP2_MAX = 0.20
 DUP3_MAX = 0.30
+#: Gopher min word count (Rae et al. use 50 for full documents; 3 is the
+#: smallest count where both repetition signals exist — docs below it
+#: fail CLOSED instead of silently vanishing from the verdict list)
+GOPHER_MIN_TOKS = 3
+
+
+#: window-start bound shared with the SQL twins' range(1, N+1)
+#: enumeration — applied on BOTH engines so a >8191-token doc windows
+#: identically everywhere instead of fully in Spark and truncated in
+#: the oracle (round-5 audit; same rule as sketches.SKETCH_MAX_TOKENS)
+WINDOW_MAX_STARTS = 8191
 
 
 def _windows(ts, width: int):
     """Array of hash64(space-joined token window) for every start offset
-    (1-based), empty when the doc is shorter than the window."""
+    (1-based, capped at WINDOW_MAX_STARTS), empty when the doc is shorter
+    than the window."""
     return F.when(
         F.size(ts) >= width,
         F.transform(
-            F.sequence(F.lit(1), F.size(ts) - width + 1),
+            F.sequence(
+                F.lit(1), F.least(F.size(ts) - width + 1, F.lit(WINDOW_MAX_STARTS))
+            ),
             lambda i: hash64(F.concat_ws(" ", F.slice(ts, i, width))),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
@@ -105,7 +119,7 @@ WITH toks AS (
 ), wins AS (
     SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks, i,
            {hash64_sql(f"array_to_string(ts[i:i+{SPAN_W - 1}], ' ')")} AS wh
-    FROM toks, range(1, 8192) r(i)
+    FROM toks, range(1, {WINDOW_MAX_STARTS + 1}) r(i)
     WHERE i + {SPAN_W - 1} <= len(ts)
 ), dup AS (
     SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2
@@ -127,51 +141,59 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``top_2gram_frac``  — mass of the most frequent 2-gram / all 2-grams
     * ``dup_3gram_frac``  — mass of 3-grams occurring more than once
     * ``mean_word_len``   — mean token length
-    * ``keep``            — passes the repetition thresholds
+    * ``keep``            — passes the repetition thresholds AND the
+      Gopher min-length rule (``n_toks >= GOPHER_MIN_TOKS``)
 
     Every signal is an exact integer ratio rounded to 6 decimals, so the
-    doubles are cross-engine deterministic.
+    doubles are cross-engine deterministic. EVERY document gets a
+    verdict row: docs too short to measure repetition (< 3 tokens — no
+    3-grams exist) previously VANISHED from the output in both engines
+    (inner joins over the gram sets), so a pipeline treating "not
+    listed" as "keep" silently retained exactly the junk ultra-short
+    docs the filter exists to flag; they now fail closed with
+    zero-fraction signals (round-5 audit). raw_mwl uses try_divide —
+    a zero-token doc's 0/0 ABORTED the job under Spark 4 ANSI while the
+    oracle NULL-propagated.
     """
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
-    toks = docs.select(
-        "doc_id",
-        tokens(F.col("text")).alias("ts"),
-    ).select(
-        "doc_id",
-        F.size("ts").cast("long").alias("n_toks"),
-        (
-            F.aggregate(F.col("ts"), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast("double")
-            / F.size("ts")
-        ).alias("raw_mwl"),
-        F.explode(_windows(F.col("ts"), 2)).alias("g2"),
-    )
-    # per-(doc, 2-gram) counts -> per-doc top-2-gram mass; 3-grams ride the
-    # same pass via a second explode off the cached token arrays
-    g2_counts = toks.groupBy("doc_id", "n_toks", "raw_mwl", "g2").agg(F.count(F.lit(1)).alias("c2"))
-    top2 = g2_counts.groupBy("doc_id", "n_toks", "raw_mwl").agg(
-        (F.max("c2").cast("double") / F.sum("c2")).alias("raw_top2")
-    )
-    # materialize the token array before the window HOF: lambdas are
+    # materialize the token array before the window HOFs: lambdas are
     # interpreted per element and an inlined tokens() would re-split the
     # text for every slice probe
-    g3 = docs.select("doc_id", tokens(F.col("text")).alias("ts")).select(
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    base = toks.select(
         "doc_id",
-        F.explode(_windows(F.col("ts"), 3)).alias("g3"),
+        F.size("ts").cast("long").alias("n_toks"),
+        F.try_divide(
+            F.aggregate(
+                F.col("ts"), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            ).cast("double"),
+            F.size("ts"),
+        ).alias("raw_mwl"),
     )
+    g2 = toks.select("doc_id", F.explode(_windows(F.col("ts"), 2)).alias("g2"))
+    g2_counts = g2.groupBy("doc_id", "g2").agg(F.count(F.lit(1)).alias("c2"))
+    top2 = g2_counts.groupBy("doc_id").agg(
+        (F.max("c2").cast("double") / F.sum("c2")).alias("raw_top2")
+    )
+    g3 = toks.select("doc_id", F.explode(_windows(F.col("ts"), 3)).alias("g3"))
     g3_counts = g3.groupBy("doc_id", "g3").agg(F.count(F.lit(1)).alias("c3"))
     dup3 = g3_counts.groupBy("doc_id").agg(
         (
             F.sum(F.when(F.col("c3") > 1, F.col("c3")).otherwise(0)).cast("double") / F.sum("c3")
         ).alias("raw_dup3")
     )
-    out = top2.join(dup3, "doc_id")
+    out = base.join(top2, "doc_id", "left").join(dup3, "doc_id", "left")
+    t2 = F.coalesce(F.col("raw_top2"), F.lit(0.0))
+    d3 = F.coalesce(F.col("raw_dup3"), F.lit(0.0))
     return out.select(
         "doc_id",
         "n_toks",
-        F.round("raw_top2", 6).alias("top_2gram_frac"),
-        F.round("raw_dup3", 6).alias("dup_3gram_frac"),
+        F.round(t2, 6).alias("top_2gram_frac"),
+        F.round(d3, 6).alias("dup_3gram_frac"),
         F.round("raw_mwl", 6).alias("mean_word_len"),
-        ((F.col("raw_top2") <= TOP2_MAX) & (F.col("raw_dup3") <= DUP3_MAX)).alias("keep"),
+        (
+            (F.col("n_toks") >= GOPHER_MIN_TOKS) & (t2 <= TOP2_MAX) & (d3 <= DUP3_MAX)
+        ).alias("keep"),
     ).orderBy("doc_id")
 
 
@@ -231,13 +253,13 @@ WITH toks AS (
     FROM toks
 ), g2 AS (
     SELECT doc_id, {hash64_sql("array_to_string(ts[i:i+1], ' ')")} AS g, COUNT(*) AS c
-    FROM base, range(1, 8192) r(i) WHERE i + 1 <= len(ts)
+    FROM base, range(1, {WINDOW_MAX_STARTS + 1}) r(i) WHERE i + 1 <= len(ts)
     GROUP BY doc_id, g
 ), top2 AS (
     SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS raw_top2 FROM g2 GROUP BY doc_id
 ), g3 AS (
     SELECT doc_id, {hash64_sql("array_to_string(ts[i:i+2], ' ')")} AS g, COUNT(*) AS c
-    FROM base, range(1, 8192) r(i) WHERE i + 2 <= len(ts)
+    FROM base, range(1, {WINDOW_MAX_STARTS + 1}) r(i) WHERE i + 2 <= len(ts)
     GROUP BY doc_id, g
 ), dup3 AS (
     SELECT doc_id,
@@ -245,11 +267,13 @@ WITH toks AS (
     FROM g3 GROUP BY doc_id
 )
 SELECT b.doc_id, b.n_toks,
-       ROUND(t.raw_top2, 6) AS top_2gram_frac,
-       ROUND(d.raw_dup3, 6) AS dup_3gram_frac,
+       ROUND(COALESCE(t.raw_top2, 0.0), 6) AS top_2gram_frac,
+       ROUND(COALESCE(d.raw_dup3, 0.0), 6) AS dup_3gram_frac,
        ROUND(b.raw_mwl, 6) AS mean_word_len,
-       (t.raw_top2 <= {TOP2_MAX} AND d.raw_dup3 <= {DUP3_MAX}) AS keep
-FROM base b JOIN top2 t USING (doc_id) JOIN dup3 d USING (doc_id)
+       (b.n_toks >= {GOPHER_MIN_TOKS}
+        AND COALESCE(t.raw_top2, 0.0) <= {TOP2_MAX}
+        AND COALESCE(d.raw_dup3, 0.0) <= {DUP3_MAX}) AS keep
+FROM base b LEFT JOIN top2 t USING (doc_id) LEFT JOIN dup3 d USING (doc_id)
 ORDER BY b.doc_id
 """
 
@@ -324,7 +348,7 @@ WITH toks AS (
 ), wins AS (
     SELECT doc_id, i,
            {hash64_sql(f"array_to_string(ts[i:i+{SPAN_W - 1}], ' ')")} AS wh
-    FROM toks, range(1, 8192) r(i)
+    FROM toks, range(1, {WINDOW_MAX_STARTS + 1}) r(i)
     WHERE i + {SPAN_W - 1} <= len(ts)
 ), marked AS (
     SELECT doc_id, i, wh,
@@ -337,16 +361,21 @@ WITH toks AS (
     WHERE n_occ >= 2
     GROUP BY doc_id, i + o
     HAVING MAX(CASE WHEN rn = 1 THEN 1 ELSE 0 END) = 0
-), tokpos AS (
-    SELECT doc_id, i AS p, ts[i] AS tok, len(ts) AS n_toks
-    FROM toks, range(1, 8192) r(i) WHERE i <= len(ts)
+), rms AS (
+    SELECT doc_id, list(p) AS ps FROM rm GROUP BY doc_id
 ), rebuilt AS (
+    -- indexed list_filter rebuild: no positional cross join, so the
+    -- oracle's rebuild covers EVERY token — the old range(1, 8192)
+    -- tokpos enumeration silently dropped the tail of a >8191-token
+    -- doc from the rebuilt text while the engine kept it (round-5
+    -- audit); windows stay bounded by WINDOW_MAX_STARTS on BOTH sides
     SELECT t.doc_id,
-           CAST(MAX(t.n_toks) AS BIGINT) AS n_toks,
-           CAST(SUM(CASE WHEN rm.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-           COALESCE(string_agg(CASE WHEN rm.p IS NULL THEN t.tok END, ' ' ORDER BY t.p), '') AS kept
-    FROM tokpos t LEFT JOIN rm ON rm.doc_id = t.doc_id AND rm.p = t.p
-    GROUP BY t.doc_id
+           CAST(len(t.ts) AS BIGINT) AS n_toks,
+           CAST(len(r.ps) AS BIGINT) AS n_removed,
+           -- COALESCE: DuckDB's array_to_string of an EMPTY list is NULL,
+           -- but a fully-removed doc's kept text is '' on the engine side
+           COALESCE(array_to_string(list_filter(t.ts, (x, i) -> NOT list_contains(r.ps, i)), ' '), '') AS kept
+    FROM toks t JOIN rms r USING (doc_id)
 )
 SELECT doc_id, n_toks, n_removed, {hash64_sql("kept")} AS kept_hash
 FROM rebuilt

@@ -227,10 +227,15 @@ ORDER BY custkey
 
 
 def customers_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operation: EXCEPT (customer keys minus purchaser keys)."""
+    """Set operation: EXCEPT (customer keys minus purchaser keys).
+    `subtract` is set EXCEPT like the oracle — the previous
+    exceptAll().distinct() was MULTISET difference then dedup, which
+    keeps a key that appears twice in customer but only once in orders
+    (a double-loaded customer row would be reported as never-ordered
+    despite its order — round-5 audit)."""
     c = load_table(spark, "customer", sf_dir).select(F.col("c_custkey").alias("custkey"))
     o = load_table(spark, "orders", sf_dir).select(F.col("o_custkey").alias("custkey"))
-    return c.exceptAll(o).distinct().orderBy("custkey")
+    return c.subtract(o).orderBy("custkey")
 
 
 CUSTOMERS_NEVER_ORDERED_SQL = """

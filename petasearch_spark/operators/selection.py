@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from petasearch_spark.operators.portable import TOKENS_SQL, hash64_sql, tokens
-from petasearch_spark.operators.quality import _windows
+from petasearch_spark.operators.quality import WINDOW_MAX_STARTS, _windows
 from petasearch_spark.sources.tables import load_table
 
 #: DSIR hashed-feature buckets (the paper uses 10k for full CC; the
@@ -133,7 +133,7 @@ DSIR_SQL = f"""
 WITH toks AS (
     SELECT doc_id, lang, source, {TOKENS_SQL.format(col="text")} AS ts FROM documents
 ), uni AS (
-    SELECT doc_id, lang, source, unnest(ts) AS g FROM toks
+    SELECT doc_id, lang, source, unnest(ts[1:{WINDOW_MAX_STARTS}]) AS g FROM toks
 ), bi AS (
     SELECT doc_id, lang, source, array_to_string(ts[i:i+1], ' ') AS g
     FROM toks, range(1, 8192) r(i) WHERE i + 1 <= len(ts)
@@ -245,7 +245,7 @@ WITH labeled AS (
 ), toks AS (
     SELECT doc_id, lang, {TOKENS_SQL.format(col="text")} AS ts FROM labeled
 ), bg AS (
-    SELECT doc_id, lang, {hash64_sql("unnest(ts)")} % {NB_B} AS b FROM toks
+    SELECT doc_id, lang, {hash64_sql("unnest(ts[1:{WINDOW_MAX_STARTS}])".format(WINDOW_MAX_STARTS=WINDOW_MAX_STARTS))} % {NB_B} AS b FROM toks
 ), cls AS (
     SELECT lang AS c, COUNT(*) AS nd FROM labeled GROUP BY lang
 ), tot AS (

@@ -12,11 +12,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from petasearch_spark.operators.portable import TOKENS_SQL, hash64, hash64_sql, tokens
+from petasearch_spark.operators.portable import (
+    TOKENS_SQL,
+    WS_CHARS,
+    WS_PATTERN,
+    hash64,
+    hash64_sql,
+    tokens,
+)
 from petasearch_spark.sources.tables import load_table
 
 STOPWORDS = ("the", "a", "of", "and", "to")
-BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+# the negated class spells out the SHARED whitespace set: a bare \s
+# here is Java's class on the Spark side but RE2's in DuckDB, which
+# disagree on \x0B (round-5 audit)
+BPE_RE = f"[a-z]+|[0-9]+|[^a-z0-9{WS_CHARS}]"
 
 
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -32,7 +42,6 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_toks.alias("n_toks"),
         n_stop.alias("n_stop"),
-        F.length("text").alias("n_chars_actual"),
     )
     return (
         per_doc.groupBy("source")
@@ -40,7 +49,10 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_toks").alias("total_tokens"),
             (F.sum("n_toks").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
-            (F.sum("n_stop").cast("double") / F.sum("n_toks")).alias("stopword_ratio"),
+            # try_divide: an all-empty-text source has SUM(n_toks)=0 and a
+            # plain division ABORTS under Spark 4 ANSI while DuckDB yields
+            # NULL (round-5 audit)
+            F.try_divide(F.sum("n_stop").cast("double"), F.sum("n_toks")).alias("stopword_ratio"),
             F.sum(F.when(F.col("n_toks") < 20, 1).otherwise(0)).alias("n_short_docs"),
         )
         .orderBy("source")
@@ -50,8 +62,8 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_QUALITY_SQL = f"""
 WITH per_doc AS (
     SELECT source, doc_id,
-           len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_toks,
-           len(list_filter(regexp_split_to_array(text, '\\s+'),
+           len(list_filter(regexp_split_to_array(text, '{WS_PATTERN}'), x -> x <> '')) AS n_toks,
+           len(list_filter(regexp_split_to_array(text, '{WS_PATTERN}'),
                x -> x IN ({", ".join("'" + s + "'" for s in STOPWORDS)}))) AS n_stop
     FROM documents
 )
@@ -71,7 +83,10 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     toks = tokens(F.col("text"))
     vowel_end = F.size(F.filter(toks, lambda t: t.rlike("[aeiou]$")))
-    ratio = F.round(vowel_end.cast("double") / F.size(toks), 6)
+    # try_divide: an empty/whitespace-only doc has 0 tokens — plain 0/0
+    # ABORTS under ANSI; NULL falls through every threshold to 'zh',
+    # exactly like the oracle's CASE on its NULL ratio (round-5 audit)
+    ratio = F.round(F.try_divide(vowel_end.cast("double"), F.size(toks)), 6)
     pred = (
         F.when(ratio >= 0.5, "es")
         .when(ratio >= 0.4, "fr")
@@ -87,11 +102,11 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LANG_ID_SQL = """
+LANG_ID_SQL = f"""
 WITH scored AS (
     SELECT lang AS actual_lang,
-           ROUND(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> regexp_matches(x, '[aeiou]$'))) AS DOUBLE)
-                 / len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), 6) AS ratio
+           ROUND(CAST(len(list_filter(regexp_split_to_array(text, '{WS_PATTERN}'), x -> regexp_matches(x, '[aeiou]$'))) AS DOUBLE)
+                 / len(list_filter(regexp_split_to_array(text, '{WS_PATTERN}'), x -> x <> '')), 6) AS ratio
     FROM documents
 )
 SELECT actual_lang,
@@ -116,7 +131,7 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(ws).alias("ws_tokens"),
             F.sum(bpe).alias("bpe_tokens"),
-            (F.sum(bpe).cast("double") / F.sum(ws)).alias("bpe_per_ws"),
+            F.try_divide(F.sum(bpe).cast("double"), F.sum(ws)).alias("bpe_per_ws"),
         )
         .orderBy("lang")
     )
@@ -124,26 +139,34 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_COUNT_SQL = f"""
 SELECT lang,
-       CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(list_filter(regexp_split_to_array(text, '{WS_PATTERN}'), x -> x <> ''))) AS BIGINT) AS ws_tokens,
        CAST(SUM(len(regexp_extract_all(text, '{BPE_RE}'))) AS BIGINT) AS bpe_tokens,
        CAST(SUM(len(regexp_extract_all(text, '{BPE_RE}'))) AS DOUBLE)
-           / SUM(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS bpe_per_ws
+           / SUM(len(list_filter(regexp_split_to_array(text, '{WS_PATTERN}'), x -> x <> ''))) AS bpe_per_ws
 FROM documents
 GROUP BY lang
 ORDER BY lang
 """
 
 
+#: fingerprint window-start bound, applied on BOTH engines — the SQL
+#: twin's range(1, N+1) enumeration is finite by construction, so the
+#: Spark side caps its sequence to the same starts (round-5 audit: the
+#: oracle silently truncated >8198-char docs while the engine did not)
+FP_MAX_STARTS = 8191
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: min/max 64-bit hash over char 8-gram
-    windows (rolling-hash document signature). Short docs (<8 chars) get
-    the hash of the whole text."""
+    windows (rolling-hash document signature), window starts bounded by
+    FP_MAX_STARTS on both engines. Short docs (<8 chars) get the hash of
+    the whole text."""
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     n = 8
     win = F.when(
         F.length("text") >= n,
         F.transform(
-            F.sequence(F.lit(0), F.length("text") - n),
+            F.sequence(F.lit(0), F.least(F.length("text") - n, F.lit(FP_MAX_STARTS - 1))),
             lambda i: hash64(F.col("text").substr(i + 1, F.lit(n))),
         ),
     ).otherwise(F.array(hash64(F.col("text"))))
@@ -157,7 +180,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_FINGERPRINT_SQL = f"""
 WITH hashes AS (
     SELECT doc_id, {hash64_sql("substr(text, i, 8)")} AS h
-    FROM documents, range(1, 8192) r(i)
+    FROM documents, range(1, {FP_MAX_STARTS + 1}) r(i)
     WHERE i + 7 <= len(text)
     UNION ALL
     SELECT doc_id, {hash64_sql("text")} AS h

@@ -239,3 +239,111 @@ def test_kmv_small_source_falls_back_to_exact(spark, tmp_path):
     assert small["kmv_estimate"] == 3.0 and small["rel_error"] == 0.0
     assert got["big"]["exact_distinct"] >= KMV_K  # estimate path still taken
     assert got["big"]["kmv_estimate"] != got["big"]["exact_distinct"]
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+
+
+def _write_docs(spark, tmp_path, rows, name="documents"):
+    df = _docs_df(spark, rows)
+    path = os.path.join(str(tmp_path), f"{name}.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    return con
+
+
+def test_text_ops_survive_empty_docs_and_match_oracle(spark, tmp_path):
+    """Empty/whitespace-only docs: 0/0 divisions ABORTED the whole job
+    under Spark 4 ANSI while the oracles NULL-propagated. try_divide
+    makes both engines agree (NULL ratios; lang-id falls through to
+    'zh'; gopher emits a fail-closed verdict)."""
+    from petasearch_spark.operators.quality import GOPHER_QUALITY_SQL, gopher_quality
+    from petasearch_spark.operators.text import (
+        LANG_ID_SQL,
+        TEXT_QUALITY_SQL,
+        TOKEN_COUNT_SQL,
+        lang_id_heuristic,
+        text_quality_stats,
+        token_count_bpe,
+    )
+
+    rows = [
+        (0, "", "en", "src0", 0),
+        (1, "   ", "zh", "src0", 3),
+        (2, "normal words with vowels like data", "es", "src1", 30),
+        (3, "spam", "en", "src1", 4),          # 1 token: no 2-grams
+        (4, "buy now", "en", "src1", 7),        # 2 tokens: no 3-grams
+    ]
+    con = _write_docs(spark, tmp_path, rows)
+    sf = str(tmp_path)
+
+    for fn, sql in (
+        (text_quality_stats, TEXT_QUALITY_SQL),
+        (lang_id_heuristic, LANG_ID_SQL),
+        (token_count_bpe, TOKEN_COUNT_SQL),
+        (gopher_quality, GOPHER_QUALITY_SQL),
+    ):
+        got = [tuple(r) for r in fn(spark, sf).collect()]
+        want = [tuple(r) for r in con.execute(sql).fetchall()]
+        assert got == want, (fn.__name__, got, want)
+
+    # gopher: EVERY doc gets a verdict; too-short/empty docs fail CLOSED
+    g = {r["doc_id"]: r for r in gopher_quality(spark, sf).collect()}
+    assert set(g) == {0, 1, 2, 3, 4}
+    assert not g[0]["keep"] and not g[1]["keep"] and not g[3]["keep"] and not g[4]["keep"]
+    assert g[2]["keep"]
+    assert g[3]["top_2gram_frac"] == 0.0 and g[3]["dup_3gram_frac"] == 0.0
+
+
+def test_whitespace_rule_identical_across_all_three_engines(spark, tmp_path):
+    """Bare \\s differs per dialect (Java includes \\x0B; RE2 does not;
+    Python re is Unicode-aware). The explicit shared class must tokenize
+    identically in Spark, DuckDB, and the Python shingle kernel —
+    vertical tab splits, \\xa0 (non-ASCII space) does NOT."""
+    from petasearch_spark.operators.dedup import _shingle_hashes
+    from petasearch_spark.operators.portable import TOKENS_SQL, tokens
+
+    text = "a\x0bb c\td x\xa0y e f g"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    spark_toks = df.select(tokens(F.col("text")).alias("t")).collect()[0]["t"]
+    duck_toks = duckdb.connect().execute(
+        "SELECT " + TOKENS_SQL.format(col="?::VARCHAR")
+    , [text]).fetchone()[0]
+    assert spark_toks == duck_toks == ["a", "b", "c", "d", "x\xa0y", "e", "f", "g"]
+
+    # the Python kernel shingles over the same tokens: 3-gram count =
+    # len(toks) - 2, and one of them hashes 'c d x\xa0y' as ONE window
+    sh = _shingle_hashes(df, n=3).collect()
+    assert len(sh) == len(spark_toks) - 2
+
+    # NULL text: kernel must skip (SQL twins NULL-propagate), not crash
+    dfn = spark.createDataFrame([(0, None), (1, "a b c d")], "doc_id long, text string")
+    shn = _shingle_hashes(dfn, n=3).collect()
+    assert {r["doc_id"] for r in shn} == {1}
+
+
+def test_customers_never_ordered_set_semantics_on_duplicate_rows(spark, tmp_path):
+    """exceptAll().distinct() was MULTISET difference then dedup: a
+    double-loaded customer key with one order survived as 'never
+    ordered' while the oracle's EXCEPT removed it."""
+    from petasearch_spark.operators.relational import (
+        CUSTOMERS_NEVER_ORDERED_SQL,
+        customers_never_ordered,
+    )
+
+    cust = spark.createDataFrame([(5,), (5,), (6,)], "c_custkey long")
+    orders = spark.createDataFrame([(5,)], "o_custkey long")
+    cpath = os.path.join(str(tmp_path), "customer.parquet")
+    opath = os.path.join(str(tmp_path), "orders.parquet")
+    cust.coalesce(1).write.mode("overwrite").parquet(cpath)
+    orders.coalesce(1).write.mode("overwrite").parquet(opath)
+    got = [r["custkey"] for r in customers_never_ordered(spark, str(tmp_path)).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM read_parquet('{cpath}/*.parquet')")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{opath}/*.parquet')")
+    want = [r[0] for r in con.execute(CUSTOMERS_NEVER_ORDERED_SQL).fetchall()]
+    assert got == want == [6]
