@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from petasearch_spark.operators.quality import WINDOW_MAX_STARTS
 from petasearch_spark.operators.portable import TOKENS_SQL, tokens
 from petasearch_spark.sources.tables import load_table
 
@@ -396,7 +397,7 @@ WITH toks AS (SELECT doc_id, {TOKENS_SQL.format(col="text")} AS t FROM documents
 -- token array and match it against the phrase (no postings, no arrays of
 -- positions — window equality)
 SELECT p.phrase_id, p.phrase, d.doc_id, COUNT(*) AS n_matches
-FROM toks d, range(1, 8192) r(i), phrases p
+FROM toks d, range(1, {WINDOW_MAX_STARTS + 1}) r(i), phrases p
 WHERE i + 2 <= len(d.t)
   AND d.t[i] = p.w0 AND d.t[i+1] = p.w1 AND d.t[i+2] = p.w2
 GROUP BY p.phrase_id, p.phrase, d.doc_id

@@ -35,9 +35,17 @@ def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     array is materialized in its own projection first: higher-order
     functions are evaluated interpreted, per element, and Catalyst does
     not CSE inside lambdas, so an inlined tokens() would re-split the
-    text for every element_at probe (O(tokens^2) per doc)."""
+    text for every element_at probe (O(tokens^2) per doc). Shingle
+    starts are bounded like the oracles' range(1, SHINGLE_MAX_TOKENS)
+    enumeration — the slice keeps starts + (n-1) trailing tokens so the
+    last start matches the SQL bound exactly (round-5 audit)."""
+    from petasearch_spark.operators.portable import SHINGLE_MAX_TOKENS
+
     toked = docs.select(
-        "doc_id", "n_chars", "source", tokens(F.col("text")).alias("t")
+        "doc_id",
+        "n_chars",
+        "source",
+        F.slice(tokens(F.col("text")), 1, SHINGLE_MAX_TOKENS - 1 + (n - 1)).alias("t"),
     )
     return toked.select(
         "doc_id",

@@ -108,14 +108,19 @@ EVENTS_JSON_SQL = """
 WITH raw AS (
     -- json_valid guard: DuckDB's json_extract ERRORS on a malformed
     -- props row where Spark's get_json_object returns NULL
+    -- the trim mirrors Spark's string-to-long cast, which strips ALL
+    -- chars <= 0x20 (not just spaces) before parsing
     SELECT event_type,
            CASE WHEN json_valid(props)
-                THEN trim(json_extract_string(props, '$.k')) END AS ks
+                THEN regexp_replace(json_extract_string(props, '$.k'),
+                                    '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g') END AS ks
     FROM events
 ), ext AS (
+    -- TRY_CAST: the regexp guards integral-ness, not RANGE — a >int64
+    -- digit string must go NULL like Spark's try_cast, not abort
     SELECT event_type,
            CASE WHEN regexp_matches(ks, '^[+-]?[0-9]+$')
-                THEN CAST(ks AS BIGINT) END AS k
+                THEN TRY_CAST(ks AS BIGINT) END AS k
     FROM raw
 )
 SELECT event_type,

@@ -159,7 +159,11 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the token array before the window HOFs: lambdas are
     # interpreted per element and an inlined tokens() would re-split the
     # text for every slice probe
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    # persisted: base, g2 and g3 all read this frame — unpersisted, the
+    # regex split would run three times over the corpus (round-5 review;
+    # released by the bench/suite per-entry cache clear like the other
+    # registry-internal persists)
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts")).persist()
     base = toks.select(
         "doc_id",
         F.size("ts").cast("long").alias("n_toks"),

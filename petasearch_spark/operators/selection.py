@@ -136,7 +136,7 @@ WITH toks AS (
     SELECT doc_id, lang, source, unnest(ts[1:{WINDOW_MAX_STARTS}]) AS g FROM toks
 ), bi AS (
     SELECT doc_id, lang, source, array_to_string(ts[i:i+1], ' ') AS g
-    FROM toks, range(1, 8192) r(i) WHERE i + 1 <= len(ts)
+    FROM toks, range(1, {WINDOW_MAX_STARTS + 1}) r(i) WHERE i + 1 <= len(ts)
 ), bg AS (
     SELECT doc_id, lang, source, {hash64_sql("g")} % {DSIR_B} AS b
     FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)

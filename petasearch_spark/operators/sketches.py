@@ -61,7 +61,9 @@ def kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the within-doc dedup is array_distinct — the cluster-wide
     # .distinct() then shuffles only what crosses documents
     th = (
-        docs.select("source", F.slice(tokens(F.col("text")), 1, SKETCH_MAX_TOKENS).alias("ts"))
+        # N starts need N + 1 tokens: slice to SKETCH_MAX_TOKENS + 1 so the
+        # last bigram start equals the oracle's range bound exactly
+        docs.select("source", F.slice(tokens(F.col("text")), 1, SKETCH_MAX_TOKENS + 1).alias("ts"))
         .select("source", F.explode(F.array_distinct(word_shingles(F.col("ts"), 2))).alias("t"))
         .select("source", hash64(F.col("t")).alias("h"))
         .distinct()
@@ -252,7 +254,9 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from petasearch_spark.operators.portable import word_shingles
 
     th = (
-        docs.select("source", F.slice(tokens(F.col("text")), 1, SKETCH_MAX_TOKENS).alias("ts"))
+        # N starts need N + 1 tokens: slice to SKETCH_MAX_TOKENS + 1 so the
+        # last bigram start equals the oracle's range bound exactly
+        docs.select("source", F.slice(tokens(F.col("text")), 1, SKETCH_MAX_TOKENS + 1).alias("ts"))
         .select("source", F.explode(F.array_distinct(word_shingles(F.col("ts"), 2))).alias("t"))
         .select("source", hash64(F.col("t")).alias("h"))
         .distinct()

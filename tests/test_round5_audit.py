@@ -65,6 +65,11 @@ def test_json_stats_survives_and_matches_oracle_on_messy_props(spark, tmp_path):
         (6, t0, 1, "click", 1.0, "{}"),
         (7, t0, 1, "error", 1.0, '{"k": -4}'),
         (8, t0, 1, "error", 1.0, "not json"),
+        # second-pass review edges: whitespace-padded quoted integral
+        # (Spark's cast trims all chars <= 0x20) and a >int64 integral
+        # (regexp passes, TRY_CAST must go NULL — not abort the oracle)
+        (9, t0, 1, "error", 1.0, '{"k": "\\t11"}'),
+        (10, t0, 1, "error", 1.0, '{"k": 99999999999999999999}'),
     ]
     df = _events_df(spark, rows)
     got = [r.asDict() for r in _run_events_op(spark, events.events_json_stats, df)]
@@ -72,7 +77,7 @@ def test_json_stats_survives_and_matches_oracle_on_messy_props(spark, tmp_path):
     assert got == want
     by_type = {r["event_type"]: r for r in got}
     assert by_type["click"]["sum_k"] == 9 and by_type["click"]["min_k"] == 2
-    assert by_type["error"]["sum_k"] == -4
+    assert by_type["error"]["sum_k"] == 7  # -4 + trimmed 11; huge int is NULL
 
 
 def test_value_quantiles_and_mad_exclude_null_values(spark, tmp_path):
