@@ -186,12 +186,17 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").select("vec_id", "v").collect()
     )
     q_probe = emb.filter(F.col("vec_id") < N_QUERIES).count()
-    if len(cb_rows) < PQ_K or q_probe == 0:
-        # degenerate corpus (empty, or too small to train the codebooks):
-        # the honest answer is no neighbors, not a crash on a 0-d reshape
+    k_eff = len(cb_rows)
+    if k_eff == 0 or q_probe == 0:
+        # degenerate corpus (empty, or no codebook/query vectors): the
+        # honest answer is no neighbors, not a crash on a 0-d reshape
         return spark.createDataFrame([], "query_id long, neighbor_id long, approx_dot double, rk int")
-    # codebooks[m]: (PQ_K, PQ_SUB) — subvector m of the first PQ_K vectors
-    cbs = np.array([r["v"] for r in cb_rows], dtype=np.float64).reshape(PQ_K, PQ_M, PQ_SUB)
+    # codebooks[m]: (k_eff, PQ_SUB) — subvector m of the first vectors.
+    # A sub-PQ_K corpus trains on the codewords that EXIST, exactly like
+    # the SQL oracle's enumeration (round-5 audit: the old < PQ_K guard
+    # returned empty where the oracle returned full top-k rows — the KMV
+    # sub-K rule applied to PQ)
+    cbs = np.array([r["v"] for r in cb_rows], dtype=np.float64).reshape(k_eff, PQ_M, PQ_SUB)
     codebooks = np.ascontiguousarray(np.swapaxes(cbs, 0, 1))  # (PQ_M, PQ_K, PQ_SUB)
     q_rows = emb.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").select("vec_id", "v").collect()
     qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
@@ -449,9 +454,14 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = np.sqrt(np.array([sum(c * c for c in row) for row in C]))
 
     def assign_buckets(V: np.ndarray) -> np.ndarray:
+        from petasearch_spark.operators.similarity import _mask_zero_norm
+
         acc, xsq = _seq_dot_norms(V, C)
-        cos = _round_half_up6(acc / (np.sqrt(xsq)[:, None] * cn[None, :]))
-        return np.argmax(cos, axis=1)  # first max -> smallest cent_id
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = _round_half_up6(acc / (np.sqrt(xsq)[:, None] * cn[None, :]))
+        # zero-norm cells are SQL-NULL (never win); true NaN wins argmax
+        # like the engines' NaN-first DESC rank (round-5 audit)
+        return np.argmax(_mask_zero_norm(cos, xsq, cn), axis=1)
 
     def _dot_s(a, b):  # fixed-order fold over the last axis
         acc = np.zeros(np.broadcast_shapes(a.shape[:-1], b.shape[:-1]))
@@ -465,12 +475,15 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda t: t[0],
     )
     FV = np.array([v for _, v in first], dtype=np.float64)
-    if len(first) < PQ_K:
+    k_eff = len(first)
+    if k_eff == 0:
         return spark.createDataFrame([], "query_id long, neighbor_id long, cos double, rk int")
+    # sub-PQ_K corpora train on the codewords that EXIST, matching the
+    # SQL oracle's enumeration (round-5 audit — the KMV sub-K rule)
     fres = FV - C[assign_buckets(FV)]
     codebooks = np.ascontiguousarray(
-        np.swapaxes(fres.reshape(PQ_K, PQ_M, PQ_SUB), 0, 1)
-    )  # (PQ_M, PQ_K, PQ_SUB)
+        np.swapaxes(fres.reshape(k_eff, PQ_M, PQ_SUB), 0, 1)
+    )  # (PQ_M, k_eff, PQ_SUB)
     cnorm = _dot_s(codebooks, codebooks)  # (PQ_M, PQ_K)
 
     # queries: probe sets, per-(query,bucket) offsets, residual LUTs
@@ -481,7 +494,17 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qids = np.array([i for i, _ in q_rows], dtype=np.int64)
     QV = np.array([v for _, v in q_rows], dtype=np.float64)
     qacc, qsq = _seq_dot_norms(QV, C)
-    qcos = _round_half_up6(qacc / (np.sqrt(qsq)[:, None] * cn[None, :]))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        qcos = _round_half_up6(qacc / (np.sqrt(qsq)[:, None] * cn[None, :]))
+    # probe ordering must mirror both engines' composite rank: zero-norm
+    # similarities are SQL-NULL (rank LAST under DESC) and true NaN ranks
+    # FIRST — but np.lexsort on -qcos would put NaN LAST; pin the tiers
+    # explicitly (-inf / finite / +inf; ties fall to cent_id ascending on
+    # every side — round-5 audit)
+    from petasearch_spark.operators.similarity import _mask_zero_norm
+
+    qcos = _mask_zero_norm(qcos, qsq, cn)
+    qcos = np.where(np.isnan(qcos), np.inf, qcos)
     cent_ids = np.arange(N_CENTROIDS)
     probes = np.stack(
         [np.lexsort((cent_ids, -qcos[qi]))[:NPROBE] for qi in range(len(qids))]

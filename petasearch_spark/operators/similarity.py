@@ -47,7 +47,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm vector makes the denominator 0, which
+    # ABORTS the whole job under Spark 4's default ANSI mode while every
+    # DuckDB twin yields NULL and keeps running — NULL cos then sorts
+    # LAST under ORDER BY cos DESC on both engines (round-5 audit)
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 # --- Arrow kernels: same arithmetic, ~30x less per-row overhead ---------
@@ -85,6 +89,15 @@ def _seq_norm2(C: np.ndarray) -> np.ndarray:
     return out
 
 
+def _mask_zero_norm(cs: np.ndarray, xsq: np.ndarray, cn: np.ndarray) -> np.ndarray:
+    """Similarity matrix cells whose row-vector or column-centroid norm
+    is ZERO are SQL-NULL (0/0 under try_divide / DuckDB) and must rank
+    last under DESC: map them to -inf. True-NaN inputs propagate as NaN
+    and rank FIRST in both engines — argmax/sort keep that for free."""
+    null_like = (xsq == 0)[:, None] | (cn == 0)[None, :]
+    return np.where(null_like, -np.inf, cs)
+
+
 _COS_PAIR = None
 
 
@@ -109,7 +122,14 @@ def cosine_pair_udf(a: Column, b: Column) -> Column:
                 acc += X[:, i] * Y[:, i]
                 xsq += X[:, i] * X[:, i]
                 ysq += Y[:, i] * Y[:, i]
-            return pd.Series(_round_half_up6(acc / (np.sqrt(xsq) * np.sqrt(ysq))))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cs = _round_half_up6(acc / (np.sqrt(xsq) * np.sqrt(ysq)))
+            # ZERO-NORM pairs -> NULL, exactly like the HOF try_divide and
+            # DuckDB's /0 (both rank NULL LAST under DESC); a true-NaN
+            # input propagates as NaN, which BOTH engines rank FIRST —
+            # numpy's bare NaN conflated the two cases (round-5 audit)
+            out = pd.Series(cs).astype("Float64")
+            return out.mask((xsq == 0) | (ysq == 0))
 
         _COS_PAIR = _pair
     return _COS_PAIR(a, b)
@@ -145,7 +165,14 @@ def nearest_centroid_udf(cent_rows) -> "F.pandas_udf":
             return pd.Series([], dtype="int64")
         X = np.stack(v.values)
         acc, xsq = _seq_dot_norms(X, C)
-        cs = _round_half_up6(acc / (np.sqrt(xsq)[:, None] * cn[None, :]))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cs = _round_half_up6(acc / (np.sqrt(xsq)[:, None] * cn[None, :]))
+        # both engines rank NULL LAST and NaN FIRST under cos DESC; in
+        # numpy a ZERO-NORM division is NaN, conflating the two — map the
+        # zero-norm (SQL-NULL) cells to -inf so they never win, while a
+        # true-NaN similarity keeps winning via argmax's NaN-max rule,
+        # ties to the smallest cent_id on both sides (round-5 audit)
+        cs = _mask_zero_norm(cs, xsq, cn)
         return pd.Series(ids[np.argmax(cs, axis=1)])  # first max = smallest id
 
     return nearest
@@ -276,7 +303,8 @@ WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
 FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-WHERE ROUND(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {NEARDUP_COS}
+WHERE NOT isnan(ROUND(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6))
+  AND ROUND(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {NEARDUP_COS}
 ORDER BY id_a, id_b
 """
 
@@ -406,7 +434,8 @@ SELECT c.id_a, c.id_b, {_COS6.format(a="ea.v", b="eb.v")} AS cos
 FROM cand c
 JOIN emb ea ON ea.vec_id = c.id_a
 JOIN emb eb ON eb.vec_id = c.id_b
-WHERE {_COS6.format(a="ea.v", b="eb.v")} >= {NEARDUP_COS}
+WHERE NOT isnan({_COS6.format(a="ea.v", b="eb.v")})
+  AND {_COS6.format(a="ea.v", b="eb.v")} >= {NEARDUP_COS}
 ORDER BY id_a, id_b
 """
 
@@ -428,8 +457,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimal-vs-binary boundary representations
     q = F.transform(
         "v",
+        # try_divide: an all-zero vector has scale 0 — a plain division
+        # ABORTS under ANSI; NULL then flows through the NULL-skipping
+        # LEAST/GREATEST identically in both engines (round-5 audit)
         lambda x: F.greatest(
-            F.lit(-127), F.least(F.lit(127), F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"))
+            F.lit(-127), F.least(F.lit(127), F.floor(F.try_divide(x, F.col("scale")) + F.lit(0.5)).cast("int"))
         ),
     )
     qd = scaled.select("vec_id", "v", "scale", q.alias("q"))

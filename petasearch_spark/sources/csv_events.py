@@ -61,14 +61,33 @@ def read_events_csv(spark: SparkSession, path: str) -> DataFrame:
     quarantine count is exactly such a query); with ``from_csv`` it is
     an ordinary struct field. Same rationale and shape as
     sources/jsonl.py::read_jsonl_docs."""
-    raw = spark.read.text(path)
-    return raw.select(
+    # the raw line is renamed _raw BEFORE expanding the struct: the CSV
+    # schema has its own `value` field and a bare drop("value") would
+    # remove both
+    raw = spark.read.text(path).select(F.col("value").alias("_raw"))
+    parsed = raw.select(
+        "_raw",
         F.from_csv(
-            "value",
+            "_raw",
             CSV_EVENTS_SCHEMA.simpleString(),
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_malformed"},
-        ).alias("r")
-    ).select("r.*")
+        ).alias("r"),
+    ).select(
+        "r.*",
+        # two holes from_csv leaves open (round-5 audit): a blank line
+        # parses as an all-NULL row with no corrupt marker, and an empty
+        # leading field yields event_id NULL — ids are REQUIRED by the
+        # events contract (the oracle reconstructs per-id), so both land
+        # in quarantine instead of a phantom NULL-keyed clean group
+        F.when(
+            F.col("r._malformed").isNull()
+            & ((F.trim("_raw") == "") | F.col("r.event_id").isNull()),
+            F.col("_raw"),
+        ).alias("_bad"),
+    )
+    return parsed.withColumn(
+        "_malformed", F.coalesce(F.col("_malformed"), F.col("_bad"))
+    ).drop("_bad")
 
 
 def _stage_events_csv(spark: SparkSession, sf_dir: str) -> str:

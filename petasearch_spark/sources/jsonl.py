@@ -65,12 +65,25 @@ def read_jsonl_docs(spark: SparkSession, path: str) -> DataFrame:
 
     raw = spark.read.text(path)
     parsed = raw.select(
+        "value",
         F.from_json(
             "value",
             JSONL_DOC_SCHEMA,
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_malformed"},
-        ).alias("j")
-    ).select("j.*")
+        ).alias("j"),
+    ).select(
+        "j.*",
+        # blank/whitespace-only lines parse as an all-NULL struct with
+        # _malformed NULL (from_json never flags them), which would land
+        # a NULL-field "document" in the CLEAN split — force them into
+        # quarantine so every input line stays accounted (round-5 audit)
+        F.when(
+            F.col("j._malformed").isNull() & (F.trim("value") == ""), F.col("value")
+        ).alias("_blank"),
+    )
+    parsed = parsed.withColumn(
+        "_malformed", F.coalesce(F.col("_malformed"), F.col("_blank"))
+    ).drop("_blank")
     return parsed.select(
         F.when(F.col("_malformed").isNull(), hash64(F.col("id"))).alias("doc_id"),
         "text",

@@ -97,13 +97,24 @@ def docs_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.option("maxFilesPerTrigger", 1)
         .text(stage)
         .select(
+            "value",
             F.from_json(
                 "value",
                 JSONL_DOC_SCHEMA,
                 {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_malformed"},
-            ).alias("j")
+            ).alias("j"),
         )
-        .select("j.*")
+        .select(
+            "j.*",
+            # blank lines parse to an all-NULL struct without a corrupt
+            # marker — quarantine them like the batch reader (round-5
+            # audit; sources/jsonl.py carries the same rule)
+            F.when(
+                F.col("j._malformed").isNull() & (F.trim("value") == ""), F.col("value")
+            ).alias("_blank"),
+        )
+        .withColumn("_malformed", F.coalesce(F.col("_malformed"), F.col("_blank")))
+        .drop("_blank")
     )
     counts = (
         parsed.select(

@@ -173,7 +173,12 @@ def _stage_two_files(spark: SparkSession, src_parquet: str, split_col: str) -> s
         os.makedirs(flat)
         df = spark.read.parquet(src_parquet)
         for i in range(2):
-            df.filter(F.col(split_col) % 2 == i).coalesce(1).write.mode(
+            # pmod + NULL->half0: Spark's % keeps the dividend sign and
+            # propagates NULL, so negative or NULL split keys matched
+            # NEITHER half and silently vanished from the staged stream
+            # (round-5 audit)
+            half = F.coalesce(F.pmod(F.col(split_col), F.lit(2)), F.lit(0)) == i
+            df.filter(half).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(os.path.join(tmp, f"half{i}"))
         n = 0
@@ -229,14 +234,18 @@ def events_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
-            n += len(pdf)
             v = pdf["value"].to_numpy()
+            # NULL values arrive as NaN through Arrow and crashed the
+            # int() conversion; exclude the row from count AND sum like
+            # the SQL twin's IS NOT NULL filter (round-5 audit)
+            ok = ~np.isnan(v)
+            n += int(ok.sum())
             # np.floor, NOT astype-truncation: the SQL twin's floor()
             # rounds toward -inf, truncation toward zero — identical on
             # the fixture's positive amounts but divergent on any
             # negative (refund) value; floor of the SAME float ops is
             # cross-engine exact for all signs (round-5 audit)
-            cents += int(np.floor(v * 100 + 0.5).sum())
+            cents += int(np.floor(v[ok] * 100 + 0.5).sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
@@ -264,7 +273,8 @@ def events_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_STREAM_USER_TOTALS_SQL = """
 SELECT user_id, COUNT(*) AS n_events,
        SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
-FROM events GROUP BY user_id ORDER BY user_id
+FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+GROUP BY user_id ORDER BY user_id
 """
 
 

@@ -352,3 +352,146 @@ def test_customers_never_ordered_set_semantics_on_duplicate_rows(spark, tmp_path
     con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{opath}/*.parquet')")
     want = [r[0] for r in con.execute(CUSTOMERS_NEVER_ORDERED_SQL).fetchall()]
     assert got == want == [6]
+
+
+def test_zero_norm_and_nan_vectors_in_similarity_family(spark, tmp_path):
+    """Round-5 batch 4: a zero-norm vector ABORTED every cosine under
+    ANSI (try_divide now yields NULL, ranked last like the oracle), and
+    a NaN-element vector was a near-dup hit in DuckDB/Spark-filter but
+    not in the numpy kernel (now excluded everywhere)."""
+    import duckdb as _d
+
+    from petasearch_spark.operators.similarity import (
+        ANN_COSINE_TOPK_SQL,
+        EMBEDDING_NEARDUP_SQL,
+        ann_cosine_topk,
+        embedding_neardup,
+    )
+
+    dim = 64
+    rows = []
+    for vid in range(30):
+        v = [0.0] * dim
+        v[vid % 6] = 1.0
+        v[(vid + 1) % 6] = 0.5
+        if vid == 4:
+            v = [0.0] * dim  # zero-norm corpus+query vector
+        if vid == 13:
+            v[3] = float("nan")  # NaN-element train vector
+        rows.append((vid, v, int(vid % 10)))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    path = os.path.join(str(tmp_path), "embeddings.parquet")
+    emb.coalesce(1).write.mode("overwrite").parquet(path)
+    con = _d.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}/*.parquet')")
+
+    def _norm(rows):
+        # repr-normalize so NaN == NaN (both engines agree the NaN vector
+        # ranks FIRST; Python tuple equality would call nan != nan)
+        return sorted(tuple(repr(v) for v in r) for r in rows)
+
+    got = _norm(ann_cosine_topk(spark, str(tmp_path)).collect())
+    want = _norm(con.execute(ANN_COSINE_TOPK_SQL).fetchall())
+    assert got == want and len(got) > 0
+
+    got_n = sorted(tuple(r) for r in embedding_neardup(spark, str(tmp_path)).collect())
+    want_n = sorted(tuple(r) for r in con.execute(EMBEDDING_NEARDUP_SQL).fetchall())
+    assert got_n == want_n
+    assert all(13 not in (r[0], r[1]) for r in got_n), "NaN vector must pair with nothing"
+
+
+def test_pq_trains_on_sub_k_corpora_like_the_oracle(spark, tmp_path):
+    """A corpus with fewer than PQ_K vectors returned [] from the engine
+    while the oracle trained on the codewords that exist — the KMV sub-K
+    rule now applies to PQ too."""
+    import duckdb as _d
+
+    from petasearch_spark.operators.ivf import ANN_PQ_TOPK_SQL, PQ_K, ann_pq_topk
+
+    dim = 64
+    rows = []
+    for vid in range(12):  # < PQ_K = 16
+        v = [0.0] * dim
+        v[vid % 5] = 1.0
+        v[(vid + 2) % 7] = 0.25
+        rows.append((vid, v, int(vid % 10)))
+    assert len(rows) < PQ_K
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    path = os.path.join(str(tmp_path), "embeddings.parquet")
+    emb.coalesce(1).write.mode("overwrite").parquet(path)
+    con = _d.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    got = sorted(tuple(r) for r in ann_pq_topk(spark, str(tmp_path)).collect())
+    want = sorted(tuple(r) for r in con.execute(ANN_PQ_TOPK_SQL).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_stage_split_keeps_negative_and_null_ids(spark, tmp_path):
+    """_stage_two_files split with `% 2 == i` dropped negative/NULL keys
+    (Spark % keeps the dividend sign and propagates NULL) — pmod plus the
+    NULL->half0 rule stages every row."""
+    from petasearch_spark.streaming.stateful import _stage_two_files
+
+    df = spark.createDataFrame([(2,), (-1,), (None,), (7,)], "event_id long")
+    src = os.path.join(str(tmp_path), "ev.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    staged = _stage_two_files(spark, src, "event_id")
+    assert spark.read.parquet(staged).count() == 4
+
+
+def test_stream_user_totals_ignores_null_values(spark, tmp_path):
+    """A NULL value crashed the stateful kernel (NaN through Arrow into
+    int()); the row is now excluded from count AND sum like the filtered
+    SQL twin."""
+    import datetime
+
+    import duckdb as _d
+
+    from petasearch_spark.streaming.stateful import (
+        EVENTS_STREAM_USER_TOTALS_SQL,
+        events_stream_user_totals,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        (0, t0, 1, "click", 2.25, "{}"),
+        (1, t0, 1, "click", None, "{}"),
+        (2, t0, 2, "click", -3.5, "{}"),
+        (3, t0, 2, "click", 1.0, "{}"),
+    ]
+    ev = _events_df(spark, rows)
+    src = os.path.join(str(tmp_path), "events.parquet")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    got = sorted(tuple(r) for r in events_stream_user_totals(spark, str(tmp_path)).collect())
+    con = _d.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{src}/*.parquet')")
+    want = sorted(tuple(r) for r in con.execute(EVENTS_STREAM_USER_TOTALS_SQL).fetchall())
+    assert got == want
+    assert got[0] == (1, 1, 2.25)  # NULL row excluded from n_events too
+
+
+def test_blank_and_null_id_lines_are_quarantined(spark, tmp_path):
+    """from_json/from_csv parse a blank line as an all-NULL row WITHOUT a
+    corrupt marker, and an empty leading CSV field as a NULL event_id —
+    all three now land in quarantine, keeping every input line accounted."""
+    from petasearch_spark.sources.csv_events import read_events_csv
+    from petasearch_spark.sources.jsonl import read_jsonl_docs, split_malformed
+
+    jl = str(tmp_path / "d.jsonl")
+    with open(jl, "w") as f:
+        f.write('{"id": "a", "text": "hello world"}\n')
+        f.write("\n")          # blank
+        f.write("   \n")       # whitespace-only
+        f.write("not json\n")
+    clean, bad = split_malformed(read_jsonl_docs(spark, jl))
+    assert clean.count() == 1 and bad.count() == 3
+
+    cf = str(tmp_path / "e.csv")
+    with open(cf, "w") as f:
+        f.write("1,2024-01-01 00:00:00,7,click,1.5\n")
+        f.write("\n")                                   # blank
+        f.write(",2024-01-01 00:00:00,7,click,1.5\n")   # NULL event_id
+        f.write("2,2024-01-01 00:00:00,7,click,oops\n")  # bad value
+    ev = read_events_csv(spark, cf)
+    assert ev.filter(F.col("_malformed").isNull()).count() == 1
+    assert ev.filter(F.col("_malformed").isNotNull()).count() == 3
