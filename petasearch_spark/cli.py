@@ -71,6 +71,25 @@ def _stage_done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def _input_fingerprint(input_path: str) -> str:
+    """Content fingerprint (path+size+mtime_ns per file, the
+    source_fingerprint law) of the curate input — a file, a parquet dir,
+    or a dir of JSONL shards. Stored in ingest.json so --resume detects a
+    CHANGED input even when every stage marker is intact (round-5 ADVICE:
+    markers alone would silently pair old staging counts with a new
+    input path)."""
+    import os
+
+    from petasearch_spark.streaming.stateful import source_fingerprint
+
+    if os.path.isdir(input_path):
+        parts = sorted(
+            os.path.join(r, f) for r, _, fs in os.walk(input_path) for f in fs
+        )
+        return source_fingerprint(*(parts or [input_path]))
+    return source_fingerprint(input_path)
+
+
 def _curate(spark, input_path: str, out_dir: str, resume: bool = False) -> int:
     """The end-to-end "raw dump -> training set" run, the text-pipeline
     analogue of easy-search: ingest/quarantine, normalize ONCE to the
@@ -86,8 +105,10 @@ def _curate(spark, input_path: str, out_dir: str, resume: bool = False) -> int:
 
     ``resume`` re-runs over a partially written store: each stage whose
     artifact carries Spark's ``_SUCCESS`` commit marker is REUSED (its
-    report counts recomputed from the artifact — deterministic, so the
-    printed line is byte-identical to the uninterrupted run's), and the
+    report counts recomputed from the artifact — deterministic, so every
+    accounting VALUE equals the uninterrupted run's; the printed line
+    additionally carries a ``resumed_stages`` key naming what was
+    reused), and the
     first incomplete stage onward is recomputed — INCLUDING every
     downstream stage regardless of its own marker, since a recomputed
     upstream means the downstream artifact belongs to an older
@@ -126,6 +147,7 @@ def _curate(spark, input_path: str, out_dir: str, resume: bool = False) -> int:
     # once any stage recomputes, every later stage must too — its marker
     # belongs to the previous generation
     recompute_rest = not resume
+    input_fp = _input_fingerprint(input_path)
     saved = None
     if not recompute_rest and _stage_done(staging_docs) and os.path.exists(ingest_json):
         try:
@@ -133,6 +155,12 @@ def _curate(spark, input_path: str, out_dir: str, resume: bool = False) -> int:
                 saved = json.load(f)
         except (OSError, json.JSONDecodeError):
             saved = None  # truncated/unreadable sidecar: recompute, don't crash
+        if saved is not None and saved.get("input_fp") != input_fp:
+            # intact markers but a DIFFERENT input dump: the whole store
+            # is a stale generation — recompute everything rather than
+            # pairing old staging/counts with the new input (round-5
+            # ADVICE)
+            saved = None
     if saved is not None:
         report["n_quarantined"] = saved["n_quarantined"]
         report["n_staged"] = saved["n_staged"]
@@ -178,8 +206,11 @@ def _curate(spark, input_path: str, out_dir: str, resume: bool = False) -> int:
         with open(tmp_json, "w") as f:
             json.dump(
                 {
-                    k: report[k]
-                    for k in ("n_quarantined", "n_staged", "n_dropped_null_fields")
+                    "input_fp": input_fp,
+                    **{
+                        k: report[k]
+                        for k in ("n_quarantined", "n_staged", "n_dropped_null_fields")
+                    },
                 },
                 f,
             )
@@ -280,8 +311,9 @@ def main(argv: list[str] | None = None) -> int:
         "--resume",
         action="store_true",
         help="reuse completed stage artifacts (_SUCCESS-marked) in out_dir"
-        " and recompute from the first incomplete stage; the printed"
-        " accounting line is identical to an uninterrupted run's",
+        " and recompute from the first incomplete stage; accounting"
+        " values are identical to an uninterrupted run's (the line also"
+        " lists resumed_stages); a changed input forces full recompute",
     )
 
     args = top.parse_args(argv)

@@ -838,6 +838,11 @@ def merge_ivf_index_delta(spark: SparkSession, path: str, delta_emb: DataFrame, 
     (round-5 review finding); fail loudly instead."""
     from petasearch_spark.operators.similarity import nearest_centroid_udf
 
+    if not os.path.exists(path):
+        # a recluster killed between its two renames leaves the live
+        # index only at {path}.old<pid>; recover it here instead of
+        # failing until the NEXT recluster call (round-5 ADVICE)
+        _recover_recluster_swap(path)
     payload = tuple(
         c for c in spark.read.parquet(path).columns if c not in ("vec_id", "v", "bucket")
     )
@@ -884,6 +889,10 @@ def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame, centroid
     session-wide clearCache that would evict caller state."""
     from petasearch_spark.operators.similarity import cosine, cosine_pair_udf
 
+    if not os.path.exists(path):
+        # cheap happy-path stat; see merge_ivf_index_delta — a probe
+        # must not fail inside recluster's swap window (round-5 ADVICE)
+        _recover_recluster_swap(path)
     cent = spark.createDataFrame(
         [(int(c), list(map(float, v))) for c, v in centroids], "cent_id long, cv array<double>"
     )

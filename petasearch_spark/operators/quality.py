@@ -154,15 +154,21 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-fraction signals (round-5 audit). raw_mwl uses try_divide —
     a zero-token doc's 0/0 ABORTED the job under Spark 4 ANSI while the
     oracle NULL-propagated.
+
+    The token frame is persisted only WITHIN this call (base, g2 and g3
+    all read it); the per-doc verdict frame is localCheckpoint'ed and
+    the corpus-sized token cache released before returning — previously
+    the cache was left for the caller's clearCache, which the curate CLI
+    path never did, holding corpus-sized storage through every
+    downstream stage (round-5 ADVICE, the k44 funnel bench flag).
     """
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     # materialize the token array before the window HOFs: lambdas are
     # interpreted per element and an inlined tokens() would re-split the
     # text for every slice probe
     # persisted: base, g2 and g3 all read this frame — unpersisted, the
-    # regex split would run three times over the corpus (round-5 review;
-    # released by the bench/suite per-entry cache clear like the other
-    # registry-internal persists)
+    # regex split would run three times over the corpus (round-5 review);
+    # released below once the verdict frame is checkpointed
     toks = docs.select("doc_id", tokens(F.col("text")).alias("ts")).persist()
     base = toks.select(
         "doc_id",
@@ -189,7 +195,7 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = base.join(top2, "doc_id", "left").join(dup3, "doc_id", "left")
     t2 = F.coalesce(F.col("raw_top2"), F.lit(0.0))
     d3 = F.coalesce(F.col("raw_dup3"), F.lit(0.0))
-    return out.select(
+    out = out.select(
         "doc_id",
         "n_toks",
         F.round(t2, 6).alias("top_2gram_frac"),
@@ -198,7 +204,14 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.col("n_toks") >= GOPHER_MIN_TOKS) & (t2 <= TOP2_MAX) & (d3 <= DUP3_MAX)
         ).alias("keep"),
-    ).orderBy("doc_id")
+    )
+    # materialize the per-doc verdicts (narrow scalar rows) so the
+    # corpus-sized token cache can be released HERE rather than leaking
+    # into the caller; the _encode_with_vocab pattern (text.py). On a
+    # cluster, swap localCheckpoint for checkpoint() with a durable dir.
+    out = out.localCheckpoint(eager=True)
+    toks.unpersist()
+    return out.orderBy("doc_id")
 
 
 def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:

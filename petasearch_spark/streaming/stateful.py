@@ -63,9 +63,13 @@ def _sweep_stale_siblings(root: str) -> None:
     same-prefix siblings (a) whose 12-hex key differs from the one being
     claimed AND whose mtime is older than :data:`STAGING_TTL_DAYS`, or
     (b) ``.build<pid>`` debris of a pid that no longer exists (the
-    ann_stream dead-pid sweep pattern). The CURRENT key is never swept —
-    a live cache is re-claimed (not touched) on every run, and the TTL
-    only has to outlast the longest gap between testdata regenerations."""
+    ann_stream dead-pid sweep pattern), INCLUDING debris of the current
+    key — a crashed builder of this very key would otherwise never be
+    reaped, since cache hits return early and a builder only removes its
+    own-pid tmp (round-5 ADVICE). Only the markerless ROOT of the
+    current key is exempt: a live cache is re-claimed (not touched) on
+    every run, and the TTL only has to outlast the longest gap between
+    testdata regenerations."""
     import glob
     import re
     import shutil
@@ -81,8 +85,10 @@ def _sweep_stale_siblings(root: str) -> None:
     horizon = time.time() - STAGING_TTL_DAYS * 86400
     for d in glob.glob(os.path.join(parent, m.group("prefix") + "*")):
         sm = _CACHE_DIR_RE.match(os.path.basename(d))
-        if not sm or sm.group("key") == m.group("key"):
+        if not sm:
             continue
+        if sm.group("pid") is None and sm.group("key") == m.group("key"):
+            continue  # the live root being claimed — never swept
         try:
             if sm.group("pid") is not None:
                 if int(sm.group("pid")) == os.getpid():

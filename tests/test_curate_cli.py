@@ -146,11 +146,18 @@ def test_curate_resume_is_idempotent_and_skips_complete_stages(spark, tmp_path, 
     shutil.rmtree(os.path.join(out, "curated"))
     shutil.rmtree(os.path.join(out, "packs.parquet"))
     # poison the raw dump: a resume that reused staging must NOT re-parse
-    # it (append to a DATA part file — _SUCCESS/.crc siblings are ignored
-    # by the text reader, so poisoning them would verify nothing)
+    # it (scramble a DATA part file — _SUCCESS/.crc siblings are ignored
+    # by the text reader, so poisoning them would verify nothing). The
+    # scramble keeps SIZE and MTIME identical: resume's input fingerprint
+    # is path+size+mtime_ns by design (the source_fingerprint law — cheap,
+    # no content hash), so a same-size in-place corruption is exactly the
+    # change it cannot see, which is what makes "no re-parse" observable
     part = sorted(f for f in os.listdir(dump) if f.startswith("part-"))[0]
-    with open(os.path.join(dump, part), "a") as f:
-        f.write('{"id": "doc-poison", "text": "should never be read"}\n')
+    ppath = os.path.join(dump, part)
+    st = os.stat(ppath)
+    with open(ppath, "r+") as f:
+        f.write("THIS IS NOT JSON AND MUST NEVER BE READ ")
+    os.utime(ppath, ns=(st.st_atime_ns, st.st_mtime_ns))
 
     assert main(["curate", dump, out, "--resume"]) == 0
     resumed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -212,3 +219,39 @@ def test_curate_resume_recomputes_downstream_of_a_recomputed_stage(spark, tmp_pa
     resumed["out_dir"] = fresh["out_dir"]
     assert resumed == fresh
     shutil.rmtree(scratch)
+
+
+def test_curate_resume_detects_changed_input_despite_intact_markers(spark, tmp_path, capsys):
+    """Round-5 ADVICE: --resume previously trusted an intact
+    _SUCCESS-marked store + ingest.json with NO fingerprint of the input
+    — if the dump changed but no rerun died mid-staging (markers all
+    intact), resume silently paired the OLD staging/counts with the NEW
+    input path in the printed report. The ingest sidecar now stores an
+    input fingerprint (path+size+mtime_ns per file) and a mismatch
+    forces full recompute."""
+    docs = load_table(spark, "documents", SF).limit(150)
+    line = F.to_json(
+        F.struct(
+            F.concat(F.lit("doc-"), F.col("doc_id")).alias("id"),
+            "text",
+            "lang",
+            "source",
+        )
+    )
+    dump = str(tmp_path / "dump.jsonl")
+    docs.filter(F.col("doc_id") < 60).select(line.alias("value")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(dump)
+    out = str(tmp_path / "out")
+    assert main(["curate", dump, out]) == 0
+    capsys.readouterr()
+
+    # the dump GROWS but every stage marker and the sidecar stay intact —
+    # the exact blind spot the fingerprint closes
+    docs.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(dump)
+
+    assert main(["curate", dump, out, "--resume"]) == 0
+    resumed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert resumed["resumed_stages"] == []  # nothing trusted
+    assert resumed["n_staged"] == 150
+    assert resumed["funnel"]["n_docs"] == 150

@@ -448,3 +448,49 @@ class TestIvfRecluster:
         assert glob.glob(f"{path}.old*") == []
         assert glob.glob(f"{path}.recluster*") == []
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_probe_and_merge_recover_interrupted_recluster_swap(spark, tmp_path):
+    """Round-5 ADVICE: a recluster killed between its two renames leaves
+    the live index only at `.old<pid>` — previously only the NEXT
+    recluster call recovered it, so probes/merges failed on the missing
+    path until then. Both now run the same cheap path-missing recovery."""
+    import glob
+    import os
+
+    from petasearch_spark.operators.ivf import (
+        N_CENTROIDS,
+        N_QUERIES,
+        merge_ivf_index_delta,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+    from petasearch_spark.operators.similarity import _as_double
+
+    emb = load_table(spark, "embeddings", SF_DIR).select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    cent = [
+        (r["vec_id"], r["v"])
+        for r in emb.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "v").collect()
+    ]
+    path = os.path.join(str(tmp_path), "idx_swapwin")
+    base = emb.filter(F.col("vec_id") < 400)
+    write_ivf_index(base, path, cent, extra_cols=("label",))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    want = [tuple(r) for r in probe_ivf_index(spark, path, q, cent).collect()]
+
+    # kill window: live index only at .old<dead-pid>
+    dead = 999_999_999
+    os.rename(path, f"{path}.old{dead}")
+    got = [tuple(r) for r in probe_ivf_index(spark, path, q, cent).collect()]
+    assert got == want and len(got) > 0
+    assert glob.glob(f"{path}.old*") == []
+
+    # same window hit by the delta merge path
+    os.rename(path, f"{path}.old{dead}")
+    delta = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 420))
+    merge_ivf_index_delta(spark, path, delta, cent)
+    assert spark.read.parquet(path).count() == 420

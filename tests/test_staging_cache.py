@@ -114,3 +114,23 @@ def test_ttl_sweep_refreshes_mtime_on_reclaim(tmp_path):
     other = str(tmp_path / "ps_stage2b_012345678901")
     staged_cache(other, lambda tmp: open(os.path.join(tmp, "y"), "w").close())
     assert os.path.isdir(root)
+
+
+def test_sweep_reaps_dead_pid_debris_of_the_current_key(tmp_path):
+    """Round-5 ADVICE: a crashed builder of the CURRENT key leaves
+    `<root>.build<pid>` debris that the old sweep never touched (the
+    same-key guard fired before the pid check, and cache hits return
+    early) — it must be reaped like any other dead-pid debris. Only the
+    live ROOT of the key is exempt."""
+    from petasearch_spark.streaming.stateful import staged_cache
+
+    root = str(tmp_path / "ps_stage2b_abcdefabcdef")
+    staged_cache(root, lambda tmp: open(os.path.join(tmp, "y"), "w").close())
+    own_key_debris = tmp_path / "ps_stage2b_abcdefabcdef.build999999999"
+    own_key_debris.mkdir()
+    (own_key_debris / "x").write_text("x")
+
+    # a pure cache hit must reap the crashed builder's tmp of ITS OWN key
+    staged_cache(root, lambda tmp: (_ for _ in ()).throw(AssertionError("rebuild")))
+    assert not own_key_debris.exists(), "dead-pid debris of the current key must be swept"
+    assert os.path.isdir(root), "the live root itself is never touched"
