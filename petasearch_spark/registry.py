@@ -294,23 +294,6 @@ UNGATED: dict[str, str] = {
         " kernel it rides is already gated via ann_cosine_topk/embedding_neardup —"
         " full DuckDB parity at sf0.001 AND sf0.01 in tests/test_oracle_parity.py"
     ),
-    "dedup_span_removal": (
-        "late round-4 addition; the detection half (window hashing, dup join,"
-        " position coverage) is already gated via dup_span_coverage — the rewrite"
-        " rule is pinned by engineered-corpus units in tests/test_selection.py and"
-        " full DuckDB parity at sf0.001 AND sf0.01 in tests/test_oracle_parity.py"
-    ),
-    "dsir_importance_sample": (
-        "late round-4 addition; the gate is at its 50-row cap and the hashed-gram +"
-        " decimal-ln machinery it rides is already gated via unigram_logprob_score /"
-        " gopher_quality — full DuckDB parity at sf0.001 AND sf0.01 in"
-        " tests/test_oracle_parity.py"
-    ),
-    "lang_classifier_nb": (
-        "late round-4 addition; same gate-cap rationale and the same gated"
-        " hashed-gram/decimal precedent (unigram_logprob_score); exact-decimal argmax"
-        " tie-break pinned in tests/test_selection.py, parity at both SFs"
-    ),
     "protein_prefilter_bucketed": (
         "logical output duplicates protein_prefilter (shares its oracle); the bucketed"
         " no-Exchange plan property is pinned by tests/test_skew_pruning.py and the"
@@ -366,18 +349,6 @@ UNGATED: dict[str, str] = {
         "added after the gate filled; full DuckDB parity in pytest; per-doc"
         " explode/slice machinery akin to the gated window/shingle rows"
     ),
-    "bpe_train_merges": (
-        "added after the gate filled; its 6-row merge-rule output carries the"
-        " weakest hash mass of the text family while its iterative Spark loop"
-        " is the slowest text query at the gate SF; exact cross-engine parity"
-        " (values + tie-breaks, both SFs) stays in pytest"
-    ),
-    "bpe_encode_corpus": (
-        "round-5 addition completing the BPE train->evaluate->apply triple;"
-        " shares the iterative trainer (same gate-SF cost as bpe_fertility)"
-        " plus one occurrence-stream join — exact cross-engine parity"
-        " (position-ordered token-id strings) at both SFs stays in pytest"
-    ),
     "bpe_fertility": (
         "added after the gate filled; shares bpe_train_merges' iterative"
         " trainer (same gate-SF cost) plus one vocab join; exact cross-engine"
@@ -401,34 +372,9 @@ UNGATED: dict[str, str] = {
         " watermarked stream-stream join vs batch theta-join oracle); streaming"
         " state/agg/dedup keep their gate rows"
     ),
-    "corpus_curation_funnel": (
-        "added after the gate filled; full DuckDB parity in pytest — every"
-        " constituent stage already holds its own gate row (gopher_quality,"
-        " dedup_exact, dedup_minhash_lsh, decontaminate_ngram_overlap,"
-        " corpus_sample_stratified)"
-    ),
-    "ann_ivfpq_topk": (
-        "added after the gate filled; full DuckDB parity in pytest — its two"
-        " constituents hold gate rows (ann_ivf_topk coarse probe, ann_pq_topk"
-        " ADC scoring)"
-    ),
-    "decontaminate_minhash": (
-        "added after the gate filled; full DuckDB parity in pytest, and its two"
-        " building blocks hold gate rows (dedup_minhash_lsh for the signature/band"
-        " machinery, decontaminate_ngram_overlap for the train/eval split)"
-    ),
-    "events_asof_join": (
-        "added after the gate filled; full DuckDB parity in pytest (native ASOF"
-        " JOIN oracle) and timed in bench.py"
-    ),
     "events_proximity_pairs": (
         "added after the gate filled; full DuckDB parity in pytest (theta-join"
         " oracle vs the engine's binned equi-join) and timed in bench.py"
-    ),
-    "pii_redaction": (
-        "added after the gate filled; full DuckDB parity in pytest; the"
-        " synthetic corpus holds no PII, so redaction behavior is additionally"
-        " pinned on constructed PII rows in tests/test_text_extra.py"
     ),
     "dedup_blocks": (
         "added after the gate filled; full DuckDB parity in pytest; same"
@@ -477,21 +423,6 @@ UNGATED: dict[str, str] = {
         " INDEPENDENT window-equality oracle formulation; overlapping-occurrence"
         " intersection arithmetic pinned on constructed docs in"
         " tests/test_bm25_packing.py"
-    ),
-    "events_value_quantiles": (
-        "added after the gate filled; full DuckDB parity in pytest — the engine's"
-        " histogram+running-count formulation vs an INDEPENDENT row_number-over-"
-        "raw-rows oracle; rank edge cases pinned on constructed groups in"
-        " tests/test_events_extra.py"
-    ),
-    "events_quantile_sketch": (
-        "added after the gate filled; same family as the gated"
-        " events_value_quantiles (exact ranks) — this is its bounded-state"
-        " DDSketch-style scale variant; full DuckDB parity in pytest (the"
-        " decimal-integer bucketing is deterministic, so even the sketch is"
-        " exactly cross-engine hashable); the <=half-bucket-width error bound"
-        " vs exact quantiles and repartition-invariance are pinned in"
-        " tests/test_events_extra.py"
     ),
     "embedding_profile": (
         "added after the gate filled; full DuckDB parity in pytest; the corrupt-"
@@ -559,36 +490,106 @@ UNGATED: dict[str, str] = {
         " compiles to the same conditional-aggregation shuffle class as the"
         " gated events_hourly/events_rollup rows"
     ),
-    "events_csv_ingest": (
-        "late round-4 addition; the quarantine-accounting machinery is gated via"
-        " docs_stream_ingest (same from_*/ordinary-corrupt-column design, same"
-        " arithmetic oracle pattern) — full DuckDB parity at sf0.001 AND sf0.01"
-        " in tests/test_oracle_parity.py, parser-level units in tests/test_jsonl.py"
-    ),
     "ann_filtered_topk": (
         "late round-4 addition; the cosine_topk core it wraps is gated via"
         " ann_cosine_topk — the new behavior (label predicate at the scan, not a"
         " recall-lossy post-filter) is plan-pinned in tests/test_plan_pushdown.py"
         " and oracle-checked at both SFs in tests/test_oracle_parity.py"
     ),
-    "ann_ivf_filtered_topk": (
-        "round-5 addition; composes two gated/pinned pieces (ann_ivf_topk's"
-        " probe, ann_filtered_topk's predicate placement) against the"
-        " materialized labeled index — bucket partition pruning + label"
-        " PushedFilter plan-pinned in tests/test_plan_pushdown.py, oracle"
-        " parity at both SFs in tests/test_oracle_parity.py"
-    ),
-    "events_sax_motifs": (
-        "late round-4 addition; the gate is at its 50-row cap and its building"
-        " blocks (per-user window ranks, exact-decimal day sums) are gated via"
-        " events_sessionize/events_hourly — full DuckDB parity at sf0.001 AND"
-        " sf0.01 in tests/test_oracle_parity.py, engineered-series units in"
-        " tests/test_events_extra.py"
-    ),
     "events_type_unpivot": (
         "added after the gate filled; full DuckDB parity in pytest; zero-"
         "shuffle melt over the pivot above — its only shuffle IS the gated"
         " aggregation class"
+    ),
+    # --- round-6 gate rotation (VERDICT r5 item 1): the 15 entries below
+    # were driver-hash-green for 3+ consecutive rounds (most since round
+    # 1); each yields its slot to a never-gated round-4/5 entry so the
+    # driver's independent rows+schema+hash check finally covers that
+    # surface (bpe_train_merges, bpe_encode_corpus, dsir_importance_sample,
+    # lang_classifier_nb, events_sax_motifs, dedup_span_removal,
+    # events_csv_ingest, decontaminate_minhash, events_quantile_sketch,
+    # events_value_quantiles, ann_ivfpq_topk, ann_ivf_filtered_topk,
+    # corpus_curation_funnel, pii_redaction, events_asof_join). All 15
+    # keep full DuckDB parity at sf0.001 AND the gate SF in
+    # tests/test_oracle_parity.py.
+    "repeat_customers": (
+        "rotated out round 6 after 5 consecutive driver-hash-green rounds; its"
+        " class (groupBy-count HAVING) stays gated via the strict-> HAVING"
+        " prefilter rows (A1) and q18-style semi-joins keep pytest parity"
+    ),
+    "running_order_totals": (
+        "rotated out round 6 after 5 green rounds; the window prefix-sum class"
+        " stays gated via top_suppliers_per_nation (window rank) and"
+        " events_sessionize (event-time windows); total-order tie-break law"
+        " pinned in tests/test_round5_audit.py"
+    ),
+    "events_json_stats": (
+        "rotated out round 6 after 5 green rounds; the JSON parse/quarantine"
+        " class is now gated via events_csv_ingest (rotated in — same"
+        " from_*/corrupt-column accounting design)"
+    ),
+    "events_rollup": (
+        "rotated out round 6 after 5 green rounds; the conditional-aggregation"
+        " rollup class stays gated via events_hourly and the pivot twin keeps"
+        " pytest parity"
+    ),
+    "users_purchase_and_error": (
+        "rotated out round 6 after 5 green rounds; §2.7 set-op semantics stay"
+        " gated via clean_purchase_days (EXCEPT/subtract — the harder"
+        " duplicate-row case); INTERSECT keeps pytest parity at both SFs"
+    ),
+    "doc_prefilter": (
+        "rotated out round 6 after 5 green rounds; the J1 equi-join class keeps"
+        " TWO gate rows (protein_prefilter, dna_prefilter) and the document"
+        " shingle index keeps its own (doc_shingle_index)"
+    ),
+    "dedup_jaccard_pairs": (
+        "rotated out round 6 after 5 green rounds; its verify-before-distinct"
+        " pair kernel is embedded verbatim in the gated dedup_minhash_lsh"
+        " (which verifies every LSH candidate with the same Jaccard expression)"
+    ),
+    "dedup_simhash": (
+        "rotated out round 6 after 5 green rounds; the band-bucket join class"
+        " stays gated via dedup_minhash_lsh; the Hamming-distance kernel is"
+        " pinned on constructed near-pairs in tests/test_parity_ops.py"
+    ),
+    "dedup_clusters": (
+        "rotated out round 6 after 5 green rounds; min-label connected"
+        " components over the gated LSH pair list — convergence and label"
+        " minimality pinned by property tests; parity at both SFs in pytest"
+    ),
+    "embedding_neardup_lsh": (
+        "rotated out round 6 after 4 green rounds; recall-superset relation to"
+        " the gated brute-force embedding_neardup asserted in tests/test_pq.py;"
+        " the banding machinery keeps its dedup_minhash_lsh gate row"
+    ),
+    "audio_features": (
+        "rotated out round 6 after 4 green rounds; the mapInPandas"
+        " opaque-binary codec class keeps its gate row via image_stats; the"
+        " deterministic fake-decode kernel is unit-pinned in"
+        " tests/test_multimodal.py"
+    ),
+    "video_frame_sample": (
+        "rotated out round 6 after 4 green rounds; same mapInPandas codec"
+        " class as image_stats (gated); frame-sampling arithmetic pinned in"
+        " tests/test_multimodal.py"
+    ),
+    "doc_fingerprint": (
+        "rotated out round 6 after 4 green rounds; rolling-hash winnowing over"
+        " the same token machinery as the gated text_quality_stats; the"
+        " FP_MAX_STARTS enumeration-cap law is pinned in"
+        " tests/test_round5_audit.py"
+    ),
+    "tfidf_top_terms": (
+        "rotated out round 6 after 4 green rounds; its idf/postings machinery"
+        " is a strict subset of the gated bm25_search (same tokenize ->"
+        " df -> log arithmetic, same decimal determinism convention)"
+    ),
+    "protein_search_expanded": (
+        "rotated out round 6 after 4 green rounds; a composition of two rows"
+        " that BOTH stay gated (protein_search's staged cascade,"
+        " protein_expand_prefilter's similar-kmer expansion); the expanded-mode"
+        " e2e keeps its scalar-twin golden in tests/test_search_scalar_twin.py"
     ),
 }
 
