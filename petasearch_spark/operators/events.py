@@ -14,8 +14,26 @@ from petasearch_spark.sources.tables import load_table
 SESSION_GAP_SECONDS = 1800
 
 
+def _finite_value(col: F.Column) -> F.Column:
+    """THE non-finite-measure rule, stated once for engine and oracle:
+    a NaN/±Inf ``value`` is excluded (as NULL) from every money/measure
+    aggregate and sketch. Spark's double→decimal cast happens to send
+    non-finite to NULL silently even under ANSI, while DuckDB's CAST
+    ERRORS on it — relying on either implicit behavior diverged
+    (round-6 fuzz); both sides now mask explicitly. Row counts
+    (n_events) still include the rows — the measure is bad, the event
+    happened."""
+    return F.when(F.isnan(col) | (F.abs(col) == F.lit(float("inf"))), F.lit(None)).otherwise(col)
+
+
+#: DuckDB rendering of :func:`_finite_value` over the events.value column
+FINITE_VALUE_SQL = "CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END"
+
+
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window aggregation by hour × event type."""
+    """Tumbling-window aggregation by hour × event type. Non-finite
+    values are excluded from sum_value (``_finite_value``), counted in
+    n_events."""
     e = load_table(spark, "events", sf_dir)
     return (
         e.groupBy(
@@ -25,17 +43,17 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+            F.sum(_finite_value(F.col("value")).cast("decimal(18,4)")).cast("double").alias("sum_value"),
         )
         .orderBy("hour", "event_type")
     )
 
 
-EVENTS_HOURLY_SQL = """
+EVENTS_HOURLY_SQL = f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST({FINITE_VALUE_SQL} AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY hour, event_type
@@ -59,14 +77,14 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = with_breaks.groupBy("user_id").agg(
         F.sum("new_session").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        F.sum(_finite_value(F.col("value")).cast("decimal(18,4)")).cast("double").alias("total_value"),
     )
     return sessions.orderBy("user_id")
 
 
 EVENTS_SESSIONIZE_SQL = f"""
 WITH marked AS (
-    SELECT user_id, value,
+    SELECT user_id, {FINITE_VALUE_SQL} AS fvalue,
            CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      > {SESSION_GAP_SECONDS * 1_000_000}
                 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -74,7 +92,7 @@ WITH marked AS (
     FROM events WHERE ts IS NOT NULL
 )
 SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(fvalue AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM marked
 GROUP BY user_id
 ORDER BY user_id
@@ -703,8 +721,14 @@ def quantile_sketch(e: DataFrame) -> DataFrame:
     counts as a digit, and the signed bucket midpoint keeps the
     cumulative order correct across zero (round-4 ADVICE: the previous
     formulation silently mis-bucketed any negative value; pinned with
-    constructed negative groups in tests/test_events_extra.py)."""
-    e = e.filter(F.col("value").isNotNull())
+    constructed negative groups in tests/test_events_extra.py).
+
+    Non-finite values are excluded like NULLs (:func:`_finite_value`):
+    a quantile over a set containing NaN/±Inf is ill-defined, and the
+    cents cast diverged cross-engine on them (round-6 fuzz)."""
+    e = e.select("event_type", _finite_value(F.col("value")).alias("value")).filter(
+        F.col("value").isNotNull()
+    )
     # Spark ROUND is HALF_UP away from zero for negatives, matching
     # DuckDB's ROUND — the sign split below happens AFTER rounding so
     # -0.004 -> cents 0 -> the non-negative zero bucket in both engines
@@ -761,7 +785,7 @@ def quantile_sketch(e: DataFrame) -> DataFrame:
 EVENTS_QUANTILE_SKETCH_SQL = f"""
 WITH cents AS (
     SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
-    FROM events WHERE value IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND NOT isinf(value)
 ), bucketed AS (
     SELECT event_type,
            CASE WHEN v < 0 THEN -1 ELSE 1 END AS s,

@@ -551,7 +551,14 @@ def profile_vectors(emb: DataFrame) -> DataFrame:
             F.sum("is_nonfinite").alias("n_nonfinite"),
             F.min("norm6").alias("min_norm"),
             F.max("norm6").alias("max_norm"),
-            F.round(F.sum(F.col("norm6").cast("decimal(18,6)")), 6).cast("double").alias("sum_norm"),
+            # try_cast: a finite but absurd-magnitude vector (encoder
+            # emitting 1e30s) overflows DECIMAL(18,6) — under ANSI the
+            # plain cast ABORTED the whole profile job, i.e. the monitor
+            # died on exactly the garbage it exists to report (round-6
+            # fuzz). Out-of-range norms drop out of the exact sum (NULLs
+            # are skipped) but stay visible in min/max_norm; the oracle
+            # TRY_CASTs identically.
+            F.round(F.sum(F.col("norm6").try_cast("decimal(18,6)")), 6).cast("double").alias("sum_norm"),
         )
         .orderBy("label")
     )
@@ -573,7 +580,7 @@ SELECT label, COUNT(*) AS n_vecs,
        CAST(SUM(bad_dim) AS BIGINT) AS n_bad_dim,
        CAST(SUM(is_nonfinite) AS BIGINT) AS n_nonfinite,
        MIN(norm6) AS min_norm, MAX(norm6) AS max_norm,
-       CAST(ROUND(SUM(CAST(norm6 AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_norm
+       CAST(ROUND(SUM(TRY_CAST(norm6 AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_norm
 FROM per_vec
 GROUP BY label
 ORDER BY label

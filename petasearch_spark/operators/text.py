@@ -183,8 +183,12 @@ WITH hashes AS (
     FROM documents, range(1, {FP_MAX_STARTS + 1}) r(i)
     WHERE i + 7 <= len(text)
     UNION ALL
+    -- text IS NULL: Spark's otherwise-branch emits (doc_id, NULL, NULL)
+    -- for a NULL text (hash64(NULL) = NULL); without the OR the doc
+    -- VANISHED from the oracle (NULL < 8 is not true) — the same
+    -- missing-verdict class as the gopher short-doc fix (round-6 fuzz)
     SELECT doc_id, {hash64_sql("text")} AS h
-    FROM documents WHERE len(text) < 8
+    FROM documents WHERE len(text) < 8 OR text IS NULL
 )
 SELECT doc_id, MIN(h) AS fp_min, MAX(h) AS fp_max
 FROM hashes
