@@ -91,6 +91,11 @@ def _input_fingerprint(input_path: str) -> str:
 
 
 def _curate(spark, input_path: str, out_dir: str, resume: bool = False) -> int:
+    print(json.dumps(_curate_report(spark, input_path, out_dir, resume=resume)))
+    return 0
+
+
+def _curate_report(spark, input_path: str, out_dir: str, resume: bool = False) -> dict:
     """The end-to-end "raw dump -> training set" run, the text-pipeline
     analogue of easy-search: ingest/quarantine, normalize ONCE to the
     canonical zstd-parquet store (the createdb economics — every later
@@ -257,8 +262,7 @@ def _curate(spark, input_path: str, out_dir: str, resume: bool = False) -> int:
     report["n_packs"] = spark.read.parquet(packs_path).count()
     if resume:
         report["resumed_stages"] = resumed
-    print(json.dumps(report))
-    return 0
+    return report
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -316,11 +320,25 @@ def main(argv: list[str] | None = None) -> int:
         " lists resumed_stages); a changed input forces full recompute",
     )
 
+    p = sub.add_parser(
+        "curate-stream",
+        help="incremental curate: parse only NEW dump files (streaming"
+        " checkpoint barrier), land idempotent bronze batches, then"
+        " recurate via the resume machinery exactly when bronze changed",
+    )
+    p.add_argument("input", help="landing-zone dir of .jsonl dump files (grows between runs)")
+    p.add_argument("out_dir")
+
     args = top.parse_args(argv)
     spark = get_spark("petasearch-cli")
 
     if args.cmd == "curate":
         return _curate(spark, args.input, args.out_dir, resume=args.resume)
+    if args.cmd == "curate-stream":
+        from petasearch_spark.streaming.curate_stream import curate_stream
+
+        print(json.dumps(curate_stream(spark, args.input, args.out_dir)))
+        return 0
 
     from petasearch_spark.sources.m8 import write_m8
     from petasearch_spark.sources.targetlist import load_target

@@ -862,3 +862,25 @@ def protein_search_multi_target(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw", "alnlen", "nident", "mismatch", "gapopen",
         "qstart", "qend", "qlen", "tstart", "tend", "tlen",
     )
+
+
+def protein_search_multi_target_maxseqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-target fan-out above with the GLOBAL ``--max-seqs``
+    per-query top-k (round-6; the engine-extra flag the reference lacks
+    — SURVEY §2.6): the cap ranks ONCE over the union of all three
+    target DBs by the O6 ordering, so it measures the one extra
+    query-keyed window shuffle the global cap adds on top of the shared
+    query-k-mer plan. Semantics (global vs per-DB capping) pinned in
+    tests/test_search_e2e.py."""
+    from petasearch_spark.plans.search import search_multi_target
+
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source").persist()
+    queries = seqs.filter(F.col("seq_id") % 100 == 0)
+    targets = [seqs.filter(F.col("seq_id") % 3 == i) for i in range(3)]
+    res = search_multi_target(queries, targets, expand_similar=True, max_seqs=5)
+    return res.select(
+        "query_id", "target_id", "query_accession", "target_accession",
+        "raw", "alnlen", "nident", "mismatch", "gapopen",
+        "qstart", "qend", "qlen", "tstart", "tend", "tlen",
+    )

@@ -185,7 +185,18 @@ def search_multi_target(
     tests/test_search_e2e.py) instead of re-deriving it N times the way
     the reference's N independent comparekmertables processes do. The
     persist block is released by the caller's clearCache (bench) or
-    session teardown."""
+    session teardown.
+
+    ``max_seqs`` here is GLOBAL: the per-query top-k runs ONCE over the
+    UNION of all target sets (round-6; what a user of the flag means —
+    "my k best hits anywhere"), not within each set. Capping inside each
+    ``search`` call would return up to ``len(target_sets) * max_seqs``
+    rows per query and, worse, a weak hit from a sparse DB would survive
+    while a stronger hit ranked (max_seqs+1)-th in a dense DB was
+    dropped. The window shuffle is keyed by query_id over
+    already-aligned rows — the cheapest point to rank, after every
+    per-set funnel has pruned."""
+    max_seqs = kwargs.pop("max_seqs", None)
     qk_keys = ("k", "expand_similar", "kmer_threshold", "kmer_max_per_pos",
                "mask", "compo_bias", "alphabet")
     qk = build_query_kmers(
@@ -195,6 +206,16 @@ def search_multi_target(
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
+    if max_seqs is not None:
+        w = Window.partitionBy("query_id").orderBy(
+            "evalue", F.desc("bits"), "tlen", "target_id"
+        )
+        out = (
+            out.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_seqs)
+            .drop("_rk")
+            .orderBy("query_id", "evalue", F.desc("bits"), "tlen", "target_id")
+        )
     return out
 
 

@@ -61,9 +61,17 @@ def read_jsonl_docs(spark: SparkSession, path: str) -> DataFrame:
     CORRUPT_RECORD_COLUMN; the documented workaround is cache(), a
     non-starter at 100 TB).
     """
+    return parse_jsonl_lines(spark.read.text(path))
+
+
+def parse_jsonl_lines(raw: DataFrame) -> DataFrame:
+    """THE dump-line parse, shared verbatim by the batch reader above and
+    the streaming ingest (streaming/curate_stream.py) so stream and
+    batch cannot drift: ``raw(value)`` lines -> documents-shaped rows
+    with ``_malformed`` as an ordinary quarantine column (blank lines
+    forced into quarantine — round-5 audit)."""
     from petasearch_spark.operators.portable import hash64
 
-    raw = spark.read.text(path)
     parsed = raw.select(
         "value",
         F.from_json(

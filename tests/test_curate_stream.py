@@ -1,0 +1,125 @@
+"""Incremental curate e2e: the streaming ingest checkpoint is the
+parse-once barrier, idempotent bronze batches are the landing store, and
+the batch resume machinery (markers + bronze fingerprint) decides when
+the funnel recomputes. Three runs over a growing landing zone:
+
+1. initial dump        -> full curate; accounting equals the batch CLI's
+2. one NEW file added  -> ONLY the new file is parsed (the old files are
+                          poisoned in place, fingerprint-invisibly —
+                          re-reading them would change the counts),
+                          funnel recomputed over the union corpus
+3. nothing new         -> zero micro-batches, every curate stage resumed,
+                          accounting values identical to run 2
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from petasearch_spark.cli import main
+from petasearch_spark.sources.tables import load_table
+from petasearch_spark.streaming.curate_stream import curate_stream
+
+SF = "/root/testdata/sf0.001"
+MALFORMED_MOD = 50
+
+
+def _dump_lines(docs):
+    line = F.to_json(
+        F.struct(
+            F.concat(F.lit("doc-"), F.col("doc_id")).alias("id"),
+            "text",
+            "lang",
+            "source",
+        )
+    )
+    return F.when(
+        F.col("doc_id") % MALFORMED_MOD == 7, F.substring(line, 1, 15)
+    ).otherwise(line)
+
+
+def _poison_in_place(dump: str) -> None:
+    """Corrupt every existing data file WITHOUT changing size/mtime —
+    invisible to the bronze fingerprint AND to mtime-based file listing,
+    so any re-read by a later run changes the parse counts and fails the
+    accounting assertions."""
+    for root, _, files in os.walk(dump):
+        for f in files:
+            if not f.startswith("part-"):
+                continue
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            with open(p, "r+") as fh:
+                fh.write("POISON NOT JSON ")
+            os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
+
+
+def test_curate_stream_incremental_parse_and_recurate(spark, tmp_path, capsys):
+    docs = load_table(spark, "documents", SF)
+    dump = str(tmp_path / "landing")
+    os.makedirs(dump)
+    first = docs.filter(F.col("doc_id") < 300)
+    first.select(_dump_lines(first).alias("value")).coalesce(2).write.mode(
+        "overwrite"
+    ).text(os.path.join(dump, "day1"))
+
+    out = str(tmp_path / "out")
+    r1 = curate_stream(spark, dump, out)
+    assert r1["stream_batches"] >= 1
+    n_bad1 = first.filter(F.col("doc_id") % MALFORMED_MOD == 7).count()
+    assert r1["n_quarantined"] == n_bad1
+    assert r1["n_staged"] == 300 - n_bad1
+    assert r1["n_input_lines"] == 300
+    assert r1["funnel"]["n_docs"] == r1["n_staged"]
+    assert r1["n_kept"] == r1["funnel"]["kept"] > 0
+
+    # accounting parity with the one-shot batch CLI over the same dump
+    batch_out = str(tmp_path / "batch_out")
+    assert main(["curate", os.path.join(dump, "day1"), batch_out]) == 0
+    b = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for k in ("n_quarantined", "n_staged", "n_dropped_null_fields", "funnel", "n_kept",
+              "kept_tokens", "n_packs"):
+        assert r1[k] == b[k], k
+
+    # --- run 2: one NEW file; old files poisoned in place ----------------
+    _poison_in_place(dump)
+    second = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    second.select(_dump_lines(second).alias("value")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(os.path.join(dump, "day2"))
+
+    r2 = curate_stream(spark, dump, out)
+    assert r2["stream_batches"] >= 1
+    n_bad2 = n_bad1 + second.filter(F.col("doc_id") % MALFORMED_MOD == 7).count()
+    # poison-proof: these counts are only right if day1 was NOT re-parsed
+    assert r2["n_input_lines"] == 400
+    assert r2["n_quarantined"] == n_bad2
+    assert r2["n_staged"] == 400 - n_bad2
+    # the funnel saw the union corpus (bronze changed -> full recompute)
+    assert r2["funnel"]["n_docs"] == r2["n_staged"]
+    assert r2["resumed_stages"] == []
+
+    # --- run 3: nothing new -> zero batches, everything resumed ----------
+    r3 = curate_stream(spark, dump, out)
+    assert r3["stream_batches"] == 0
+    assert r3["resumed_stages"] == ["staging", "funnel", "curated", "packs"]
+    for k in ("n_quarantined", "n_input_lines", "n_staged", "funnel", "n_kept", "n_packs"):
+        assert r3[k] == r2[k], k
+
+
+def test_curate_stream_cli_entrypoint(spark, tmp_path, capsys):
+    docs = load_table(spark, "documents", SF).filter(F.col("doc_id") < 80)
+    dump = str(tmp_path / "landing")
+    os.makedirs(dump)
+    docs.select(_dump_lines(docs).alias("value")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(os.path.join(dump, "d0"))
+    out = str(tmp_path / "out")
+    assert main(["curate-stream", dump, out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_input_lines"] == 80
+    assert rep["n_staged"] + rep["n_quarantined"] + rep["n_dropped_null_fields"] == 80
+    assert rep["n_kept"] == rep["funnel"]["kept"]

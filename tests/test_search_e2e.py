@@ -141,3 +141,39 @@ def test_prebuilt_index_search_equals_inline(spark):
     inline = [tuple(r) for r in protein_search(spark, sf).collect()]
     prebuilt = [tuple(r) for r in protein_search_prebuilt(spark, sf).collect()]
     assert prebuilt == inline and len(inline) > 0
+
+
+def test_multi_target_max_seqs_is_global_not_per_db(spark):
+    """--max-seqs on the multi-target fan-out ranks ONCE over the UNION
+    of all target DBs (round-6): with the cap at k, every query returns
+    at most k rows TOTAL, and those rows are exactly the top-k of the
+    uncapped union under the O6 ordering — NOT up to k per DB, which
+    would keep a weak hit from a sparse DB while dropping a stronger
+    (k+1)-ranked hit from a dense one."""
+    from petasearch_spark.operators.doc_search import derived_sequences
+    from petasearch_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    seqs = derived_sequences(docs).drop("source").persist()
+    q = seqs.filter(F.col("seq_id") % 20 == 0)
+    targets = [seqs.filter(F.col("seq_id") % 3 == i) for i in range(3)]
+    cols = ["query_id", "target_id", "evalue", "bits", "tlen"]
+
+    uncapped = search_multi_target(q, targets).select(*cols).collect()
+    by_q: dict[int, list] = {}
+    for r in uncapped:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # the fixture must actually exercise the cap: some query has > 1 hit
+    assert any(len(v) > 1 for v in by_q.values())
+
+    capped = search_multi_target(q, targets, max_seqs=1).select(*cols).collect()
+    got: dict[int, list] = {}
+    for r in capped:
+        got.setdefault(r["query_id"], []).append(tuple(r))
+    want = {
+        qid: [tuple(sorted(v, key=lambda r: (r["evalue"], -r["bits"], r["tlen"], r["target_id"]))[0])]
+        for qid, v in by_q.items()
+    }
+    assert got == want
+    # per-DB capping would exceed 1 row for multi-DB-hit queries
+    assert all(len(v) == 1 for v in got.values())
