@@ -75,7 +75,10 @@ def test_max_seqs_limits_hits_per_query(spark):
     ]
     all_hits = search_multi_target(q, singles)
     assert all_hits.count() == 3
+    # round-6: max_seqs on the multi-target fan-out is GLOBAL — one
+    # top-k over the union of all target DBs, not 1 per DB (see
+    # test_search_e2e.py::test_multi_target_max_seqs_is_global_not_per_db)
     limited = search_multi_target(q, singles, max_seqs=1)
-    assert limited.count() == 3  # per-target-set limit: 1 each
+    assert limited.count() == 1
     one = search(q, sequences_from_records(spark, [("t0", core)]), max_seqs=1)
     assert one.count() == 1
