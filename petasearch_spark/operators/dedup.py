@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from petasearch_spark.operators.portable import hash64_sql, shingle_hashes_sql, shingles_sql
+from petasearch_spark.operators.portable import (
+    TOKENS_SQL,
+    hash64_sql,
+    shingle_hashes_sql,
+    shingles_sql,
+)
 from petasearch_spark.sources.tables import load_table
 
 N_HASHES = 16
@@ -629,7 +634,10 @@ def dedup_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BLOCK_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+# portable tokenizer, NOT bare \s: the dialect-drift law (portable.py
+# WS_CHARS) — this oracle predated the round-5 audit and a \x0B/non-ASCII
+# whitespace doc tokenized differently here than in the engine (round-6 fuzz)
+_BLOCK_TOKS = TOKENS_SQL.format(col="text")
 
 DEDUP_BLOCKS_SQL = f"""
 WITH toks AS (

@@ -165,7 +165,7 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("day", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+            F.sum(_finite_value(F.col("value")).cast("decimal(18,4)")).cast("double").alias("sum_value"),
         )
         .select(
             F.coalesce("day", F.lit("ALL")).alias("day"),
@@ -177,11 +177,11 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_ROLLUP_SQL = """
+EVENTS_ROLLUP_SQL = f"""
 SELECT COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
        COALESCE(event_type, 'ALL') AS event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST({FINITE_VALUE_SQL} AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY ROLLUP (date_trunc('day', ts), event_type)
 ORDER BY day, event_type
@@ -249,12 +249,23 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialization differences in the value hash. NULL-timestamp rows
     are excluded — an undated click would sort NULLS FIRST into Spark's
     carry-forward window (becoming everyone's "most recent" click)
-    while the oracle's ASOF ``>=`` never matches it (round-5 audit)."""
+    while the oracle's ASOF ``>=`` never matches it (round-5 audit).
+    NULL-event_id rows are excluded too: a click whose (user, ts) dedup
+    yields a NULL click_id is SKIPPED by the ignorenulls carry-forward
+    (silently falling back to an OLDER click) while the oracle's ASOF
+    matches the row itself — an id-less event cannot be referenced
+    (round-6 fuzz). NULL-user CLICKS are excluded on both sides for the
+    same class of reason: Spark's window partition groups NULL users
+    TOGETHER (a NULL-user purchase would "match" a NULL-user click)
+    while SQL's equality join key never matches NULL — ownerless
+    purchases stay in the output, matched to nothing (round-6 fuzz)."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
     clicks = (
-        ev.filter(F.col("event_type") == "click")
+        ev.filter((F.col("event_type") == "click") & F.col("user_id").isNotNull())
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("click_id"))
         .select(
@@ -302,10 +313,13 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_ASOF_SQL = """
 WITH clicks AS (
     SELECT user_id, ts, MAX(event_id) AS click_id
-    FROM events WHERE event_type = 'click' AND ts IS NOT NULL GROUP BY user_id, ts
+    FROM events
+    WHERE event_type = 'click' AND ts IS NOT NULL AND event_id IS NOT NULL
+          AND user_id IS NOT NULL
+    GROUP BY user_id, ts
 ), p AS (
     SELECT event_id AS purchase_id, user_id, ts
-    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL AND event_id IS NOT NULL
 )
 SELECT p.purchase_id, p.user_id,
        epoch_us(p.ts) AS purchase_us,
@@ -555,8 +569,13 @@ def events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partitions by event_type (a handful of partitions, each one
     day-count row per day), so the window state is trivially small at
     ANY corpus scale: the only corpus-sized work is the daily pre-agg,
-    one shuffle with map-side combine."""
-    e = load_table(spark, "events", sf_dir)
+    one shuffle with map-side combine.
+
+    NULL-timestamp rows are excluded: a day-less event has no place in a
+    daily series, and unfiltered its NULL day sorts FIRST under Spark's
+    trailing window but LAST under the oracle's, silently shifting every
+    trailing sum (the window-NULL-ordering law; round-6 fuzz)."""
+    e = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
     daily = e.groupBy(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
         "event_type",
@@ -591,7 +610,7 @@ EVENTS_ANOMALY_SQL = f"""
 WITH daily AS (
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
            COUNT(*) AS n_events
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), trailed AS (
     SELECT day, event_type, n_events,
            CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS trail_sum,
@@ -830,8 +849,11 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff > gap, the same strict rule as the lag formulation, so the two
     forms agree everywhere and differ only in output shape. Timestamps
     surface as formatted strings so the cross-engine value hash sees
-    identical text."""
-    e = load_table(spark, "events", sf_dir)
+    identical text. NULL-timestamp rows are excluded EXPLICITLY on both
+    sides: Spark's session_window silently drops them while the oracle's
+    lag formulation sessionized them (round-6 fuzz) — the sessionize
+    rule (round-5) now applies uniformly."""
+    e = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     sess = (
         e.groupBy(
@@ -840,7 +862,7 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            F.sum(_finite_value(F.col("value")).cast("decimal(18,4)")).cast("double").alias("total_value"),
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
         )
@@ -861,6 +883,7 @@ WITH marked AS (
                 OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_SECONDS * 1_000_000}
                 THEN 1 ELSE 0 END AS new_session
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 , sessions AS (
@@ -873,7 +896,7 @@ SELECT user_id,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_last,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST({FINITE_VALUE_SQL} AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id, session_start
@@ -995,8 +1018,15 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combined, identical plan shape to writing the CASE
     expressions by hand (which is exactly how the DuckDB oracle states
     it). Counts are integers and the value sum is DECIMAL cents, so the
-    wide row value-hashes identically cross-engine."""
-    ev = load_table(spark, "events", sf_dir)
+    wide row value-hashes identically cross-engine.
+
+    NULL-timestamp rows are excluded: a day-less event has no pivot row,
+    and unfiltered the NULL day survives BOTH engines' groupBys but then
+    silently drops out of Spark's counts-to-totals INNER join (NULL join
+    keys never match) while the oracle's single GROUP BY keeps it —
+    one engine loses the row, the other keeps it (round-6 fuzz).
+    Non-finite values are excluded from value_cents (_finite_value)."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
     day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
     counts = (
         ev.select(day, "event_type")
@@ -1005,7 +1035,7 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
     )
     totals = ev.select(day, "value").groupBy("day").agg(
-        F.sum(F.round(F.col("value") * 100).cast("decimal(18,0)")).cast("long").alias("value_cents")
+        F.sum(F.round(_finite_value(F.col("value")) * 100).cast("decimal(18,0)")).cast("long").alias("value_cents")
     )
     out = counts.join(totals, "day")
     return out.select(
@@ -1018,8 +1048,9 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_TYPE_PIVOT_SQL = f"""
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in PIVOT_TYPES)},
-       CAST(SUM(CAST(ROUND(value * 100) AS DECIMAL(18,0))) AS BIGINT) AS value_cents
+       CAST(SUM(CAST(ROUND(({FINITE_VALUE_SQL}) * 100) AS DECIMAL(18,0))) AS BIGINT) AS value_cents
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY day
 ORDER BY day
 """
@@ -1058,7 +1089,7 @@ EVENTS_TYPE_UNPIVOT_SQL = f"""
 WITH wide AS (
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in PIVOT_TYPES)}
-    FROM events GROUP BY day
+    FROM events WHERE ts IS NOT NULL GROUP BY day
 )
 SELECT day, event_type, n_events FROM (
     {" UNION ALL ".join(f"SELECT day, '{t}' AS event_type, n_{t} AS n_events FROM wide" for t in PIVOT_TYPES)}
@@ -1102,7 +1133,7 @@ def events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "user_id",
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("dsum"))
+    ).agg(F.sum(_finite_value(F.col("value")).cast("decimal(18,4)")).alias("dsum"))
     ser = daily.groupBy("user_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("day", "dsum"))), lambda x: x["dsum"]
@@ -1153,7 +1184,7 @@ def events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_SAX_MOTIFS_SQL = f"""
 WITH daily AS (
     SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-           SUM(CAST(value AS DECIMAL(18,4))) AS dsum
+           SUM(CAST({FINITE_VALUE_SQL} AS DECIMAL(18,4))) AS dsum
     FROM events GROUP BY 1, 2
 ), rnk AS (
     SELECT user_id, dsum, row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn

@@ -24,9 +24,11 @@ from pyspark.sql import functions as F
 
 from petasearch_spark.operators.similarity import (
     ANN_FILTER_LABELS,
+    FINITE_VEC_SQL,
     _as_double,
     cosine,
     cosine_pair_udf,
+    finite_vec,
     nearest_centroid_udf,
 )
 from petasearch_spark.sources.tables import load_table
@@ -41,7 +43,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed cosine top-5 for query vectors (vec_id < 10)."""
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
+    ).filter(finite_vec(F.col("v")))  # indexed-search admission rule
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
@@ -123,7 +125,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage if you push iters higher)."""
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
+    ).filter(finite_vec(F.col("v")))  # indexed-search admission rule
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
@@ -181,7 +183,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
+    ).filter(finite_vec(F.col("v")))  # indexed-search admission rule
     cb_rows = (
         emb.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").select("vec_id", "v").collect()
     )
@@ -252,7 +254,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_sql() -> str:
-    s = f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    s = f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")})
 , cent0 AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < {N_CENTROIDS})"""
     prev = "cent0"
     for it in range(1, KMEANS_ITERS + 1):
@@ -267,10 +269,15 @@ def _kmeans_sql() -> str:
 )
 , cent{it} AS (
     SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
-        SELECT cent_id, r.i AS pos,
-               CAST(SUM(CAST(v[r.i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
-        FROM assign{it}, range(1, {DIM + 1}) r(i)
-        GROUP BY cent_id, r.i)
+        SELECT cent_id, pos,
+               CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+        -- positions from the DATA (zipped same-length UNNESTs), not the
+        -- DIM constant: a hardcoded range(1, DIM+1) NULL-padded the
+        -- centroids for any corpus whose vectors are not exactly
+        -- DIM-dim — the enumeration-cap law again (round-6 fuzz)
+        FROM (SELECT cent_id, UNNEST(range(1, len(v) + 1)) AS pos, UNNEST(v) AS val
+              FROM assign{it})
+        GROUP BY cent_id, pos)
     GROUP BY cent_id
 )"""
         prev = f"cent{it}"
@@ -309,7 +316,7 @@ def _pq_sql() -> str:
     pivot = ", ".join(f"MAX(CASE WHEN m = {m} THEN val END) AS m{m}" for m in range(PQ_M))
     fold = " + ".join(f"m{m}" for m in range(PQ_M))
     return f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")})
 , cb AS (
     SELECT r.m, e.vec_id AS j, {sub_cols('e.v', 'c')}
     FROM emb e, range(0, {PQ_M}) r(m) WHERE e.vec_id < {PQ_K}
@@ -361,7 +368,7 @@ ORDER BY query_id, rk
 ANN_PQ_TOPK_SQL = _pq_sql()
 
 ANN_IVF_TOPK_SQL = f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")})
 , cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < {N_CENTROIDS})
 , assign AS (
     SELECT vec_id, v, cent_id AS bucket FROM (
@@ -439,7 +446,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
+    ).filter(finite_vec(F.col("v")))  # indexed-search admission rule
     cent_rows = sorted(
         (
             (r["vec_id"], list(r["v"]))
@@ -589,7 +596,7 @@ def _ivfpq_sql() -> str:
     pivot = ", ".join(f"MAX(CASE WHEN m = {m} THEN val END) AS m{m}" for m in range(PQ_M))
     fold = " + ".join(f"m{m}" for m in range(PQ_M))
     return f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")})
 , cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < {N_CENTROIDS})
 , assign AS (
     SELECT vec_id, v, cent_id AS bucket FROM (
@@ -709,7 +716,7 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall given up by clustering is measured in tests/test_pq.py."""
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
+    ).filter(finite_vec(F.col("v")))  # indexed-search admission rule
     return semdedup_frame(emb, n_centroids=N_CENTROIDS)
 
 
@@ -764,7 +771,7 @@ def semdedup_frame(
 
 
 SEMDEDUP_CLUSTERS_SQL = f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")})
 , cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < {N_CENTROIDS})
 , assign AS (
     SELECT vec_id, v, cent_id FROM (
@@ -949,7 +956,7 @@ def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
-    )
+    ).filter(finite_vec(F.col("v")))  # indexed-search admission rule
     cent_rows = [
         (r["vec_id"], r["v"])
         for r in emb.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "v").collect()
@@ -962,7 +969,7 @@ def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the payload schema marker, same invalidation law as the streaming
     # index (a changed N_CENTROIDS must rebuild — round-4 review finding)
     fp = source_fingerprint(
-        os.path.join(sf_dir, "embeddings.parquet"), f"nc={N_CENTROIDS}", "payload=label"
+        os.path.join(sf_dir, "embeddings.parquet"), f"nc={N_CENTROIDS}", "payload=label|fin=1"
     )
     idx_path = staged_cache(
         os.path.join(tempfile.gettempdir(), f"ps_ivf_lbl_idx_{fp}"),
@@ -987,7 +994,7 @@ def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_IVF_FILTERED_TOPK_SQL = f"""
-WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE {FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")})
 , cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < {N_CENTROIDS})
 , assign AS (
     SELECT vec_id, label, v, cent_id AS bucket FROM (

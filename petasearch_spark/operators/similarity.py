@@ -37,6 +37,41 @@ def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
+#: component-magnitude bound of the indexed-search admission rule: the
+#: IVF/k-means recenter sums components in DECIMAL(28,12) (16 integer
+#: digits) for fold-order-exact centroids, so a component at or beyond
+#: 1e15 cannot participate in exact arithmetic — under ANSI the cast
+#: ABORTED the whole clustering job on one absurd-magnitude vector
+#: (round-6 fuzz). Cosine itself is scale-invariant, but a vector no
+#: decimal can hold is encoder garbage either way.
+VEC_ABS_MAX = 1e15
+
+
+def finite_vec(vcol: Column) -> Column:
+    """TRUE iff the vector is non-NULL with only finite components below
+    :data:`VEC_ABS_MAX` — THE indexed-search admission rule (round-6
+    fuzz): brute-force cosine keeps the round-5 NaN-first ranking (both
+    engines natively agree), but an IVF/k-means/PQ structure cannot
+    meaningfully PLACE a non-finite vector — its bucket assignment is an
+    arbitrary tie-break that diverges across engines and then nprobe
+    pruning amplifies the difference — and the decimal-exact recenter
+    cannot HOLD an absurd-magnitude one. Indexed/clustered operators
+    exclude such vectors on both sides (embedding_profile is the auditor
+    that reports them). Zero-length vectors are excluded too: they have
+    no geometry, and empty-list aggregates are the one place the two
+    engines' fold identities differ (Spark folds from the init value,
+    DuckDB list_aggregate returns NULL)."""
+    return (F.size(vcol) > 0) & ~F.coalesce(
+        F.exists(vcol, lambda x: F.isnan(x) | (F.abs(x) >= F.lit(VEC_ABS_MAX))),
+        F.lit(True),
+    )
+
+
+#: DuckDB rendering of :func:`finite_vec` over an embedding::DOUBLE[]
+#: expression (NULL vector -> NULL -> excluded by WHERE, like the engine)
+FINITE_VEC_SQL = "(len({v}) > 0 AND len(list_filter({v}, x -> isnan(x) OR abs(x) >= 1e15)) = 0)"
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-to-right fold over zip_with products — deterministic."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -446,10 +481,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = max|v| / 127, q_i = round(v_i / scale) clamped to [-127,127],
     reconstruction error reported per vector. Pure column expressions;
     quantization uses FLOOR(x + 0.5) (exact IEEE semantics in both
-    engines) so the codes agree exactly."""
+    engines) so the codes agree exactly. Non-admissible vectors
+    (NULL/empty/NaN/absurd-magnitude — :func:`finite_vec`) are excluded:
+    their codes would be garbage, DuckDB's int cast ERRORS on NaN where
+    Spark's NULLs (round-6 fuzz), and embedding_profile is the auditor
+    that reports them."""
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
+    ).filter(finite_vec(F.col("v")))
     amax = F.aggregate(F.transform("v", lambda x: F.abs(x)), F.lit(0.0), lambda a, x: F.greatest(a, x))
     scaled = emb.select("vec_id", "v", (amax / F.lit(127.0)).alias("scale"))
     # FLOOR(x + 0.5) instead of ROUND: floor on IEEE doubles is exact and
@@ -478,8 +517,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-EMBEDDING_QUANTIZE_SQL = """
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             WHERE {FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")})
 , s AS (
     SELECT vec_id, v,
            list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale

@@ -131,7 +131,13 @@ def events_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and exact-decimal value sum, plus one ``__quarantine__`` row
     for the planted bad-value lines. The parser must quarantine exactly
     the planted set for the oracle's arithmetic reconstruction to
-    hash-match."""
+    hash-match. NULL-event_id source rows stage as empty-leading-field
+    lines, which the parser QUARANTINES (ids are required) — the
+    oracle's arithmetic split must route them the same way, not lose
+    them to a NULL modulo (round-6 fuzz). Non-finite values round-trip
+    the CSV staging as clean doubles ("NaN"/"Infinity" parse back) and
+    are excluded from the sum by the events._finite_value rule."""
+    from petasearch_spark.operators.events import _finite_value
     from petasearch_spark.operators.portable import decimal_sum
 
     ev = read_events_csv(spark, _stage_events_csv(spark, sf_dir))
@@ -145,7 +151,9 @@ def events_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.coalesce(
-                decimal_sum(F.when(F.col("_malformed").isNull(), F.col("value"))),
+                decimal_sum(
+                    F.when(F.col("_malformed").isNull(), _finite_value(F.col("value")))
+                ),
                 F.lit(0.0),
             ).alias("sum_value"),
         )
@@ -153,15 +161,25 @@ def events_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_CSV_INGEST_SQL = f"""
-SELECT event_type, COUNT(*) AS n_events,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
+def _csv_ingest_sql() -> str:
+    from petasearch_spark.operators.events import FINITE_VALUE_SQL
+
+    # NULLIF: the CSV wire format cannot distinguish an empty-string
+    # field from NULL — a '' event_type comes back NULL from the parse,
+    # so the oracle's reconstruction must merge the two groups exactly
+    # like the roundtrip does (round-6 fuzz)
+    return f"""
+SELECT NULLIF(event_type, '') AS event_type, COUNT(*) AS n_events,
+       COALESCE(CAST(ROUND(SUM(CAST({FINITE_VALUE_SQL} AS DECIMAL(18,4))), 4) AS DOUBLE), 0.0) AS sum_value
 FROM events
-WHERE event_id % {CSV_BREAK_MOD} <> {CSV_BREAK_AT}
-GROUP BY event_type
+WHERE event_id % {CSV_BREAK_MOD} <> {CSV_BREAK_AT} AND event_id IS NOT NULL
+GROUP BY NULLIF(event_type, '')
 UNION ALL
 SELECT '__quarantine__' AS event_type, COUNT(*) AS n_events, 0.0 AS sum_value
 FROM events
-WHERE event_id % {CSV_BREAK_MOD} = {CSV_BREAK_AT}
+WHERE event_id % {CSV_BREAK_MOD} = {CSV_BREAK_AT} OR event_id IS NULL
 ORDER BY event_type
 """
+
+
+EVENTS_CSV_INGEST_SQL = _csv_ingest_sql()

@@ -180,7 +180,12 @@ def ann_ivf_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_ivf_index,
     )
 
-    emb = _load_emb(spark, sf_dir)
+    from petasearch_spark.operators.similarity import finite_vec
+
+    # indexed-search admission rule (round-6): the materialized index
+    # and the quantizer must exclude non-finite vectors exactly like the
+    # batch ann_ivf_topk whose oracle this stream shares
+    emb = _load_emb(spark, sf_dir).filter(finite_vec(F.col("v")))
     cent_rows = [
         (r["vec_id"], r["v"])
         for r in emb.filter(F.col("vec_id") < N_CENTROIDS).collect()
@@ -193,8 +198,11 @@ def ann_ivf_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # N_CENTROIDS must rebuild it, or probes would prune against bucket
     # directories written by a DIFFERENT quantizer (round-4 review
     # finding); published atomically like every staging cache
+    # fin=1: the admission-rule guard changes what the index holds for
+    # the same source file — the key must change with it, or a pre-guard
+    # cached index would keep serving (staged-cache key law)
     fp = source_fingerprint(
-        os.path.join(sf_dir, "embeddings.parquet"), f"nc={N_CENTROIDS}"
+        os.path.join(sf_dir, "embeddings.parquet"), f"nc={N_CENTROIDS}|fin=1"
     )
     idx_path = staged_cache(
         os.path.join(tempfile.gettempdir(), f"ps_ivf_stream_idx2_{fp}"),

@@ -13,10 +13,12 @@ windows, duplicate rows and ties, malformed/blank JSON, zero-norm and
 NaN vectors — and every (seed, operator) pair is compared Spark vs
 DuckDB with the same exact comparator the driver-gate rehearsal uses.
 
-~116 constructed cases across 20 operator cores. A failure here is a
-REAL cross-engine semantic divergence (or a genuine engine bug) on
-input the fixture corpus never produces; fix the operator AND its
-oracle together, never the test frame.
+~208 constructed cases across 52 operator cores (a 20-core set over all
+six seeds, plus a 32-core extension over a three-seed subset covering
+the base/nonfinite/corrupt classes). A failure here is a REAL
+cross-engine semantic divergence (or a genuine engine bug) on input the
+fixture corpus never produces; fix the operator AND its oracle
+together, never the test frame.
 
 Corrupt-vector rows (NULL / wrong-dim / empty embeddings) appear only
 in the CORRUPT_EMB_SEEDS, where the ANN rankers are excluded: the ANN
@@ -69,6 +71,55 @@ EVENT_OPS = [
 ]
 EMB_RANKER_OPS = ["ann_cosine_topk", "embedding_neardup"]
 EMB_AUDIT_OPS = ["embedding_profile"]
+
+#: extension cores, run over a 3-seed subset (base / nonfinite events /
+#: corrupt embeddings) — enough class coverage without doubling suite time
+EXTRA_SEEDS = [1, 4, 5]
+EXTRA_DOC_OPS = [
+    "bm25_search",
+    "phrase_search",
+    "tfidf_top_terms",
+    "doc_chunk_overlap",
+    "token_count_bpe",
+    "dedup_blocks",
+    "quality_weighted_sample",
+    "mixture_sample",
+    "decontaminate_ngram_overlap",
+    "decontaminate_bloom",
+    "hll_distinct_tokens",
+    "cm_heavy_hitters",
+    "lang_classifier_nb",
+    "dsir_importance_sample",
+    "sequence_packing",
+]
+EXTRA_EVENT_OPS = [
+    "events_rollup",
+    "events_conversion_funnel",
+    "events_retention_cohorts",
+    "events_anomaly_daily",
+    "events_value_outliers",
+    "events_type_pivot",
+    "events_type_unpivot",
+    "events_session_window",
+    "events_asof_join",
+    "events_proximity_pairs",
+    "events_sax_motifs",
+    "events_csv_ingest",
+]
+#: vector ops that assume ingest-validated vectors (skip corrupt seeds).
+#: The PQ family is excluded by design: its subspace layout is pinned to
+#: the corpus DIM=64 constant and the fuzz vectors are 8-dim.
+EXTRA_EMB_RANKER_OPS = [
+    "ann_ivf_topk",
+    "ann_filtered_topk",
+    "semdedup_clusters",
+    "ann_ivf_kmeans",
+]
+#: vector ops expected to survive corrupt vectors (all extra seeds)
+EXTRA_EMB_AUDIT_OPS = ["embedding_quantize_int8"]
+#: heavy compositions — two seeds buy the coverage
+HEAVY_OPS = ["dedup_span_removal", "corpus_curation_funnel"]
+HEAVY_SEEDS = [1, 4]
 
 #: separators the portable tokenizer treats as whitespace — plus
 #: characters it deliberately does NOT (bare \s dialect drift territory)
@@ -249,6 +300,9 @@ def fuzz_dirs(tmp_path_factory):
 CASES = (
     [(s, op) for s in SEEDS for op in DOC_OPS + EVENT_OPS + EMB_AUDIT_OPS]
     + [(s, op) for s in SEEDS if s not in CORRUPT_EMB_SEEDS for op in EMB_RANKER_OPS]
+    + [(s, op) for s in EXTRA_SEEDS for op in EXTRA_DOC_OPS + EXTRA_EVENT_OPS + EXTRA_EMB_AUDIT_OPS]
+    + [(s, op) for s in EXTRA_SEEDS if s not in CORRUPT_EMB_SEEDS for op in EXTRA_EMB_RANKER_OPS]
+    + [(s, op) for s in HEAVY_SEEDS for op in HEAVY_OPS]
 )
 
 
