@@ -194,9 +194,14 @@ def _window_kmer_tables(seqs: DataFrame, query_mod: int = 20):
 
 #: the SQL twin of _window_kmer_tables — one fragment, two oracles
 WINDOW_KMER_CTES_SQL = f"""kmers AS (
-    SELECT seq_id, len(sequence) AS seq_len, substr(sequence, i, 9) AS kmer
-    FROM seqs, range(1, 8192) r(i)
-    WHERE i + 8 <= len(sequence)
+    -- positions from the DATA (select-list UNNEST over len(sequence)),
+    -- not a range(1, N) constant: the old 8191-start cap silently
+    -- truncated the oracle's k-mer set for longer-than-8k sequences
+    -- while the engine extracted them all (round-6 fuzz; the
+    -- enumeration-cap law, data-derived form)
+    SELECT seq_id, len(sequence) AS seq_len,
+           substr(sequence, UNNEST(range(1, len(sequence) - 7)), 9) AS kmer
+    FROM seqs
 )
 , {one_rep_idx_cte("kmers")}
 , qk AS (SELECT seq_id AS query_id, kmer FROM kmers WHERE seq_id % 20 = 0)"""
@@ -331,9 +336,14 @@ def dna_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 DNA_PREFILTER_SQL = f"""
 WITH {DERIVED_DNA_SQL}
 , kmers AS (
-    SELECT seq_id, len(sequence) AS seq_len, substr(sequence, i, 9) AS kmer
-    FROM seqs, range(1, 8192) r(i)
-    WHERE i + 8 <= len(sequence)
+    -- positions from the DATA (select-list UNNEST over len(sequence)),
+    -- not a range(1, N) constant: the old 8191-start cap silently
+    -- truncated the oracle's k-mer set for longer-than-8k sequences
+    -- while the engine extracted them all (round-6 fuzz; the
+    -- enumeration-cap law, data-derived form)
+    SELECT seq_id, len(sequence) AS seq_len,
+           substr(sequence, UNNEST(range(1, len(sequence) - 7)), 9) AS kmer
+    FROM seqs
 )
 -- F1: windows containing N (the invalid nucleotide) are skipped
 , valid AS (SELECT * FROM kmers WHERE kmer NOT LIKE '%N%')
@@ -446,9 +456,11 @@ def protein_expand_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROTEIN_EXPAND_PREFILTER_SQL = f"""
 WITH {DERIVED_SEQ_SQL}
 , kmers AS (
-    SELECT seq_id, len(sequence) AS seq_len, i - 1 AS pos, substr(sequence, i, 9) AS kmer
-    FROM seqs, range(1, 8192) r(i)
-    WHERE i + 8 <= len(sequence)
+    -- data-derived positions; see WINDOW_KMER_CTES_SQL (round-6 fuzz)
+    SELECT seq_id, seq_len, pos, substr(sequence, pos + 1, 9) AS kmer
+    FROM (SELECT seq_id, sequence, len(sequence) AS seq_len,
+                 UNNEST(range(0, len(sequence) - 8)) AS pos
+          FROM seqs)
 )
 , {one_rep_idx_cte("kmers")}
 , qk AS (SELECT seq_id AS query_id, kmer, pos FROM kmers WHERE seq_id % 100 = 0)
@@ -509,9 +521,11 @@ PROTEIN_UNGAPPED_SQL = f"""
 WITH {DERIVED_SEQ_SQL}
 , {_blosum_values_sql()}
 , kmers AS (
-    SELECT seq_id, len(sequence) AS seq_len, i - 1 AS pos, substr(sequence, i, 9) AS kmer
-    FROM seqs, range(1, 8192) r(i)
-    WHERE i + 8 <= len(sequence)
+    -- data-derived positions; see WINDOW_KMER_CTES_SQL (round-6 fuzz)
+    SELECT seq_id, seq_len, pos, substr(sequence, pos + 1, 9) AS kmer
+    FROM (SELECT seq_id, sequence, len(sequence) AS seq_len,
+                 UNNEST(range(0, len(sequence) - 8)) AS pos
+          FROM seqs)
 )
 , {one_rep_idx_cte("kmers")}
 , qk AS (SELECT seq_id AS query_id, kmer, pos FROM kmers WHERE seq_id % 20 = 0)
@@ -726,9 +740,11 @@ def protein_prefilter_biased(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROTEIN_PREFILTER_BIASED_SQL = f"""
 WITH {DERIVED_SEQ_SQL}
 , kmers AS (
-    SELECT seq_id, len(sequence) AS seq_len, i - 1 AS pos, substr(sequence, i, 9) AS kmer
-    FROM seqs, range(1, 8192) r(i)
-    WHERE i + 8 <= len(sequence)
+    -- data-derived positions; see WINDOW_KMER_CTES_SQL (round-6 fuzz)
+    SELECT seq_id, seq_len, pos, substr(sequence, pos + 1, 9) AS kmer
+    FROM (SELECT seq_id, sequence, len(sequence) AS seq_len,
+                 UNNEST(range(0, len(sequence) - 8)) AS pos
+          FROM seqs)
 )
 , {one_rep_idx_cte("kmers")}
 , qk AS (SELECT seq_id AS query_id, kmer, pos FROM kmers WHERE seq_id % 100 = 0)

@@ -63,6 +63,12 @@ def extract_kmers_arrow(
         for pdf in batches:
             ids_o, len_o, km_o, pos_o = [], [], [], []
             for sid, seq in zip(pdf[id_col], pdf["sequence"]):
+                if seq is None:
+                    # a NULL sequence (e.g. derived from a NULL-text doc)
+                    # has no windows — the HOF twin and every SQL oracle
+                    # drop it the same way; encoding None CRASHED the
+                    # whole extraction task instead (round-6 fuzz)
+                    continue
                 codes = lut[np.frombuffer(seq.encode("ascii", "replace"), dtype=np.uint8) & 0x7F]
                 n = len(codes)
                 if n < k:

@@ -22,9 +22,37 @@ from petasearch_spark.operators.portable import decimal_sum
 from petasearch_spark.sources.tables import load_table
 
 
+def _finite(col: F.Column) -> F.Column:
+    """THE non-finite-measure rule (events._finite_value) applied to the
+    relational fact columns: a NaN/±Inf measure is excluded (as NULL)
+    from every money sum — Spark's decimal cast silently NULLs it while
+    DuckDB's CAST aborts the whole oracle (round-6 fuzz); both sides
+    mask explicitly. Counts still include the rows."""
+    return F.when(F.isnan(col) | (F.abs(col) == F.lit(float("inf"))), F.lit(None)).otherwise(col)
+
+
+_LINEITEM_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_FIN_SQL = "CASE WHEN isnan({c}) OR isinf({c}) THEN NULL ELSE {c} END"
+#: DuckDB twin of :func:`_mask_lineitem` — prepend as a WITH clause and
+#: read FROM lineitem_fin
+LINEITEM_FIN_CTE = (
+    "lineitem_fin AS (SELECT * REPLACE ("
+    + ", ".join(f"{_FIN_SQL.format(c=c)} AS {c}" for c in _LINEITEM_MEASURES)
+    + ") FROM lineitem)"
+)
+
+
+def _mask_lineitem(l: DataFrame) -> DataFrame:
+    for c in _LINEITEM_MEASURES:
+        l = l.withColumn(c, _finite(F.col(c)))
+    return l
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan + filter + groupBy agg (map-side partial)."""
-    l = load_table(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
+    l = _mask_lineitem(
+        load_table(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
+    )
     disc = F.col("l_extendedprice").cast("decimal(18,4)") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
     charge = disc * (F.lit(1) + F.col("l_tax")).cast("decimal(8,4)")
     return (
@@ -43,7 +71,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q1_SQL = """
+Q1_SQL = f"""
+WITH {LINEITEM_FIN_CTE}
 SELECT l_returnflag, l_linestatus,
        CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty,
        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_base_price,
@@ -53,7 +82,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
        CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
-FROM lineitem
+FROM lineitem_fin
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
@@ -65,7 +94,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer is broadcast; orders⋈lineitem shuffles on the order key."""
     c = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderdate") < F.lit("1998-03-15"))
-    l = load_table(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    l = _mask_lineitem(
+        load_table(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    )
     disc = F.col("l_extendedprice").cast("decimal(18,4)") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -77,10 +108,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q3_SQL = """
+Q3_SQL = f"""
+WITH {LINEITEM_FIN_CTE}
 SELECT l_orderkey, o_orderdate, o_orderpriority,
        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS revenue
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+FROM lineitem_fin JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-03-15'
@@ -120,7 +152,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir).filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
-    l = load_table(spark, "lineitem", sf_dir)
+    l = _mask_lineitem(load_table(spark, "lineitem", sf_dir))
     disc = F.col("l_extendedprice").cast("decimal(18,4)") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -134,10 +166,11 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q5_SQL = """
+Q5_SQL = f"""
+WITH {LINEITEM_FIN_CTE}
 SELECT n_name,
        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS revenue
-FROM lineitem
+FROM lineitem_fin
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -171,7 +204,7 @@ def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window rank over an aggregated join (dense window coverage)."""
     s = load_table(spark, "supplier", sf_dir)
     n = load_table(spark, "nation", sf_dir)
-    l = load_table(spark, "lineitem", sf_dir)
+    l = _mask_lineitem(load_table(spark, "lineitem", sf_dir))
     disc = F.col("l_extendedprice").cast("decimal(18,4)") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
     rev = (
         l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -188,11 +221,12 @@ def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TOP_SUPPLIERS_SQL = """
-WITH rev AS (
+TOP_SUPPLIERS_SQL = f"""
+WITH {LINEITEM_FIN_CTE}
+, rev AS (
     SELECT n_name, s_suppkey, s_name,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS revenue
-    FROM lineitem
+    FROM lineitem_fin
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
     GROUP BY n_name, s_suppkey, s_name
@@ -247,24 +281,32 @@ ORDER BY custkey
 
 
 def running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running-sum window per customer (streaming-style cumulative agg)."""
-    o = load_table(spark, "orders", sf_dir)
+    """Running-sum window per customer (streaming-style cumulative agg).
+
+    Dateless (NULL o_orderdate) orders are excluded on both sides: they
+    have no position in a by-date running sequence, and unfiltered they
+    sort NULLS FIRST under Spark's window but NULLS LAST under the
+    oracle's, shifting every seq/total after them (the window-NULL-
+    ordering law; round-6 fuzz). Non-finite totals are masked
+    (:func:`_finite`) before the decimal cumulative sum."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderdate").isNotNull())
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
         "o_custkey",
         "o_orderkey",
         F.row_number().over(w).alias("order_seq"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double").alias("running_total"),
+        F.sum(_finite(F.col("o_totalprice")).cast("decimal(18,4)")).over(w).cast("double").alias("running_total"),
     ).orderBy("o_custkey", "order_seq")
 
 
-RUNNING_ORDER_TOTALS_SQL = """
+RUNNING_ORDER_TOTALS_SQL = f"""
 SELECT o_custkey, o_orderkey,
        ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+       CAST(SUM(CAST({_FIN_SQL.format(c='o_totalprice')} AS DECIMAL(18,4))) OVER (
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
 FROM orders
+WHERE o_orderdate IS NOT NULL
 ORDER BY o_custkey, order_seq
 """
 
@@ -392,8 +434,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, "supplier", sf_dir)
     c = load_table(spark, "customer", sf_dir)
     o = load_table(spark, "orders", sf_dir)
-    l = load_table(spark, "lineitem", sf_dir).filter(
-        (F.col("l_shipdate") >= F.lit("1995-01-01")) & (F.col("l_shipdate") <= F.lit("1996-12-31"))
+    l = _mask_lineitem(
+        load_table(spark, "lineitem", sf_dir).filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01")) & (F.col("l_shipdate") <= F.lit("1996-12-31"))
+        )
     )
     disc = F.col("l_extendedprice").cast("decimal(18,4)") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
     pair = (
@@ -412,11 +456,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q7_SQL = """
+Q7_SQL = f"""
+WITH {LINEITEM_FIN_CTE}
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS revenue
-FROM lineitem
+FROM lineitem_fin
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN customer ON o_custkey = c_custkey
@@ -440,7 +485,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer broadcasts the AGGREGATED side — the fact table is read
     once for the agg and once for the fetch, never shuffled on a
     dimension."""
-    l = load_table(spark, "lineitem", sf_dir)
+    l = _mask_lineitem(load_table(spark, "lineitem", sf_dir))
     o = load_table(spark, "orders", sf_dir)
     c = load_table(spark, "customer", sf_dir)
     big = (
@@ -461,9 +506,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q18_SQL = f"""
-WITH big AS (
+WITH {LINEITEM_FIN_CTE}
+, big AS (
     SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
-    FROM lineitem GROUP BY l_orderkey
+    FROM lineitem_fin GROUP BY l_orderkey
     HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > {Q18_MIN_QTY}
 )
 SELECT c_name, c_custkey, o_orderkey,

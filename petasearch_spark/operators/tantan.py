@@ -114,7 +114,10 @@ def repeat_probs_batch(seqs: list[str]) -> list[np.ndarray]:
     B = len(seqs)
     if B == 0:
         return []
-    lens = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=B)
+    # NULL sequences have no residues (len 0) — len(None) crashed the
+    # whole masking task on a corpus with NULL-text docs (round-6 fuzz);
+    # the encode loop below already skips falsy entries
+    lens = np.fromiter((0 if s is None else len(s) for s in seqs), dtype=np.int64, count=B)
     L = max(1, int(lens.max()))
     P = MAX_REPEAT_OFFSET
     codes = np.full((B, L), X_CODE, dtype=np.int64)

@@ -120,6 +120,24 @@ EXTRA_EMB_AUDIT_OPS = ["embedding_quantize_int8"]
 #: heavy compositions — two seeds buy the coverage
 HEAVY_OPS = ["dedup_span_removal", "corpus_curation_funnel"]
 HEAVY_SEEDS = [1, 4]
+#: the protein/doc search family derives sequences FROM the documents
+#: text (sanitization + k-mer machinery over adversarial unicode/empty/
+#: whitespace docs is exactly what to stress); three-seed subset
+#: protein_mask_tantan / protein_mask_stats / protein_expand_prefilter /
+#: protein_prefilter_biased are excluded: their oracles replay committed
+#: goldens keyed to the fixture corpus (corpus_chars) — for a constructed
+#: frame the golden branch is empty and the comparison degenerates (the
+#: masking kernels and the similar-kmer enumerator keep their independent
+#: scalar goldens on the fixtures instead)
+PROTEIN_OPS = [
+    "doc_shingle_index",
+    "doc_prefilter",
+    "dna_prefilter",
+    "protein_prefilter",
+    "protein_ungapped",
+    "protein_prefilter_funnel",
+    "profile_search_consensus",
+]
 
 #: separators the portable tokenizer treats as whitespace — plus
 #: characters it deliberately does NOT (bare \s dialect drift territory)
@@ -238,8 +256,7 @@ def _gen_events(rng: random.Random, seed: int) -> list[tuple]:
     return rows
 
 
-def _gen_embeddings(rng: random.Random, seed: int) -> list[tuple]:
-    dim = 8
+def _gen_embeddings(rng: random.Random, seed: int, dim: int = 8) -> list[tuple]:
     rows: list[tuple] = []
 
     def vec():
@@ -263,6 +280,137 @@ def _gen_embeddings(rng: random.Random, seed: int) -> list[tuple]:
     return rows
 
 
+def _gen_relational(rng: random.Random, seed: int) -> dict[str, list[tuple]]:
+    """Adversarial TPC-H-shaped tables: orphan foreign keys, NULL join/
+    order keys, empty-string names, exact-half money values at cents
+    scale (the rounding law), boundary discounts, NULL dates — plus
+    NaN/Inf prices in the NONFINITE seeds. Primary keys stay unique
+    (key integrity is an ingest contract; the adversarial surface is
+    values, not broken PKs)."""
+    import datetime as dt
+
+    t: dict[str, list[tuple]] = {}
+    t["region"] = [(0, "AMERICA"), (1, "ASIA"), (2, ""), (3, None)]
+    t["nation"] = [
+        (i, n, r)
+        for i, (n, r) in enumerate(
+            [("NATION_0", 0), ("NATION_1", 0), ("NATION_2", 1), ("", 2), (None, 1), ("NATION_5", 9)]
+        )
+    ]  # regionkey 9 is an orphan
+    segs = ["BUILDING", "AUTOMOBILE", "", None]
+    t["customer"] = [
+        (
+            c,
+            f"Customer#{c:09d}",
+            rng.choice([0, 1, 2, 3, 4, 5, None]),
+            rng.choice([0.0, -17.385, 123.455, 9999.995, round(rng.uniform(-999, 9999), 2)]),
+            rng.choice(segs),
+        )
+        for c in range(30)
+    ]
+    t["supplier"] = [
+        (s, f"Supplier#{s:09d}", rng.choice([0, 1, 2, 3, 4, 5, None]), round(rng.uniform(0, 9999), 2))
+        for s in range(10)
+    ]
+    t["part"] = [
+        (
+            p,
+            f"part name {p}",
+            f"Brand#{p % 5}",
+            rng.choice(["ECONOMY BRASS", "STANDARD TIN", "", "PROMO %"]),
+            rng.choice([1, 50, None]) if p % 7 == 0 else (p % 50) + 1,
+            round(rng.uniform(1, 2000), 2),
+        )
+        for p in range(20)
+    ]
+    # TPC-H-era dates: orders span 1996-1998 so the registry queries'
+    # fixed date predicates (q1 <=2000-09, q3 around 1998-03-15, q4/q5
+    # within 1996) select real subsets instead of empty ones
+    base = dt.datetime(1996, 3, 1)
+    t["orders"] = [
+        (
+            o,
+            rng.choice([*range(25), 998, 999]),  # 998/999: orphan custkeys
+            rng.choice(["F", "O", "P"]),
+            rng.choice([0.005, 123456.785, round(rng.uniform(100, 300000), 2)]),
+            None if o % 17 == 13 else base + dt.timedelta(days=rng.randint(-90, 700), seconds=rng.randint(0, 86399)),
+            rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW", "", None]),
+        )
+        for o in range(80)
+    ]
+    lines = []
+    for li in range(220):
+        price = rng.choice(
+            [0.0, 0.005, 950.555, 0.49999999999999994, round(rng.uniform(10, 90000), 2)]
+        )
+        if seed in NONFINITE_EVENT_SEEDS and li % 60 == 7:
+            price = rng.choice([math.nan, math.inf])
+        lines.append(
+            (
+                rng.choice([*range(80), 7777]),  # 7777: orphan orderkey
+                rng.randrange(20),
+                rng.randrange(10),
+                li % 7,
+                float(rng.choice([0, 1, 25, 50])),
+                price,
+                rng.choice([0.0, 0.05, 0.5, 1.0]),
+                rng.choice([0.0, 0.08]),
+                rng.choice(["A", "N", "R", None]),
+                rng.choice(["F", "O"]),
+                None if li % 23 == 11 else base + dt.timedelta(days=rng.randint(-400, 900)),
+            )
+        )
+    t["lineitem"] = lines
+    return t
+
+
+REL_SCHEMAS = {
+    "region": pa.schema([("r_regionkey", pa.int32()), ("r_name", pa.string())]),
+    "nation": pa.schema(
+        [("n_nationkey", pa.int32()), ("n_name", pa.string()), ("n_regionkey", pa.int32())]
+    ),
+    "customer": pa.schema(
+        [("c_custkey", pa.int64()), ("c_name", pa.string()), ("c_nationkey", pa.int32()),
+         ("c_acctbal", pa.float64()), ("c_mktsegment", pa.string())]
+    ),
+    "supplier": pa.schema(
+        [("s_suppkey", pa.int64()), ("s_name", pa.string()), ("s_nationkey", pa.int32()),
+         ("s_acctbal", pa.float64())]
+    ),
+    "part": pa.schema(
+        [("p_partkey", pa.int64()), ("p_name", pa.string()), ("p_brand", pa.string()),
+         ("p_type", pa.string()), ("p_size", pa.int32()), ("p_retailprice", pa.float64())]
+    ),
+    "orders": pa.schema(
+        [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()), ("o_orderstatus", pa.string()),
+         ("o_totalprice", pa.float64()), ("o_orderdate", pa.timestamp("us")),
+         ("o_orderpriority", pa.string())]
+    ),
+    "lineitem": pa.schema(
+        [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+         ("l_linenumber", pa.int32()), ("l_quantity", pa.float64()),
+         ("l_extendedprice", pa.float64()), ("l_discount", pa.float64()),
+         ("l_tax", pa.float64()), ("l_returnflag", pa.string()),
+         ("l_linestatus", pa.string()), ("l_shipdate", pa.timestamp("us"))]
+    ),
+}
+
+REL_OPS = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q18_large_orders",
+    "top_suppliers_per_nation",
+    "running_order_totals",
+    "repeat_customers",
+    "parts_without_lineitems",
+    "customers_never_ordered",
+]
+REL_SEEDS = [1, 4]
+
+
 def _write(dir_: str, name: str, rows: list[tuple], schema: pa.Schema) -> None:
     cols = list(zip(*rows)) if rows else [[] for _ in schema]
     table = pa.Table.from_arrays(
@@ -284,15 +432,25 @@ EMB_SCHEMA = pa.schema(
 )
 
 
+#: seed 7: a CORPUS-DIM (64) embeddings table so the PQ family — whose
+#: subspace layout is pinned to the DIM constant — gets fuzz coverage too
+PQ_SEED = 7
+PQ_OPS = ["ann_pq_topk", "ann_ivfpq_topk", "ann_cosine_topk", "ann_ivf_topk", "embedding_profile"]
+
+
 @pytest.fixture(scope="module")
 def fuzz_dirs(tmp_path_factory):
     dirs: dict[int, str] = {}
-    for seed in SEEDS:
+    for seed in SEEDS + [PQ_SEED]:
         d = str(tmp_path_factory.mktemp(f"fuzz_s{seed}"))
         rng = random.Random(1_000_003 * seed)
         _write(d, "documents", _gen_documents(rng, seed), DOC_SCHEMA)
         _write(d, "events", _gen_events(rng, seed), EVENT_SCHEMA)
-        _write(d, "embeddings", _gen_embeddings(rng, seed), EMB_SCHEMA)
+        dim = 64 if seed == PQ_SEED else 8
+        _write(d, "embeddings", _gen_embeddings(rng, seed, dim=dim), EMB_SCHEMA)
+        if seed in REL_SEEDS:
+            for name, rows in _gen_relational(rng, seed).items():
+                _write(d, name, rows, REL_SCHEMAS[name])
         dirs[seed] = d
     return dirs
 
@@ -303,6 +461,9 @@ CASES = (
     + [(s, op) for s in EXTRA_SEEDS for op in EXTRA_DOC_OPS + EXTRA_EVENT_OPS + EXTRA_EMB_AUDIT_OPS]
     + [(s, op) for s in EXTRA_SEEDS if s not in CORRUPT_EMB_SEEDS for op in EXTRA_EMB_RANKER_OPS]
     + [(s, op) for s in HEAVY_SEEDS for op in HEAVY_OPS]
+    + [(s, op) for s in EXTRA_SEEDS for op in PROTEIN_OPS]
+    + [(PQ_SEED, op) for op in PQ_OPS]
+    + [(s, op) for s in REL_SEEDS for op in REL_OPS]
 )
 
 
