@@ -1130,7 +1130,12 @@ def events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     executed by the engine.
     """
     ev = load_table(spark, "events", sf_dir)
-    daily = ev.groupBy(
+    # day-less (NULL-ts) events law: a NULL day group would sort FIRST in
+    # Spark's array_sort(struct(day,...)) but LAST under the oracle's
+    # ORDER BY day (DuckDB NULLS LAST), silently permuting the series for
+    # any user with >= SAX_W observed days plus a NULL-ts event — same
+    # exclusion every other daily-series op applies (round-7 ADVICE).
+    daily = ev.filter(F.col("ts").isNotNull()).groupBy(
         "user_id",
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
     ).agg(F.sum(_finite_value(F.col("value")).cast("decimal(18,4)")).alias("dsum"))
@@ -1185,7 +1190,7 @@ EVENTS_SAX_MOTIFS_SQL = f"""
 WITH daily AS (
     SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            SUM(CAST({FINITE_VALUE_SQL} AS DECIMAL(18,4))) AS dsum
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), rnk AS (
     SELECT user_id, dsum, row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
     FROM daily

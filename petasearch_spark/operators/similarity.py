@@ -68,8 +68,13 @@ def finite_vec(vcol: Column) -> Column:
 
 
 #: DuckDB rendering of :func:`finite_vec` over an embedding::DOUBLE[]
-#: expression (NULL vector -> NULL -> excluded by WHERE, like the engine)
-FINITE_VEC_SQL = "(len({v}) > 0 AND len(list_filter({v}, x -> isnan(x) OR abs(x) >= 1e15)) = 0)"
+#: expression (NULL vector -> NULL -> excluded by WHERE, like the engine).
+#: `x IS NULL` is explicit in the predicate: Spark's F.exists yields NULL
+#: for a vector containing a NULL component (coalesce(..., True) then
+#: EXCLUDES it), while DuckDB's list_filter silently DROPS elements whose
+#: predicate is NULL — without the IS NULL arm the oracle would ADMIT
+#: such a vector the engine rejects (round-7 ADVICE).
+FINITE_VEC_SQL = "(len({v}) > 0 AND len(list_filter({v}, x -> x IS NULL OR isnan(x) OR abs(x) >= 1e15)) = 0)"
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -567,9 +572,16 @@ def profile_vectors(emb: DataFrame) -> DataFrame:
     under the oracle)."""
     v = _as_double(F.col("embedding"))
     dim = F.when(F.col("embedding").isNotNull(), F.size("embedding"))
+    # NULL-component law (round-7 fuzz): a NULL element inside an
+    # otherwise-present vector is a NON-FINITE defect — counted in
+    # n_nonfinite and its norm excluded. Without the isNull arm the
+    # defect was INVISIBLE (F.exists -> NULL -> coalesce FALSE, norm NULL
+    # drops from min/max silently) and DuckDB's list_dot_product ERRORS
+    # on NULL components, killing the oracle — the monitor must report
+    # garbage, not die on it or hide it.
     nonfinite = F.when(
         F.col("embedding").isNotNull(),
-        F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))),
+        F.exists(v, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))),
     )
     norm6 = F.when(
         F.col("embedding").isNotNull() & ~F.coalesce(nonfinite, F.lit(False)),
@@ -609,9 +621,9 @@ WITH per_vec AS (
     SELECT label,
            CAST(embedding IS NULL AS BIGINT) AS is_null,
            CAST(embedding IS NOT NULL AND len(embedding) <> {EXPECTED_DIM} AS BIGINT) AS bad_dim,
-           CAST(COALESCE(list_count(list_filter(embedding::DOUBLE[], x -> isnan(x) OR isinf(x))) > 0, FALSE) AS BIGINT) AS is_nonfinite,
+           CAST(COALESCE(len(list_filter(embedding::DOUBLE[], x -> x IS NULL OR isnan(x) OR isinf(x))) > 0, FALSE) AS BIGINT) AS is_nonfinite,
            CASE WHEN embedding IS NOT NULL
-                 AND COALESCE(list_count(list_filter(embedding::DOUBLE[], x -> isnan(x) OR isinf(x))) > 0, FALSE) = FALSE
+                 AND COALESCE(len(list_filter(embedding::DOUBLE[], x -> x IS NULL OR isnan(x) OR isinf(x))) > 0, FALSE) = FALSE
                 THEN ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) END AS norm6
     FROM embeddings
 )

@@ -57,7 +57,13 @@ def main(argv: list[str]) -> None:
     it = iter(argv)
     for a in it:
         if a == "--drop":
-            sample, key = next(it).split(":")
+            # rsplit: sample paths may themselves contain ':'; a bare
+            # trailing --drop or a missing :kN suffix gets a usable
+            # message instead of StopIteration/ValueError (round-7 ADVICE)
+            spec = next(it, None)
+            if spec is None or ":" not in spec:
+                raise SystemExit(f"--drop expects sample.json:kN, got {spec!r}")
+            sample, key = spec.rsplit(":", 1)
             drops.add((os.path.basename(sample), key))
         else:
             paths.append(a)

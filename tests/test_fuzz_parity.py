@@ -47,6 +47,11 @@ SEEDS = [1, 2, 3, 4, 5, 6]
 CORRUPT_EMB_SEEDS = {5, 6}
 #: seeds whose events table carries NaN / +-Inf values
 NONFINITE_EVENT_SEEDS = {4, 5, 6}
+#: seeds carrying a >=12-observed-day user plus a NULL-ts event for the
+#: same user — forces SAX windows to form AND exercises the day-less-
+#: events exclusion law (round-7 ADVICE); both are EXTRA_SEEDS members
+#: so events_sax_motifs actually runs on them
+SAX_SPAN_SEEDS = {4, 5}
 
 DOC_OPS = [
     "gopher_quality",
@@ -253,6 +258,17 @@ def _gen_events(rng: random.Random, seed: int) -> list[tuple]:
         rows.append((eid, base + datetime.timedelta(hours=1), 4, "view", math.nan, None)); eid += 1
         rows.append((eid, base + datetime.timedelta(hours=2), 4, "view", math.inf, None)); eid += 1
         rows.append((eid, base + datetime.timedelta(hours=3), 5, "error", -math.inf, None)); eid += 1
+    if seed in SAX_SPAN_SEEDS:
+        # 12 observed days for one user — above SAX_W=8, so SAX windows
+        # actually form — PLUS a NULL-ts event for the SAME user: the
+        # day-less row would sort FIRST in Spark's array_sort series but
+        # LAST under the oracle's ORDER BY day, permuting every window
+        # (the round-7 ADVICE latent divergence; both engines now exclude
+        # day-less events from daily series)
+        for d in range(12):
+            rows.append((eid, base + datetime.timedelta(days=3 + d, hours=5), 7,
+                         "view", float((d * 7) % 13) + 0.25, None)); eid += 1
+        rows.append((eid, None, 7, "view", 999.75, None)); eid += 1
     return rows
 
 
@@ -277,6 +293,11 @@ def _gen_embeddings(rng: random.Random, seed: int, dim: int = 8) -> list[tuple]:
         rows.append((vid, None, 2)); vid += 1               # NULL vector
         rows.append((vid, [0.1] * (dim - 3), 3)); vid += 1  # wrong dim
         rows.append((vid, [], 0)); vid += 1                 # empty vector
+        # NULL COMPONENT inside an otherwise-present vector: Spark's
+        # F.exists yields NULL -> coalesce excludes; DuckDB's list_filter
+        # silently drops NULL-predicate elements, so the oracle needs the
+        # explicit `x IS NULL` arm in FINITE_VEC_SQL (round-7 ADVICE)
+        rows.append((vid, [0.5] * (dim - 1) + [None], 1)); vid += 1
     return rows
 
 
