@@ -267,11 +267,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: bench.py still times them — but yield their driver slot to a
 #: non-redundant query. Each carries its redundancy rationale.
 UNGATED: dict[str, str] = {
-    "profile_vs_profile_prefilter": (
-        "composes the two P5 pieces the gate already hashes (argmax consensus via"
-        " profile_search_consensus, one-representative prefilter via protein_prefilter);"
-        " full DuckDB parity at sf0.001 AND sf0.01 in tests/test_oracle_parity.py"
-    ),
     "ann_stream_topk": (
         "streaming twin whose output (and oracle) is exactly ann_cosine_topk;"
         " the foreachBatch probe reuses the batch top-k core verbatim, and"
@@ -345,18 +340,10 @@ UNGATED: dict[str, str] = {
         " machinery as text_quality_stats (which stays gated); thresholds keep"
         " pytest parity; slot given to sequence_packing's ~4k value-rich rows"
     ),
-    "doc_chunk_overlap": (
-        "added after the gate filled; full DuckDB parity in pytest; per-doc"
-        " explode/slice machinery akin to the gated window/shingle rows"
-    ),
     "bpe_fertility": (
         "added after the gate filled; shares bpe_train_merges' iterative"
         " trainer (same gate-SF cost) plus one vocab join; exact cross-engine"
         " parity at both SFs stays in pytest"
-    ),
-    "kmv_distinct_tokens": (
-        "added after the gate filled; full DuckDB parity in pytest; the only"
-        " sketch whose estimates are cross-engine exact (md5 K-minima)"
     ),
     "events_conversion_funnel": (
         "added after the gate filled; full DuckDB parity in pytest; 3-row"
@@ -376,15 +363,6 @@ UNGATED: dict[str, str] = {
         "added after the gate filled; full DuckDB parity in pytest (theta-join"
         " oracle vs the engine's binned equi-join) and timed in bench.py"
     ),
-    "dedup_blocks": (
-        "added after the gate filled; full DuckDB parity in pytest; same"
-        " hash-groupBy machinery class as the gated dedup_exact /"
-        " doc_shingle_index rows"
-    ),
-    "quality_weighted_sample": (
-        "added after the gate filled; full DuckDB parity in pytest; same"
-        " md5-Bernoulli machinery as the gated corpus_sample_stratified"
-    ),
     "events_zorder_layout": (
         "added after the gate filled; full DuckDB parity in pytest; the"
         " layout's pruning payoff is measured in tests/test_layout.py"
@@ -392,42 +370,6 @@ UNGATED: dict[str, str] = {
     "cm_heavy_hitters": (
         "added after the gate filled; full DuckDB parity in pytest; CM's"
         " collision overestimate is forced and bounded in tests/test_sketches.py"
-    ),
-    "image_phash_dedup": (
-        "added after the gate filled; full DuckDB parity in pytest; composes"
-        " the gated image decode (image_stats) with the gated banding idea"
-        " (dedup_simhash); signature pinned vs an independent scalar twin in"
-        " tests/test_multimodal.py"
-    ),
-    "decontaminate_bloom": (
-        "added after the gate filled; full DuckDB parity in pytest; one-sided"
-        " error (superset of the gated decontaminate_ngram_overlap) asserted in"
-        " tests/test_corpus.py, false-positive behavior forced at tiny widths"
-    ),
-    "events_anomaly_daily": (
-        "added after the gate filled; full DuckDB parity in pytest; integer"
-        " spike arithmetic pinned on constructed spike/flat days in"
-        " tests/test_events_extra.py"
-    ),
-    "table_profile": (
-        "added after the gate filled; full DuckDB parity in pytest; single-pass"
-        " plan shape pinned (one Aggregate, no per-column rescan)"
-    ),
-    "semdedup_clusters": (
-        "added after the gate filled; full DuckDB parity in pytest; clustering"
-        " recall vs the gated brute-force embedding_neardup pair set measured in"
-        " tests/test_pq.py"
-    ),
-    "phrase_search": (
-        "added after the gate filled; full DuckDB parity in pytest against an"
-        " INDEPENDENT window-equality oracle formulation; overlapping-occurrence"
-        " intersection arithmetic pinned on constructed docs in"
-        " tests/test_bm25_packing.py"
-    ),
-    "embedding_profile": (
-        "added after the gate filled; full DuckDB parity in pytest; the corrupt-"
-        "vector paths the clean corpus never fires (null/NaN/Inf/bad-dim) are"
-        " pinned on constructed vectors in tests/test_pq.py"
     ),
     "cm_stream_heavy_hitters": (
         "added after the gate filled; streaming twin of the gated cm_heavy_hitters"
@@ -467,19 +409,6 @@ UNGATED: dict[str, str] = {
         "added after the gate filled; full DuckDB parity in pytest; HAVING-"
         "derived semi-join re-join with the aggregated side broadcast"
     ),
-    "hll_distinct_tokens": (
-        "added after the gate filled; full DuckDB parity in pytest;"
-        " kmv_distinct_tokens is itself ungated — the sketch family's gate"
-        " row is cm_heavy_hitters' shared-oracle streaming twin"
-        " cm_stream_heavy_hitters; HLL register merge pinned in"
-        " tests/test_sketches.py"
-    ),
-    "mixture_sample": (
-        "added after the gate filled; full DuckDB parity in pytest; same"
-        " deterministic-hash sampling family as the gated"
-        " corpus_sample_stratified, plus integer budgets; source saturation"
-        " pinned on constructed corpora in tests/test_corpus.py"
-    ),
     "docs_stream_ingest": (
         "added after the gate filled; full DuckDB parity in pytest (real"
         " 2-micro-batch run, deterministic planted-malformed oracle);"
@@ -495,11 +424,6 @@ UNGATED: dict[str, str] = {
         " ann_cosine_topk — the new behavior (label predicate at the scan, not a"
         " recall-lossy post-filter) is plan-pinned in tests/test_plan_pushdown.py"
         " and oracle-checked at both SFs in tests/test_oracle_parity.py"
-    ),
-    "events_type_unpivot": (
-        "added after the gate filled; full DuckDB parity in pytest; zero-"
-        "shuffle melt over the pivot above — its only shuffle IS the gated"
-        " aggregation class"
     ),
     # --- round-6 gate rotation (VERDICT r5 item 1): the 15 entries below
     # were driver-hash-green for 3+ consecutive rounds (most since round
@@ -590,6 +514,105 @@ UNGATED: dict[str, str] = {
         " that BOTH stay gated (protein_search's staged cascade,"
         " protein_expand_prefilter's similar-kmer expansion); the expanded-mode"
         " e2e keeps its scalar-twin golden in tests/test_search_scalar_twin.py"
+    ),
+    # --- round-7 gate rotation (VERDICT r6 item 1): the 15 entries below
+    # were driver-hash-green for 5-6 consecutive rounds (all since round 1
+    # or 2); each yields its slot to a never-gated entry so the driver's
+    # independent rows+schema+hash check finally covers that surface
+    # (profile_vs_profile_prefilter, phrase_search, kmv_distinct_tokens,
+    # hll_distinct_tokens, table_profile, doc_chunk_overlap,
+    # mixture_sample, quality_weighted_sample, image_phash_dedup,
+    # events_anomaly_daily, events_type_unpivot, decontaminate_bloom,
+    # dedup_blocks, embedding_profile, semdedup_clusters). All 15 keep
+    # full DuckDB parity at sf0.001 AND the gate SF in
+    # tests/test_oracle_parity.py. Never-gated backlog after this
+    # rotation: 20 of 112.
+    "q3_shipping_priority": (
+        "rotated out round 7 after 6 green rounds; its join+date-predicate+"
+        " top-N class stays gated via q1_pricing_summary (scan/agg) and"
+        " top_suppliers_per_nation (join + window rank), and the newly gated"
+        " table_profile adds a fresh relational hash row"
+    ),
+    "events_hourly": (
+        "rotated out round 7 after 6 green rounds; the time-bucket"
+        " conditional-aggregation class stays gated via events_sessionize and"
+        " the newly gated events_anomaly_daily/events_type_unpivot rows ride"
+        " the same daily-series machinery"
+    ),
+    "doc_shingle_index": (
+        "rotated out round 7 after 6 green rounds; the J2 one-representative"
+        " index build is embedded verbatim in the gated protein_prefilter and"
+        " dna_prefilter rows (their index side IS this operator's core), and"
+        " the 1M-seq smoke asserts the hot-key collapse at scale"
+    ),
+    "protein_ungapped": (
+        "rotated out round 7 after 6 green rounds; the J3/O4/F5-F8 diag"
+        " machinery is pinned end-to-end by the gated protein_search /"
+        " protein_search_masked cascade rows (whose value hashes cover the"
+        " ungapped rescore stage) and by the scalar-twin goldens in pytest"
+    ),
+    "protein_expand_prefilter": (
+        "rotated out round 7 after 6 green rounds; the T2 similar-kmer"
+        " enumeration stays gated via protein_prefilter_biased (the SAME"
+        " enumerator with bias-raised thresholds, rotated in round 6) and"
+        " keeps its independent-enumerator golden in pytest"
+    ),
+    "dedup_exact": (
+        "rotated out round 7 after 6 green rounds; the hash-groupBy"
+        " keep-smallest class stays gated via dedup_minhash_lsh (which embeds"
+        " exact-group collapse before banding) and the newly gated"
+        " dedup_blocks (block-level exact dedup, the harder reconstruction)"
+    ),
+    "ann_cosine_topk": (
+        "rotated out round 7 after 6 green rounds; the brute-force cosine"
+        " core stays gated via ann_ivf_topk / ann_ivfpq_topk /"
+        " ann_ivf_filtered_topk (whose verify stages recompute the same"
+        " cosine) and the NaN-first ranking law is pinned in pytest"
+    ),
+    "ann_ivf_kmeans": (
+        "rotated out round 7 after 6 green rounds; the Lloyd-iteration"
+        " decimal-recenter machinery is embedded in the gated ann_ivfpq_topk"
+        " (coarse quantizer) and the newly gated semdedup_clusters"
+        " (centroid-bucketed clustering)"
+    ),
+    "ann_pq_topk": (
+        "rotated out round 7 after 6 green rounds; the PQ codebook/ADC"
+        " machinery stays gated via ann_ivfpq_topk (the same subspace"
+        " codebooks composed with coarse buckets — the strictly harder row)"
+    ),
+    "image_stats": (
+        "rotated out round 7 after 6 green rounds; the mapInPandas"
+        " opaque-binary decode class stays gated via the newly gated"
+        " image_phash_dedup (same decode kernel + signature + band join) and"
+        " media_catalog (the metadata surface)"
+    ),
+    "corpus_sample_stratified": (
+        "rotated out round 7 after 6 green rounds; the deterministic"
+        " md5-Bernoulli sampling family stays gated via the newly gated"
+        " quality_weighted_sample and mixture_sample rows (same hash-filter"
+        " machinery plus score weighting / integer budgets)"
+    ),
+    "decontaminate_ngram_overlap": (
+        "rotated out round 7 after 6 green rounds; eval-set decontamination"
+        " stays gated via decontaminate_minhash (fuzzy) and the newly gated"
+        " decontaminate_bloom (whose flag set is asserted a superset of this"
+        " exact-membership test in tests/test_corpus.py)"
+    ),
+    "text_quality_stats": (
+        "rotated out round 7 after 6 green rounds; the tokenize/ratio"
+        " machinery stays gated via gopher_quality (the harder multi-signal"
+        " row) and lang_classifier_nb (gated round 6) rides the same"
+        " tokenizer; full DuckDB parity at both SFs stays in pytest"
+    ),
+    "bm25_search": (
+        "rotated out round 7 after 6 green rounds; the postings/idf/ranking"
+        " machinery stays gated via the newly gated phrase_search (same"
+        " postings build + the harder positional-intersection verify)"
+    ),
+    "dup_span_coverage": (
+        "rotated out round 7 after 6 green rounds; the window-hash span"
+        " machinery stays gated via dedup_span_removal (rotated in round 6 —"
+        " the same spans plus canonical-occurrence removal and text rebuild)"
     ),
 }
 
