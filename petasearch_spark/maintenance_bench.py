@@ -31,6 +31,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from petasearch_spark.session import cut_lineage
+
 from petasearch_spark.sources.tables import load_table
 
 #: per-process state shared between the entries of one group, keyed by
@@ -135,8 +137,8 @@ def ivf_maint_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"recall_at_{TOPK}"
             ),
         )
-        .localCheckpoint(eager=True)
     )
+    out = cut_lineage(out)
     shutil.rmtree(st.pop("ivf_path"), ignore_errors=True)
     return out
 

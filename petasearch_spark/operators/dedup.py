@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from petasearch_spark.session import cut_lineage
+
 from petasearch_spark.operators.portable import (
     TOKENS_SQL,
     hash64_sql,
@@ -501,18 +503,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster_id = min doc_id of the component, doc_id) for every doc in
     any near-dup pair, plus component sizes."""
     pairs = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # undirected edge list, both orientations. localCheckpoint (NOT
-    # persist): iterative algorithms grow the logical plan exponentially —
-    # each round references `labels` twice, and even with persist Catalyst
+    # undirected edge list, both orientations. cut_lineage (NOT persist):
+    # iterative algorithms grow the logical plan exponentially — each
+    # round references `labels` twice, and even with persist Catalyst
     # re-analyzes the doubled plan every round (measured: rounds escalate
     # 1.6s -> 8.9s on a few hundred rows, all driver-side planning).
     # Checkpointing truncates lineage so each round plans against a flat
-    # scan. On a cluster, swap localCheckpoint for checkpoint() with a
-    # reliable checkpoint dir (executor loss otherwise loses the blocks).
+    # scan; cut_lineage routes to reliable checkpoint() when
+    # SPARK_GRAFT_CHECKPOINT_DIR (or an explicit setCheckpointDir) names
+    # a durable dir — the cluster deployment setting.
     n_parts = max(2, spark.sparkContext.defaultParallelism // 4)  # edge lists are small vs the corpus
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).repartition(n_parts).localCheckpoint()
+    ).repartition(n_parts)
+    edges = cut_lineage(edges)
     labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("label")
     )
@@ -529,8 +533,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
             )
-            .localCheckpoint()
         )
+        labels = cut_lineage(labels)
     from pyspark.sql import Window
 
     # window count, not a groupBy+self-join: one shuffle, no second branch

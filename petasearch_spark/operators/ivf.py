@@ -22,6 +22,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from petasearch_spark.session import cut_lineage
+
 from petasearch_spark.operators.similarity import (
     ANN_FILTER_LABELS,
     FINITE_VEC_SQL,
@@ -987,7 +989,7 @@ def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan_filter=F.col("label").isin(*ANN_FILTER_LABELS),
         _persisted=persisted,
     )
-    out = out.localCheckpoint(eager=True)
+    out = cut_lineage(out)
     for p in persisted:
         p.unpersist()
     return out

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from petasearch_spark.session import cut_lineage
+
 from petasearch_spark.operators.portable import TOKENS_SQL, hash64, hash64_sql, tokens
 from petasearch_spark.sources.tables import load_table
 
@@ -207,9 +209,10 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize the per-doc verdicts (narrow scalar rows) so the
     # corpus-sized token cache can be released HERE rather than leaking
-    # into the caller; the _encode_with_vocab pattern (text.py). On a
-    # cluster, swap localCheckpoint for checkpoint() with a durable dir.
-    out = out.localCheckpoint(eager=True)
+    # into the caller; the _encode_with_vocab pattern (text.py).
+    # cut_lineage routes to reliable checkpoint() when a durable dir is
+    # configured (SPARK_GRAFT_CHECKPOINT_DIR).
+    out = cut_lineage(out)
     toks.unpersist()
     return out.orderBy("doc_id")
 

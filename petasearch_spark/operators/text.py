@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from petasearch_spark.session import cut_lineage
+
 from petasearch_spark.operators.portable import (
     TOKENS_SQL,
     WS_CHARS,
@@ -795,7 +797,7 @@ def _encode_with_vocab(spark: SparkSession, docs: DataFrame, vocab: DataFrame) -
         # so a driver collect would not scale — localCheckpoint cuts the
         # lineage at the executors (a production run would write straight
         # to its sink here instead)
-        out = out.localCheckpoint(eager=True)
+        out = cut_lineage(out)
     finally:
         vocab.unpersist()
     return out
