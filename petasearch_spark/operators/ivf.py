@@ -27,6 +27,8 @@ from petasearch_spark.session import cut_lineage
 from petasearch_spark.operators.similarity import (
     ANN_FILTER_LABELS,
     FINITE_VEC_SQL,
+    INDEX_DIM_SQL,
+    admit_indexed,
     _as_double,
     cosine,
     cosine_pair_udf,
@@ -43,9 +45,9 @@ N_QUERIES = 10
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed cosine top-5 for query vectors (vec_id < 10)."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = admit_indexed(load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
-    ).filter(finite_vec(F.col("v")))  # indexed-search admission rule
+    ))  # indexed-search admission rule (finite + dim clause)
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
@@ -125,9 +127,9 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> a static lazily-composed plan; at scale each iteration is one
     broadcast join + one aggregation (checkpoint between iterations to cut
     lineage if you push iters higher)."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = admit_indexed(load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
-    ).filter(finite_vec(F.col("v")))  # indexed-search admission rule
+    ))  # indexed-search admission rule (finite + dim clause)
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
@@ -183,9 +185,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = admit_indexed(load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
-    ).filter(finite_vec(F.col("v")))  # indexed-search admission rule
+    ))  # indexed-search admission rule (finite + dim clause)
     cb_rows = (
         emb.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").select("vec_id", "v").collect()
     )
@@ -256,7 +258,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_sql() -> str:
-    s = f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")})
+    s = f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")} AND len(embedding::DOUBLE[]) = {INDEX_DIM_SQL})
 , cent0 AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < {N_CENTROIDS})"""
     prev = "cent0"
     for it in range(1, KMEANS_ITERS + 1):
@@ -318,7 +320,7 @@ def _pq_sql() -> str:
     pivot = ", ".join(f"MAX(CASE WHEN m = {m} THEN val END) AS m{m}" for m in range(PQ_M))
     fold = " + ".join(f"m{m}" for m in range(PQ_M))
     return f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")})
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")} AND len(embedding::DOUBLE[]) = {INDEX_DIM_SQL})
 , cb AS (
     SELECT r.m, e.vec_id AS j, {sub_cols('e.v', 'c')}
     FROM emb e, range(0, {PQ_M}) r(m) WHERE e.vec_id < {PQ_K}
@@ -370,7 +372,7 @@ ORDER BY query_id, rk
 ANN_PQ_TOPK_SQL = _pq_sql()
 
 ANN_IVF_TOPK_SQL = f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")})
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")} AND len(embedding::DOUBLE[]) = {INDEX_DIM_SQL})
 , cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < {N_CENTROIDS})
 , assign AS (
     SELECT vec_id, v, cent_id AS bucket FROM (
@@ -446,9 +448,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _seq_dot_norms,
     )
 
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = admit_indexed(load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
-    ).filter(finite_vec(F.col("v")))  # indexed-search admission rule
+    ))  # indexed-search admission rule (finite + dim clause)
     cent_rows = sorted(
         (
             (r["vec_id"], list(r["v"]))
@@ -598,7 +600,7 @@ def _ivfpq_sql() -> str:
     pivot = ", ".join(f"MAX(CASE WHEN m = {m} THEN val END) AS m{m}" for m in range(PQ_M))
     fold = " + ".join(f"m{m}" for m in range(PQ_M))
     return f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")})
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")} AND len(embedding::DOUBLE[]) = {INDEX_DIM_SQL})
 , cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < {N_CENTROIDS})
 , assign AS (
     SELECT vec_id, v, cent_id AS bucket FROM (
@@ -716,9 +718,9 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousands — the quantizer stays a broadcast (K·D doubles). The exact
     brute-force twin is operators/similarity.embedding_neardup; the
     recall given up by clustering is measured in tests/test_pq.py."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = admit_indexed(load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
-    ).filter(finite_vec(F.col("v")))  # indexed-search admission rule
+    ))  # indexed-search admission rule (finite + dim clause)
     return semdedup_frame(emb, n_centroids=N_CENTROIDS)
 
 
@@ -773,7 +775,7 @@ def semdedup_frame(
 
 
 SEMDEDUP_CLUSTERS_SQL = f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")})
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")} AND len(embedding::DOUBLE[]) = {INDEX_DIM_SQL})
 , cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < {N_CENTROIDS})
 , assign AS (
     SELECT vec_id, v, cent_id FROM (
@@ -956,9 +958,9 @@ def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from petasearch_spark.streaming.stateful import source_fingerprint, staged_cache
 
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = admit_indexed(load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
-    ).filter(finite_vec(F.col("v")))  # indexed-search admission rule
+    ))  # indexed-search admission rule (finite + dim clause)
     cent_rows = [
         (r["vec_id"], r["v"])
         for r in emb.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "v").collect()
@@ -996,7 +998,7 @@ def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_IVF_FILTERED_TOPK_SQL = f"""
-WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE {FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")})
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE {FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")} AND len(embedding::DOUBLE[]) = {INDEX_DIM_SQL})
 , cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < {N_CENTROIDS})
 , assign AS (
     SELECT vec_id, label, v, cent_id AS bucket FROM (

@@ -101,7 +101,14 @@ def mask_sequences(sequences: DataFrame, col: str = "sequence", method: str = "t
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[col] = _mask_batch(list(pdf[col]))
+            # None-guard law (q): a NULL sequence (NULL-text doc) must pass
+            # through as NULL, not crash the whole task — found by the
+            # round-7 constructed-frame scalar-twin fuzz, same class as the
+            # round-6 kmer-extractor fix
+            vals = list(pdf[col])
+            present = [s for s in vals if s is not None]
+            masked = iter(_mask_batch(present))
+            pdf[col] = [None if s is None else next(masked) for s in vals]
             yield pdf
 
     return sequences.mapInPandas(run, schema=schema)

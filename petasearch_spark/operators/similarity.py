@@ -67,6 +67,30 @@ def finite_vec(vcol: Column) -> Column:
     )
 
 
+def admit_indexed(emb: DataFrame, vcol: str = "v") -> DataFrame:
+    """THE indexed-search admission rule, complete form (round-7 fuzz):
+    :func:`finite_vec` PLUS the dimension clause — the index's dimension
+    is the dimension of the MIN-vec_id admitted vector (the same vector
+    that seeds the coarse quantizer), and a vector of any OTHER dimension
+    is rejected. Without the clause a wrong-dimension vector passed the
+    finite check and crashed the Arrow assign/matmul kernels mid-stack
+    (np.stack over ragged rows) — the PQ corrupt seed's first catch; a
+    real index has a declared dim and rejects mismatches at ingest.
+
+    The dim is resolved by ONE scalar driver action (min_by aggregate —
+    the same class as the ops' own centroid collects) and applied as a
+    LITERAL filter, deliberately NOT as a broadcast-join predicate:
+    Spark's ExtractPythonUDFs places a scalar pandas UDF at the earliest
+    point its inputs exist, which is BELOW a join-borne filter — the
+    ragged rows reached the kernel anyway (round-7 fuzz). A literal
+    filter pushes to the scan, below any UDF evaluation."""
+    f = emb.filter(finite_vec(F.col(vcol)))
+    row = f.agg(F.min_by(F.size(F.col(vcol)), F.col("vec_id")).alias("d")).collect()[0]
+    if row["d"] is None:  # empty admitted set: nothing to pin the dim on
+        return f
+    return f.filter(F.size(F.col(vcol)) == int(row["d"]))
+
+
 #: DuckDB rendering of :func:`finite_vec` over an embedding::DOUBLE[]
 #: expression (NULL vector -> NULL -> excluded by WHERE, like the engine).
 #: `x IS NULL` is explicit in the predicate: Spark's F.exists yields NULL
@@ -75,6 +99,15 @@ def finite_vec(vcol: Column) -> Column:
 #: predicate is NULL — without the IS NULL arm the oracle would ADMIT
 #: such a vector the engine rejects (round-7 ADVICE).
 FINITE_VEC_SQL = "(len({v}) > 0 AND len(list_filter({v}, x -> x IS NULL OR isnan(x) OR abs(x) >= 1e15)) = 0)"
+
+#: DuckDB rendering of :func:`admit_indexed`'s dim clause: the index's
+#: dimension is the dimension of the min-vec_id FINITE vector. Compose as
+#: ``{FINITE_VEC_SQL} AND len(v) = {INDEX_DIM_SQL}``.
+INDEX_DIM_SQL = (
+    "(SELECT len(embedding::DOUBLE[]) FROM embeddings WHERE "
+    + FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")
+    + " ORDER BY vec_id LIMIT 1)"
+)
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -114,14 +114,7 @@ def _run_foreach_stream(
         tempfile.gettempdir(), f"ps_ann_stream_sink_{sink_tag}_{os.getpid()}"
     )
     shutil.rmtree(sink, ignore_errors=True)
-
-    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
-        persisted: list = []
-        try:
-            probe_fn(batch_df, persisted).write.mode("append").parquet(sink)
-        finally:
-            for df in persisted:
-                df.unpersist()
+    run_batch = make_probe_batch_writer(sink, probe_fn)
 
     stream = (
         spark.readStream.schema("query_id long, qv array<double>")
@@ -136,12 +129,48 @@ def _run_foreach_stream(
             .start()
         )
         query.awaitTermination()
+    return read_probe_sink(spark, sink)
+
+
+def make_probe_batch_writer(
+    sink: str, probe_fn: Callable[[DataFrame, list], DataFrame]
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch writer for the ANN probes. IDEMPOTENT per batch: each
+    micro-batch overwrites its OWN ``b=<batch_id>`` subdir instead of
+    appending to a flat sink (round-7 kill/recover e2e — a crash in the
+    window between the sink write and the checkpoint commit makes Spark
+    REPLAY the batch on restart, and a plain append would then hold the
+    batch's rows twice; an overwritten per-batch dir makes the replay a
+    no-op rewrite, which is the same bronze-partition contract
+    curate-stream uses for ingest)."""
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        persisted: list = []
+        try:
+            probe_fn(batch_df, persisted).write.mode("overwrite").parquet(
+                os.path.join(sink, f"b={batch_id}")
+            )
+        finally:
+            for df in persisted:
+                df.unpersist()
+
+    return run_batch
+
+
+def read_probe_sink(spark: SparkSession, sink: str) -> DataFrame:
+    """Combined result over the per-batch subdirs — a typed empty frame
+    when the stream produced nothing (a parquet dir with no part files
+    cannot infer a schema)."""
     has_parts = os.path.isdir(sink) and any(
-        f.endswith(".parquet") for f in os.listdir(sink)
+        f.endswith(".parquet") for _root, _dirs, fs in os.walk(sink) for f in fs
     )
     if not has_parts:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    return spark.read.parquet(sink).orderBy("query_id", "rk")
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(sink)
+        .orderBy("query_id", "rk")
+    )
 
 
 def ann_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,12 +209,13 @@ def ann_ivf_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_ivf_index,
     )
 
-    from petasearch_spark.operators.similarity import finite_vec
+    from petasearch_spark.operators.similarity import admit_indexed
 
-    # indexed-search admission rule (round-6): the materialized index
-    # and the quantizer must exclude non-finite vectors exactly like the
-    # batch ann_ivf_topk whose oracle this stream shares
-    emb = _load_emb(spark, sf_dir).filter(finite_vec(F.col("v")))
+    # indexed-search admission rule (round-6 finite + round-7 dim
+    # clause): the materialized index and the quantizer must admit
+    # exactly what the batch ann_ivf_topk (whose oracle this stream
+    # shares) admits
+    emb = admit_indexed(_load_emb(spark, sf_dir))
     cent_rows = [
         (r["vec_id"], r["v"])
         for r in emb.filter(F.col("vec_id") < N_CENTROIDS).collect()

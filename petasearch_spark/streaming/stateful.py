@@ -219,6 +219,57 @@ def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> None:
         q.awaitTermination()
 
 
+def user_totals_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """The user-totals state transition — module-level so the
+    kill/recover e2e (tests/test_stream_recovery.py) drives the SAME
+    transition the registry operator runs, under its own source /
+    durable checkpoint / poisoned sink."""
+    import numpy as np
+
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        v = pdf["value"].to_numpy()
+        # NULL values arrive as NaN through Arrow and crashed the
+        # int() conversion; exclude the row from count AND sum like
+        # the SQL twin's IS NOT NULL filter (round-5 audit)
+        ok = ~np.isnan(v)
+        n += int(ok.sum())
+        # np.floor, NOT astype-truncation: the SQL twin's floor()
+        # rounds toward -inf, truncation toward zero — identical on
+        # the fixture's positive amounts but divergent on any
+        # negative (refund) value; floor of the SAME float ops is
+        # cross-engine exact for all signs (round-5 audit)
+        cents += int(np.floor(v[ok] * 100 + 0.5).sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+    )
+
+
+def user_totals_stream(stream: DataFrame) -> DataFrame:
+    """groupBy(user_id).applyInPandasWithState over a (user_id, value)
+    stream — the stateful core of :func:`events_stream_user_totals`."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        user_totals_update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def latest_user_totals(emitted: DataFrame) -> DataFrame:
+    """Final answer from update-mode emissions: the latest emission per
+    user is the one with the largest running n."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+        .orderBy("user_id")
+    )
+
+
 def events_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-user (n_events, total_value) via a custom stateful
     operator: groupBy(user_id).applyInPandasWithState, state = (n, cents).
@@ -234,46 +285,10 @@ def events_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stage)
         .select("user_id", "value")
     )
-
-    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        import numpy as np
-
-        n, cents = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            v = pdf["value"].to_numpy()
-            # NULL values arrive as NaN through Arrow and crashed the
-            # int() conversion; exclude the row from count AND sum like
-            # the SQL twin's IS NOT NULL filter (round-5 audit)
-            ok = ~np.isnan(v)
-            n += int(ok.sum())
-            # np.floor, NOT astype-truncation: the SQL twin's floor()
-            # rounds toward -inf, truncation toward zero — identical on
-            # the fixture's positive amounts but divergent on any
-            # negative (refund) value; floor of the SAME float ops is
-            # cross-engine exact for all signs (round-5 audit)
-            cents += int(np.floor(v[ok] * 100 + 0.5).sum())
-        state.update((n, cents))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
-        )
-
-    out = stream.groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="n long, cents long",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    out = user_totals_stream(stream)
     name = "events_stream_user_totals_sink"
     _run_to_memory(out, name, "update")
-    emitted = spark.table(name)
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
-        emitted.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "n_events", "total_value")
-        .orderBy("user_id")
-    )
+    return latest_user_totals(spark.table(name))
 
 
 EVENTS_STREAM_USER_TOTALS_SQL = """

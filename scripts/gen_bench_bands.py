@@ -18,14 +18,18 @@ Each sample is either a raw bench line (``{"metric": ..., "queries":
 holds that line. Only QUIET-machine samples belong here — a loaded
 sample inflates every band it touches.
 
-Band law (deliberately tolerant — the artifact exists to catch real
-regressions, not to re-flag the documented first-run compile/staging
-oscillation): ``lo = 0.2 * min(samples)`` (an entry suddenly doing
-near-zero work is as suspicious as a slow one), ``hi = max(2 *
-max(samples), max(samples) + 1.0)`` (2x the worst quiet observation,
-with +1 s absolute headroom so sub-second entries don't flag on
-scheduler jitter). A key outside [lo, hi] is worth a warm re-time; a
-key outside it on THREE consecutive quiet samples is a regression.
+Band law: ``lo = 0.2 * min(samples)`` (an entry suddenly doing
+near-zero work is as suspicious as a slow one), ``hi = max(1.4 *
+max(samples), max(samples) + 0.4)`` (1.4x the worst quiet observation,
+with +0.4 s absolute headroom so sub-second entries don't flag on
+scheduler jitter). Round 6 needed hi = 2*max because first-run
+Arrow-kernel compile produced documented 3-5x swings; round 7 removed
+the cause — bench.py now pushes one small batch through every
+kernel-bearing entry at sf0.001 before the timed loop (WARMUP_QUERIES)
+— so the samples feeding this law are warm and the band can be tight
+enough that a real 1.5x regression actually flags. A key outside
+[lo, hi] is worth a warm re-time; a key outside it on THREE
+consecutive quiet samples is a regression.
 """
 
 from __future__ import annotations
@@ -80,14 +84,14 @@ def main(argv: list[str]) -> None:
         if not vals:
             continue
         lo = round(0.2 * min(vals), 2)
-        hi = round(max(2.0 * max(vals), max(vals) + 1.0), 2)
+        hi = round(max(1.4 * max(vals), max(vals) + 0.4), 2)
         bands[key] = [lo, hi]
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "BENCH_BANDS.json")
     with open(out, "w") as f:
         json.dump(
             {
                 "_meta": {
-                    "law": "lo=0.2*min(quiet samples); hi=max(2*max, max+1.0s)",
+                    "law": "lo=0.2*min(warm quiet samples); hi=max(1.4*max, max+0.4s)",
                     "n_samples": len(samples),
                     "samples": {os.path.basename(p): round(sum(s.values()), 2) for p, s in samples.items()},
                     "dropped": sorted(f"{s}:{k}" for s, k in drops),

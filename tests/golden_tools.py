@@ -107,15 +107,24 @@ def composition_bias_scalar(seq: str, k: int = 9) -> list[int]:
 
     M = KMER_SEED_MATRIX
     pb = SEED_PBACK
-    codes = [AMINO_ALPHABET.index(c) for c in seq]
+    # invalid residues (outside the 20-letter alphabet — constructed fuzz
+    # docs produce B/J/O/U/X/Z): bias 0, excluded from window counts,
+    # denominator stays the FULL window length — the engine kernel's
+    # documented rule (operators/similar_kmers.composition_bias)
+    codes = [AMINO_ALPHABET.index(c) if c in AMINO_ALPHABET else -1 for c in seq]
     n = len(codes)
     half = 20  # BIAS_WINDOW // 2
     delta = []
     for i in range(n):
+        if codes[i] < 0:
+            delta.append(0.0)
+            continue
         lo = max(0, i - half)
         hi = min(n, i + half)  # [i-20, i+20): maxPos excluded
         wl = max(1, hi - lo)
-        tot = sum(int(M[codes[i], codes[j]]) for j in range(lo, hi)) - int(M[codes[i], codes[i]])
+        tot = sum(
+            int(M[codes[i], codes[j]]) for j in range(lo, hi) if codes[j] >= 0
+        ) - int(M[codes[i], codes[i]])
         bg = sum(float(pb[a]) * float(M[codes[i], a]) for a in range(len(pb)))
         delta.append(-tot / wl + bg)
     out = []

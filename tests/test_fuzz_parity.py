@@ -289,7 +289,7 @@ def _gen_embeddings(rng: random.Random, seed: int, dim: int = 8) -> list[tuple]:
     rows.append((vid, [math.inf] + [0.5] * (dim - 1), 3)); vid += 1  # Inf comp
     rows.append((vid, [1e30] * dim, 0)); vid += 1           # huge magnitude
     rows.append((vid, [1e-30] * dim, 1)); vid += 1          # tiny magnitude
-    if seed in CORRUPT_EMB_SEEDS:
+    if seed in CORRUPT_EMB_SEEDS or seed == PQ_CORRUPT_SEED:
         rows.append((vid, None, 2)); vid += 1               # NULL vector
         rows.append((vid, [0.1] * (dim - 3), 3)); vid += 1  # wrong dim
         rows.append((vid, [], 0)); vid += 1                 # empty vector
@@ -458,16 +458,33 @@ EMB_SCHEMA = pa.schema(
 PQ_SEED = 7
 PQ_OPS = ["ann_pq_topk", "ann_ivfpq_topk", "ann_cosine_topk", "ann_ivf_topk", "embedding_profile"]
 
+#: seed 8 (round-7, VERDICT r6 item 3): CORPUS-DIM (64) embeddings WITH
+#: the corrupt rows (NULL / wrong-dim / empty / NULL-component vectors) —
+#: the PQ family's coverage was one clean DIM=64 seed, so a bug in the
+#: admission rule's interaction with the subspace layout would hide here
+#: longest. Brute-force cosine is excluded (its contract keeps NaN-first
+#: ranking over ingest-validated vectors); every indexed/audited op runs.
+PQ_CORRUPT_SEED = 8
+PQ_CORRUPT_OPS = [
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_ivf_topk",
+    "ann_ivf_filtered_topk",
+    "semdedup_clusters",
+    "embedding_profile",
+    "embedding_quantize_int8",
+]
+
 
 @pytest.fixture(scope="module")
 def fuzz_dirs(tmp_path_factory):
     dirs: dict[int, str] = {}
-    for seed in SEEDS + [PQ_SEED]:
+    for seed in SEEDS + [PQ_SEED, PQ_CORRUPT_SEED]:
         d = str(tmp_path_factory.mktemp(f"fuzz_s{seed}"))
         rng = random.Random(1_000_003 * seed)
         _write(d, "documents", _gen_documents(rng, seed), DOC_SCHEMA)
         _write(d, "events", _gen_events(rng, seed), EVENT_SCHEMA)
-        dim = 64 if seed == PQ_SEED else 8
+        dim = 64 if seed in (PQ_SEED, PQ_CORRUPT_SEED) else 8
         _write(d, "embeddings", _gen_embeddings(rng, seed, dim=dim), EMB_SCHEMA)
         if seed in REL_SEEDS:
             for name, rows in _gen_relational(rng, seed).items():
@@ -484,6 +501,7 @@ CASES = (
     + [(s, op) for s in HEAVY_SEEDS for op in HEAVY_OPS]
     + [(s, op) for s in EXTRA_SEEDS for op in PROTEIN_OPS]
     + [(PQ_SEED, op) for op in PQ_OPS]
+    + [(PQ_CORRUPT_SEED, op) for op in PQ_CORRUPT_OPS]
     + [(s, op) for s in REL_SEEDS for op in REL_OPS]
 )
 

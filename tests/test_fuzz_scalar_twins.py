@@ -1,0 +1,210 @@
+"""Constructed-frame fuzz for the GOLDEN-KEYED cores (round-6 VERDICT
+item 2 of "What's missing"): protein_mask_tantan, protein_mask_stats,
+protein_expand_prefilter and protein_prefilter_biased are excluded from
+tests/test_fuzz_parity.py by design — their registry oracles replay
+committed goldens keyed to the fixture corpus (corpus_chars), so on a
+constructed frame the golden branch is empty and the comparison
+degenerates. Those are exactly the operators a constructed-input bug
+would hide in longest.
+
+This module closes the gap WITHOUT touching the registry oracles: each
+engine op runs on the adversarial document tables from the fuzz
+generators (unicode, NULL/empty text, whitespace dialects, 8k+-token
+docs crossing the enumeration caps) and is compared against the
+INDEPENDENT plain-loop scalar twins in tests/golden_tools.py — the same
+twins that generate the committed goldens, now evaluated on inputs the
+fixtures never produce:
+
+- mask ops  vs mask_seq_scalar / tantan_mask_scalar per derived sequence
+- expansion vs brute_expand (threshold-pruned product enumeration,
+  independent of the engine's lazy best-first heap)
+- bias      vs composition_bias_scalar (plain loops, independent of the
+  numpy cumsum/einsum kernel), thresholds raised per (query, pos)
+
+Two extra query documents are appended at doc_id 100 and 200 (the
+registry ops select queries by doc_id % 100 == 0) so the expansion/bias
+paths see three adversarial queries, not just doc 0: tandem repeats
+(tract masking + strongly biased composition), low-entropy runs,
+invalid residues (B/J/O/U/X/Z from uppercase text), digits and unicode.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow.parquet as pq
+import pytest
+
+from petasearch_spark.functions.kmer import AMINO_ALPHABET
+from petasearch_spark.operators.doc_search import REQ_MATCHES
+from petasearch_spark.operators.similar_kmers import (
+    DEFAULT_KMER_THRESHOLD,
+    DEFAULT_MAX_PER_POS,
+)
+from petasearch_spark.registry import REGISTRY
+from tests.golden_tools import (
+    brute_expand,
+    composition_bias_scalar,
+    decode_kmer,
+    derive_sequence,
+    mask_seq_scalar,
+    tantan_mask_scalar,
+)
+from tests.test_fuzz_parity import DOC_SCHEMA, _gen_documents, _write
+
+K = 9
+QUERY_MOD = 100
+SEEDS = [1, 3, 4]  # base / >8k-token cap-crossing doc / 4k-token doc
+#: the tantan scalar twin is O(n * 50) plain Python per sequence — the
+#: seed-3 40k-char derived sequence alone costs seconds, so the tantan
+#: comparison runs on the two seeds without it (the vectorized kernel's
+#: long-sequence behavior is pinned by the fixture golden + 1M smoke)
+TANTAN_SEEDS = [1, 4]
+
+#: appended query docs (doc_id % 100 == 0): tandem repeats, low-entropy
+#: runs, invalid residues, digits, unicode — each a masking/bias stressor
+EXTRA_QUERY_DOCS = {
+    100: (
+        "the quick brown fox jumps over the lazy dog "
+        "abcabcabcabcabcabcabcabc aaaaaaaaaaaaaaaaaaaaaaaa "
+        "NaN None TRUE XyZzyB 0x1f 3.5 -7 "
+        "wearywearywearyweary café 東京 "
+        "lysine arginine histidine aspartate glutamate serine threonine"
+    ),
+    200: (
+        "deadeadeadeadeadeadeadead beefbeefbeefbeef "
+        "mississippi mississippi mississippi "
+        "ggggggggggggcccccccccccc "
+        "QWERTYUIOP ASDFGHJKL zxcvbnm,./;'[]\\ "
+        "the rain in spain stays mainly on the plain 12345 67890"
+    ),
+}
+
+
+def _load_docs(d: str) -> list[tuple[int, str | None]]:
+    t = pq.read_table(f"{d}/documents.parquet", columns=["doc_id", "text"])
+    return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+@pytest.fixture(scope="module")
+def twin_dirs(tmp_path_factory):
+    dirs: dict[int, str] = {}
+    for seed in SEEDS:
+        d = str(tmp_path_factory.mktemp(f"twin_s{seed}"))
+        rng = random.Random(1_000_003 * seed)
+        rows = _gen_documents(rng, seed)
+        assert max(r[0] for r in rows) < min(EXTRA_QUERY_DOCS)
+        for did, text in EXTRA_QUERY_DOCS.items():
+            rows.append((did, text, "en", "src1", len(text)))
+        _write(d, "documents", rows, DOC_SCHEMA)
+        dirs[seed] = d
+    return dirs
+
+
+# --- T3 masking vs the independent scalar maskers --------------------------
+
+
+def _mask_twin(docs, masker) -> dict[int, tuple[int, int]]:
+    out = {}
+    for did, text in docs:
+        if text is None:
+            continue
+        seq = derive_sequence(text)
+        n_x = masker(seq).count("X")
+        if n_x > 0:
+            out[did] = (len(seq), n_x)
+    return out
+
+
+@pytest.mark.parametrize(
+    "op,masker,seeds",
+    [
+        ("protein_mask_stats", mask_seq_scalar, SEEDS),
+        ("protein_mask_tantan", tantan_mask_scalar, TANTAN_SEEDS),
+    ],
+    ids=["mask_stats", "mask_tantan"],
+)
+def test_mask_ops_match_scalar_twin(spark, twin_dirs, op, masker, seeds):
+    for seed in seeds:
+        d = twin_dirs[seed]
+        engine = {
+            r["seq_id"]: (r["seq_len"], r["n_masked"])
+            for r in REGISTRY[op][0](spark, d).collect()
+        }
+        twin = _mask_twin(_load_docs(d), masker)
+        assert engine == twin, f"{op}@seed{seed}"
+        assert engine, f"{op}@seed{seed}: vacuous (no masked sequence formed)"
+
+
+# --- T2/T4 expansion prefilter vs brute_expand (+ scalar bias) -------------
+
+
+def _prefilter_twin(docs, biased: bool) -> dict[tuple[int, int], int]:
+    seqs = {did: derive_sequence(t) for did, t in docs if t is not None}
+    # J2 one-representative index over VALID windows (the integer path's
+    # F1 rule: any residue outside the 20-letter alphabet breaks the
+    # window); representative = longest sequence, ties lowest id
+    rep: dict[str, tuple[int, int]] = {}
+    for tid, s in seqs.items():
+        for p in range(len(s) - K + 1):
+            w = s[p : p + K]
+            if all(c in AMINO_ALPHABET for c in w):
+                cand = (-len(s), tid)
+                if w not in rep or cand < rep[w]:
+                    rep[w] = cand
+    index = {w: tid for w, (_l, tid) in rep.items()}
+
+    counts: dict[tuple[int, int], int] = {}
+    memo: dict[tuple[str, int], list[str]] = {}
+    for qid, s in seqs.items():
+        if qid % QUERY_MOD != 0:
+            continue
+        kb = composition_bias_scalar(s, K) if biased and len(s) >= K else None
+        for p in range(len(s) - K + 1):
+            w = s[p : p + K]
+            if not all(c in AMINO_ALPHABET for c in w):
+                continue
+            thr = DEFAULT_KMER_THRESHOLD
+            if biased:
+                # kbias <= 0 raises the threshold (T4; exact probe is
+                # unconditional, comparekmertables.cpp:256-262)
+                thr = max(DEFAULT_KMER_THRESHOLD - kb[p], 0)
+            key = (w, thr)
+            if key not in memo:
+                wc = [AMINO_ALPHABET.index(c) for c in w]
+                memo[key] = [
+                    decode_kmer(code, K)
+                    for code, _s in brute_expand(wc, thr, DEFAULT_MAX_PER_POS)
+                ]
+            for pw in [w, *memo[key]]:  # exact always probes; dups preserved
+                tid = index.get(pw)
+                if tid is not None:
+                    counts[(qid, tid)] = counts.get((qid, tid), 0) + 1
+    return {pair: n for pair, n in counts.items() if n > REQ_MATCHES}
+
+
+@pytest.mark.parametrize(
+    "op,biased",
+    [("protein_expand_prefilter", False), ("protein_prefilter_biased", True)],
+    ids=["expand", "biased"],
+)
+@pytest.mark.parametrize("seed", SEEDS)
+def test_expansion_prefilter_matches_scalar_twin(spark, twin_dirs, op, biased, seed):
+    d = twin_dirs[seed]
+    engine = {
+        (r["query_id"], r["target_id"]): r["n_matches"]
+        for r in REGISTRY[op][0](spark, d).collect()
+    }
+    twin = _prefilter_twin(_load_docs(d), biased)
+    assert engine == twin, (
+        f"{op}@seed{seed}: engine-only {set(engine) - set(twin)}, "
+        f"twin-only {set(twin) - set(engine)}, "
+        f"count-diff {[(p, engine[p], twin[p]) for p in set(engine) & set(twin) if engine[p] != twin[p]][:5]}"
+    )
+    assert engine, f"{op}@seed{seed}: vacuous (no surviving pair)"
+    # the bias must actually bind somewhere: the biased pair set/count
+    # multiset must differ from the unbiased one on at least one seed's
+    # shared queries — asserted once (seed 1 has repeat-heavy doc 100)
+    if biased and seed == 1:
+        unbiased = _prefilter_twin(_load_docs(d), biased=False)
+        assert twin != unbiased, "bias never changed any match count — dead path"
