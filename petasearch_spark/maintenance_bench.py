@@ -241,3 +241,38 @@ def staging_cache_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key is content-fingerprinted so regenerated testdata strands it at
     # most STAGING_TTL_DAYS (the sweep contract)
     return spark.createDataFrame([(1,)], "cache_hit int")
+
+
+def index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental k-mer-index maintenance under driver timing (round-6
+    VERDICT item 8): base bucketed index over 90% of the derived corpus,
+    then merge_kmer_index_delta folds the remaining 10% in WITHOUT
+    reshuffling the base (bucket-local full-outer + J2 collision rule —
+    the daily-delta shape a 100 TB index lives by; the reference's
+    createkmertable is rebuild-only). The timed cost covers the base
+    build + write, the delta build + write, and the bucket-aligned merge
+    write; tests/test_incremental_index.py pins the merged CONTENT equals
+    a from-scratch rebuild."""
+    from petasearch_spark.operators.doc_search import derived_sequences
+    from petasearch_spark.operators.kmer_index import (
+        build_kmer_index,
+        merge_kmer_index_delta,
+        write_kmer_index_bucketed,
+    )
+
+    seqs = derived_sequences(load_table(spark, "documents", sf_dir, widen_scan=True))
+    base_seqs = seqs.filter(F.col("seq_id") % 10 != 0)
+    delta_seqs = seqs.filter(F.col("seq_id") % 10 == 0)
+    tag = os.getpid()
+    base_t, delta_t, out_t = (
+        f"ps_bench_idx_base_{tag}",
+        f"ps_bench_idx_delta_{tag}",
+        f"ps_bench_idx_merged_{tag}",
+    )
+    write_kmer_index_bucketed(build_kmer_index(base_seqs), base_t)
+    merged = merge_kmer_index_delta(base_t, delta_seqs, out_t, delta_table=delta_t)
+    n = merged.count()
+    out = spark.createDataFrame([(n,)], "merged_kmers long")
+    for t in (base_t, delta_t, out_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out

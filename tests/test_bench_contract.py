@@ -168,7 +168,10 @@ def test_bench_bands_cover_every_key_and_flag_regressions():
     for k, (lo, hi) in bands.items():
         assert 0 <= lo < hi, (k, lo, hi)
 
-    with open(os.path.join(REPO, "BENCH_SAMPLE_r6.json")) as f:
+    # r7: the committed sample and the bands both come from WARM runs —
+    # bench.py's kernel warm-up pass removed the first-run compile
+    # variance that forced the old hi=2*max law; the law is now 1.4*max
+    with open(os.path.join(REPO, "BENCH_SAMPLE_r7.json")) as f:
         sample = json.load(f)["queries"]
     # the committed quiet sample is fully in band (it is a band input —
     # this asserts the band law and the reader agree)
