@@ -328,6 +328,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("input", help="landing-zone dir of .jsonl dump files (grows between runs)")
     p.add_argument("out_dir")
+    p.add_argument(
+        "--follow",
+        action="store_true",
+        help="continuous mode: keep draining the landing zone (same"
+        " checkpoint contract; curation re-runs exactly when bronze"
+        " changed) until it stays quiet for --idle-polls drains",
+    )
+    p.add_argument("--poll-interval", type=float, default=2.0)
+    p.add_argument("--idle-polls", type=int, default=2)
+    p.add_argument("--max-polls", type=int, default=20)
 
     args = top.parse_args(argv)
     spark = get_spark("petasearch-cli")
@@ -335,9 +345,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "curate":
         return _curate(spark, args.input, args.out_dir, resume=args.resume)
     if args.cmd == "curate-stream":
-        from petasearch_spark.streaming.curate_stream import curate_stream
+        from petasearch_spark.streaming.curate_stream import (
+            curate_stream,
+            curate_stream_follow,
+        )
 
-        print(json.dumps(curate_stream(spark, args.input, args.out_dir)))
+        if args.follow:
+            rep = curate_stream_follow(
+                spark, args.input, args.out_dir,
+                poll_interval_s=args.poll_interval,
+                idle_polls=args.idle_polls, max_polls=args.max_polls,
+            )
+        else:
+            rep = curate_stream(spark, args.input, args.out_dir)
+        print(json.dumps(rep))
         return 0
 
     from petasearch_spark.sources.m8 import write_m8

@@ -133,3 +133,53 @@ def main(argv: list[str]) -> int:
     input_dir, out_dir = argv
     print(json.dumps(curate_stream(get_spark("petasearch-curate-stream"), input_dir, out_dir)))
     return 0
+
+
+def curate_stream_follow(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    poll_interval_s: float = 2.0,
+    idle_polls: int = 2,
+    max_polls: int = 20,
+) -> dict:
+    """Continuous curate-stream (round-6 VERDICT item 8): keep draining
+    the landing zone until it goes quiet.
+
+    Design decision — a LOOP of ``availableNow`` drains over the SAME
+    ingest checkpoint, not a ``processingTime`` trigger: the two are
+    equivalent at the checkpoint contract (the file source's offset log
+    decides what is new, exactly once, across any number of drains OR
+    process restarts), but a long-lived processingTime query would race
+    the batch curation tail against its own next micro-batch on the
+    bronze store. The drain loop serializes them for free: each
+    iteration is ingest-to-quiescence, then one curation pass exactly
+    when bronze changed (the resume fingerprint makes the no-change
+    pass a marker-check no-op). Killing the process anywhere in the
+    loop loses nothing — the next invocation (follow or one-shot)
+    resumes from the same checkpoint and markers.
+
+    Stops after ``idle_polls`` consecutive drains with zero new
+    micro-batches (the landing zone is quiet), or ``max_polls`` total
+    (a service would set this to None and run forever; the CLI default
+    keeps smoke runs bounded).
+
+    Returns the LAST report plus follow accounting: total polls, total
+    new batches seen, and per-poll batch counts.
+    """
+    import time
+
+    polls: list[int] = []
+    report: dict = {}
+    idle = 0
+    while len(polls) < max_polls:
+        report = curate_stream(spark, input_dir, out_dir)
+        polls.append(int(report["stream_batches"]))
+        idle = idle + 1 if report["stream_batches"] == 0 else 0
+        if idle >= idle_polls:
+            break
+        time.sleep(poll_interval_s)
+    report["follow_polls"] = len(polls)
+    report["follow_batches_per_poll"] = polls
+    report["follow_total_batches"] = sum(polls)
+    return report

@@ -123,3 +123,56 @@ def test_curate_stream_cli_entrypoint(spark, tmp_path, capsys):
     assert rep["n_input_lines"] == 80
     assert rep["n_staged"] + rep["n_quarantined"] + rep["n_dropped_null_fields"] == 80
     assert rep["n_kept"] == rep["funnel"]["kept"]
+
+
+def test_curate_stream_follow_drains_until_quiet(spark, tmp_path, capsys):
+    """Continuous mode (round-7): a follow run over a landing zone that
+    GROWS between drains must (a) parse each delivery exactly once
+    through the shared checkpoint, (b) re-curate only when bronze
+    changed, and (c) stop after the configured number of quiet drains.
+    The growth is injected via poll_interval hooking: files land between
+    iterations by monkeypatching time.sleep — deterministic, no races."""
+    import time as _time
+
+    from petasearch_spark.streaming.curate_stream import curate_stream_follow
+
+    docs = load_table(spark, "documents", SF)
+    dump, out = str(tmp_path / "landing"), str(tmp_path / "out")
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        _dump_lines(docs).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(os.path.join(dump, "day1"))
+
+    deliveries = iter([docs.filter(F.col("doc_id") % 2 == 1)])
+    real_sleep = _time.sleep
+
+    def deliver_then_continue(_s):
+        batch = next(deliveries, None)
+        if batch is not None:
+            batch.select(_dump_lines(docs).alias("value")).coalesce(1).write.mode(
+                "overwrite"
+            ).text(os.path.join(dump, "day2"))
+        real_sleep(0)
+
+    orig_sleep = _time.sleep
+    _time.sleep = deliver_then_continue
+    try:
+        rep = curate_stream_follow(
+            spark, dump, out, poll_interval_s=0.0, idle_polls=2, max_polls=8
+        )
+    finally:
+        _time.sleep = orig_sleep
+
+    per_poll = rep["follow_batches_per_poll"]
+    # drain 1: day1 parsed; drain 2: day2 (landed during the sleep hook)
+    # parsed; then exactly idle_polls quiet drains and the loop stops
+    assert per_poll[0] > 0 and per_poll[1] > 0, per_poll
+    assert per_poll[-2:] == [0, 0] and len(per_poll) == 4, per_poll
+    assert rep["follow_total_batches"] == per_poll[0] + per_poll[1]
+    # the final report's corpus covers BOTH deliveries exactly once:
+    # every line seen, the planted-malformed ones (doc_id % 50 == 7)
+    # quarantined, the rest staged
+    n_docs = docs.count()
+    n_malformed = docs.filter(F.col("doc_id") % MALFORMED_MOD == 7).count()
+    assert rep["n_input_lines"] == n_docs
+    assert rep["n_quarantined"] == n_malformed
+    assert rep["funnel"]["n_docs"] == n_docs - n_malformed
