@@ -566,12 +566,14 @@ WITH {DERIVED_SEQ_SQL}
 -- (prune the position range BEFORE looking up scores so the blosum join
 -- is a plain hash join, not a lateral nested loop)
 , cells0 AS (
-    SELECT dd.query_id, dd.target_id, dd.n_matches, dd.diag, dd.t_lo,
-           dd.t_lo + j AS i,
-           substr(dd.qseq, dd.t_lo + j + dd.diag + 1, 1) AS qa,
-           substr(dd.tseq, dd.t_lo + j + 1, 1) AS ta
-    FROM dd, range(0, 8192) r2(j)
-    WHERE j < dd.t_hi - dd.t_lo
+    -- data-derived diagonal cells (the enumeration-cap law, round-7:
+    -- range(0, 8192) silently truncated a diagonal overlap longer than
+    -- 8192 residues — possible once derived sequences exceed 8k chars)
+    SELECT query_id, target_id, n_matches, diag, t_lo,
+           t_lo + j AS i,
+           substr(qseq, t_lo + j + diag + 1, 1) AS qa,
+           substr(tseq, t_lo + j + 1, 1) AS ta
+    FROM (SELECT dd.*, UNNEST(range(0, dd.t_hi - dd.t_lo)) AS j FROM dd)
 )
 , cells AS (
     SELECT c.query_id, c.target_id, c.n_matches, c.diag, c.t_lo, c.i, b.s

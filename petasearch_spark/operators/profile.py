@@ -255,9 +255,11 @@ WITH {DERIVED_SEQ_SQL}
 , {_blosum_values_sql()}
 , {_alpha_cte()}
 , qchars AS (
+    -- data-derived positions (the enumeration-cap law, round-7: the old
+    -- range(1, 8192) silently truncated >8k-char derived sequences)
     SELECT seq_id, i AS pos, substr(sequence, i, 1) AS c
-    FROM seqs, range(1, 8192) r(i)
-    WHERE seq_id % {PROFILE_QUERY_MOD} = 0 AND i <= len(sequence)
+    FROM (SELECT seq_id, sequence, UNNEST(range(1, len(sequence) + 1)) AS i
+          FROM seqs WHERE seq_id % {PROFILE_QUERY_MOD} = 0)
 )
 , {_prof_cte("qchars")}
 , cons_pos AS (
@@ -276,15 +278,15 @@ WITH {DERIVED_SEQ_SQL}
     GROUP BY p.seq_id
 )
 , kmers AS (
-    SELECT seq_id, len(sequence) AS seq_len, substr(sequence, i, 9) AS kmer
-    FROM seqs, range(1, 8192) r(i)
-    WHERE i + 8 <= len(sequence)
+    SELECT seq_id, seq_len, substr(sequence, i, 9) AS kmer
+    FROM (SELECT seq_id, sequence, len(sequence) AS seq_len,
+                 UNNEST(range(1, len(sequence) - 7)) AS i FROM seqs)
 )
 , {one_rep_idx_cte("kmers")}
 , qk AS (
     SELECT seq_id AS query_id, substr(sequence, i, 9) AS kmer
-    FROM cons, range(1, 8192) r(i)
-    WHERE i + 8 <= len(sequence)
+    FROM (SELECT seq_id, sequence, UNNEST(range(1, len(sequence) - 7)) AS i
+          FROM cons)
 )
 , pair AS (
     SELECT query_id, target_id, COUNT(*) AS n
@@ -327,9 +329,12 @@ WITH {DERIVED_SEQ_SQL}
 , {_alpha_cte()}
 -- consensus for EVERY sequence (targets); queries are the %-filtered subset
 , allchars AS (
+    -- data-derived positions (the enumeration-cap law, round-7 fuzz:
+    -- the old range(1, 8192) truncated the >8k-char consensus inputs
+    -- and the oracle's k-mer counts drifted from the engine's)
     SELECT seq_id, i AS pos, substr(sequence, i, 1) AS c
-    FROM seqs, range(1, 8192) r(i)
-    WHERE i <= len(sequence)
+    FROM (SELECT seq_id, sequence, UNNEST(range(1, len(sequence) + 1)) AS i
+          FROM seqs)
 )
 , {_prof_cte("allchars")}
 , cons AS (
@@ -339,15 +344,15 @@ WITH {DERIVED_SEQ_SQL}
     WHERE rn = 1 GROUP BY seq_id
 )
 , tk AS (
-    SELECT seq_id, len(sequence) AS seq_len, substr(sequence, i, 9) AS kmer
-    FROM cons, range(1, 8192) r(i)
-    WHERE i + 8 <= len(sequence)
+    SELECT seq_id, seq_len, substr(sequence, i, 9) AS kmer
+    FROM (SELECT seq_id, sequence, len(sequence) AS seq_len,
+                 UNNEST(range(1, len(sequence) - 7)) AS i FROM cons)
 )
 , {one_rep_idx_cte("tk")}
 , qk AS (
     SELECT seq_id AS query_id, substr(sequence, i, 9) AS kmer
-    FROM cons, range(1, 8192) r(i)
-    WHERE seq_id % {PROFILE_QUERY_MOD} = 0 AND i + 8 <= len(sequence)
+    FROM (SELECT seq_id, sequence, UNNEST(range(1, len(sequence) - 7)) AS i
+          FROM cons WHERE seq_id % {PROFILE_QUERY_MOD} = 0)
 )
 SELECT query_id, target_id, COUNT(*) AS n_matches
 FROM qk JOIN idx USING (kmer)

@@ -122,6 +122,18 @@ EXTRA_EMB_RANKER_OPS = [
 ]
 #: vector ops expected to survive corrupt vectors (all extra seeds)
 EXTRA_EMB_AUDIT_OPS = ["embedding_quantize_int8"]
+#: multimodal ops (round-7): media_table derives payload+metadata FROM
+#: documents, so the adversarial doc corpus (NULL/empty/unicode/
+#: whitespace-only text) exercises the whole decode/codec family — it
+#: was the one oracle-backed family never fuzzed on constructed frames
+MEDIA_OPS = [
+    "media_catalog",
+    "image_stats",
+    "image_resize",
+    "audio_features",
+    "video_frame_sample",
+    "image_phash_dedup",
+]
 #: heavy compositions — two seeds buy the coverage
 HEAVY_OPS = ["dedup_span_removal", "corpus_curation_funnel"]
 HEAVY_SEEDS = [1, 4]
@@ -142,6 +154,8 @@ PROTEIN_OPS = [
     "protein_ungapped",
     "protein_prefilter_funnel",
     "profile_search_consensus",
+    # round-7 (rotated into the gate): both sides consensus-reduced
+    "profile_vs_profile_prefilter",
 ]
 
 #: separators the portable tokenizer treats as whitespace — plus
@@ -417,6 +431,7 @@ REL_SCHEMAS = {
 }
 
 REL_OPS = [
+    "table_profile",  # round-7: single-pass per-column profile, gated
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -500,6 +515,7 @@ CASES = (
     + [(s, op) for s in EXTRA_SEEDS if s not in CORRUPT_EMB_SEEDS for op in EXTRA_EMB_RANKER_OPS]
     + [(s, op) for s in HEAVY_SEEDS for op in HEAVY_OPS]
     + [(s, op) for s in EXTRA_SEEDS for op in PROTEIN_OPS]
+    + [(s, op) for s in EXTRA_SEEDS for op in MEDIA_OPS]
     + [(PQ_SEED, op) for op in PQ_OPS]
     + [(PQ_CORRUPT_SEED, op) for op in PQ_CORRUPT_OPS]
     + [(s, op) for s in REL_SEEDS for op in REL_OPS]
