@@ -71,11 +71,11 @@ def ivf_maint_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     and write partitioned-by-bucket parquet. The index feeds the two
     entries below."""
     from petasearch_spark.operators.ivf import N_CENTROIDS, write_ivf_index
-    from petasearch_spark.operators.similarity import _as_double
+    from petasearch_spark.operators.similarity import _as_double, admit_indexed
 
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = admit_indexed(load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
-    )
+    ))  # same admission rule as the registry's IVF entry points
     cent_rows = [
         (r["vec_id"], r["v"])
         for r in emb.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "v").collect()

@@ -206,3 +206,66 @@ def test_ann_probe_replay_is_idempotent(spark, tmp_path):
         for r in got.collect()
     )
     assert have == want, "recovered probe union diverges from the batch answer"
+
+
+def test_dropduplicates_state_kill_recover(spark, tmp_path):
+    """Third state family: streaming dropDuplicates (the docs_stream_dedup
+    core). The dedup state store must survive the restart — a key seen in
+    committed batch 0 must NOT be re-emitted when the crashed batch
+    replays, and keys first seen in the crashed batch must be emitted
+    exactly once. Final per-source distinct counts equal the batch
+    COUNT(DISTINCT md5(text))."""
+    h0, h1 = _write_halves(
+        spark, f"{SF_DIR}/documents.parquet", "doc_id", ["doc_id", "source", "text"],
+        str(tmp_path / "halves"),
+    )
+    landing, ckpt, sink = (
+        str(tmp_path / "landing"), str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    )
+    marker = tmp_path / "poisoned_once"
+
+    def write_batch(df, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(sink, f"b={batch_id}"))
+
+    def poisoned(df, batch_id: int) -> None:
+        write_batch(df, batch_id)
+        if batch_id >= 1 and not marker.exists():
+            marker.touch()
+            raise _Poison("injected crash after sink write")
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, source string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+            .select("source", F.md5("text").alias("content_hash"))
+            .dropDuplicates(["source", "content_hash"])
+        )
+
+    _publish(h0, landing, "d0.parquet")
+    assert _run(stream().writeStream.outputMode("append").foreachBatch(write_batch), ckpt) is None
+    _publish(h1, landing, "d1.parquet")
+    exc = _run(stream().writeStream.outputMode("append").foreachBatch(poisoned), ckpt)
+    assert exc is not None and "injected crash" in str(exc)
+    assert _run(stream().writeStream.outputMode("append").foreachBatch(write_batch), ckpt) is None
+
+    emitted = spark.read.option("recursiveFileLookup", "true").parquet(sink)
+    # state survived: every (source, hash) emitted exactly once across
+    # batch 0 + the replayed batch
+    assert emitted.count() == emitted.distinct().count(), (
+        "dedup state lost on recovery — a committed key re-emitted"
+    )
+    got = {
+        r["source"]: r["n"]
+        for r in emitted.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {
+        r["source"]: r["n"]
+        for r in (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .groupBy("source")
+            .agg(F.countDistinct(F.md5("text")).alias("n"))
+            .collect()
+        )
+    }
+    assert got == want, "recovered dedup counts diverge from the batch distinct"
