@@ -34,11 +34,19 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = normalize_events_ts(spark.readStream.schema(batch_schema).parquet(stage))
+    from petasearch_spark.operators.events import _finite_value
+
+    # day-less law + finite-value law, explicit on BOTH sides (round-7
+    # fuzz): F.window silently drops NULL-ts rows, and Spark's
+    # double->decimal cast silently NULLs non-finite where DuckDB's CAST
+    # errors — the batch events_hourly applies both; the stream twin
+    # must not drift from it
+    stream = stream.filter(F.col("ts").isNotNull())
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+            F.sum(_finite_value(F.col("value")).cast("decimal(18,4)")).cast("double").alias("sum_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
@@ -67,8 +75,10 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_STREAM_HOURLY_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END
+                     AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 ORDER BY hour, event_type
 """

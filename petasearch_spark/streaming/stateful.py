@@ -230,9 +230,12 @@ def user_totals_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     for pdf in pdfs:
         v = pdf["value"].to_numpy()
         # NULL values arrive as NaN through Arrow and crashed the
-        # int() conversion; exclude the row from count AND sum like
-        # the SQL twin's IS NOT NULL filter (round-5 audit)
-        ok = ~np.isnan(v)
+        # int() conversion (round-5 audit); +-Inf crashed it too
+        # (round-7 fuzz, the nonfinite seeds). Exclude the row from
+        # count AND sum like the SQL twin's isfinite filter — this
+        # operator's documented rule counts only rows carrying a
+        # usable measure
+        ok = np.isfinite(v)
         n += int(ok.sum())
         # np.floor, NOT astype-truncation: the SQL twin's floor()
         # rounds toward -inf, truncation toward zero — identical on
@@ -294,7 +297,7 @@ def events_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_STREAM_USER_TOTALS_SQL = """
 SELECT user_id, COUNT(*) AS n_events,
        SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
-FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+FROM events WHERE value IS NOT NULL AND isfinite(value)
 GROUP BY user_id ORDER BY user_id
 """
 
@@ -323,7 +326,12 @@ def docs_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOCS_STREAM_DEDUP_SQL = """
-SELECT source, COUNT(DISTINCT md5(text)) AS n_unique_docs
+-- + the NULL-text group: dropDuplicates keeps ONE NULL-hash row per
+-- source (a NULL-text document IS a document — law (o)), while
+-- COUNT(DISTINCT) silently skips NULLs (round-7 fuzz)
+SELECT source,
+       COUNT(DISTINCT md5(text))
+         + MAX(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_unique_docs
 FROM documents GROUP BY source ORDER BY source
 """
 
@@ -452,7 +460,10 @@ def quantile_bucket_counts(pdf: pd.DataFrame) -> pd.DataFrame:
     lead = np.where(d <= SKETCH_LEAD_DIGITS, a, s.str[:SKETCH_LEAD_DIGITS].astype("int64"))
     return (
         pd.DataFrame({"event_type": pdf["event_type"], "s": sgn, "d": d, "l": lead})
-        .groupby(["event_type", "s", "d", "l"], sort=False)
+        # dropna=False: pandas groupby silently DROPS NULL-key groups by
+        # default, so the NULL event_type's whole sketch vanished from
+        # the stream while the batch/SQL twins grouped it (round-7 fuzz)
+        .groupby(["event_type", "s", "d", "l"], sort=False, dropna=False)
         .size()
         .reset_index(name="w")
     )
@@ -482,12 +493,16 @@ def events_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage = _stage_two_files(spark, f"{sf_dir}/events.parquet", "event_id")
     schema = spark.read.parquet(stage).schema
+    from petasearch_spark.operators.events import _finite_value
+
+    # non-finite values excluded like NULLs — the SAME mask the batch
+    # sketch applies (its oracle is shared verbatim; round-7 fuzz)
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
+        .select("event_type", _finite_value(F.col("value")).alias("value"))
         .filter(F.col("value").isNotNull())
-        .select("event_type", "value")
     )
 
     def precount(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -96,6 +96,14 @@ EXTRA_DOC_OPS = [
     "lang_classifier_nb",
     "dsir_importance_sample",
     "sequence_packing",
+    # round-7 sweep: the remaining never-fuzzed batch doc ops
+    "bpe_train_merges",
+    "bpe_fertility",
+    "bpe_encode_corpus",
+    "doc_cluster_tfidf",
+    "decontaminate_minhash",
+    "dedup_jaccard_pairs",
+    "dedup_clusters",
 ]
 EXTRA_EVENT_OPS = [
     "events_rollup",
@@ -110,6 +118,10 @@ EXTRA_EVENT_OPS = [
     "events_proximity_pairs",
     "events_sax_motifs",
     "events_csv_ingest",
+    # round-7 sweep: the remaining never-fuzzed batch event ops
+    "users_purchase_and_error",
+    "clean_purchase_days",
+    "events_zorder_layout",
 ]
 #: vector ops that assume ingest-validated vectors (skip corrupt seeds).
 #: The PQ family is excluded by design: its subspace layout is pinned to
@@ -119,6 +131,9 @@ EXTRA_EMB_RANKER_OPS = [
     "ann_filtered_topk",
     "semdedup_clusters",
     "ann_ivf_kmeans",
+    # round-7 sweep
+    "embedding_neardup_lsh",
+    "decontaminate_semantic",
 ]
 #: vector ops expected to survive corrupt vectors (all extra seeds)
 EXTRA_EMB_AUDIT_OPS = ["embedding_quantize_int8"]
@@ -134,6 +149,23 @@ MEDIA_OPS = [
     "video_frame_sample",
     "image_phash_dedup",
 ]
+#: streaming ops (round-7 sweep): they self-stage from sf_dir, so the
+#: adversarial frames drive the REAL micro-batch machinery — stateful
+#: kernels on NULL users / NaN values / NULL event ids, the JSONL and
+#: dedup streams on NULL/unicode text. Two seeds (base + nonfinite);
+#: each case runs an actual stream, so the subset stays small.
+STREAM_OPS = [
+    "events_stream_hourly",
+    "events_stream_user_totals",
+    "docs_stream_dedup",
+    "cm_stream_heavy_hitters",
+    "events_stream_quantiles",
+    "docs_stream_ingest",
+    "ann_stream_topk",
+    "ann_ivf_stream_topk",
+    "events_stream_join",
+]
+STREAM_SEEDS = [1, 4]
 #: heavy compositions — two seeds buy the coverage
 HEAVY_OPS = ["dedup_span_removal", "corpus_curation_funnel"]
 HEAVY_SEEDS = [1, 4]
@@ -516,6 +548,7 @@ CASES = (
     + [(s, op) for s in HEAVY_SEEDS for op in HEAVY_OPS]
     + [(s, op) for s in EXTRA_SEEDS for op in PROTEIN_OPS]
     + [(s, op) for s in EXTRA_SEEDS for op in MEDIA_OPS]
+    + [(s, op) for s in STREAM_SEEDS for op in STREAM_OPS]
     + [(PQ_SEED, op) for op in PQ_OPS]
     + [(PQ_CORRUPT_SEED, op) for op in PQ_CORRUPT_OPS]
     + [(s, op) for s in REL_SEEDS for op in REL_OPS]

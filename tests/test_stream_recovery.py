@@ -133,7 +133,12 @@ def test_stateful_user_totals_kill_recover(spark, tmp_path):
         r["user_id"]: (r["n_events"], r["total_value"])
         for r in (
             spark.read.parquet(f"{SF_DIR}/events.parquet")
-            .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+            # the op's isfinite rule (round-7): NaN AND +-Inf excluded
+            .filter(
+                F.col("value").isNotNull()
+                & ~F.isnan("value")
+                & (F.abs("value") != F.lit(float("inf")))
+            )
             .groupBy("user_id")
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
