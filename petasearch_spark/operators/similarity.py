@@ -431,8 +431,12 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         if len(v) == 0:
             return pd.Series([], dtype="int64")
         X = np.stack(v.values)
+        # signature law (round-7 fuzz): project onto the FIRST
+        # min(corpus dim, RP_DIM) components — the hardcoded RP_DIM loop
+        # crashed on any corpus narrower than the driver's 64 dims; the
+        # oracle slices both lists identically
         acc = np.zeros((len(X), RP_BITS))
-        for d in range(RP_DIM):
+        for d in range(min(X.shape[1], RP_DIM)):
             acc += np.outer(X[:, d], W[:, d])
         bits = (acc >= 0).astype(np.int64)
         return pd.Series(bits @ (1 << np.arange(RP_BITS, dtype=np.int64)))
@@ -490,7 +494,10 @@ WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 , wl AS (SELECT p, list(CAST(wv AS DOUBLE) ORDER BY d) AS wvec FROM w GROUP BY p)
 , bits AS (
     SELECT e.vec_id, wl.p,
-           CASE WHEN list_dot_product(e.v, wl.wvec) >= 0 THEN 1 ELSE 0 END AS bit
+           -- slice BOTH lists to the signature law's effective dim
+           CASE WHEN list_dot_product(e.v[1:LEAST(len(e.v), {RP_DIM})],
+                                      wl.wvec[1:LEAST(len(e.v), {RP_DIM})]) >= 0
+                THEN 1 ELSE 0 END AS bit
     FROM emb e CROSS JOIN wl
 )
 , sig AS (SELECT vec_id, CAST(SUM(bit * (1::BIGINT << p)) AS BIGINT) AS sig FROM bits GROUP BY vec_id)
