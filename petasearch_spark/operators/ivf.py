@@ -32,7 +32,6 @@ from petasearch_spark.operators.similarity import (
     _as_double,
     cosine,
     cosine_pair_udf,
-    finite_vec,
     nearest_centroid_udf,
 )
 from petasearch_spark.sources.tables import load_table
