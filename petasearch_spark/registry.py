@@ -267,27 +267,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: bench.py still times them — but yield their driver slot to a
 #: non-redundant query. Each carries its redundancy rationale.
 UNGATED: dict[str, str] = {
-    "ann_stream_topk": (
-        "streaming twin whose output (and oracle) is exactly ann_cosine_topk;"
-        " the foreachBatch probe reuses the batch top-k core verbatim, and"
-        " streaming-vs-batch equality holds at both SFs in tests/test_oracle_parity.py"
-    ),
     "q5_local_supplier": (
         "weakest gated hash row of the relational family (5 rows x 2 cols at the"
         " gate SF); its join classes (multi-dim broadcast + region filter) stay"
         " gated via q1/q3 and pytest-parity-checked here and in q7/q18 — slot"
         " given to protein_prefilter_funnel, the reference's own parity metric"
         " (reference src/sra/comparekmertables.cpp:616-619, blockalign.cpp:465-481)"
-    ),
-    "ann_ivf_stream_topk": (
-        "streaming twin whose output (and oracle) is exactly ann_ivf_topk;"
-        " adds the partition-pruned materialized-index probe to the stream"
-        " pattern, parity-checked at both SFs in tests/test_oracle_parity.py"
-    ),
-    "decontaminate_semantic": (
-        "late round-4 addition; the gate is at its 50-row cap and the cosine"
-        " kernel it rides is already gated via ann_cosine_topk/embedding_neardup —"
-        " full DuckDB parity at sf0.001 AND sf0.01 in tests/test_oracle_parity.py"
     ),
     "protein_prefilter_bucketed": (
         "logical output duplicates protein_prefilter (shares its oracle); the bucketed"
@@ -339,91 +324,6 @@ UNGATED: dict[str, str] = {
         "20-row confusion matrix over the same tokenize/filter/aggregate"
         " machinery as text_quality_stats (which stays gated); thresholds keep"
         " pytest parity; slot given to sequence_packing's ~4k value-rich rows"
-    ),
-    "bpe_fertility": (
-        "added after the gate filled; shares bpe_train_merges' iterative"
-        " trainer (same gate-SF cost) plus one vocab join; exact cross-engine"
-        " parity at both SFs stays in pytest"
-    ),
-    "events_conversion_funnel": (
-        "added after the gate filled; full DuckDB parity in pytest; 3-row"
-        " ordered-funnel aggregate over the same first-event machinery the"
-        " gated sessionization/set-op rows exercise"
-    ),
-    "events_retention_cohorts": (
-        "added after the gate filled; full DuckDB parity in pytest; cohort"
-        " triangle over the gated events surface"
-    ),
-    "events_stream_join": (
-        "added after the gate filled; full DuckDB parity in pytest (real"
-        " watermarked stream-stream join vs batch theta-join oracle); streaming"
-        " state/agg/dedup keep their gate rows"
-    ),
-    "events_proximity_pairs": (
-        "added after the gate filled; full DuckDB parity in pytest (theta-join"
-        " oracle vs the engine's binned equi-join) and timed in bench.py"
-    ),
-    "events_zorder_layout": (
-        "added after the gate filled; full DuckDB parity in pytest; the"
-        " layout's pruning payoff is measured in tests/test_layout.py"
-    ),
-    "cm_heavy_hitters": (
-        "added after the gate filled; full DuckDB parity in pytest; CM's"
-        " collision overestimate is forced and bounded in tests/test_sketches.py"
-    ),
-    "cm_stream_heavy_hitters": (
-        "added after the gate filled; streaming twin of the gated cm_heavy_hitters"
-        " sharing its DuckDB oracle (counter addition is order-independent, so the"
-        " stream-built matrix must equal the batch sketch exactly); cross-batch"
-        " state growth asserted in tests/test_streaming_stateful.py"
-    ),
-    "events_stream_quantiles": (
-        "added after the gate filled; streaming twin of events_quantile_sketch"
-        " sharing its DuckDB oracle verbatim (bucket counts add commutatively, so"
-        " the stream-built histogram must equal the batch sketch exactly); custom"
-        " stateful streaming stays gated via events_stream_user_totals +"
-        " cm_stream_heavy_hitters; bounded state and mid-stream partial emissions"
-        " pinned in tests/test_streaming_stateful.py"
-    ),
-    "doc_cluster_tfidf": (
-        "added after the gate filled; full DuckDB parity in pytest; centroid"
-        " self-assignment and balanced-sample invariants pinned in"
-        " tests/test_text_extra.py"
-    ),
-    "events_session_window": (
-        "added after the gate filled; full DuckDB parity in pytest; the native"
-        " session_window twin of the gated events_sessionize — the exact-gap"
-        " merge boundary pinned on constructed events in"
-        " tests/test_events_extra.py"
-    ),
-    "events_value_outliers": (
-        "added after the gate filled; full DuckDB parity in pytest — histogram"
-        " formulation vs the independent row_number oracle; spike-robustness and"
-        " MAD=0 edge pinned on constructed groups in tests/test_events_extra.py"
-    ),
-    "q7_volume_shipping": (
-        "added after the gate filled; full DuckDB parity in pytest; join classes"
-        " (multi-role dimension, broadcast dims) already gated via q5"
-    ),
-    "q18_large_orders": (
-        "added after the gate filled; full DuckDB parity in pytest; HAVING-"
-        "derived semi-join re-join with the aggregated side broadcast"
-    ),
-    "docs_stream_ingest": (
-        "added after the gate filled; full DuckDB parity in pytest (real"
-        " 2-micro-batch run, deterministic planted-malformed oracle);"
-        " streaming state/agg/dedup/join keep their gate rows"
-    ),
-    "events_type_pivot": (
-        "added after the gate filled; full DuckDB parity in pytest; the pivot"
-        " compiles to the same conditional-aggregation shuffle class as the"
-        " gated events_hourly/events_rollup rows"
-    ),
-    "ann_filtered_topk": (
-        "late round-4 addition; the cosine_topk core it wraps is gated via"
-        " ann_cosine_topk — the new behavior (label predicate at the scan, not a"
-        " recall-lossy post-filter) is plan-pinned in tests/test_plan_pushdown.py"
-        " and oracle-checked at both SFs in tests/test_oracle_parity.py"
     ),
     # --- round-6 gate rotation (VERDICT r5 item 1): the 15 entries below
     # were driver-hash-green for 3+ consecutive rounds (most since round
@@ -614,12 +514,266 @@ UNGATED: dict[str, str] = {
         " machinery stays gated via dedup_span_removal (rotated in round 6 —"
         " the same spans plus canonical-occurrence removal and text rebuild)"
     ),
+    # --- round-8 gate rotation (VERDICT r7 item 1): the 20 entries below
+    # were the longest-stable driver-hash-green rows (mostly green since
+    # round 1); each yields its slot so the FINAL 20 never-gated registry
+    # entries get their first independent driver rows+schema+hash row
+    # (events_conversion_funnel, events_retention_cohorts,
+    # events_proximity_pairs, events_stream_join, ann_stream_topk,
+    # ann_ivf_stream_topk, cm_stream_heavy_hitters, events_stream_quantiles,
+    # doc_cluster_tfidf, events_session_window, events_value_outliers,
+    # q7_volume_shipping, q18_large_orders, decontaminate_semantic,
+    # bpe_fertility, events_zorder_layout, cm_heavy_hitters,
+    # docs_stream_ingest, events_type_pivot, ann_filtered_topk). After this
+    # rotation every one of the 112 registered queries has held a gate slot
+    # at least once (GATE_LEDGER below; asserted in
+    # tests/test_gate_ledger.py). The flagship search cascade keeps its
+    # pins: protein_search, protein_search_masked, protein_prefilter stay
+    # gated. All 20 keep full DuckDB parity at sf0.001 AND the gate SF in
+    # tests/test_oracle_parity.py.
+    "q1_pricing_summary": (
+        "rotated out round 8 after 7 green rounds; the scan/aggregate class"
+        " stays gated via the incoming q7_volume_shipping and q18_large_orders"
+        " relational rows and table_profile's full-table aggregate row"
+    ),
+    "top_suppliers_per_nation": (
+        "rotated out round 8 after 7 green rounds; the join + window-rank"
+        " class stays gated via q7_volume_shipping (multi-role dimension join)"
+        " and doc_cluster_tfidf (rank-per-group assignment)"
+    ),
+    "events_sessionize": (
+        "rotated out round 8 after 7 green rounds; sessionization stays gated"
+        " via the incoming events_session_window (the native session_window"
+        " twin whose exact-gap merge boundary is additionally pinned in"
+        " tests/test_events_extra.py)"
+    ),
+    "clean_purchase_days": (
+        "rotated out round 8 after 7 green rounds; §2.7 set-op semantics keep"
+        " pytest parity at both SFs and the event-day machinery stays gated"
+        " via events_conversion_funnel / events_retention_cohorts"
+    ),
+    "events_stream_user_totals": (
+        "rotated out round 8 after 7 green rounds; custom stateful streaming"
+        " stays gated via the incoming cm_stream_heavy_hitters +"
+        " events_stream_quantiles (the same applyInPandasWithState machinery"
+        " with harder merge laws) and the kill/recover e2e pins its"
+        " checkpoint semantics"
+    ),
+    "docs_stream_dedup": (
+        "rotated out round 8 after 7 green rounds; streaming dedup state"
+        " stays pinned by the kill/recover e2e and the incoming"
+        " docs_stream_ingest gates the streaming-ingest surface"
+    ),
+    "dedup_minhash_lsh": (
+        "rotated out round 8 after 7 green rounds; the band-bucket LSH join"
+        " class keeps pytest parity at both SFs plus the 200k recall smoke;"
+        " block-level dedup stays gated via dedup_blocks (rotated in round 7)"
+    ),
+    "ann_ivf_topk": (
+        "rotated out round 8 after 7 green rounds; the IVF probe is gated"
+        " via ann_ivfpq_topk / ann_ivf_filtered_topk (supersets of the same"
+        " bucket-pruned probe) and the incoming ann_ivf_stream_topk, whose"
+        " output (and oracle) is exactly this query's"
+    ),
+    "embedding_neardup": (
+        "rotated out round 8 after 7 green rounds; the brute-force cosine"
+        " pair kernel stays gated via semdedup_clusters + embedding_profile"
+        " (rotated in round 7) and the incoming ann_stream_topk's cosine core"
+    ),
+    "dna_prefilter": (
+        "rotated out round 8 after 6 green rounds; the DBTYPE_NUCLEOTIDES"
+        " branch keeps its base-4 encode unit/property coverage and the J1"
+        " equi-join + A1 HAVING class keeps its flagship protein_prefilter"
+        " gate row"
+    ),
+    "protein_mask_tantan": (
+        "rotated out round 8 after 6 green rounds; T3 reference parity stays"
+        " gated END TO END via protein_search_masked (tantan -> F1"
+        " suppression -> extract -> align, value-hash pinned) and the scalar"
+        " transliteration golden stays in pytest"
+    ),
+    "gopher_quality": (
+        "rotated out round 8 after 5 green rounds; the multi-signal quality"
+        " ratio machinery keeps pytest parity at both SFs; the per-doc scalar"
+        " class stays gated via pii_redaction + lang_classifier_nb"
+    ),
+    "profile_search_consensus": (
+        "rotated out round 8 after 5 green rounds; P5 stays gated via"
+        " profile_vs_profile_prefilter (rotated in round 7 — the superset:"
+        " BOTH sides consensus-reduced through the same argmax kernel)"
+    ),
+    "protein_prefilter_biased": (
+        "rotated out round 8 after 5 green rounds; T4 keeps its"
+        " independent scalar-twin bias golden in pytest and the expansion"
+        " machinery keeps its enumerator golden; the prefilter class keeps"
+        " its flagship protein_prefilter gate row"
+    ),
+    "sequence_packing": (
+        "rotated out round 8 after 5 green rounds; the two-phase distributed"
+        " prefix-sum packer keeps pytest parity at both SFs; the corpus"
+        " sampling family stays gated via quality_weighted_sample +"
+        " mixture_sample (rotated in round 7)"
+    ),
+    "unigram_logprob_score": (
+        "rotated out round 8 after 5 green rounds; the broadcast-model"
+        " scoring class stays gated via dsir_importance_sample +"
+        " lang_classifier_nb (same log-arithmetic determinism convention)"
+    ),
+    "protein_prefilter_funnel": (
+        "rotated out round 8 after 3 green rounds; the A4 counters stay"
+        " pinned EXACTLY vs the independent plain-Python enumeration in"
+        " tests/test_funnel_golden.py and the funnel's inputs ride the gated"
+        " protein_prefilter / protein_search rows"
+    ),
+    "events_quantile_sketch": (
+        "rotated out round 8 after 2 green rounds; the incoming"
+        " events_stream_quantiles shares this query's DuckDB oracle VERBATIM"
+        " (bucket counts add commutatively, so the stream-built histogram"
+        " must equal the batch sketch exactly) — the identical output stays"
+        " under the driver hash via the harder streaming path"
+    ),
+    "events_value_quantiles": (
+        "rotated out round 8 after 2 green rounds; exact-integer DDSketch"
+        " bucketing keeps pytest parity at both SFs; the value-distribution"
+        " family stays gated via events_value_outliers (independent"
+        " row_number oracle over the same value column)"
+    ),
+    "events_csv_ingest": (
+        "rotated out round 8 after 2 green rounds; the corrupt-record"
+        " quarantine/accounting design stays gated via the incoming"
+        " docs_stream_ingest (same planted-malformed accounting oracle over"
+        " a real 2-micro-batch run)"
+    ),
 }
 
 #: driver-gated queries, in registry order
 GATED: list[str] = [n for n in REGISTRY if n not in UNGATED]
 assert len(GATED) <= 50, f"driver gate truncates at 50; GATED has {len(GATED)}"
 assert not set(UNGATED) - set(REGISTRY), "UNGATED names must exist in REGISTRY"
+
+
+#: Rotation ledger (VERDICT r7 item 7): for every registered query, the
+#: rounds in which it held one of the 50 driver-gate slots (i.e. appeared
+#: in CORRECTNESS_r0N.json). Rounds 1-7 transcribed from the committed
+#: driver artifacts; round 8 = the current GATED list. Maintained by hand
+#: at each rotation; tests/test_gate_ledger.py asserts (a) every REGISTRY
+#: name is present with at least one round (the round-8 rotation cleared
+#: the never-gated backlog), (b) ledger[name] contains 8 iff name is in
+#: GATED, and (c) rounds 1-7 match the committed CORRECTNESS files.
+GATE_LEDGER: dict[str, list[int]] = {
+    "q1_pricing_summary": [1, 2, 3, 4, 5, 6, 7],
+    "q3_shipping_priority": [1, 2, 3, 4, 5, 6],
+    "q4_order_priority": [1, 2],
+    "q5_local_supplier": [1, 2, 3, 4],
+    "parts_without_lineitems": [1, 2],
+    "top_suppliers_per_nation": [1, 2, 3, 4, 5, 6, 7],
+    "repeat_customers": [1, 2, 3, 4, 5],
+    "customers_never_ordered": [1, 2],
+    "running_order_totals": [1, 2, 3, 4, 5],
+    "events_hourly": [1, 2, 3, 4, 5, 6],
+    "events_sessionize": [1, 2, 3, 4, 5, 6, 7],
+    "events_json_stats": [1, 2, 3, 4, 5],
+    "events_rollup": [1, 2, 3, 4, 5],
+    "users_purchase_and_error": [1, 2, 3, 4, 5],
+    "clean_purchase_days": [1, 2, 3, 4, 5, 6, 7],
+    "events_asof_join": [6, 7, 8],
+    "events_conversion_funnel": [8],
+    "events_retention_cohorts": [8],
+    "events_proximity_pairs": [8],
+    "events_stream_hourly": [1, 2],
+    "events_stream_user_totals": [1, 2, 3, 4, 5, 6, 7],
+    "docs_stream_dedup": [1, 2, 3, 4, 5, 6, 7],
+    "events_stream_join": [8],
+    "doc_shingle_index": [1, 2, 3, 4, 5, 6],
+    "doc_prefilter": [1, 2, 3, 4, 5],
+    "protein_prefilter": [1, 2, 3, 4, 5, 6, 7, 8],
+    "protein_ungapped": [2, 3, 4, 5, 6],
+    "protein_expand_prefilter": [2, 3, 4, 5, 6],
+    "protein_prefilter_bucketed": [2],
+    "dna_prefilter": [2, 3, 4, 5, 6, 7],
+    "protein_prefilter_funnel": [5, 6, 7],
+    "protein_prefilter_biased": [3, 4, 5, 6, 7],
+    "protein_search": [1, 2, 3, 4, 5, 6, 7, 8],
+    "protein_search_expanded": [2, 3, 4, 5],
+    "protein_search_masked": [3, 4, 5, 6, 7, 8],
+    "profile_search_consensus": [3, 4, 5, 6, 7],
+    "profile_vs_profile_prefilter": [7, 8],
+    "protein_mask_stats": [1, 2],
+    "protein_mask_tantan": [2, 3, 4, 5, 6, 7],
+    "dedup_exact": [1, 2, 3, 4, 5, 6],
+    "dedup_jaccard_pairs": [1, 2, 3, 4, 5],
+    "dedup_minhash_lsh": [1, 2, 3, 4, 5, 6, 7],
+    "dedup_simhash": [1, 2, 3, 4, 5],
+    "dedup_clusters": [1, 2, 3, 4, 5],
+    "ann_cosine_topk": [1, 2, 3, 4, 5, 6],
+    "ann_stream_topk": [8],
+    "ann_ivf_stream_topk": [8],
+    "ann_ivf_topk": [1, 2, 3, 4, 5, 6, 7],
+    "ann_ivf_filtered_topk": [6, 7, 8],
+    "ann_ivf_kmeans": [1, 2, 3, 4, 5, 6],
+    "ann_pq_topk": [3, 4, 5, 6],
+    "ann_ivfpq_topk": [6, 7, 8],
+    "semdedup_clusters": [7, 8],
+    "phrase_search": [7, 8],
+    "events_value_quantiles": [6, 7],
+    "events_quantile_sketch": [6, 7],
+    "embedding_profile": [7, 8],
+    "cm_stream_heavy_hitters": [8],
+    "events_stream_quantiles": [8],
+    "doc_cluster_tfidf": [8],
+    "events_session_window": [8],
+    "events_value_outliers": [8],
+    "q7_volume_shipping": [8],
+    "q18_large_orders": [8],
+    "embedding_neardup": [1, 2, 3, 4, 5, 6, 7],
+    "embedding_neardup_lsh": [2, 3, 4, 5],
+    "embedding_quantize_int8": [1, 2],
+    "media_catalog": [1, 2],
+    "image_stats": [1, 2, 3, 4, 5, 6],
+    "image_resize": [1, 2],
+    "audio_features": [1, 2, 3, 4, 5],
+    "video_frame_sample": [1, 2, 3, 4, 5],
+    "corpus_sample_stratified": [1, 2, 3, 4, 5, 6],
+    "decontaminate_ngram_overlap": [1, 2, 3, 4, 5, 6],
+    "decontaminate_semantic": [8],
+    "dsir_importance_sample": [6, 7, 8],
+    "lang_classifier_nb": [6, 7, 8],
+    "sequence_packing": [3, 4, 5, 6, 7],
+    "decontaminate_minhash": [6, 7, 8],
+    "corpus_curation_funnel": [6, 7, 8],
+    "bm25_search": [3, 4, 5, 6],
+    "text_quality_stats": [1, 2, 3, 4, 5, 6],
+    "lang_id_heuristic": [1, 2],
+    "token_count_bpe": [1, 2],
+    "bpe_train_merges": [6, 7, 8],
+    "bpe_fertility": [8],
+    "bpe_encode_corpus": [6, 7, 8],
+    "doc_fingerprint": [1, 3, 4, 5],
+    "doc_chunk_overlap": [7, 8],
+    "kmv_distinct_tokens": [7, 8],
+    "tfidf_top_terms": [1, 3, 4, 5],
+    "dup_span_coverage": [3, 4, 5, 6],
+    "dedup_span_removal": [6, 7, 8],
+    "gopher_quality": [3, 4, 5, 6, 7],
+    "unigram_logprob_score": [3, 4, 5, 6, 7],
+    "pii_redaction": [6, 7, 8],
+    "dedup_blocks": [7, 8],
+    "quality_weighted_sample": [7, 8],
+    "events_zorder_layout": [8],
+    "cm_heavy_hitters": [8],
+    "image_phash_dedup": [7, 8],
+    "decontaminate_bloom": [7, 8],
+    "events_anomaly_daily": [7, 8],
+    "table_profile": [7, 8],
+    "hll_distinct_tokens": [7, 8],
+    "mixture_sample": [7, 8],
+    "docs_stream_ingest": [8],
+    "events_csv_ingest": [6, 7],
+    "events_type_pivot": [8],
+    "ann_filtered_topk": [8],
+    "events_sax_motifs": [6, 7, 8],
+    "events_type_unpivot": [7, 8],
+}
 
 
 def queries() -> dict[str, QueryFn]:
