@@ -420,9 +420,24 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs; the synthetic corpus thresholds at {NEARDUP_COS} (vectors are
     near-orthogonal) where the same banding is a much looser prefilter —
     the oracle mirrors the IDENTICAL candidate set, so the gate checks
-    the construction, not the recall."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
+    the construction, not the recall.
+
+    Admission (round-8, ADVICE r7): the full :func:`admit_indexed` rule
+    applies on BOTH sides — a NULL / empty / non-finite-component vector
+    has no geometry to hash (and DuckDB's list_dot_product ERRORS on
+    NULL components), and the dimension clause is REQUIRED here too: the
+    exact-cosine verify compares candidate pairs component-wise, which
+    is undefined (and a DuckDB "list dimensions must be equal" abort)
+    across mixed dims — an LSH table has a declared dim at ingest
+    exactly like the IVF/PQ indexes. A uniformly NARROW corpus stays
+    legal: the signature law projects onto the first min(dim, RP_DIM)
+    components (round-7 fuzz), and the kernel zero-pads to the batch
+    width — bit-identical to the oracle's per-row LEAST slice because
+    padded dims contribute +0.0 to the dimension-sequential fold."""
+    emb = admit_indexed(
+        load_table(spark, "embeddings", sf_dir).select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        )
     )
     W = _rp_planes()
 
@@ -430,13 +445,20 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sig_udf(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="int64")
-        X = np.stack(v.values)
-        # signature law (round-7 fuzz): project onto the FIRST
-        # min(corpus dim, RP_DIM) components — the hardcoded RP_DIM loop
-        # crashed on any corpus narrower than the driver's 64 dims; the
-        # oracle slices both lists identically
+        # ragged-safe batch assembly (round-8, ADVICE r7): rows keep
+        # their own length; zero-pad to the batch-max width instead of
+        # np.stack (which crashes on mixed dims). The signature law
+        # (round-7 fuzz) projects each ROW onto its first
+        # min(len, RP_DIM) components; padded dims contribute +0.0 to
+        # the dimension-sequential fold, leaving it bit-identical to
+        # the oracle's sliced list_dot_product.
+        rows = [np.asarray(x, dtype=np.float64)[:RP_DIM] for x in v.values]
+        width = min(max(len(r) for r in rows), RP_DIM)
+        X = np.zeros((len(rows), width))
+        for i, r in enumerate(rows):
+            X[i, : len(r)] = r
         acc = np.zeros((len(X), RP_BITS))
-        for d in range(min(X.shape[1], RP_DIM)):
+        for d in range(width):
             acc += np.outer(X[:, d], W[:, d])
         bits = (acc >= 0).astype(np.int64)
         return pd.Series(bits @ (1 << np.arange(RP_BITS, dtype=np.int64)))
@@ -485,7 +507,9 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS6 = "ROUND(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 
 EMBEDDING_NEARDUP_LSH_SQL = f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             WHERE {FINITE_VEC_SQL.format(v="embedding::DOUBLE[]")}
+               AND len(embedding::DOUBLE[]) = {INDEX_DIM_SQL})
 , w AS (
     SELECT p, d,
            (('0x' || substr(md5('rp' || p || ':' || d), 1, 15))::BIGINT % 2001) - 1000 AS wv

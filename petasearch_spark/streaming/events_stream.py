@@ -19,11 +19,13 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from petasearch_spark.session import apply_session_defaults
+
 
 def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling-window counts/sums computed via readStream ->
     writeStream(availableNow) -> memory sink; returns the final table."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply_session_defaults(spark)  # nanosAsLong + UTC for a foreign session
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file-stream source wants a directory; stage the single parquet
     # file behind a symlink (a real deployment points this at the landing
@@ -32,7 +34,6 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), os.path.join(stage, "events.parquet"))
     from petasearch_spark.sources.tables import normalize_events_ts
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = normalize_events_ts(spark.readStream.schema(batch_schema).parquet(stage))
     from petasearch_spark.operators.events import _finite_value
 
@@ -106,10 +107,9 @@ def events_stream_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataF
     watermark never drops a row, keeping the batch theta-join oracle
     exact. Inner join, append mode, availableNow.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply_session_defaults(spark)  # nanosAsLong + UTC for a foreign session
     from petasearch_spark.sources.tables import normalize_events_ts
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch = normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     mid = batch.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
     stage = tempfile.mkdtemp(prefix="events_join_stream_")

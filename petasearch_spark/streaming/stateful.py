@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from petasearch_spark.session import apply_session_defaults
+
 
 def source_fingerprint(*parts) -> str:
     """Cache key for /tmp fixture staging: md5 over (abspath, size,
@@ -279,7 +281,7 @@ def events_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each micro-batch emits the updated running totals; the latest emission
     per user (largest n) is the final answer and must equal the batch
     aggregate."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply_session_defaults(spark)  # nanosAsLong + UTC for a foreign session
     stage = _stage_two_files(spark, f"{sf_dir}/events.parquet", "event_id")
     schema = spark.read.parquet(stage).schema
     stream = (

@@ -176,3 +176,31 @@ def test_curate_stream_follow_drains_until_quiet(spark, tmp_path, capsys):
     assert rep["n_input_lines"] == n_docs
     assert rep["n_quarantined"] == n_malformed
     assert rep["funnel"]["n_docs"] == n_docs - n_malformed
+
+
+def test_curate_stream_follow_max_polls_contract(spark, tmp_path):
+    """max_polls=None means run until idle (the service mode the round-7
+    docstring promised but the loop TypeError'd on — ADVICE r7), and
+    max_polls < 1 is rejected up front instead of returning a report
+    that carries only follow_* keys."""
+    import pytest as _pytest
+
+    from petasearch_spark.streaming.curate_stream import curate_stream_follow
+
+    docs = load_table(spark, "documents", SF)
+    dump, out = str(tmp_path / "landing"), str(tmp_path / "out")
+    docs.limit(20).select(_dump_lines(docs).alias("value")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(os.path.join(dump, "day1"))
+
+    for bad in (0, -3):
+        with _pytest.raises(ValueError, match="max_polls"):
+            curate_stream_follow(spark, dump, out, max_polls=bad)
+
+    # service mode: no poll cap — the quiet landing zone stops the loop
+    # via idle_polls, and the report keeps the full CLI JSON shape
+    rep = curate_stream_follow(
+        spark, dump, out, poll_interval_s=0.0, idle_polls=1, max_polls=None
+    )
+    assert rep["follow_batches_per_poll"][-1] == 0
+    assert "stream_batches" in rep and "funnel" in rep

@@ -39,7 +39,6 @@ SRC = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def empty_sf_dir(spark):
     tmp = tempfile.mkdtemp(prefix="empty_sf_")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for name in TABLES:
         p = os.path.join(SRC, f"{name}.parquet")
         if os.path.exists(p):

@@ -132,11 +132,14 @@ EXTRA_EMB_RANKER_OPS = [
     "semdedup_clusters",
     "ann_ivf_kmeans",
     # round-7 sweep
-    "embedding_neardup_lsh",
     "decontaminate_semantic",
 ]
-#: vector ops expected to survive corrupt vectors (all extra seeds)
-EXTRA_EMB_AUDIT_OPS = ["embedding_quantize_int8"]
+#: vector ops expected to survive corrupt vectors (all extra seeds).
+#: embedding_neardup_lsh moved here round-8 (ADVICE r7): it now applies
+#: the finite_vec admission rule on both sides and its signature kernel
+#: zero-pads ragged rows, so NULL / wrong-dim / empty / NULL-component
+#: corpora are in-contract for it.
+EXTRA_EMB_AUDIT_OPS = ["embedding_quantize_int8", "embedding_neardup_lsh"]
 #: multimodal ops (round-7): media_table derives payload+metadata FROM
 #: documents, so the adversarial doc corpus (NULL/empty/unicode/
 #: whitespace-only text) exercises the whole decode/codec family — it
@@ -520,6 +523,9 @@ PQ_CORRUPT_OPS = [
     "semdedup_clusters",
     "embedding_profile",
     "embedding_quantize_int8",
+    # round-8 (ADVICE r7): corrupt-seed coverage at corpus dim for the
+    # LSH path too — admission + ragged-safe signature kernel
+    "embedding_neardup_lsh",
 ]
 
 

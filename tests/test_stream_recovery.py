@@ -76,7 +76,6 @@ def _run(stream_writer, ckpt: str) -> Exception | None:
 
 
 def test_stateful_user_totals_kill_recover(spark, tmp_path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     h0, h1 = _write_halves(
         spark, f"{SF_DIR}/events.parquet", "event_id", ["event_id", "user_id", "value"],
         str(tmp_path / "halves"),
