@@ -129,6 +129,14 @@ ORDER BY query_doc, target_doc
 _FROM = "abcdefghijklmnopqrstuvwxyz"
 _TO = "ACDEFGHIKLMNPQRSTVWYACDEFG"
 
+#: F1 for the string-window family: a window is a k-mer only if all 9
+#: residues are in the 20-letter alphabet — uppercase B/J/O/U/X/Z pass
+#: the [^A-Z] derivation scrub but are INVALID residues the integer
+#: encoder (functions/kmer.py:54) skips; the string path must agree
+#: (round-8 constructed-corpus finding). SQL twin: VALID_KMER_SQL.
+VALID_KMER_RE = "^[ACDEFGHIKLMNPQRSTVWY]{9}$"
+VALID_KMER_SQL = "regexp_matches(kmer, '^[ACDEFGHIKLMNPQRSTVWY]{9}$')"
+
 
 def derived_sequences(docs: DataFrame) -> DataFrame:
     """documents -> sequences(seq_id, accession, header, sequence)."""
@@ -171,7 +179,15 @@ def _window_kmer_tables(seqs: DataFrame, query_mod: int = 20):
     (kmers, one-representative index, %query_mod query side). Both
     protein_prefilter and protein_prefilter_funnel ride this ONE helper
     so the representative rule / window semantics cannot drift between
-    the gate query and the funnel that claims to summarize it."""
+    the gate query and the funnel that claims to summarize it.
+
+    F1 applies here exactly as in the integer-kmer path (round-8: the
+    constructed-corpus bucketed-vs-plain equivalence caught the string
+    path KEEPING windows with invalid residues — uppercase B/J/O/U/X/Z
+    survive the text->sequence derivation — while the integer encoder
+    skips them, reference comparekmertables.cpp:247-254 via
+    FixedKmerGenerator; the two registry rows share one oracle, so the
+    string path must implement the same window-skip rule)."""
     k = 9
     win = F.when(
         F.length("sequence") >= k,
@@ -182,7 +198,7 @@ def _window_kmer_tables(seqs: DataFrame, query_mod: int = 20):
     ).otherwise(F.array().cast("array<string>"))
     kmers = seqs.select(
         "seq_id", F.length("sequence").cast("int").alias("seq_len"), F.explode(win).alias("kmer")
-    )
+    ).filter(F.col("kmer").rlike(VALID_KMER_RE))
     index = kmers.groupBy("kmer").agg(
         F.max_by(F.col("seq_id"), F.struct(F.col("seq_len"), (-F.col("seq_id")).alias("neg_id"))).alias("target_id")
     )
@@ -199,9 +215,15 @@ WINDOW_KMER_CTES_SQL = f"""kmers AS (
     -- truncated the oracle's k-mer set for longer-than-8k sequences
     -- while the engine extracted them all (round-6 fuzz; the
     -- enumeration-cap law, data-derived form)
-    SELECT seq_id, len(sequence) AS seq_len,
-           substr(sequence, UNNEST(range(1, len(sequence) - 7)), 9) AS kmer
-    FROM seqs
+    -- F1 (round-8): invalid-residue windows are skipped, as in the
+    -- integer-kmer engine path — see VALID_KMER_RE (the wrapper
+    -- subquery exists because the window alias from a select-list
+    -- UNNEST is not filterable in the same scope)
+    SELECT * FROM (
+        SELECT seq_id, len(sequence) AS seq_len,
+               substr(sequence, UNNEST(range(1, len(sequence) - 7)), 9) AS kmer
+        FROM seqs
+    ) WHERE {VALID_KMER_SQL}
 )
 , {one_rep_idx_cte("kmers")}
 , qk AS (SELECT seq_id AS query_id, kmer FROM kmers WHERE seq_id % 20 = 0)"""
@@ -457,10 +479,15 @@ PROTEIN_EXPAND_PREFILTER_SQL = f"""
 WITH {DERIVED_SEQ_SQL}
 , kmers AS (
     -- data-derived positions; see WINDOW_KMER_CTES_SQL (round-6 fuzz)
-    SELECT seq_id, seq_len, pos, substr(sequence, pos + 1, 9) AS kmer
-    FROM (SELECT seq_id, sequence, len(sequence) AS seq_len,
-                 UNNEST(range(0, len(sequence) - 8)) AS pos
-          FROM seqs)
+    -- F1 (round-8): the engine side of these ops extracts via the
+    -- integer encoder, which SKIPS invalid-residue windows; the oracle
+    -- must too — see VALID_KMER_RE
+    SELECT * FROM (
+        SELECT seq_id, seq_len, pos, substr(sequence, pos + 1, 9) AS kmer
+        FROM (SELECT seq_id, sequence, len(sequence) AS seq_len,
+                     UNNEST(range(0, len(sequence) - 8)) AS pos
+              FROM seqs)
+    ) WHERE {VALID_KMER_SQL}
 )
 , {one_rep_idx_cte("kmers")}
 , qk AS (SELECT seq_id AS query_id, kmer, pos FROM kmers WHERE seq_id % 100 = 0)
@@ -522,10 +549,15 @@ WITH {DERIVED_SEQ_SQL}
 , {_blosum_values_sql()}
 , kmers AS (
     -- data-derived positions; see WINDOW_KMER_CTES_SQL (round-6 fuzz)
-    SELECT seq_id, seq_len, pos, substr(sequence, pos + 1, 9) AS kmer
-    FROM (SELECT seq_id, sequence, len(sequence) AS seq_len,
-                 UNNEST(range(0, len(sequence) - 8)) AS pos
-          FROM seqs)
+    -- F1 (round-8): the engine side of these ops extracts via the
+    -- integer encoder, which SKIPS invalid-residue windows; the oracle
+    -- must too — see VALID_KMER_RE
+    SELECT * FROM (
+        SELECT seq_id, seq_len, pos, substr(sequence, pos + 1, 9) AS kmer
+        FROM (SELECT seq_id, sequence, len(sequence) AS seq_len,
+                     UNNEST(range(0, len(sequence) - 8)) AS pos
+              FROM seqs)
+    ) WHERE {VALID_KMER_SQL}
 )
 , {one_rep_idx_cte("kmers")}
 , qk AS (SELECT seq_id AS query_id, kmer, pos FROM kmers WHERE seq_id % 20 = 0)
@@ -743,10 +775,15 @@ PROTEIN_PREFILTER_BIASED_SQL = f"""
 WITH {DERIVED_SEQ_SQL}
 , kmers AS (
     -- data-derived positions; see WINDOW_KMER_CTES_SQL (round-6 fuzz)
-    SELECT seq_id, seq_len, pos, substr(sequence, pos + 1, 9) AS kmer
-    FROM (SELECT seq_id, sequence, len(sequence) AS seq_len,
-                 UNNEST(range(0, len(sequence) - 8)) AS pos
-          FROM seqs)
+    -- F1 (round-8): the engine side of these ops extracts via the
+    -- integer encoder, which SKIPS invalid-residue windows; the oracle
+    -- must too — see VALID_KMER_RE
+    SELECT * FROM (
+        SELECT seq_id, seq_len, pos, substr(sequence, pos + 1, 9) AS kmer
+        FROM (SELECT seq_id, sequence, len(sequence) AS seq_len,
+                     UNNEST(range(0, len(sequence) - 8)) AS pos
+              FROM seqs)
+    ) WHERE {VALID_KMER_SQL}
 )
 , {one_rep_idx_cte("kmers")}
 , qk AS (SELECT seq_id AS query_id, kmer, pos FROM kmers WHERE seq_id % 100 = 0)

@@ -30,17 +30,43 @@ def profile_consensus(profiles: DataFrame) -> DataFrame:
     """profiles(seq_id, accession, header, profile array<array<float>>) ->
     sequences(seq_id, accession, header, sequence) where sequence[i] is the
     alphabet letter with the highest profile score at position i (ties ->
-    lowest residue code, matching a stable argmax)."""
+    lowest residue code, matching a stable argmax).
+
+    Degenerate-PSSM laws (round-8, VERDICT r7 item 6 — the reference
+    ingests pre-built profile records, blockalign.cpp:313-323, so
+    corrupt records are an ingest reality):
+
+    - NULL / empty profile -> empty consensus (no positions).
+    - A profile with any row that is not exactly one score per alphabet
+      letter (ragged / wrong-width / NULL row) is INADMISSIBLE -> empty
+      consensus; like the embedding admission rules, a malformed record
+      must not crash the batch kernel (np.vstack over ragged rows) nor
+      silently hash to garbage — cons_len=0 makes it auditable.
+    - Non-finite scores (NaN/±inf) are treated as -inf: a corrupt score
+      can never WIN a column (numpy's bare argmax returns the first NaN
+      index); an all-non-finite or all-zero ("zero-weight") column ties
+      across the alphabet and canonicalizes to 'A' (lowest residue
+      code), the same tie law as everywhere else in the engine.
+    """
     letters = np.array(list(AMINO_ALPHABET))
+    width = len(AMINO_ALPHABET)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             cons = []
             for prof in pdf["profile"]:
-                m = np.array([np.asarray(row, dtype=np.float64) for row in prof])
-                if m.size == 0:
+                if prof is None or len(prof) == 0:
                     cons.append("")
                     continue
+                rows = [
+                    None if row is None else np.asarray(row, dtype=np.float64)
+                    for row in prof
+                ]
+                if any(r is None or r.ndim != 1 or len(r) != width for r in rows):
+                    cons.append("")  # inadmissible record (see docstring)
+                    continue
+                m = np.vstack(rows)
+                m = np.where(np.isfinite(m), m, -np.inf)
                 cons.append("".join(letters[np.argmax(m, axis=1)]))
             out = pdf[["seq_id", "accession", "header"]].copy()
             out["sequence"] = cons
@@ -230,15 +256,23 @@ def _prof_cte(chars: str) -> str:
     review finding: one statement of the PSSM rule per engine).
     PSSM column = window-summed BLOSUM rows; consensus = argmax with
     ties to the lowest residue code (numpy argmax first-occurrence
-    rule)."""
+    rule).
+
+    Every position gets all 20 candidate rows even when its whole
+    residue window is INVALID residues (round-8 degenerate-PSSM fuzz:
+    uppercase B/J/O/U/X/Z survive the derivation and contribute nothing
+    to the window counts — the engine emits a zero-weight PSSM column
+    whose argmax tie-canonicalizes to 'A', so the old inner blosum join,
+    which dropped such positions from the consensus entirely, diverged
+    on all-invalid documents)."""
     return f"""prof AS (
-    SELECT c1.seq_id, c1.pos, b.b AS cand, al.code, SUM(b.s) AS sc
+    SELECT c1.seq_id, c1.pos, al.ch AS cand, al.code, COALESCE(SUM(b.s), 0) AS sc
     FROM {chars} c1
-    JOIN {chars} c2 ON c2.seq_id = c1.seq_id
-                   AND c2.pos BETWEEN c1.pos - {PROFILE_WINDOW} AND c1.pos + {PROFILE_WINDOW}
-    JOIN blosum b ON b.a = c2.c
-    JOIN alpha al ON al.ch = b.b
-    GROUP BY c1.seq_id, c1.pos, b.b, al.code
+    CROSS JOIN alpha al
+    LEFT JOIN {chars} c2 ON c2.seq_id = c1.seq_id
+                        AND c2.pos BETWEEN c1.pos - {PROFILE_WINDOW} AND c1.pos + {PROFILE_WINDOW}
+    LEFT JOIN blosum b ON b.a = c2.c AND b.b = al.ch
+    GROUP BY c1.seq_id, c1.pos, al.ch, al.code
 )"""
 
 

@@ -514,6 +514,40 @@ PQ_OPS = ["ann_pq_topk", "ann_ivfpq_topk", "ann_cosine_topk", "ann_ivf_topk", "e
 #: admission rule's interaction with the subspace layout would hide here
 #: longest. Brute-force cosine is excluded (its contract keeps NaN-first
 #: ranking over ingest-validated vectors); every indexed/audited op runs.
+#: seed 9 (round-8, VERDICT r7 item 6): degenerate-PSSM corpus for the
+#: profile family. The registry profile ops derive their PSSMs from
+#: document text (window-sum of BLOSUM62 rows), and INVALID residues —
+#: uppercase B/J/O/U/X/Z survive the text->sequence derivation —
+#: contribute NOTHING to a window's count vector. Docs made of invalid
+#: residues therefore produce all-zero ("zero-weight") PSSM columns
+#: whose argmax must tie-canonicalize to 'A' identically in the engine
+#: kernel and the SQL oracle; a doc that is ENTIRELY invalid residues is
+#: the "all-X consensus" case (every column zero -> consensus all 'A').
+#: Query slots (doc_id % 20 == 0) are loaded with the degenerate shapes.
+PROFILE_DEGEN_SEED = 9
+PROFILE_DEGEN_OPS = ["profile_search_consensus", "profile_vs_profile_prefilter"]
+
+
+def _gen_profile_degen_documents(rng: random.Random) -> list[tuple]:
+    rows = []
+
+    def put(did, text, lang="en", source="src1"):
+        rows.append((did, text, lang, source, None if text is None else len(text)))
+
+    put(0, "X" * 60)                       # all-invalid -> all-zero PSSM
+    put(20, _text(rng, 20, 40))            # normal control query
+    put(40, "qqqqqqqqqqqq" + "XXXXXXXX" + "qqqqqqqqqqqq")  # interior zero columns
+    put(60, "BJOUXZ" * 10)                 # all-invalid, mixed letters
+    put(80, "abc XYZ de")                  # short: fewer residues than k
+    did = 1
+    for _ in range(30):                    # non-query targets
+        while did % 20 == 0:
+            did += 1
+        put(did, _text(rng))
+        did += 1
+    return rows
+
+
 PQ_CORRUPT_SEED = 8
 PQ_CORRUPT_OPS = [
     "ann_pq_topk",
@@ -532,10 +566,15 @@ PQ_CORRUPT_OPS = [
 @pytest.fixture(scope="module")
 def fuzz_dirs(tmp_path_factory):
     dirs: dict[int, str] = {}
-    for seed in SEEDS + [PQ_SEED, PQ_CORRUPT_SEED]:
+    for seed in SEEDS + [PQ_SEED, PQ_CORRUPT_SEED, PROFILE_DEGEN_SEED]:
         d = str(tmp_path_factory.mktemp(f"fuzz_s{seed}"))
         rng = random.Random(1_000_003 * seed)
-        _write(d, "documents", _gen_documents(rng, seed), DOC_SCHEMA)
+        docs = (
+            _gen_profile_degen_documents(rng)
+            if seed == PROFILE_DEGEN_SEED
+            else _gen_documents(rng, seed)
+        )
+        _write(d, "documents", docs, DOC_SCHEMA)
         _write(d, "events", _gen_events(rng, seed), EVENT_SCHEMA)
         dim = 64 if seed in (PQ_SEED, PQ_CORRUPT_SEED) else 8
         _write(d, "embeddings", _gen_embeddings(rng, seed, dim=dim), EMB_SCHEMA)
@@ -557,6 +596,7 @@ CASES = (
     + [(s, op) for s in STREAM_SEEDS for op in STREAM_OPS]
     + [(PQ_SEED, op) for op in PQ_OPS]
     + [(PQ_CORRUPT_SEED, op) for op in PQ_CORRUPT_OPS]
+    + [(PROFILE_DEGEN_SEED, op) for op in PROFILE_DEGEN_OPS]
     + [(s, op) for s in REL_SEEDS for op in REL_OPS]
 )
 

@@ -208,3 +208,119 @@ def test_expansion_prefilter_matches_scalar_twin(spark, twin_dirs, op, biased, s
     if biased and seed == 1:
         unbiased = _prefilter_twin(_load_docs(d), biased=False)
         assert twin != unbiased, "bias never changed any match count — dead path"
+
+
+# --- full search cascades vs the end-to-end scalar twin (round-8) ----------
+#
+# VERDICT r7 item 2: protein_search / protein_search_masked /
+# protein_search_expanded / protein_prefilter_bucketed were the last
+# registry cores with no constructed-input harness — their registry
+# oracles replay committed goldens keyed to the fixture corpus, and
+# tests/test_search_scalar_twin.py drives search() on FASTA, not the
+# registry's document-derived path. Here the REGISTRY callables run on
+# the adversarial document tables and are compared against
+# test_search_scalar_twin.scalar_search (the independent per-cell
+# Python cascade) with the registry's own corpus derivation replicated
+# scalar-side (derive_sequence + seq_id % 20 == 0 query selection).
+
+SEARCH_SEEDS = [1, 4]  # base + 4k-token doc; seed 3's 40k-char sequence
+# would put minutes into the per-cell scalar band (its cap-crossing
+# behavior is pinned by the expansion/bias twins above)
+
+
+def _search_corpus(docs, query_mod):
+    """The registry ops' corpus, scalar-side: derived sequence per doc
+    (NULL text -> empty sequence: zero windows, zero residues — matching
+    the engine's NULL propagation), queries = seq_id % query_mod == 0
+    (20 for the exact/masked cascades, 100 for expanded — matching the
+    registry callables)."""
+    seqs = sorted((did, derive_sequence(t) if t is not None else "") for did, t in docs)
+    target_ids = [did for did, _ in seqs]
+    targets = [s for _, s in seqs]
+    query_ids = [did for did, _ in seqs if did % query_mod == 0]
+    queries = [s for did, s in seqs if did % query_mod == 0]
+    return query_ids, queries, target_ids, targets
+
+
+@pytest.mark.parametrize(
+    "op,query_mod,twin_kwargs",
+    [
+        ("protein_search", 20, {}),
+        ("protein_search_masked", 20, {"mask": True, "xdrop": 10}),
+        ("protein_search_expanded", 100, {"expand_threshold": 225}),
+    ],
+    ids=["search", "search_masked", "search_expanded"],
+)
+def test_search_cascade_matches_scalar_twin_on_constructed(spark, twin_dirs, op, query_mod, twin_kwargs):
+    from tests.test_search_scalar_twin import scalar_search
+
+    for seed in SEARCH_SEEDS:
+        d = twin_dirs[seed]
+        engine = {
+            (r["query_id"], r["target_id"]): r["raw"]
+            for r in REGISTRY[op][0](spark, d).collect()
+        }
+        qids, queries, tids, targets = _search_corpus(_load_docs(d), query_mod)
+        twin = {
+            (qids[qi], tids[ti]): raw
+            for (qi, ti), (raw, _bits, _ev) in scalar_search(
+                queries, targets, **twin_kwargs
+            ).items()
+        }
+        assert set(engine) == set(twin), (
+            f"{op}@seed{seed}: pair drift — engine-only "
+            f"{sorted(set(engine) - set(twin))[:5]}, twin-only "
+            f"{sorted(set(twin) - set(engine))[:5]}"
+        )
+        for pair, raw in twin.items():
+            assert engine[pair] == raw, f"{op}@seed{seed} {pair}: raw {engine[pair]} != {raw}"
+        assert engine, f"{op}@seed{seed}: vacuous (no surviving pair formed)"
+
+
+def test_bucketed_prefilter_equals_plain_on_constructed(spark, twin_dirs):
+    """protein_prefilter_bucketed is DEFINED to produce protein_prefilter's
+    logical output through the bucketed no-Exchange layout (they share a
+    registry oracle); hold that equivalence on the adversarial corpora
+    too — the bucketed path has its own write/read/bucket-pruning code
+    the fixture corpus alone exercised."""
+    for seed in SEARCH_SEEDS:
+        d = twin_dirs[seed]
+        plain = sorted(
+            tuple(r) for r in REGISTRY["protein_prefilter"][0](spark, d).collect()
+        )
+        bucketed = sorted(
+            tuple(r)
+            for r in REGISTRY["protein_prefilter_bucketed"][0](spark, d).collect()
+        )
+        assert bucketed == plain, f"seed{seed}: bucketed/plain drift"
+        assert plain, f"seed{seed}: vacuous"
+
+
+#: every core this module exercises on constructed frames (the golden-
+#: keyed ops test_fuzz_parity excludes) — keep in sync with the
+#: parametrizations above; test_every_registry_core_is_fuzzed uses it
+CONSTRUCTED_TWIN_OPS = {
+    "protein_mask_stats",
+    "protein_mask_tantan",
+    "protein_expand_prefilter",
+    "protein_prefilter_biased",
+    "protein_search",
+    "protein_search_masked",
+    "protein_search_expanded",
+    "protein_prefilter_bucketed",
+}
+
+
+def test_every_registry_core_is_fuzzed():
+    """VERDICT r7 item 2's done-criterion, machine-checked: every one of
+    the registered cores sits under at least one constructed-input
+    harness — the cross-engine fuzz (test_fuzz_parity.CASES) or this
+    module's scalar-twin/equivalence cases. A newly registered query
+    must join one of them before this passes."""
+    from tests.test_fuzz_parity import CASES
+
+    fuzz_ops = {op for _seed, op in CASES}
+    uncovered = set(REGISTRY) - fuzz_ops - CONSTRUCTED_TWIN_OPS
+    assert uncovered == set(), (
+        f"registry cores with no constructed-input coverage: {sorted(uncovered)}"
+    )
