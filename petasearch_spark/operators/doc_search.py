@@ -134,6 +134,10 @@ _TO = "ACDEFGHIKLMNPQRSTVWYACDEFG"
 #: the [^A-Z] derivation scrub but are INVALID residues the integer
 #: encoder (functions/kmer.py:54) skips; the string path must agree
 #: (round-8 constructed-corpus finding). SQL twin: VALID_KMER_SQL.
+#: the 6 uppercase letters OUTSIDE the 20-letter alphabet — the derived
+#: sequence is A-Z-only by construction ([^A-Z] scrubbed), so validity
+#: reduces to "contains none of these"
+_INVALID_RESIDUES = "BJOUXZ"
 VALID_KMER_RE = "^[ACDEFGHIKLMNPQRSTVWY]{9}$"
 VALID_KMER_SQL = "regexp_matches(kmer, '^[ACDEFGHIKLMNPQRSTVWY]{9}$')"
 
@@ -189,16 +193,24 @@ def _window_kmer_tables(seqs: DataFrame, query_mod: int = 20):
     FixedKmerGenerator; the two registry rows share one oracle, so the
     string path must implement the same window-skip rule)."""
     k = 9
-    win = F.when(
-        F.length("sequence") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.length("sequence") - k),
-            lambda i: F.col("sequence").substr(i + 1, F.lit(k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    kmers = seqs.select(
-        "seq_id", F.length("sequence").cast("int").alias("seq_len"), F.explode(win).alias("kmer")
-    ).filter(F.col("kmer").rlike(VALID_KMER_RE))
+    # F1 without any per-window work: split each sequence into its
+    # maximal VALID runs (one regex pass per SEQUENCE), then window
+    # within runs — the multiset of valid k-windows equals the union of
+    # each run's windows, and qk/index need no positions, so this is
+    # strictly cheaper than filtering 10M+ exploded windows (the first
+    # round-8 cut, a per-window translate check, cost ~60% on the
+    # funnel's sf0.1 wall time). seq_len stays the ORIGINAL sequence
+    # length — it is J2's representative tie-break.
+    runs = seqs.select(
+        "seq_id",
+        F.length("sequence").cast("int").alias("seq_len"),
+        F.explode(F.split("sequence", f"[{_INVALID_RESIDUES}]")).alias("run"),
+    ).filter(F.length("run") >= k)
+    win = F.transform(
+        F.sequence(F.lit(0), F.length("run") - k),
+        lambda i: F.col("run").substr(i + 1, F.lit(k)),
+    )
+    kmers = runs.select("seq_id", "seq_len", F.explode(win).alias("kmer"))
     index = kmers.groupBy("kmer").agg(
         F.max_by(F.col("seq_id"), F.struct(F.col("seq_len"), (-F.col("seq_id")).alias("neg_id"))).alias("target_id")
     )
