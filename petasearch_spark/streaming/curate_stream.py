@@ -142,6 +142,7 @@ def curate_stream_follow(
     poll_interval_s: float = 2.0,
     idle_polls: int = 2,
     max_polls: int | None = 20,
+    on_poll=None,
 ) -> dict:
     """Continuous curate-stream (round-6 VERDICT item 8): keep draining
     the landing zone until it goes quiet.
@@ -166,6 +167,12 @@ def curate_stream_follow(
     rejected up front: at least one drain must run or the report would
     carry only follow_* keys and break the CLI JSON shape (ADVICE r7).
 
+    ``on_poll(poll_index, report)``, when given, fires after every drain
+    — a service's metrics/heartbeat hook, and the deterministic way to
+    test landing zones that grow between drains (the old test hooked
+    the global ``time.sleep``, which any background thread may also
+    call, making the delivery timing racy on a loaded host).
+
     Returns the LAST report plus follow accounting: total polls, total
     new batches seen, and per-poll batch counts.
     """
@@ -180,9 +187,12 @@ def curate_stream_follow(
         report = curate_stream(spark, input_dir, out_dir)
         polls.append(int(report["stream_batches"]))
         idle = idle + 1 if report["stream_batches"] == 0 else 0
+        if on_poll is not None:
+            on_poll(len(polls) - 1, report)
         if idle >= idle_polls:
             break
-        time.sleep(poll_interval_s)
+        if poll_interval_s > 0:
+            time.sleep(poll_interval_s)
     report["follow_polls"] = len(polls)
     report["follow_batches_per_poll"] = polls
     report["follow_total_batches"] = sum(polls)

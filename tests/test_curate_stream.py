@@ -130,10 +130,10 @@ def test_curate_stream_follow_drains_until_quiet(spark, tmp_path, capsys):
     GROWS between drains must (a) parse each delivery exactly once
     through the shared checkpoint, (b) re-curate only when bronze
     changed, and (c) stop after the configured number of quiet drains.
-    The growth is injected via poll_interval hooking: files land between
-    iterations by monkeypatching time.sleep — deterministic, no races."""
-    import time as _time
-
+    The growth is injected via the on_poll hook (round-8: the old
+    time.sleep monkeypatch raced against background threads that also
+    call time.sleep — the delivery could land after the next drain's
+    listing on a loaded host)."""
     from petasearch_spark.streaming.curate_stream import curate_stream_follow
 
     docs = load_table(spark, "documents", SF)
@@ -142,25 +142,16 @@ def test_curate_stream_follow_drains_until_quiet(spark, tmp_path, capsys):
         _dump_lines(docs).alias("value")
     ).coalesce(1).write.mode("overwrite").text(os.path.join(dump, "day1"))
 
-    deliveries = iter([docs.filter(F.col("doc_id") % 2 == 1)])
-    real_sleep = _time.sleep
+    def deliver_day2(poll_index: int, _report: dict) -> None:
+        if poll_index == 0:
+            docs.filter(F.col("doc_id") % 2 == 1).select(
+                _dump_lines(docs).alias("value")
+            ).coalesce(1).write.mode("overwrite").text(os.path.join(dump, "day2"))
 
-    def deliver_then_continue(_s):
-        batch = next(deliveries, None)
-        if batch is not None:
-            batch.select(_dump_lines(docs).alias("value")).coalesce(1).write.mode(
-                "overwrite"
-            ).text(os.path.join(dump, "day2"))
-        real_sleep(0)
-
-    orig_sleep = _time.sleep
-    _time.sleep = deliver_then_continue
-    try:
-        rep = curate_stream_follow(
-            spark, dump, out, poll_interval_s=0.0, idle_polls=2, max_polls=8
-        )
-    finally:
-        _time.sleep = orig_sleep
+    rep = curate_stream_follow(
+        spark, dump, out, poll_interval_s=0.0, idle_polls=2, max_polls=8,
+        on_poll=deliver_day2,
+    )
 
     per_poll = rep["follow_batches_per_poll"]
     # drain 1: day1 parsed; drain 2: day2 (landed during the sleep hook)
