@@ -38,6 +38,8 @@ production lakehouse, and the funnel reads bronze columnar with the
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 import json
 import os
 
@@ -142,7 +144,7 @@ def curate_stream_follow(
     poll_interval_s: float = 2.0,
     idle_polls: int = 2,
     max_polls: int | None = 20,
-    on_poll=None,
+    on_poll: Callable[[int, dict], None] | None = None,
 ) -> dict:
     """Continuous curate-stream (round-6 VERDICT item 8): keep draining
     the landing zone until it goes quiet.
