@@ -173,16 +173,20 @@ def curate_stream_follow(
     — a service's metrics/heartbeat hook, and the deterministic way to
     test landing zones that grow between drains (the old test hooked
     the global ``time.sleep``, which any background thread may also
-    call, making the delivery timing racy on a loaded host).
+    call, making the delivery timing racy on a loaded host). A hook
+    exception must NOT abort the loop it exists to observe (ADVICE r8):
+    it is caught, and surfaced as ``follow_hook_errors`` entries
+    ``[poll_index, repr(exc)]`` on the returned report.
 
     Returns the LAST report plus follow accounting: total polls, total
-    new batches seen, and per-poll batch counts.
+    new batches seen, per-poll batch counts, and any hook errors.
     """
     import time
 
     if max_polls is not None and max_polls < 1:
         raise ValueError(f"max_polls must be >= 1 or None (forever), got {max_polls}")
     polls: list[int] = []
+    hook_errors: list[list] = []
     report: dict = {}
     idle = 0
     while max_polls is None or len(polls) < max_polls:
@@ -190,7 +194,10 @@ def curate_stream_follow(
         polls.append(int(report["stream_batches"]))
         idle = idle + 1 if report["stream_batches"] == 0 else 0
         if on_poll is not None:
-            on_poll(len(polls) - 1, report)
+            try:
+                on_poll(len(polls) - 1, report)
+            except Exception as exc:  # noqa: BLE001 — observer must not kill the service
+                hook_errors.append([len(polls) - 1, repr(exc)])
         if idle >= idle_polls:
             break
         if poll_interval_s > 0:
@@ -198,4 +205,6 @@ def curate_stream_follow(
     report["follow_polls"] = len(polls)
     report["follow_batches_per_poll"] = polls
     report["follow_total_batches"] = sum(polls)
+    if hook_errors:
+        report["follow_hook_errors"] = hook_errors
     return report

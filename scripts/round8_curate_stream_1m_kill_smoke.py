@@ -128,13 +128,27 @@ def main() -> None:
             assert time.time() - t0 < 1200, "no bronze progress within 20 min"
             time.sleep(1)
         out["bronze_at_day2_s"] = round(time.time() - t0, 1)
+        files_at_day2 = _bronze_files(out_dir)
         _dump(day2, os.path.join(landing, "day2"))
-        time.sleep(5)  # let the drain loop get its hands on new work
+        # ADVICE r8: a fixed sleep does not guarantee the kill lands
+        # MID-day2 — on a fast host day2 could be fully drained and
+        # committed first, silently degrading this to recovery-of-nothing.
+        # Poll until the bronze store grows past the at-day2 snapshot
+        # (the drain loop has its hands on new work), bounded so a stalled
+        # service still gets killed; record which case actually happened.
+        day2_deadline = time.time() + 300
+        while _bronze_files(out_dir) <= files_at_day2 and time.time() < day2_deadline:
+            assert proc.poll() is None, "follow service exited before the kill"
+            time.sleep(0.5)
         assert proc.poll() is None, "follow service exited before the kill"
         proc.send_signal(signal.SIGKILL)
         proc.wait()
         out["killed_at_s"] = round(time.time() - t0, 1)
         out["bronze_files_at_kill"] = _bronze_files(out_dir)
+        # True = the kill interrupted a live day2 drain (the interesting
+        # case); False = day2 grew nothing before the poll deadline, so
+        # the kill only exercises day1-commit + day2-from-scratch recovery
+        out["day2_drain_interrupted"] = out["bronze_files_at_kill"] > files_at_day2
 
         # --- 3. recovery: one ordinary run finishes the job --------------
         t0 = time.time()

@@ -195,3 +195,31 @@ def test_curate_stream_follow_max_polls_contract(spark, tmp_path):
     )
     assert rep["follow_batches_per_poll"][-1] == 0
     assert "stream_batches" in rep and "funnel" in rep
+
+
+def test_curate_stream_follow_survives_raising_hook(spark, tmp_path):
+    """A flaky metrics/heartbeat hook must not kill the service loop it
+    observes (ADVICE r8): the exception is caught, the drain loop runs to
+    its normal idle stop, and the failure is surfaced as
+    follow_hook_errors on the report instead of an abort."""
+    from petasearch_spark.streaming.curate_stream import curate_stream_follow
+
+    docs = load_table(spark, "documents", SF)
+    dump, out = str(tmp_path / "landing"), str(tmp_path / "out")
+    docs.limit(20).select(_dump_lines(docs).alias("value")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(os.path.join(dump, "day1"))
+
+    def flaky_hook(poll_index: int, _report: dict) -> None:
+        if poll_index == 0:
+            raise RuntimeError("metrics endpoint down")
+
+    rep = curate_stream_follow(
+        spark, dump, out, poll_interval_s=0.0, idle_polls=2, max_polls=8,
+        on_poll=flaky_hook,
+    )
+    # the loop completed normally: day1 drained, then 2 quiet polls
+    assert rep["follow_batches_per_poll"][0] > 0
+    assert rep["follow_batches_per_poll"][-2:] == [0, 0]
+    assert "funnel" in rep  # full report shape, not an aborted partial
+    assert rep["follow_hook_errors"] == [[0, repr(RuntimeError("metrics endpoint down"))]]
