@@ -274,57 +274,16 @@ UNGATED: dict[str, str] = {
         " given to protein_prefilter_funnel, the reference's own parity metric"
         " (reference src/sra/comparekmertables.cpp:616-619, blockalign.cpp:465-481)"
     ),
-    "protein_prefilter_bucketed": (
-        "logical output duplicates protein_prefilter (shares its oracle); the bucketed"
-        " no-Exchange plan property is pinned by tests/test_skew_pruning.py and the"
-        " build/query costs are separate bench entries"
-    ),
-    "customers_never_ordered": (
-        "anti-join semantics already gated by parts_without_lineitems; both return 0"
-        " rows at the gate SF, so the second row adds no value signal"
-    ),
-    "media_catalog": (
-        "3-row metadata group-count; the mapInPandas codec surface stays gated via"
-        " image_stats / audio_features / video_frame_sample"
-    ),
-    "events_stream_hourly": (
-        "streaming twin whose output (and oracle) is exactly events_hourly; streaming"
-        " state stays gated via events_stream_user_totals + docs_stream_dedup"
-    ),
-    "embedding_quantize_int8": (
-        "pure column-expression cast arithmetic, lowest-risk op in the family"
-    ),
-    "image_resize": (
-        "same decode path as image_stats plus a resize transform; the transform is"
-        " pytest-parity-verified"
-    ),
-    "protein_mask_stats": (
-        "the engine's HEURISTIC masking alternative, not the reference algorithm;"
-        " T3 reference parity stays gated via protein_mask_tantan, and the heuristic"
-        " keeps its independent-scalar-golden parity in pytest"
-    ),
-    "parts_without_lineitems": (
-        "returns 0 rows at every driver SF, so its hash row carries schema-only"
-        " signal (anti-join VALUE correctness is untestable on empty output);"
-        " slot given to unigram_logprob_score's 500 value-rich rows — anti-join"
-        " semantics keep pytest parity here and in customers_never_ordered"
-    ),
-    "token_count_bpe": (
-        "5-row aggregate with the weakest hash signal of the text family"
-        " (text_quality_stats + doc_fingerprint +"
-        " tfidf_top_terms stay gated); slot given to ann_pq_topk's 50-row"
-        " float-exact ADC output"
-    ),
-    "q4_order_priority": (
-        "5-row EXISTS/semi-join aggregate — weakest relational hash row; the"
-        " semi-join keeps full DuckDB parity in pytest; slot given to"
-        " bm25_search's 40-row ranked retrieval output"
-    ),
-    "lang_id_heuristic": (
-        "20-row confusion matrix over the same tokenize/filter/aggregate"
-        " machinery as text_quality_stats (which stays gated); thresholds keep"
-        " pytest parity; slot given to sequence_packing's ~4k value-rich rows"
-    ),
+    # --- round-9 second-lifetime rotation (VERDICT r8 item 2): the 11
+    # rows whose ONLY gate tenure was rounds 1-2 (q4_order_priority,
+    # parts_without_lineitems, customers_never_ordered, token_count_bpe,
+    # lang_id_heuristic, media_catalog, image_resize,
+    # embedding_quantize_int8, events_stream_hourly, protein_mask_stats,
+    # protein_prefilter_bucketed) rotate back IN — their last independent
+    # driver hash predates six rounds of shared-kernel change (portable
+    # hash, admission laws, the F1 valid-run split). Their former
+    # rationales are superseded by the staleness argument; the 11 slots
+    # come from the three-green-round [6,7,8] cohort below.
     # --- round-6 gate rotation (VERDICT r5 item 1): the 15 entries below
     # were driver-hash-green for 3+ consecutive rounds (most since round
     # 1); each yields its slot to a never-gated round-4/5 entry so the
@@ -644,6 +603,75 @@ UNGATED: dict[str, str] = {
         " docs_stream_ingest (same planted-malformed accounting oracle over"
         " a real 2-micro-batch run)"
     ),
+    # --- round-9 rotation OUT: 11 of the 12 rows green for rounds 6-8
+    # yield their slots to the second-lifetime cohort above (VERDICT r8
+    # item 2). corpus_curation_funnel keeps its slot (the composed
+    # end-to-end curation decision — the strongest single hash row of the
+    # pipeline family) alongside the pinned protein_search /
+    # protein_search_masked / protein_prefilter flagships. All 11 keep
+    # full DuckDB parity at sf0.001 AND the gate SF in
+    # tests/test_oracle_parity.py.
+    "events_asof_join": (
+        "rotated out round 9 after 3 green rounds; the temporal-correlation"
+        " join class stays gated via events_proximity_pairs (self-join within"
+        " a time bound) and events_stream_join (the watermark-bounded"
+        " stream-stream interval join over the same events)"
+    ),
+    "ann_ivf_filtered_topk": (
+        "rotated out round 9 after 3 green rounds; the filtered-probe class"
+        " stays gated via ann_filtered_topk (the pushed-predicate exact path)"
+        " and the IVF bucket-pruned probe keeps its ann_ivf_stream_topk gate"
+        " row (identical output to ann_ivf_topk by construction)"
+    ),
+    "ann_ivfpq_topk": (
+        "rotated out round 9 after 3 green rounds; the IVF coarse probe stays"
+        " gated via ann_ivf_stream_topk and the PQ codebook/ADC arithmetic"
+        " keeps its constructed-input pins in tests/test_pq.py plus DuckDB"
+        " parity at both SFs"
+    ),
+    "dsir_importance_sample": (
+        "rotated out round 9 after 3 green rounds; the broadcast-model"
+        " log-ratio scoring class keeps pytest parity at both SFs and shares"
+        " its hashed-ngram machinery with the incoming lang_id_heuristic and"
+        " token_count_bpe gate rows"
+    ),
+    "lang_classifier_nb": (
+        "rotated out round 9 after 3 green rounds; the hashed-unigram NB"
+        " machinery keeps pytest parity; the tokenizer/confusion-matrix"
+        " surface is gated via the incoming lang_id_heuristic row"
+    ),
+    "decontaminate_minhash": (
+        "rotated out round 9 after 3 green rounds; eval-set decontamination"
+        " stays gated via decontaminate_semantic (fuzzy embedding modality)"
+        " and decontaminate_bloom (membership modality); the MinHash banding"
+        " machinery keeps its pytest parity + the 200k recall smoke"
+    ),
+    "bpe_train_merges": (
+        "rotated out round 9 after 3 green rounds; the trained-merges surface"
+        " stays gated via bpe_fertility (which applies the same learned rules"
+        " back to the corpus — a fertility drift implies a training drift)"
+    ),
+    "bpe_encode_corpus": (
+        "rotated out round 9 after 3 green rounds; the greedy merge-fold"
+        " encoder is embedded in the gated bpe_fertility row (same vocab join"
+        " + fold) and keeps DuckDB parity at both SFs in pytest"
+    ),
+    "dedup_span_removal": (
+        "rotated out round 9 after 3 green rounds; the window-hash span"
+        " machinery keeps pytest parity at both SFs plus the 1M-doc/60M-window"
+        " smoke record; block-level exact dedup reconstruction stays gated via"
+        " dedup_blocks"
+    ),
+    "pii_redaction": (
+        "rotated out round 9 after 3 green rounds; the RE2∩Java regex cascade"
+        " keeps pytest parity at both SFs; the per-doc scalar text class stays"
+        " gated via the incoming token_count_bpe / lang_id_heuristic rows"
+    ),
+    "events_sax_motifs": (
+        "rotated out round 9 after 3 green rounds; the daily-series rank/PAA"
+        " machinery stays gated via events_anomaly_daily (same day grid) and"
+        " the SAX word construction keeps its exact-decimal pytest parity"
+    ),
 }
 
 #: driver-gated queries, in registry order
@@ -652,129 +680,14 @@ assert len(GATED) <= 50, f"driver gate truncates at 50; GATED has {len(GATED)}"
 assert not set(UNGATED) - set(REGISTRY), "UNGATED names must exist in REGISTRY"
 
 
-#: Rotation ledger (VERDICT r7 item 7): for every registered query, the
-#: rounds in which it held one of the 50 driver-gate slots (i.e. appeared
-#: in CORRECTNESS_r0N.json). Rounds 1-7 transcribed from the committed
-#: driver artifacts; round 8 = the current GATED list. Maintained by hand
-#: at each rotation; tests/test_gate_ledger.py asserts (a) every REGISTRY
-#: name is present with at least one round (the round-8 rotation cleared
-#: the never-gated backlog), (b) ledger[name] contains 8 iff name is in
-#: GATED, and (c) rounds 1-7 match the committed CORRECTNESS files.
-GATE_LEDGER: dict[str, list[int]] = {
-    "q1_pricing_summary": [1, 2, 3, 4, 5, 6, 7],
-    "q3_shipping_priority": [1, 2, 3, 4, 5, 6],
-    "q4_order_priority": [1, 2],
-    "q5_local_supplier": [1, 2, 3, 4],
-    "parts_without_lineitems": [1, 2],
-    "top_suppliers_per_nation": [1, 2, 3, 4, 5, 6, 7],
-    "repeat_customers": [1, 2, 3, 4, 5],
-    "customers_never_ordered": [1, 2],
-    "running_order_totals": [1, 2, 3, 4, 5],
-    "events_hourly": [1, 2, 3, 4, 5, 6],
-    "events_sessionize": [1, 2, 3, 4, 5, 6, 7],
-    "events_json_stats": [1, 2, 3, 4, 5],
-    "events_rollup": [1, 2, 3, 4, 5],
-    "users_purchase_and_error": [1, 2, 3, 4, 5],
-    "clean_purchase_days": [1, 2, 3, 4, 5, 6, 7],
-    "events_asof_join": [6, 7, 8],
-    "events_conversion_funnel": [8],
-    "events_retention_cohorts": [8],
-    "events_proximity_pairs": [8],
-    "events_stream_hourly": [1, 2],
-    "events_stream_user_totals": [1, 2, 3, 4, 5, 6, 7],
-    "docs_stream_dedup": [1, 2, 3, 4, 5, 6, 7],
-    "events_stream_join": [8],
-    "doc_shingle_index": [1, 2, 3, 4, 5, 6],
-    "doc_prefilter": [1, 2, 3, 4, 5],
-    "protein_prefilter": [1, 2, 3, 4, 5, 6, 7, 8],
-    "protein_ungapped": [2, 3, 4, 5, 6],
-    "protein_expand_prefilter": [2, 3, 4, 5, 6],
-    "protein_prefilter_bucketed": [2],
-    "dna_prefilter": [2, 3, 4, 5, 6, 7],
-    "protein_prefilter_funnel": [5, 6, 7],
-    "protein_prefilter_biased": [3, 4, 5, 6, 7],
-    "protein_search": [1, 2, 3, 4, 5, 6, 7, 8],
-    "protein_search_expanded": [2, 3, 4, 5],
-    "protein_search_masked": [3, 4, 5, 6, 7, 8],
-    "profile_search_consensus": [3, 4, 5, 6, 7],
-    "profile_vs_profile_prefilter": [7, 8],
-    "protein_mask_stats": [1, 2],
-    "protein_mask_tantan": [2, 3, 4, 5, 6, 7],
-    "dedup_exact": [1, 2, 3, 4, 5, 6],
-    "dedup_jaccard_pairs": [1, 2, 3, 4, 5],
-    "dedup_minhash_lsh": [1, 2, 3, 4, 5, 6, 7],
-    "dedup_simhash": [1, 2, 3, 4, 5],
-    "dedup_clusters": [1, 2, 3, 4, 5],
-    "ann_cosine_topk": [1, 2, 3, 4, 5, 6],
-    "ann_stream_topk": [8],
-    "ann_ivf_stream_topk": [8],
-    "ann_ivf_topk": [1, 2, 3, 4, 5, 6, 7],
-    "ann_ivf_filtered_topk": [6, 7, 8],
-    "ann_ivf_kmeans": [1, 2, 3, 4, 5, 6],
-    "ann_pq_topk": [3, 4, 5, 6],
-    "ann_ivfpq_topk": [6, 7, 8],
-    "semdedup_clusters": [7, 8],
-    "phrase_search": [7, 8],
-    "events_value_quantiles": [6, 7],
-    "events_quantile_sketch": [6, 7],
-    "embedding_profile": [7, 8],
-    "cm_stream_heavy_hitters": [8],
-    "events_stream_quantiles": [8],
-    "doc_cluster_tfidf": [8],
-    "events_session_window": [8],
-    "events_value_outliers": [8],
-    "q7_volume_shipping": [8],
-    "q18_large_orders": [8],
-    "embedding_neardup": [1, 2, 3, 4, 5, 6, 7],
-    "embedding_neardup_lsh": [2, 3, 4, 5],
-    "embedding_quantize_int8": [1, 2],
-    "media_catalog": [1, 2],
-    "image_stats": [1, 2, 3, 4, 5, 6],
-    "image_resize": [1, 2],
-    "audio_features": [1, 2, 3, 4, 5],
-    "video_frame_sample": [1, 2, 3, 4, 5],
-    "corpus_sample_stratified": [1, 2, 3, 4, 5, 6],
-    "decontaminate_ngram_overlap": [1, 2, 3, 4, 5, 6],
-    "decontaminate_semantic": [8],
-    "dsir_importance_sample": [6, 7, 8],
-    "lang_classifier_nb": [6, 7, 8],
-    "sequence_packing": [3, 4, 5, 6, 7],
-    "decontaminate_minhash": [6, 7, 8],
-    "corpus_curation_funnel": [6, 7, 8],
-    "bm25_search": [3, 4, 5, 6],
-    "text_quality_stats": [1, 2, 3, 4, 5, 6],
-    "lang_id_heuristic": [1, 2],
-    "token_count_bpe": [1, 2],
-    "bpe_train_merges": [6, 7, 8],
-    "bpe_fertility": [8],
-    "bpe_encode_corpus": [6, 7, 8],
-    "doc_fingerprint": [1, 3, 4, 5],
-    "doc_chunk_overlap": [7, 8],
-    "kmv_distinct_tokens": [7, 8],
-    "tfidf_top_terms": [1, 3, 4, 5],
-    "dup_span_coverage": [3, 4, 5, 6],
-    "dedup_span_removal": [6, 7, 8],
-    "gopher_quality": [3, 4, 5, 6, 7],
-    "unigram_logprob_score": [3, 4, 5, 6, 7],
-    "pii_redaction": [6, 7, 8],
-    "dedup_blocks": [7, 8],
-    "quality_weighted_sample": [7, 8],
-    "events_zorder_layout": [8],
-    "cm_heavy_hitters": [8],
-    "image_phash_dedup": [7, 8],
-    "decontaminate_bloom": [7, 8],
-    "events_anomaly_daily": [7, 8],
-    "table_profile": [7, 8],
-    "hll_distinct_tokens": [7, 8],
-    "mixture_sample": [7, 8],
-    "docs_stream_ingest": [8],
-    "events_csv_ingest": [6, 7],
-    "events_type_pivot": [8],
-    "ann_filtered_topk": [8],
-    "events_sax_motifs": [6, 7, 8],
-    "events_type_unpivot": [7, 8],
-}
-
+#: Rotation ledger (VERDICT r7 item 7; generated since round 9 — VERDICT
+#: r8 item 5): for every registered query, the rounds in which it held
+#: one of the 50 driver-gate slots (i.e. appeared in CORRECTNESS_r*.json).
+#: Derived from the committed driver artifacts + the live GATED list by
+#: scripts/gen_gate_ledger.py (rerun after every rotation);
+#: tests/test_gate_ledger.py asserts the committed module regenerates
+#: byte-identically and matches the artifacts round-for-round.
+from petasearch_spark.gate_ledger import GATE_LEDGER  # noqa: E402
 
 def queries() -> dict[str, QueryFn]:
     return {name: REGISTRY[name][0] for name in GATED}

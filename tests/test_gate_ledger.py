@@ -8,10 +8,13 @@ repo alone:
 
   (a) ledger keys == REGISTRY keys, and every query has held >= 1 slot
       (the round-8 rotation cleared the never-gated backlog);
-  (b) a query's ledger contains the CURRENT round (8) iff it is GATED —
+  (b) a query's ledger contains the CURRENT round iff it is GATED —
       so GATED ∪ {rotated-out} == REGISTRY with no orphans;
-  (c) rounds 1-7 match the committed CORRECTNESS_r0N.json driver
-      artifacts exactly (no aspirational history).
+  (c) past rounds match the committed CORRECTNESS_r*.json driver
+      artifacts exactly (no aspirational history);
+  (d) since round 9 the ledger module is GENERATED
+      (scripts/gen_gate_ledger.py) — the committed module must
+      regenerate byte-identically, so the derivation IS the record.
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ import pytest
 from petasearch_spark.registry import GATE_LEDGER, GATED, REGISTRY, UNGATED
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CURRENT_ROUND = 8
+CURRENT_ROUND = 9
 
 
 def test_ledger_covers_registry_exactly():
@@ -52,7 +55,7 @@ def test_ledger_rounds_sorted_and_in_range():
 
 @pytest.mark.parametrize("round_no", range(1, CURRENT_ROUND))
 def test_ledger_matches_committed_driver_artifacts(round_no):
-    path = os.path.join(REPO, f"CORRECTNESS_r0{round_no}.json")
+    path = os.path.join(REPO, f"CORRECTNESS_r{round_no:02d}.json")
     if not os.path.exists(path):
         pytest.skip(f"driver artifact for round {round_no} not committed")
     with open(path) as fh:
@@ -67,3 +70,21 @@ def test_ledger_matches_committed_driver_artifacts(round_no):
 def test_flagship_search_family_stays_gated():
     for name in ("protein_search", "protein_search_masked", "protein_prefilter"):
         assert name in GATED, f"flagship {name} must keep its gate slot"
+
+
+def test_ledger_module_regenerates_byte_identical():
+    """VERDICT r8 item 5: the ledger is derived, not hand-maintained — a
+    rotation edit in registry.py without a gen_gate_ledger.py rerun (or a
+    hand edit of the generated module) fails here, not in the audit."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_gate_ledger", os.path.join(REPO, "scripts", "gen_gate_ledger.py")
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    with open(os.path.join(REPO, "petasearch_spark", "gate_ledger.py")) as fh:
+        committed = fh.read()
+    assert committed == gen.generate(), (
+        "petasearch_spark/gate_ledger.py is stale — rerun scripts/gen_gate_ledger.py"
+    )
