@@ -6,12 +6,24 @@ driver, the contract test, and the next judge can diff mechanically
 
 Usage:
     python scripts/gen_bench_bands.py sample1.json [sample2.json ...] \
-        [--drop sampleN.json:kM ...]
+        [--drop sampleN.json:kM ...] [--centers-only]
 
 ``--drop`` excludes a single known-defective observation — e.g.
 BENCH_r05.json's k44=9.81 s was the diagnosed gopher-persist leak
 (fixed round 6), and folding a confirmed defect into a band would
 teach the band to accept the defect.
+
+The file also carries per-key quiet CENTERS (median across the input
+samples) — the denominator of ``bench.era_coefficient``'s
+self-normalization (round-8 VERDICT item 1): a sample's era is the
+median of observed/center over all keys, and the oob hi comparison
+divides by it, so a host-throttled sample (round 8: a uniform ~1.65x
+slow era for a whole day) re-reads with ~0 spurious flags while a real
+single-key regression still flags. ``--centers-only`` keeps the
+committed bands VERBATIM and recomputes only the centers from the given
+samples — used when the band inputs are no longer on disk but a
+committed quiet sample should anchor the era (round 9 bootstrap:
+centers from BENCH_SAMPLE_r7.json, bands untouched).
 
 Each sample is either a raw bench line (``{"metric": ..., "queries":
 {"k0": s, ...}}``) or a driver BENCH_r*.json wrapper whose ``tail``
@@ -44,20 +56,21 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import bench  # noqa: E402
 
 
-def load_sample(path: str) -> dict[str, float]:
+def load_sample(path: str) -> dict:
     with open(path) as f:
         raw = json.load(f)
     if "queries" in raw:
-        return raw["queries"]
+        return raw
     m = re.search(r'\{"metric".*\}', raw.get("tail", ""))
     if not m:
         raise SystemExit(f"{path}: neither a bench line nor a driver wrapper")
-    return json.loads(m.group(0))["queries"]
+    return json.loads(m.group(0))
 
 
 def main(argv: list[str]) -> None:
     paths: list[str] = []
     drops: set[tuple[str, str]] = set()
+    centers_only = False
     it = iter(argv)
     for a in it:
         if a == "--drop":
@@ -69,39 +82,51 @@ def main(argv: list[str]) -> None:
                 raise SystemExit(f"--drop expects sample.json:kN, got {spec!r}")
             sample, key = spec.rsplit(":", 1)
             drops.add((os.path.basename(sample), key))
+        elif a == "--centers-only":
+            centers_only = True
         else:
             paths.append(a)
     if not paths:
         raise SystemExit(__doc__)
-    samples = {p: load_sample(p) for p in paths}
+    samples = {p: load_sample(p)["queries"] for p in paths}
     for p in samples:
         for sample, key in drops:
             if os.path.basename(p) == sample:
                 samples[p].pop(key, None)
     bands: dict[str, list[float]] = {}
+    centers: dict[str, float] = {}
     for key in bench.BENCH_KEYS.values():
-        vals = [s[key] for s in samples.values() if key in s]
+        vals = sorted(s[key] for s in samples.values() if key in s)
         if not vals:
             continue
-        lo = round(0.2 * min(vals), 2)
-        hi = round(max(1.4 * max(vals), max(vals) + 0.4), 2)
-        bands[key] = [lo, hi]
+        bands[key] = [
+            round(0.2 * vals[0], 2),
+            round(max(1.4 * vals[-1], vals[-1] + 0.4), 2),
+        ]
+        centers[key] = round(vals[len(vals) // 2], 2)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "BENCH_BANDS.json")
-    with open(out, "w") as f:
-        json.dump(
-            {
-                "_meta": {
-                    "law": "lo=0.2*min(warm quiet samples); hi=max(1.4*max, max+0.4s)",
-                    "n_samples": len(samples),
-                    "samples": {os.path.basename(p): round(sum(s.values()), 2) for p, s in samples.items()},
-                    "dropped": sorted(f"{s}:{k}" for s, k in drops),
-                    "regen": "python scripts/gen_bench_bands.py <quiet sample jsons>",
-                },
-                "bands": bands,
-            },
-            f,
-            indent=1,
+    meta = {
+        "law": "lo=0.2*min(warm quiet samples); hi=max(1.4*max, max+0.4s)",
+        "n_samples": len(samples),
+        "samples": {os.path.basename(p): round(sum(s.values()), 2) for p, s in samples.items()},
+        "dropped": sorted(f"{s}:{k}" for s, k in drops),
+        "regen": "python scripts/gen_bench_bands.py <quiet sample jsons>",
+        "centers": "per-key quiet median — denominator of bench.era_coefficient",
+    }
+    if centers_only:
+        with open(out) as f:
+            committed = json.load(f)
+        committed["centers"] = centers
+        committed["_meta"]["centers"] = (
+            meta["centers"]
+            + f" (updated --centers-only from {[os.path.basename(p) for p in paths]})"
         )
+        doc = committed
+        bands = committed["bands"]
+    else:
+        doc = {"_meta": meta, "bands": bands, "centers": centers}
+    with open(out, "w") as f:
+        json.dump(doc, f, indent=1)
         f.write("\n")
     print(f"wrote {os.path.normpath(out)} ({len(bands)} keys from {len(samples)} samples)")
 

@@ -16,6 +16,9 @@ REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 
 def _encode(values: dict) -> str:
+    # model EVERY field the real line can carry at its worst case —
+    # ADVICE r8: warmup_s/warmup_failed were emitted but missing here, so
+    # the pinned budget understated the real envelope by ~17-35 bytes
     return json.dumps(
         {
             "metric": "bench_total_seconds",
@@ -24,6 +27,10 @@ def _encode(values: dict) -> str:
             "key_map": "BENCH_KEYS.json",
             "queries": values,
             "sf": 0.1,
+            "warmup_s": 9999.9,
+            "era": 4.0,
+            "probe_mps": [99999.0, 99999.0],
+            "warmup_failed": len(bench.WARMUP_QUERIES),
         },
         separators=(",", ":"),
     )
@@ -182,3 +189,65 @@ def test_bench_bands_cover_every_key_and_flag_regressions():
     assert bench.out_of_band({**sample, "k22": 0.01}) == ["k22"]
     # keys appended before the next band regen are skipped, not failed
     assert bench.out_of_band({"k999": 123.0}) == []
+
+
+def test_era_normalization_rescues_throttled_sample():
+    """Round-8 VERDICT item 1: the host can throttle sustained 32-wide
+    work ~1.65x for a whole day, uniformly inflating every entry and
+    scattering 43-57 phantom oob flags per artifact. The self-normalized
+    era coefficient (median observed/center) must (a) re-read such a
+    sample with zero spurious flags, (b) still flag a REAL per-key
+    regression inside it, and (c) keep the lo bound RAW so a key doing
+    suspiciously little work flags even in a throttled sample."""
+    with open(os.path.join(REPO, "BENCH_SAMPLE_r7.json")) as f:
+        quiet = json.load(f)["queries"]
+
+    # a uniform 1.8x-throttled era
+    slowdown = 1.8
+    throttled = {k: round(v * slowdown, 2) for k, v in quiet.items()}
+    assert abs(bench.era_coefficient(throttled) - slowdown) < 0.05
+    # raw reading scatters flags...
+    assert len(bench.out_of_band(throttled, 1.0)) > 20
+    # ...the era-corrected reading is clean
+    era = bench.era_coefficient(throttled)
+    assert bench.out_of_band(throttled, era) == []
+    # default era=None self-computes the same coefficient
+    assert bench.out_of_band(throttled) == []
+    # a real 10x regression on the flagship STILL flags through the era
+    # (one key cannot move the median of ~125)
+    regressed = {**throttled, "k22": throttled["k22"] * 10}
+    assert bench.out_of_band(regressed) == ["k22"]
+    # lo stays raw: an entry suddenly doing near-zero work flags even
+    # though dividing by the era would only push it further down
+    dead = {**throttled, "k22": 0.01}
+    assert bench.out_of_band(dead) == ["k22"]
+
+    # the committed round-8 uniform-era artifact itself: raw reading was
+    # the round-8 blindness (dozens of flags), era-corrected is ~clean
+    with open(os.path.join(REPO, "BENCH_SAMPLE_r8a.json")) as f:
+        r8a = json.load(f)["queries"]
+    assert 1.3 < bench.era_coefficient(r8a) < 1.6
+    assert len(bench.out_of_band(r8a, 1.0)) >= 25
+    assert len(bench.out_of_band(r8a)) <= 5
+
+    # clamps: a faster-than-quiet host never pushes corrected values UP
+    # into hi flags (floor 1.0); a catastrophic sample cannot
+    # self-excuse beyond 4x (ceiling)
+    fast = {k: v * 0.5 for k, v in quiet.items()}
+    assert bench.era_coefficient(fast) == 1.0
+    dead_host = {k: v * 10 for k, v in quiet.items()}
+    assert bench.era_coefficient(dead_host) == 4.0
+    # degraded mode: no centers -> raw comparison
+    assert bench.era_coefficient(quiet, {"bands": {}}) == 1.0
+
+
+def test_committed_bands_carry_centers():
+    """The era normalization is only live once the committed bands file
+    carries per-key quiet centers (gen_bench_bands.py; bootstrapped
+    --centers-only from BENCH_SAMPLE_r7.json in round 9)."""
+    with open(os.path.join(REPO, "BENCH_BANDS.json")) as f:
+        doc = json.load(f)
+    assert set(doc["centers"]) == set(doc["bands"])
+    for k, c in doc["centers"].items():
+        lo, hi = doc["bands"][k]
+        assert lo <= c <= hi, (k, lo, c, hi)
