@@ -37,7 +37,11 @@ from petasearch_spark.operators.similar_kmers import (  # noqa: E402
 )
 from tests.golden_tools import brute_expand, decode_kmer, derive_sequence, encode_kmer  # noqa: E402
 
-SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+#: sf0.1 added round 9 (VERDICT r8 item 6): the opt-in
+#: PARITY_SF_DIR=/root/testdata/sf0.1 rehearsal needs the golden-backed
+#: oracles (search cascade, bias, expansion, masking) tagged at the
+#: bench SF too
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden")
 K = 9
 QUERY_MOD = 100  # protein_expand_prefilter queries: doc_id % 100 == 0
