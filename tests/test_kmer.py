@@ -77,6 +77,19 @@ def test_index_representative_rule(spark):
     assert idx.groupBy("kmer").count().filter("count > 1").count() == 0
 
 
+def test_index_packed_rep_range_guard(spark):
+    """The packed-representative BIGINT (seq_len<<40 | inverted seq_id)
+    caps seq_id below 2^40; an out-of-range corpus must fail loudly via
+    raise_error, never silently corrupt the J2 representative."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1 << 40, "ACDEFGHIKLMNP")], "seq_id long, sequence string"
+    )
+    with _pytest.raises(Exception, match="packed-rep range"):
+        build_kmer_index(df, k=9).collect()
+
+
 def test_query_kmers_positions(spark):
     df = spark.createDataFrame([(7, "ACDEFGHIKL")], "seq_id long, sequence string")
     got = extract_query_kmers(df, k=9).collect()
