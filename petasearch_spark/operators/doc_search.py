@@ -450,6 +450,104 @@ def protein_prefilter_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return protein_prefilter_bucketed_query(spark, sf_dir)
 
 
+def _sharded_index_path(sf_dir: str) -> str:
+    """Content-keyed staging path for the sharded index layout (same
+    fingerprint convention as the streaming fixture staging — a
+    regenerated documents.parquet invalidates the layout)."""
+    import tempfile
+
+    from petasearch_spark.streaming.stateful import source_fingerprint
+
+    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"), "sharded-v1")
+    return os.path.join(tempfile.gettempdir(), f"ps_sharded_idx_{fp}")
+
+
+#: shard count for the bench-SF layout: ~190k distinct k-mers at sf0.1
+#: -> ~750 rows/shard; at 100 TB you size this so one shard ~ one HDFS
+#: block and prune via the same IN filter
+SHARDED_NUM_SHARDS = 256
+
+
+def protein_prefilter_sharded_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-TIME build of the SHARDED index layout (round 9): the
+    INTERACTIVE-probe shape — directory-partitioned by kmer % 256 so a
+    small query batch reads only the shards its k-mers hash to
+    (kmer_index.write_kmer_index_sharded). Complements the bucketed
+    layout: bucketed = zero-shuffle joins for LARGE query batches;
+    sharded = I/O proportional to the QUERY for small/interactive ones
+    (the reference's own headline use-case — a few proteins against a
+    huge SRA index, README.md:1-3)."""
+    from petasearch_spark.operators.kmer_index import (
+        build_kmer_index,
+        write_kmer_index_sharded,
+    )
+
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source")
+    path = _sharded_index_path(sf_dir)
+    write_kmer_index_sharded(build_kmer_index(seqs), path, num_shards=SHARDED_NUM_SHARDS)
+    return spark.createDataFrame([(path,)], "path string")
+
+
+def protein_prefilter_sharded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state prefilter against the sharded layout: shard-pruned
+    scan (kmer_index.read_kmer_index_pruned) + broadcast equi-join.
+    Output is identical to protein_prefilter (integer and string k-mer
+    paths are bijective), so the combined registry entry shares its
+    DuckDB oracle; builds the layout first if missing."""
+    from petasearch_spark.operators.kmer_index import (
+        extract_query_kmers,
+        read_kmer_index_pruned,
+    )
+    from petasearch_spark.operators.prefilter import prefilter
+
+    path = _sharded_index_path(sf_dir)
+    if not os.path.isdir(path):
+        protein_prefilter_sharded_build(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source")
+    qk = extract_query_kmers(seqs.filter(F.col("seq_id") % 20 == 0))
+    pairs = prefilter(qk, read_kmer_index_pruned(spark, path, qk))
+    return (
+        pairs.groupBy("query_id", "target_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("query_id", "target_id")
+    )
+
+
+def protein_prefilter_sharded_probe1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INTERACTIVE shape the sharded layout exists for: ONE query
+    probed against the on-disk index — the pruned scan touches only the
+    shards this query's ~190 k-mers hash to (bench-only entry; the
+    full-batch twin above carries the oracle)."""
+    from petasearch_spark.operators.kmer_index import (
+        extract_query_kmers,
+        read_kmer_index_pruned,
+    )
+    from petasearch_spark.operators.prefilter import prefilter
+
+    path = _sharded_index_path(sf_dir)
+    if not os.path.isdir(path):
+        protein_prefilter_sharded_build(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source")
+    qk = extract_query_kmers(seqs.filter(F.col("seq_id") == 0))
+    pairs = prefilter(qk, read_kmer_index_pruned(spark, path, qk))
+    return (
+        pairs.groupBy("query_id", "target_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("query_id", "target_id")
+    )
+
+
+def protein_prefilter_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefilter through the SHARDED interactive layout: build +
+    shard-pruned query. Logical output is identical to protein_prefilter
+    (shares its oracle)."""
+    protein_prefilter_sharded_build(spark, sf_dir)
+    return protein_prefilter_sharded_query(spark, sf_dir)
+
+
 #: committed golden parquets (regenerate: python scripts/gen_goldens.py)
 GOLDEN_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),

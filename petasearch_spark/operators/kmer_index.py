@@ -166,6 +166,60 @@ def write_kmer_index(index: DataFrame, path: str, num_ranges: int = 32) -> None:
     )
 
 
+def write_kmer_index_sharded(index: DataFrame, path: str, num_shards: int = 1024) -> None:
+    """Persist the index SHARDED by a kmer-derived directory partition
+    column (``kshard = kmer % num_shards``) — the INTERACTIVE-probe
+    layout (round 9): a small query batch touches only the shards its
+    own k-mers hash to, so lookup I/O scales with the QUERY's k-mer
+    count, not the corpus. At 100 TB this is the difference between a
+    full-index scan per interactive query (the bucketed layout's cost —
+    right for large batches, wrong for one protein) and reading
+    ~n_query_kmers/num_shards of the index. Within each shard the rows
+    stay kmer-sorted (row-group min/max stats remain usable). Shard
+    count rides a 1-row ``<path>_meta`` parquet so readers never guess
+    it from directory listings (an empty shard at small SF would
+    undercount)."""
+    (
+        index.withColumn(
+            "kshard", F.pmod(F.col("kmer"), F.lit(num_shards)).cast("int")
+        )
+        .repartition(F.col("kshard"))
+        .sortWithinPartitions("kmer")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("kshard")
+        .parquet(path)
+    )
+    index.sparkSession.createDataFrame(
+        [(int(num_shards),)], "num_shards int"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_meta")
+
+
+def read_kmer_index_pruned(spark, path: str, query_kmers: DataFrame) -> DataFrame:
+    """Read the sharded index PRUNED to the shards the given query
+    k-mers hash to: static partition pruning via an IN filter on the
+    directory partition column — the executed scan's PartitionCount
+    drops to |distinct query shards| (plan-pinned in
+    tests/test_skew_pruning.py). The driver-side collect is bounded by
+    min(num_shards, distinct query k-mers) integers (the interactive
+    case this layout serves is a handful of queries), never by corpus
+    size. Returns the standard index schema (kmer, seq_id, seq_len)."""
+    num_shards = int(spark.read.parquet(path + "_meta").head()["num_shards"])
+    shards = [
+        int(r["s"])
+        for r in query_kmers.select(
+            F.pmod(F.col("kmer"), F.lit(num_shards)).cast("int").alias("s")
+        )
+        .distinct()
+        .collect()
+    ]
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("kshard").isin(shards))
+        .select("kmer", "seq_id", "seq_len")
+    )
+
+
 def _drop_managed_table(spark, table: str) -> None:
     """DROP TABLE IF EXISTS plus local-warehouse orphan cleanup: an
     in-memory catalog forgets tables between sessions but their location

@@ -80,6 +80,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # same logical output as protein_prefilter via the bucketed layout —
     # shares its oracle; what the 100 TB deployment ships
     "protein_prefilter_bucketed": (doc_search.protein_prefilter_bucketed, doc_search.PROTEIN_PREFILTER_SQL),
+    # the INTERACTIVE layout twin (round 9): index sharded by kmer % 256,
+    # probe scans only the shards the query k-mers hash to — lookup I/O
+    # proportional to the query, not the corpus; same logical output
+    "protein_prefilter_sharded": (doc_search.protein_prefilter_sharded, doc_search.PROTEIN_PREFILTER_SQL),
     # the DBTYPE_NUCLEOTIDES branch (4-letter codes, N invalid) under the
     # oracle — string-kmer SQL twin of the engine's base-4 integer path
     "dna_prefilter": (doc_search.dna_prefilter, doc_search.DNA_PREFILTER_SQL),
@@ -672,6 +676,22 @@ UNGATED: dict[str, str] = {
         " machinery stays gated via events_anomaly_daily (same day grid) and"
         " the SAX word construction keeps its exact-decimal pytest parity"
     ),
+    "protein_prefilter_sharded": (
+        "NEW in round 9 (mid-round, after the rotation settled): logical"
+        " output duplicates protein_prefilter (shares its oracle verbatim);"
+        " full DuckDB parity at both SFs in pytest from day one, shard-prune"
+        " plan property pinned in tests/test_skew_pruning.py; listed in"
+        " PENDING_FIRST_GATE to take a gate slot at the round-10 rotation"
+    ),
+}
+
+#: Queries registered AFTER the current round's rotation settled: they
+#: carry full pytest parity but no lifetime driver-gate tenure yet, and
+#: MUST be rotated into the gate at the next rotation (value = round
+#: added). tests/test_gate_ledger.py exempts exactly these names from
+#: the no-never-gated invariant.
+PENDING_FIRST_GATE: dict[str, int] = {
+    "protein_prefilter_sharded": 9,
 }
 
 #: driver-gated queries, in registry order

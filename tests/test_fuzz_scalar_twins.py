@@ -296,6 +296,25 @@ def test_bucketed_prefilter_equals_plain_on_constructed(spark, twin_dirs):
         assert plain, f"seed{seed}: vacuous"
 
 
+def test_sharded_prefilter_equals_plain_on_constructed(spark, twin_dirs):
+    """protein_prefilter_sharded (round 9) is DEFINED to produce
+    protein_prefilter's logical output through the shard-pruned
+    interactive layout (they share a registry oracle); hold that
+    equivalence on the adversarial corpora too — the sharded path has
+    its own write/meta/partition-pruning code."""
+    for seed in SEARCH_SEEDS:
+        d = twin_dirs[seed]
+        plain = sorted(
+            tuple(r) for r in REGISTRY["protein_prefilter"][0](spark, d).collect()
+        )
+        sharded = sorted(
+            tuple(r)
+            for r in REGISTRY["protein_prefilter_sharded"][0](spark, d).collect()
+        )
+        assert sharded == plain, f"seed{seed}: sharded/plain drift"
+        assert plain, f"seed{seed}: vacuous"
+
+
 #: every core this module exercises on constructed frames (the golden-
 #: keyed ops test_fuzz_parity excludes) — keep in sync with the
 #: parametrizations above; test_every_registry_core_is_fuzzed uses it
@@ -308,6 +327,7 @@ CONSTRUCTED_TWIN_OPS = {
     "protein_search_masked",
     "protein_search_expanded",
     "protein_prefilter_bucketed",
+    "protein_prefilter_sharded",
 }
 
 

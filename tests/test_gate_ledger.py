@@ -31,9 +31,24 @@ CURRENT_ROUND = 9
 
 
 def test_ledger_covers_registry_exactly():
+    from petasearch_spark.registry import PENDING_FIRST_GATE
+
     assert set(GATE_LEDGER) == set(REGISTRY)
     never = [k for k, rounds in GATE_LEDGER.items() if not rounds]
-    assert never == [], f"queries with no lifetime gate slot: {never}"
+    # queries registered after the current round's rotation settled are
+    # the only permitted never-gated names, and they must be explicitly
+    # queued for the next rotation
+    assert set(never) <= set(PENDING_FIRST_GATE), (
+        f"queries with no lifetime gate slot and no PENDING_FIRST_GATE entry: "
+        f"{sorted(set(never) - set(PENDING_FIRST_GATE))}"
+    )
+    for name, added_round in PENDING_FIRST_GATE.items():
+        assert name in REGISTRY
+        assert added_round >= CURRENT_ROUND, (
+            f"{name} was queued in round {added_round} but never rotated in "
+            f"by round {CURRENT_ROUND} — PENDING_FIRST_GATE debts are due at "
+            f"the next rotation"
+        )
 
 
 def test_ledger_current_round_matches_gated():

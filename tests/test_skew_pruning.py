@@ -106,3 +106,89 @@ def test_bucketed_index_join_has_no_index_shuffle(spark, tmp_path):
     assert joined.count() > 0
     spark.sql("DROP TABLE IF EXISTS idx_b")
     spark.sql("DROP TABLE IF EXISTS qk_b")
+
+
+def test_sharded_index_probe_prunes_partitions(spark, tmp_path):
+    """Round-9 interactive layout: a small query's probe against the
+    sharded index must scan ONLY the shards its k-mers hash to — the
+    executed FileSourceScan's partition count equals |distinct query
+    shards|, not num_shards — and the pruned probe's prefilter output
+    must equal the unpruned one's exactly."""
+    import random
+    import re
+
+    from petasearch_spark.operators.kmer_index import (
+        build_kmer_index,
+        extract_query_kmers,
+        read_kmer_index_pruned,
+        write_kmer_index_sharded,
+    )
+    from petasearch_spark.operators.prefilter import prefilter
+    from petasearch_spark.sources.fasta import sequences_from_records
+
+    rng = random.Random(9)
+    seqs = sequences_from_records(
+        spark,
+        [
+            (f"s{i}", "".join(rng.choice("ACDEFGHIKLMNPQRSTVWY") for _ in range(120)))
+            for i in range(60)
+        ],
+    )
+    path = str(tmp_path / "sharded_idx")
+    write_kmer_index_sharded(build_kmer_index(seqs), path, num_shards=64)
+
+    # one query (the interactive shape): ~112 kmers -> <= 64 shards, and
+    # with 112 draws over 64 bins a few bins are empty w.h.p.
+    qk = extract_query_kmers(seqs.filter(F.col("seq_id") == 0)).persist()
+    n_shards_hit = qk.selectExpr("pmod(kmer, 64) as s").distinct().count()
+    pruned = read_kmer_index_pruned(spark, path, qk)
+
+    # the scan must carry a PARTITION filter (directory pruning), not a
+    # post-scan data filter — INSET on the kshard partition column
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[kshard#\d+ INSET", plan), (
+        f"no kshard partition filter in plan:\n{plan[:2000]}"
+    )
+    assert "DataFilters: []" in plan  # nothing left to filter row-side
+    assert n_shards_hit < 64  # the query leaves shards untouched
+
+    # behavioral pin of the pruning arithmetic: a SINGLE-kmer probe reads
+    # exactly one shard's rows — strictly a sliver of the index
+    one = qk.limit(1).persist()
+    one_shard = read_kmer_index_pruned(spark, path, one)
+    expected = (
+        spark.read.parquet(path)
+        .filter(F.col("kshard") == one.selectExpr("pmod(kmer, 64) as s").head()["s"])
+        .count()
+    )
+    total = spark.read.parquet(path).count()
+    assert one_shard.count() == expected < total / 8
+    one.unpersist()
+
+    # value equality vs the unpruned probe
+    full = build_kmer_index(seqs)
+    a = prefilter(qk, pruned).select("query_id", "target_id", "kmer", "pos")
+    b = prefilter(qk, full).select("query_id", "target_id", "kmer", "pos")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() > 0  # self-hit guarantees rows
+    qk.unpersist()
+
+
+def test_sharded_index_empty_query_and_meta(spark, tmp_path):
+    """Empty query k-mer set -> empty pruned scan (no crash); the shard
+    count rides the _meta sidecar, not a directory listing."""
+    from petasearch_spark.operators.kmer_index import (
+        build_kmer_index,
+        extract_query_kmers,
+        read_kmer_index_pruned,
+        write_kmer_index_sharded,
+    )
+    from petasearch_spark.sources.fasta import sequences_from_records
+
+    seqs = sequences_from_records(spark, [("s0", "ACDEFGHIKLMNPQRSTVWY" * 3)])
+    path = str(tmp_path / "tiny_idx")
+    write_kmer_index_sharded(build_kmer_index(seqs), path, num_shards=16)
+    assert spark.read.parquet(path + "_meta").head()["num_shards"] == 16
+    # a sub-k sequence yields no kmers
+    empty_qk = extract_query_kmers(sequences_from_records(spark, [("q0", "ACD")]))
+    assert read_kmer_index_pruned(spark, path, empty_qk).count() == 0
