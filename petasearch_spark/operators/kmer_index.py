@@ -213,8 +213,12 @@ def read_kmer_index_pruned(spark, path: str, query_kmers: DataFrame) -> DataFram
         .distinct()
         .collect()
     ]
+    # explicit schema: an EMPTY corpus writes a partitioned dataset with
+    # no part files at all (just _SUCCESS), and schema inference fails on
+    # it — the empty-input law is "0 rows", never an AnalysisException
     return (
-        spark.read.parquet(path)
+        spark.read.schema("kmer long, seq_id long, seq_len int, kshard int")
+        .parquet(path)
         .filter(F.col("kshard").isin(shards))
         .select("kmer", "seq_id", "seq_len")
     )
