@@ -271,13 +271,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: bench.py still times them — but yield their driver slot to a
 #: non-redundant query. Each carries its redundancy rationale.
 UNGATED: dict[str, str] = {
-    "q5_local_supplier": (
-        "weakest gated hash row of the relational family (5 rows x 2 cols at the"
-        " gate SF); its join classes (multi-dim broadcast + region filter) stay"
-        " gated via q1/q3 and pytest-parity-checked here and in q7/q18 — slot"
-        " given to protein_prefilter_funnel, the reference's own parity metric"
-        " (reference src/sra/comparekmertables.cpp:616-619, blockalign.cpp:465-481)"
-    ),
     # --- round-9 second-lifetime rotation (VERDICT r8 item 2): the 11
     # rows whose ONLY gate tenure was rounds 1-2 (q4_order_priority,
     # parts_without_lineitems, customers_never_ordered, token_count_bpe,
@@ -299,85 +292,6 @@ UNGATED: dict[str, str] = {
     # corpus_curation_funnel, pii_redaction, events_asof_join). All 15
     # keep full DuckDB parity at sf0.001 AND the gate SF in
     # tests/test_oracle_parity.py.
-    "repeat_customers": (
-        "rotated out round 6 after 5 consecutive driver-hash-green rounds; its"
-        " class (groupBy-count HAVING) stays gated via the strict-> HAVING"
-        " prefilter rows (A1) and q18-style semi-joins keep pytest parity"
-    ),
-    "running_order_totals": (
-        "rotated out round 6 after 5 green rounds; the window prefix-sum class"
-        " stays gated via top_suppliers_per_nation (window rank) and"
-        " events_sessionize (event-time windows); total-order tie-break law"
-        " pinned in tests/test_round5_audit.py"
-    ),
-    "events_json_stats": (
-        "rotated out round 6 after 5 green rounds; the JSON parse/quarantine"
-        " class is now gated via events_csv_ingest (rotated in — same"
-        " from_*/corrupt-column accounting design)"
-    ),
-    "events_rollup": (
-        "rotated out round 6 after 5 green rounds; the conditional-aggregation"
-        " rollup class stays gated via events_hourly and the pivot twin keeps"
-        " pytest parity"
-    ),
-    "users_purchase_and_error": (
-        "rotated out round 6 after 5 green rounds; §2.7 set-op semantics stay"
-        " gated via clean_purchase_days (EXCEPT/subtract — the harder"
-        " duplicate-row case); INTERSECT keeps pytest parity at both SFs"
-    ),
-    "doc_prefilter": (
-        "rotated out round 6 after 5 green rounds; the J1 equi-join class keeps"
-        " TWO gate rows (protein_prefilter, dna_prefilter) and the document"
-        " shingle index keeps its own (doc_shingle_index)"
-    ),
-    "dedup_jaccard_pairs": (
-        "rotated out round 6 after 5 green rounds; its verify-before-distinct"
-        " pair kernel is embedded verbatim in the gated dedup_minhash_lsh"
-        " (which verifies every LSH candidate with the same Jaccard expression)"
-    ),
-    "dedup_simhash": (
-        "rotated out round 6 after 5 green rounds; the band-bucket join class"
-        " stays gated via dedup_minhash_lsh; the Hamming-distance kernel is"
-        " pinned on constructed near-pairs in tests/test_parity_ops.py"
-    ),
-    "dedup_clusters": (
-        "rotated out round 6 after 5 green rounds; min-label connected"
-        " components over the gated LSH pair list — convergence and label"
-        " minimality pinned by property tests; parity at both SFs in pytest"
-    ),
-    "embedding_neardup_lsh": (
-        "rotated out round 6 after 4 green rounds; recall-superset relation to"
-        " the gated brute-force embedding_neardup asserted in tests/test_pq.py;"
-        " the banding machinery keeps its dedup_minhash_lsh gate row"
-    ),
-    "audio_features": (
-        "rotated out round 6 after 4 green rounds; the mapInPandas"
-        " opaque-binary codec class keeps its gate row via image_stats; the"
-        " deterministic fake-decode kernel is unit-pinned in"
-        " tests/test_multimodal.py"
-    ),
-    "video_frame_sample": (
-        "rotated out round 6 after 4 green rounds; same mapInPandas codec"
-        " class as image_stats (gated); frame-sampling arithmetic pinned in"
-        " tests/test_multimodal.py"
-    ),
-    "doc_fingerprint": (
-        "rotated out round 6 after 4 green rounds; rolling-hash winnowing over"
-        " the same token machinery as the gated text_quality_stats; the"
-        " FP_MAX_STARTS enumeration-cap law is pinned in"
-        " tests/test_round5_audit.py"
-    ),
-    "tfidf_top_terms": (
-        "rotated out round 6 after 4 green rounds; its idf/postings machinery"
-        " is a strict subset of the gated bm25_search (same tokenize ->"
-        " df -> log arithmetic, same decimal determinism convention)"
-    ),
-    "protein_search_expanded": (
-        "rotated out round 6 after 4 green rounds; a composition of two rows"
-        " that BOTH stay gated (protein_search's staged cascade,"
-        " protein_expand_prefilter's similar-kmer expansion); the expanded-mode"
-        " e2e keeps its scalar-twin golden in tests/test_search_scalar_twin.py"
-    ),
     # --- round-7 gate rotation (VERDICT r6 item 1): the 15 entries below
     # were driver-hash-green for 5-6 consecutive rounds (all since round 1
     # or 2); each yields its slot to a never-gated entry so the driver's
@@ -676,12 +590,118 @@ UNGATED: dict[str, str] = {
         " machinery stays gated via events_anomaly_daily (same day grid) and"
         " the SAX word construction keeps its exact-decimal pytest parity"
     ),
-    "protein_prefilter_sharded": (
-        "NEW in round 9 (mid-round, after the rotation settled): logical"
-        " output duplicates protein_prefilter (shares its oracle verbatim);"
-        " full DuckDB parity at both SFs in pytest from day one, shard-prune"
-        " plan property pinned in tests/test_skew_pruning.py; listed in"
-        " PENDING_FIRST_GATE to take a gate slot at the round-10 rotation"
+    # --- round-10 rotation (VERDICT r9 item 2): protein_prefilter_sharded
+    # takes its first gate slot (PENDING_FIRST_GATE debt from round 9) and
+    # the 16 rows whose last gate tenure is <= round 5 rotate back IN for
+    # a second-lifetime hash (q5_local_supplier r4; audio_features,
+    # dedup_clusters, dedup_jaccard_pairs, dedup_simhash, doc_fingerprint,
+    # doc_prefilter, embedding_neardup_lsh, events_json_stats,
+    # events_rollup, protein_search_expanded, repeat_customers,
+    # running_order_totals, tfidf_top_terms, users_purchase_and_error,
+    # video_frame_sample r5) — their last independent driver hash predates
+    # the portable-hash, admission-law, and F1 valid-run-split changes.
+    # The 17 slots come from the fifteen [7,8,9] three-green-round rows
+    # plus q7_volume_shipping / q18_large_orders (the relational class
+    # regains four fresh rows via this same rotation). The flagship
+    # search cascade (protein_search, protein_search_masked,
+    # protein_prefilter) and corpus_curation_funnel stay pinned. All 17
+    # rotated-out rows keep full DuckDB parity at sf0.001 AND the gate SF
+    # in tests/test_oracle_parity.py.
+    "profile_vs_profile_prefilter": (
+        "rotated out round 10 after 3 green rounds; P5 consensus-reduction"
+        " keeps its argmax-kernel unit pins and the profile family's scalar"
+        " goldens in pytest; the prefilter join class keeps its flagship"
+        " protein_prefilter gate row"
+    ),
+    "semdedup_clusters": (
+        "rotated out round 10 after 3 green rounds; centroid-bucketed"
+        " clustering machinery stays gated via the returning dedup_clusters"
+        " (min-label CC) and the embedding pair kernel via the returning"
+        " embedding_neardup_lsh"
+    ),
+    "phrase_search": (
+        "rotated out round 10 after 3 green rounds; the postings build +"
+        " positional-intersection verify keeps pytest parity at both SFs;"
+        " the idf/ranking family regains a fresh row via the returning"
+        " tfidf_top_terms"
+    ),
+    "embedding_profile": (
+        "rotated out round 10 after 3 green rounds; the per-dimension"
+        " aggregate class keeps pytest parity; the embedding family stays"
+        " gated via embedding_quantize_int8 and the returning"
+        " embedding_neardup_lsh"
+    ),
+    "doc_chunk_overlap": (
+        "rotated out round 10 after 3 green rounds; the window-hash span"
+        " machinery keeps pytest parity at both SFs plus the 1M-doc smoke"
+        " record; the shingle/fingerprint class regains a fresh row via the"
+        " returning doc_fingerprint"
+    ),
+    "kmv_distinct_tokens": (
+        "rotated out round 10 after 3 green rounds; the KMV estimator keeps"
+        " its exact-threshold pytest parity; the distinct-count sketch class"
+        " stays covered in pytest via hll_distinct_tokens (rotated out with"
+        " it) and both keep parity at the gate SF"
+    ),
+    "dedup_blocks": (
+        "rotated out round 10 after 3 green rounds; block-level exact dedup"
+        " reconstruction keeps pytest parity at both SFs; the dedup family"
+        " regains three fresh gate rows via the returning dedup_clusters /"
+        " dedup_jaccard_pairs / dedup_simhash"
+    ),
+    "quality_weighted_sample": (
+        "rotated out round 10 after 3 green rounds; the md5-Bernoulli"
+        " weighted-sampling family stays gated via mixture_sample's sibling"
+        " history and keeps pytest parity at both SFs"
+    ),
+    "image_phash_dedup": (
+        "rotated out round 10 after 3 green rounds; the mapInPandas decode +"
+        " signature + band-join class stays gated via media_catalog /"
+        " image_resize and regains fresh rows via the returning"
+        " audio_features / video_frame_sample"
+    ),
+    "decontaminate_bloom": (
+        "rotated out round 10 after 3 green rounds; the Bloom membership"
+        " modality keeps its superset-of-exact assertion in"
+        " tests/test_corpus.py; decontamination stays gated via"
+        " decontaminate_semantic"
+    ),
+    "events_anomaly_daily": (
+        "rotated out round 10 after 3 green rounds; the daily-series"
+        " rank/moving-stat machinery keeps pytest parity at both SFs; the"
+        " events daily-grid class regains a fresh row via the returning"
+        " events_rollup"
+    ),
+    "table_profile": (
+        "rotated out round 10 after 3 green rounds; the full-table aggregate"
+        " class keeps pytest parity at both SFs and the relational surface"
+        " regains four fresh rows in this same rotation"
+    ),
+    "hll_distinct_tokens": (
+        "rotated out round 10 after 3 green rounds; the HLL register"
+        " arithmetic keeps its exact-decimal pytest parity at both SFs"
+        " alongside its KMV sibling"
+    ),
+    "mixture_sample": (
+        "rotated out round 10 after 3 green rounds; integer-budget mixture"
+        " allocation keeps pytest parity at both SFs; the stateless"
+        " hash-filter sampling family keeps its round-7/8 lifetime hashes"
+    ),
+    "events_type_unpivot": (
+        "rotated out round 10 after 3 green rounds; the unpivot/stack"
+        " machinery keeps pytest parity at both SFs and its pivot twin"
+        " events_type_pivot stays gated"
+    ),
+    "q7_volume_shipping": (
+        "rotated out round 10 after 2 green rounds; the multi-role dimension"
+        " join class stays covered by the four relational rows returning in"
+        " this same rotation (q5_local_supplier's multi-dim join chain"
+        " especially) and keeps pytest parity at both SFs"
+    ),
+    "q18_large_orders": (
+        "rotated out round 10 after 2 green rounds; the HAVING-subquery"
+        " semi-join class stays gated via the returning repeat_customers"
+        " (groupBy-count HAVING) and keeps pytest parity at both SFs"
     ),
 }
 
@@ -690,9 +710,15 @@ UNGATED: dict[str, str] = {
 #: MUST be rotated into the gate at the next rotation (value = round
 #: added). tests/test_gate_ledger.py exempts exactly these names from
 #: the no-never-gated invariant.
-PENDING_FIRST_GATE: dict[str, int] = {
-    "protein_prefilter_sharded": 9,
-}
+PENDING_FIRST_GATE: dict[str, int] = {}
+
+#: The round whose driver artifact does NOT exist yet. Bumped as part
+#: of each round-open rotation edit (tests/test_gate_ledger.py keeps it
+#: in step with the committed CORRECTNESS_r*.json artifacts); the gate
+#: ledger generator anchors on this instead of inferring the round from
+#: artifact files, so a freshly-landed driver artifact cannot shift the
+#: derivation (ADVICE r9 medium).
+CURRENT_ROUND: int = 10
 
 #: driver-gated queries, in registry order
 GATED: list[str] = [n for n in REGISTRY if n not in UNGATED]

@@ -24,10 +24,48 @@ import os
 
 import pytest
 
-from petasearch_spark.registry import GATE_LEDGER, GATED, REGISTRY, UNGATED
+from petasearch_spark.registry import (
+    CURRENT_ROUND,
+    GATE_LEDGER,
+    GATED,
+    REGISTRY,
+    UNGATED,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CURRENT_ROUND = 9
+
+
+def _committed_artifact_rounds() -> dict[int, set[str]]:
+    import glob
+    import re
+
+    rounds: dict[int, set[str]] = {}
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(path))
+        if m:
+            with open(path) as fh:
+                rounds[int(m.group(1))] = set(json.load(fh))
+    return rounds
+
+
+def test_current_round_anchor_in_step_with_artifacts():
+    """registry.CURRENT_ROUND is an explicit constant (ADVICE r9: round
+    inference from artifact files broke at every round boundary). The two
+    legal states: mid-round (newest artifact is CURRENT_ROUND-1) and
+    driver-artifact-just-landed (newest is CURRENT_ROUND and its key set
+    equals the live GATED list — i.e. no rotation edit has happened since
+    without a bump)."""
+    rounds = _committed_artifact_rounds()
+    newest = max(rounds)
+    assert newest in (CURRENT_ROUND - 1, CURRENT_ROUND), (
+        f"newest committed artifact is r{newest} but registry.CURRENT_ROUND"
+        f" is {CURRENT_ROUND} — bump it as part of the round-open rotation"
+    )
+    if newest == CURRENT_ROUND:
+        assert rounds[newest] == set(GATED), (
+            "the current round's driver artifact has landed but GATED was"
+            " edited afterwards — bump registry.CURRENT_ROUND before rotating"
+        )
 
 
 def test_ledger_covers_registry_exactly():
@@ -103,3 +141,52 @@ def test_ledger_module_regenerates_byte_identical():
     assert committed == gen.generate(), (
         "petasearch_spark/gate_ledger.py is stale — rerun scripts/gen_gate_ledger.py"
     )
+
+
+def _load_generator():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_gate_ledger", os.path.join(REPO, "scripts", "gen_gate_ledger.py")
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    return gen
+
+
+def test_regen_stays_byte_identical_when_driver_artifact_lands():
+    """VERDICT r9 item 1: the round boundary must be green. Simulate the
+    driver writing CORRECTNESS_r{CURRENT_ROUND}.json (its key set equals
+    GATED by construction — the driver reads the gate from the registry)
+    and assert the regeneration is STILL byte-identical to the committed
+    module, i.e. the suite does not flip red when the artifact lands."""
+    gen = _load_generator()
+    real = gen.committed_rounds()
+    assert CURRENT_ROUND not in real or real[CURRENT_ROUND] == set(GATED)
+    boundary = dict(real)
+    boundary[CURRENT_ROUND] = set(GATED)
+    gen.committed_rounds = lambda: boundary
+    with open(os.path.join(REPO, "petasearch_spark", "gate_ledger.py")) as fh:
+        committed = fh.read()
+    assert gen.generate() == committed, (
+        "a freshly-landed driver artifact changed the ledger derivation —"
+        " the round boundary would open red"
+    )
+
+
+def test_regen_fails_loudly_on_unbumped_rotation():
+    """If a rotation edit happens AFTER the current round's artifact lands
+    but BEFORE the CURRENT_ROUND bump, the generator must refuse rather
+    than record a fictitious tenure (ADVICE r9 medium)."""
+    gen = _load_generator()
+    boundary = dict(gen.committed_rounds())
+    boundary[CURRENT_ROUND] = set(GATED) ^ {"q1_pricing_summary"}
+    gen.committed_rounds = lambda: boundary
+    with pytest.raises(SystemExit, match="CURRENT_ROUND"):
+        gen.generate()
+    ahead = dict(boundary)
+    ahead.pop(CURRENT_ROUND)
+    ahead[CURRENT_ROUND + 1] = set(GATED)
+    gen.committed_rounds = lambda: ahead
+    with pytest.raises(SystemExit, match="bump CURRENT_ROUND"):
+        gen.generate()
