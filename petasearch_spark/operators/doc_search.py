@@ -451,14 +451,18 @@ def protein_prefilter_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sharded_index_path(sf_dir: str) -> str:
-    """Content-keyed staging path for the sharded index layout (same
-    fingerprint convention as the streaming fixture staging — a
-    regenerated documents.parquet invalidates the layout)."""
+    """Content-keyed staging root for the sharded INTERACTIVE layout
+    (same fingerprint convention as the streaming fixture staging — a
+    regenerated documents.parquet invalidates the layout). Since round
+    10 the root holds TWO datasets: ``index/`` (k-mer shards, kshard
+    partitioning) and ``seqs/`` (the sequence store, sshard
+    partitioning), each with its own in-directory ``_ps_meta`` sidecar,
+    so one atomic publish covers everything an interactive probe needs."""
     import tempfile
 
     from petasearch_spark.streaming.stateful import source_fingerprint
 
-    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"), "sharded-v1")
+    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"), "sharded-v2")
     return os.path.join(tempfile.gettempdir(), f"ps_sharded_idx_{fp}")
 
 
@@ -468,25 +472,93 @@ def _sharded_index_path(sf_dir: str) -> str:
 SHARDED_NUM_SHARDS = 256
 
 
+def _build_sharded_layout(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Write BOTH halves of the interactive layout under ``out_dir``:
+    the kmer-sharded index (``index/``) and the seq_id-sharded sequence
+    store (``seqs/``, round 10 — carries db_residues for e-value parity
+    with the batch path). One derived-sequences pass feeds both."""
+    from petasearch_spark.operators.kmer_index import (
+        build_kmer_index,
+        write_kmer_index_sharded,
+        write_sequence_store_sharded,
+    )
+
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source").persist()
+    try:
+        write_kmer_index_sharded(
+            build_kmer_index(seqs),
+            os.path.join(out_dir, "index"),
+            num_shards=SHARDED_NUM_SHARDS,
+        )
+        write_sequence_store_sharded(
+            seqs, os.path.join(out_dir, "seqs"), num_shards=SHARDED_NUM_SHARDS
+        )
+    finally:
+        seqs.unpersist()
+
+
+def _ensure_sharded_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Return the published layout root, building it first if absent —
+    via the claim-by-rename staging protocol (streaming.stateful.
+    staged_cache), so a reader can never observe a half-written layout
+    (ADVICE r9: the old bare isdir admission raced a concurrent
+    mode=overwrite build)."""
+    from petasearch_spark.streaming.stateful import staged_cache
+
+    return staged_cache(
+        _sharded_index_path(sf_dir),
+        lambda tmp: _build_sharded_layout(spark, sf_dir, tmp),
+    )
+
+
 def protein_prefilter_sharded_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ONE-TIME build of the SHARDED index layout (round 9): the
-    INTERACTIVE-probe shape — directory-partitioned by kmer % 256 so a
-    small query batch reads only the shards its k-mers hash to
+    """ONE-TIME build of the SHARDED interactive layout (round 9; round
+    10 adds the sequence store): directory-partitioned by kmer % 256 so
+    a small query batch reads only the shards its k-mers hash to
     (kmer_index.write_kmer_index_sharded). Complements the bucketed
     layout: bucketed = zero-shuffle joins for LARGE query batches;
     sharded = I/O proportional to the QUERY for small/interactive ones
     (the reference's own headline use-case — a few proteins against a
-    huge SRA index, README.md:1-3)."""
-    from petasearch_spark.operators.kmer_index import (
-        build_kmer_index,
-        write_kmer_index_sharded,
-    )
+    huge SRA index, README.md:1-3). As a bench entry (k125) this ALWAYS
+    performs the full write — into a pid-unique sibling, published by
+    rename only if no complete layout is live (discarded otherwise), so
+    the timing stays honest and concurrent readers never see a torn
+    overwrite (ADVICE r9)."""
+    import shutil
 
-    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
-    seqs = derived_sequences(docs).drop("source")
-    path = _sharded_index_path(sf_dir)
-    write_kmer_index_sharded(build_kmer_index(seqs), path, num_shards=SHARDED_NUM_SHARDS)
-    return spark.createDataFrame([(path,)], "path string")
+    root = _sharded_index_path(sf_dir)
+    tmp = f"{root}.build{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        _build_sharded_layout(spark, sf_dir, tmp)
+        os.rename(tmp, root)
+    except OSError:
+        # rename onto an existing dir fails: a complete layout is already
+        # published (same content fingerprint) — keep it, drop ours
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(root):
+            raise
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return spark.createDataFrame([(root,)], "path string")
+
+
+def _sharded_pruned_pairs(spark: SparkSession, root: str, qk) -> DataFrame:
+    """Shard-pruned prefilter core: ONE persisted query-k-mer frame
+    serves both the shard-list collect (the prune mechanism) and the
+    probe side of the join (VERDICT r9 item 4 — unpersisted, the
+    mapInPandas extraction ran twice; the persist is released by the
+    caller's clearCache / session teardown, the plans/search.py
+    convention)."""
+    from petasearch_spark.operators.kmer_index import read_kmer_index_pruned
+    from petasearch_spark.operators.prefilter import prefilter
+
+    qk = qk.persist()
+    return prefilter(
+        qk, read_kmer_index_pruned(spark, os.path.join(root, "index"), qk)
+    )
 
 
 def protein_prefilter_sharded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,19 +567,13 @@ def protein_prefilter_sharded_query(spark: SparkSession, sf_dir: str) -> DataFra
     Output is identical to protein_prefilter (integer and string k-mer
     paths are bijective), so the combined registry entry shares its
     DuckDB oracle; builds the layout first if missing."""
-    from petasearch_spark.operators.kmer_index import (
-        extract_query_kmers,
-        read_kmer_index_pruned,
-    )
-    from petasearch_spark.operators.prefilter import prefilter
+    from petasearch_spark.operators.kmer_index import extract_query_kmers
 
-    path = _sharded_index_path(sf_dir)
-    if not os.path.isdir(path):
-        protein_prefilter_sharded_build(spark, sf_dir)
+    root = _ensure_sharded_layout(spark, sf_dir)
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     seqs = derived_sequences(docs).drop("source")
     qk = extract_query_kmers(seqs.filter(F.col("seq_id") % 20 == 0))
-    pairs = prefilter(qk, read_kmer_index_pruned(spark, path, qk))
+    pairs = _sharded_pruned_pairs(spark, root, qk)
     return (
         pairs.groupBy("query_id", "target_id")
         .agg(F.count(F.lit(1)).alias("n_matches"))
@@ -520,19 +586,13 @@ def protein_prefilter_sharded_probe1(spark: SparkSession, sf_dir: str) -> DataFr
     probed against the on-disk index — the pruned scan touches only the
     shards this query's ~190 k-mers hash to (bench-only entry; the
     full-batch twin above carries the oracle)."""
-    from petasearch_spark.operators.kmer_index import (
-        extract_query_kmers,
-        read_kmer_index_pruned,
-    )
-    from petasearch_spark.operators.prefilter import prefilter
+    from petasearch_spark.operators.kmer_index import extract_query_kmers
 
-    path = _sharded_index_path(sf_dir)
-    if not os.path.isdir(path):
-        protein_prefilter_sharded_build(spark, sf_dir)
+    root = _ensure_sharded_layout(spark, sf_dir)
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     seqs = derived_sequences(docs).drop("source")
     qk = extract_query_kmers(seqs.filter(F.col("seq_id") == 0))
-    pairs = prefilter(qk, read_kmer_index_pruned(spark, path, qk))
+    pairs = _sharded_pruned_pairs(spark, root, qk)
     return (
         pairs.groupBy("query_id", "target_id")
         .agg(F.count(F.lit(1)).alias("n_matches"))
@@ -546,6 +606,76 @@ def protein_prefilter_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shares its oracle)."""
     protein_prefilter_sharded_build(spark, sf_dir)
     return protein_prefilter_sharded_query(spark, sf_dir)
+
+
+def _sharded_search(spark: SparkSession, sf_dir: str, query_pred) -> DataFrame:
+    """Interactive END-TO-END search against the on-disk sharded layout
+    (VERDICT r9 item 3 — the reference's headline use-case is a few
+    proteins vs a huge SRA index, /root/reference/README.md:1-3, run as
+    the full pipeline data/petasearch.sh:42-65, not prefilter alone).
+    Every corpus-sized input is pruned to the query:
+
+      1. k-mer probe reads only the shards the query's k-mers hash to
+         (read_kmer_index_pruned — INSET partition filter);
+      2. the candidate ids from the prefilter funnel (bounded by
+         queries x candidates, the same bound as the reference's
+         max_seqs cap) prune the J4 sequence fetch to their sshard
+         directories (read_sequence_store_pruned);
+      3. db_residues for the e-value comes from the store's sidecar —
+         computed once at build time over the WHOLE corpus, so e-values
+         (and hence the funnel) match the batch path exactly.
+
+    Output schema + ordering match protein_search (the batch flagship),
+    whose oracle the registry entry shares."""
+    from petasearch_spark.operators.align import align_pairs
+    from petasearch_spark.operators.kmer_index import (
+        extract_query_kmers,
+        read_sequence_store_meta,
+        read_sequence_store_pruned,
+    )
+
+    root = _ensure_sharded_layout(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source")
+    # the query side IS the user's input in the interactive case — tiny
+    # by definition; here it is carved out of the corpus so the result
+    # is comparable to the batch flagship
+    queries = seqs.filter(query_pred)
+    qk = extract_query_kmers(queries)
+    # persisted so the candidate-id collect below and the align lineage
+    # share one prefilter computation (and qk inside shares one extract)
+    pairs = _sharded_pruned_pairs(spark, root, qk).persist()
+    candidate_ids = [
+        int(r["target_id"]) for r in pairs.select("target_id").distinct().collect()
+    ]
+    store = os.path.join(root, "seqs")
+    targets = read_sequence_store_pruned(spark, store, candidate_ids)
+    db_residues = int(read_sequence_store_meta(spark, store)["db_residues"]) or 1
+    res = align_pairs(pairs, queries, targets, db_residues=db_residues)
+    return res.orderBy(
+        "query_id", "evalue", F.desc("bits"), "tlen", "target_id"
+    ).select(
+        "query_id", "target_id", "query_accession", "target_accession",
+        "raw", "alnlen", "nident", "mismatch", "gapopen",
+        "qstart", "qend", "qlen", "tstart", "tend", "tlen",
+    )
+
+
+def protein_search_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full search cascade through the SHARDED interactive layout —
+    same query set and output as protein_search (shares its regression
+    golden oracle; any drift between the pruned and full-scan paths
+    breaks the driver's value hash), but index scan AND sequence fetch
+    are partition-pruned to the query (plan-pinned in
+    tests/test_skew_pruning.py)."""
+    return _sharded_search(spark, sf_dir, F.col("seq_id") % 20 == 0)
+
+
+def protein_search_sharded_probe1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE query end-to-end against the on-disk layout — the interactive
+    latency shape (bench-only entry; the full-batch twin above carries
+    the oracle)."""
+    return _sharded_search(spark, sf_dir, F.col("seq_id") == 0)
 
 
 #: committed golden parquets (regenerate: python scripts/gen_goldens.py)

@@ -26,6 +26,7 @@ only from repeated k-mers, which this very aggregation collapses.
 
 from __future__ import annotations
 
+import json
 from typing import Iterator
 
 import numpy as np
@@ -176,9 +177,14 @@ def write_kmer_index_sharded(index: DataFrame, path: str, num_shards: int = 1024
     right for large batches, wrong for one protein) and reading
     ~n_query_kmers/num_shards of the index. Within each shard the rows
     stay kmer-sorted (row-group min/max stats remain usable). Shard
-    count rides a 1-row ``<path>_meta`` parquet so readers never guess
-    it from directory listings (an empty shard at small SF would
-    undercount)."""
+    count rides a 1-row ``_ps_meta`` parquet INSIDE the dataset directory
+    (underscore-prefixed names are invisible to Spark's file listing, the
+    ``_SUCCESS`` convention) so readers never guess it from directory
+    listings (an empty shard at small SF would undercount) AND data+meta
+    travel as ONE directory — a publish-by-rename staging (ADVICE r9:
+    the old ``<path>_meta`` sibling could pair new shards with an old
+    modulus mid-rewrite) moves them atomically together; mid-write a
+    reader finds no meta and fails loudly instead of mis-pruning."""
     (
         index.withColumn(
             "kshard", F.pmod(F.col("kmer"), F.lit(num_shards)).cast("int")
@@ -192,7 +198,7 @@ def write_kmer_index_sharded(index: DataFrame, path: str, num_shards: int = 1024
     )
     index.sparkSession.createDataFrame(
         [(int(num_shards),)], "num_shards int"
-    ).coalesce(1).write.mode("overwrite").parquet(path + "_meta")
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_ps_meta")
 
 
 def read_kmer_index_pruned(spark, path: str, query_kmers: DataFrame) -> DataFrame:
@@ -204,7 +210,7 @@ def read_kmer_index_pruned(spark, path: str, query_kmers: DataFrame) -> DataFram
     min(num_shards, distinct query k-mers) integers (the interactive
     case this layout serves is a handful of queries), never by corpus
     size. Returns the standard index schema (kmer, seq_id, seq_len)."""
-    num_shards = int(spark.read.parquet(path + "_meta").head()["num_shards"])
+    num_shards = int(spark.read.parquet(path + "/_ps_meta").head()["num_shards"])
     shards = [
         int(r["s"])
         for r in query_kmers.select(
@@ -221,6 +227,73 @@ def read_kmer_index_pruned(spark, path: str, query_kmers: DataFrame) -> DataFram
         .parquet(path)
         .filter(F.col("kshard").isin(shards))
         .select("kmer", "seq_id", "seq_len")
+    )
+
+
+def write_sequence_store_sharded(seqs: DataFrame, path: str, num_shards: int = 256) -> None:
+    """Persist a SEQUENCE STORE directory-partitioned by ``sshard =
+    seq_id % num_shards`` — the fetch-side twin of the sharded k-mer
+    index (round 10): after a shard-pruned prefilter yields candidate
+    target ids, the J4 sequence fetch reads only the shards those ids
+    hash to instead of scanning the corpus (the reference fetches
+    candidates by offset into the target DB, never a full pass —
+    /root/reference/src/sra/blockalign.cpp:387-417). The ``_ps_meta``
+    sidecar (inside the directory, so a publish-by-rename moves data+meta
+    atomically) carries the modulus, the store's schema, and
+    ``db_residues`` — the CORPUS-total residue count the e-value
+    normalization needs (reference keeps it in the DB header); computing
+    it at query time from a pruned fetch would skew e-values, and from
+    the full store would defeat the prune."""
+    spark = seqs.sparkSession
+    db_residues = int(seqs.agg(F.sum(F.length("sequence"))).collect()[0][0] or 0)
+    (
+        seqs.withColumn("sshard", F.pmod(F.col("seq_id"), F.lit(num_shards)).cast("int"))
+        .repartition(F.col("sshard"))
+        .sortWithinPartitions("seq_id")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("sshard")
+        .parquet(path)
+    )
+    spark.createDataFrame(
+        [(int(num_shards), db_residues, seqs.schema.json())],
+        "num_shards int, db_residues long, schema_json string",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_ps_meta")
+
+
+def read_sequence_store_meta(spark, path: str) -> dict:
+    """The sequence store's sidecar as a plain dict (num_shards,
+    db_residues, schema_json). A missing sidecar means the store is
+    mid-write or absent — loud AnalysisException, never a silent
+    mis-prune."""
+    row = spark.read.parquet(path + "/_ps_meta").head()
+    return {k: row[k] for k in ("num_shards", "db_residues", "schema_json")}
+
+
+def read_sequence_store_pruned(spark, path: str, seq_ids: list[int]) -> DataFrame:
+    """Read the sharded sequence store pruned to the given candidate ids:
+    an INSET partition filter on ``sshard`` prunes directories and the
+    pushed ``seq_id IN`` filter prunes row groups within them, so fetch
+    I/O is proportional to the CANDIDATE set (itself bounded by the
+    prefilter funnel), not the corpus. ``seq_ids`` comes from a
+    driver-side collect bounded by queries x candidates-per-query — the
+    interactive case this layout serves — mirroring
+    read_kmer_index_pruned's bounded shard-list collect. The explicit
+    schema (from the sidecar) keeps the empty-corpus law: 0 rows, never
+    an AnalysisException on an empty partitioned dataset."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    meta = read_sequence_store_meta(spark, path)
+    num_shards = int(meta["num_shards"])
+    ids = sorted({int(i) for i in seq_ids})
+    shards = sorted({i % num_shards for i in ids})
+    schema = StructType.fromJson(json.loads(meta["schema_json"]))
+    schema = StructType(list(schema.fields) + [StructField("sshard", IntegerType())])
+    return (
+        spark.read.schema(schema)
+        .parquet(path)
+        .filter(F.col("sshard").isin(shards) & F.col("seq_id").isin(ids))
+        .drop("sshard")
     )
 
 

@@ -97,6 +97,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # alignment kernel is not SQL-derivable: oracle = committed regression
     # golden (scripts/gen_goldens.py), value-hash pins the full cascade
     "protein_search": (doc_search.protein_search, doc_search.PROTEIN_SEARCH_SQL),
+    # the full cascade through the SHARDED interactive layout (round 10):
+    # pruned index scan + pruned sequence fetch + sidecar db_residues —
+    # same output as protein_search, so it shares the regression golden;
+    # any pruning bug (missed shard, torn meta) breaks the value hash
+    "protein_search_sharded": (doc_search.protein_search_sharded, doc_search.PROTEIN_SEARCH_SQL),
     "protein_search_expanded": (doc_search.protein_search_expanded, doc_search.PROTEIN_SEARCH_EXPANDED_SQL),
     # the full cascade under the reference's DEFAULT --mask 1: tantan ->
     # F1 suppression -> extract -> align, pinned by a regression golden
@@ -703,6 +708,15 @@ UNGATED: dict[str, str] = {
         " semi-join class stays gated via the returning repeat_customers"
         " (groupBy-count HAVING) and keeps pytest parity at both SFs"
     ),
+    "protein_search_sharded": (
+        "NEW in round 10 (mid-round, after the rotation settled): the full"
+        " cascade through the sharded interactive layout — logical output"
+        " duplicates protein_search (shares its regression-golden oracle"
+        " verbatim); full DuckDB parity at both SFs in pytest from day one,"
+        " the pruned-fetch plan + batch-equality pinned in"
+        " tests/test_skew_pruning.py; listed in PENDING_FIRST_GATE to take a"
+        " gate slot at the round-11 rotation"
+    ),
 }
 
 #: Queries registered AFTER the current round's rotation settled: they
@@ -710,7 +724,9 @@ UNGATED: dict[str, str] = {
 #: MUST be rotated into the gate at the next rotation (value = round
 #: added). tests/test_gate_ledger.py exempts exactly these names from
 #: the no-never-gated invariant.
-PENDING_FIRST_GATE: dict[str, int] = {}
+PENDING_FIRST_GATE: dict[str, int] = {
+    "protein_search_sharded": 10,
+}
 
 #: The round whose driver artifact does NOT exist yet. Bumped as part
 #: of each round-open rotation edit (tests/test_gate_ledger.py keeps it

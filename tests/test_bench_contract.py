@@ -176,11 +176,16 @@ def test_bench_bands_cover_every_key_and_flag_regressions():
     # the next quiet regen
     missing = set(bench.BENCH_KEYS.values()) - set(bands)
     allowed_missing = {bench.BENCH_KEYS[n] for n in (
+        # round-9 sharded-layout trio + round-10 interactive-search pair:
+        # banded at the next quiet-era regen (no quiet window has
+        # appeared since they landed — VERDICT r9 item 5)
         "protein_prefilter_sharded_build",
         "protein_prefilter_sharded_query",
         "protein_prefilter_sharded_probe1",
+        "protein_search_sharded",
+        "protein_search_sharded_probe1",
     )}
-    assert missing <= allowed_missing, f"unbanded keys beyond the round-9 additions: {missing - allowed_missing}"
+    assert missing <= allowed_missing, f"unbanded keys beyond the post-quiet-regen additions: {missing - allowed_missing}"
     assert set(bands) <= set(bench.BENCH_KEYS.values())
     for k, (lo, hi) in bands.items():
         assert 0 <= lo < hi, (k, lo, hi)

@@ -315,10 +315,34 @@ def test_sharded_prefilter_equals_plain_on_constructed(spark, twin_dirs):
         assert plain, f"seed{seed}: vacuous"
 
 
+def test_sharded_search_equals_plain_on_constructed(spark, twin_dirs):
+    """protein_search_sharded (round 10) is DEFINED to produce
+    protein_search's output through the interactive layout — pruned
+    index scan, candidate-pruned sequence fetch, sidecar db_residues
+    (they share a registry oracle); hold that equivalence on the
+    adversarial corpora too, where shard collisions, empty shards, and
+    tiny candidate sets all occur."""
+    for seed in SEARCH_SEEDS:
+        d = twin_dirs[seed]
+        spark.catalog.clearCache()
+        plain = sorted(
+            tuple(r) for r in REGISTRY["protein_search"][0](spark, d).collect()
+        )
+        spark.catalog.clearCache()
+        sharded = sorted(
+            tuple(r)
+            for r in REGISTRY["protein_search_sharded"][0](spark, d).collect()
+        )
+        assert sharded == plain, f"seed{seed}: sharded/plain search drift"
+        assert plain, f"seed{seed}: vacuous"
+        spark.catalog.clearCache()
+
+
 #: every core this module exercises on constructed frames (the golden-
 #: keyed ops test_fuzz_parity excludes) — keep in sync with the
 #: parametrizations above; test_every_registry_core_is_fuzzed uses it
 CONSTRUCTED_TWIN_OPS = {
+    "protein_search_sharded",
     "protein_mask_stats",
     "protein_mask_tantan",
     "protein_expand_prefilter",

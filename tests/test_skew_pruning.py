@@ -188,7 +188,89 @@ def test_sharded_index_empty_query_and_meta(spark, tmp_path):
     seqs = sequences_from_records(spark, [("s0", "ACDEFGHIKLMNPQRSTVWY" * 3)])
     path = str(tmp_path / "tiny_idx")
     write_kmer_index_sharded(build_kmer_index(seqs), path, num_shards=16)
-    assert spark.read.parquet(path + "_meta").head()["num_shards"] == 16
+    # the sidecar lives INSIDE the dataset dir (underscore-hidden from
+    # the data scan) so a publish-by-rename moves data+meta atomically
+    assert spark.read.parquet(path + "/_ps_meta").head()["num_shards"] == 16
     # a sub-k sequence yields no kmers
     empty_qk = extract_query_kmers(sequences_from_records(spark, [("q0", "ACD")]))
     assert read_kmer_index_pruned(spark, path, empty_qk).count() == 0
+
+
+def test_sequence_store_pruned_fetch(spark, tmp_path):
+    """Round-10 fetch-side twin: reading the sharded sequence store with
+    a candidate-id list must (a) return exactly those sequences, (b)
+    carry an INSET partition filter on sshard (directory pruning) plus a
+    pushed seq_id filter, and (c) return 0 rows for an empty candidate
+    list (no crash)."""
+    import random
+    import re
+
+    from petasearch_spark.operators.kmer_index import (
+        read_sequence_store_meta,
+        read_sequence_store_pruned,
+        write_sequence_store_sharded,
+    )
+    from petasearch_spark.sources.fasta import sequences_from_records
+
+    rng = random.Random(10)
+    seqs = sequences_from_records(
+        spark,
+        [
+            (f"s{i}", "".join(rng.choice("ACDEFGHIKLMNPQRSTVWY") for _ in range(40)))
+            for i in range(50)
+        ],
+    )
+    path = str(tmp_path / "seq_store")
+    write_sequence_store_sharded(seqs, path, num_shards=16)
+
+    meta = read_sequence_store_meta(spark, path)
+    assert meta["num_shards"] == 16
+    assert meta["db_residues"] == 50 * 40  # corpus total, not a sample
+
+    ids = [3, 19, 36]  # 3 and 19 collide on shard 3 (dedup matters); 36 -> 4
+    got = read_sequence_store_pruned(spark, path, ids)
+    assert sorted(r["seq_id"] for r in got.collect()) == ids
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*sshard#\d+ IN", plan), plan[:2000]
+    assert "seq_id" in plan.split("PushedFilters")[1][:200], plan[:2000]
+
+    assert read_sequence_store_pruned(spark, path, []).count() == 0
+
+
+def test_sharded_search_end_to_end_matches_batch_and_prunes_fetch(spark):
+    """VERDICT r9 item 3: the interactive sharded SEARCH must (a) equal
+    the batch flagship protein_search row-for-row (same queries, same
+    corpus — the pruned index scan, pruned sequence fetch, and
+    sidecar-carried db_residues change the I/O, never the values), and
+    (b) execute with BOTH prunes visible in the plan: kshard INSET on
+    the index scan, sshard INSET on the sequence fetch, and exactly ONE
+    MapInPandas stage (the alignment kernel — the query-k-mer extraction
+    is persisted and served from cache, VERDICT r9 item 4)."""
+    import re
+
+    from petasearch_spark.operators.doc_search import (
+        protein_search,
+        protein_search_sharded,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+    sharded = protein_search_sharded(spark, sf)
+    plan = sharded._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[kshard#\d+ INSET", plan), plan[:3000]
+    assert re.search(r"PartitionFilters: \[[^\]]*sshard#\d+ IN", plan), plan[:3000]
+    # VERDICT r9 item 4: the query-k-mer extraction feeds the probe from
+    # CACHE (InMemoryTableScan over (query_id, kmer, pos)) — one
+    # mapInPandas execution per batch, not one per consumer (the
+    # MapInPandas text still appearing deeper in the string is the
+    # cached relation's build plan, printed but not re-executed); the
+    # prefilter pairs are likewise served from cache to both the
+    # candidate-id collect and the align lineage
+    assert re.search(r"InMemoryTableScan \[query_id#\d+L?, kmer#\d+L?, pos#\d+\]", plan), plan[:3000]
+    assert re.search(r"InMemoryTableScan \[target_id#\d+L?, query_id#\d+L?, kmer#\d+L?, pos#\d+", plan), plan[:3000]
+
+    got = [tuple(r) for r in sharded.collect()]
+    spark.catalog.clearCache()
+    want = [tuple(r) for r in protein_search(spark, sf).collect()]
+    assert got == want and len(got) > 0
+    spark.catalog.clearCache()
