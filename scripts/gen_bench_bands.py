@@ -49,6 +49,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
@@ -103,7 +104,9 @@ def main(argv: list[str]) -> None:
             round(0.2 * vals[0], 2),
             round(max(1.4 * vals[-1], vals[-1] + 0.4), 2),
         ]
-        centers[key] = round(vals[len(vals) // 2], 2)
+        # true median (ADVICE r9: the upper-middle element biased centers
+        # high on even sample counts — same fix as bench.era_coefficient)
+        centers[key] = round(statistics.median(vals), 2)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "BENCH_BANDS.json")
     meta = {
         "law": "lo=0.2*min(warm quiet samples); hi=max(1.4*max, max+0.4s)",

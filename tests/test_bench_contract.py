@@ -15,25 +15,31 @@ import bench
 REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 
-def _encode(values: dict) -> str:
+def _encode(values: dict, with_oob: bool = True) -> str:
     # model EVERY field the real line can carry at its worst case —
     # ADVICE r8: warmup_s/warmup_failed were emitted but missing here, so
-    # the pinned budget understated the real envelope by ~17-35 bytes
-    return json.dumps(
-        {
-            "metric": "bench_total_seconds",
-            "value": 99999.99,
-            "unit": "sec",
-            "key_map": "BENCH_KEYS.json",
-            "queries": values,
-            "sf": 0.1,
-            "warmup_s": 9999.9,
-            "era": 4.0,
-            "probe_mps": [99999.0, 99999.0],
-            "warmup_failed": len(bench.WARMUP_QUERIES),
-        },
-        separators=(",", ":"),
-    )
+    # the pinned budget understated the real envelope by ~17-35 bytes;
+    # with_oob mirrors bench.py's last-resort fallback (which drops the
+    # band-flag block to save the per-entry record)
+    rec = {
+        "metric": "bench_total_seconds",
+        "value": 99999.99,
+        "unit": "sec",
+        "key_map": "BENCH_KEYS.json",
+        "queries": values,
+        "sf": 0.1,
+        "warmup_s": 9999.9,
+        "era": 4.0,
+        "probe_mps": [99999.0, 99999.0],
+        "warmup_failed": len(bench.WARMUP_QUERIES),
+    }
+    if with_oob:
+        n = len(bench.BENCH_KEYS)
+        rec["oob"] = [f"k{i}" for i in range(n - 12, n)]  # widest 12 keys
+        rec["oob_n"] = n
+        rec["load1"] = 99.9
+        rec["oob_raw_n"] = n  # ADVICE r9: raw flag count rides the line too
+    return json.dumps(rec, separators=(",", ":"))
 
 
 def test_bench_json_line_fits_driver_capture():
@@ -42,7 +48,8 @@ def test_bench_json_line_fits_driver_capture():
     # 2000-byte buffer even with every entry in the 1000-9999 s range (a
     # pathological stalled run — the 1-decimal model alone missed this,
     # round-4 review finding)
-    fallback = _encode({k: 9999 for k in keys})
+    # bench.py's true last resort drops the oob block (with_oob=False)
+    fallback = _encode({k: 9999 for k in keys}, with_oob=False)
     assert len(fallback) <= 1990, (
         f"bench JSON line would be {len(fallback)} chars even at integer "
         f"precision; trim BENCH_QUERIES (see bench.py MAX_LINE note)"
