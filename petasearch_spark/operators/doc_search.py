@@ -545,17 +545,23 @@ def protein_prefilter_sharded_build(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame([(root,)], "path string")
 
 
-def _sharded_pruned_pairs(spark: SparkSession, root: str, qk) -> DataFrame:
+def _sharded_pruned_pairs(
+    spark: SparkSession, root: str, qk, persisted: list | None = None
+) -> DataFrame:
     """Shard-pruned prefilter core: ONE persisted query-k-mer frame
     serves both the shard-list collect (the prune mechanism) and the
     probe side of the join (VERDICT r9 item 4 — unpersisted, the
-    mapInPandas extraction ran twice; the persist is released by the
-    caller's clearCache / session teardown, the plans/search.py
-    convention)."""
+    mapInPandas extraction ran twice). The persist is released by the
+    caller's clearCache / session teardown (the plans/search.py
+    convention) — or, when ``persisted`` is given (the streaming probe's
+    flat-cache contract, streaming/ann_stream.py), tracked there for
+    per-batch release."""
     from petasearch_spark.operators.kmer_index import read_kmer_index_pruned
     from petasearch_spark.operators.prefilter import prefilter
 
     qk = qk.persist()
+    if persisted is not None:
+        persisted.append(qk)
     return prefilter(
         qk, read_kmer_index_pruned(spark, os.path.join(root, "index"), qk)
     )
@@ -627,6 +633,27 @@ def _sharded_search(spark: SparkSession, sf_dir: str, query_pred) -> DataFrame:
 
     Output schema + ordering match protein_search (the batch flagship),
     whose oracle the registry entry shares."""
+    root = _ensure_sharded_layout(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source")
+    # the query side IS the user's input in the interactive case — tiny
+    # by definition; here it is carved out of the corpus so the result
+    # is comparable to the batch flagship
+    return sharded_search_queries(spark, sf_dir, seqs.filter(query_pred), root=root)
+
+
+def sharded_search_queries(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame,
+    root: str | None = None,
+    persisted: list | None = None,
+) -> DataFrame:
+    """The interactive cascade for an ARBITRARY query-sequence frame —
+    the core both the batch registry entries and the streaming probe
+    (streaming/search_stream.py) run, so the two paths cannot drift.
+    ``persisted`` follows the streaming flat-cache contract: every frame
+    this call persists is appended there for per-batch release."""
     from petasearch_spark.operators.align import align_pairs
     from petasearch_spark.operators.kmer_index import (
         extract_query_kmers,
@@ -634,17 +661,14 @@ def _sharded_search(spark: SparkSession, sf_dir: str, query_pred) -> DataFrame:
         read_sequence_store_pruned,
     )
 
-    root = _ensure_sharded_layout(spark, sf_dir)
-    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
-    seqs = derived_sequences(docs).drop("source")
-    # the query side IS the user's input in the interactive case — tiny
-    # by definition; here it is carved out of the corpus so the result
-    # is comparable to the batch flagship
-    queries = seqs.filter(query_pred)
+    if root is None:
+        root = _ensure_sharded_layout(spark, sf_dir)
     qk = extract_query_kmers(queries)
     # persisted so the candidate-id collect below and the align lineage
     # share one prefilter computation (and qk inside shares one extract)
-    pairs = _sharded_pruned_pairs(spark, root, qk).persist()
+    pairs = _sharded_pruned_pairs(spark, root, qk, persisted=persisted).persist()
+    if persisted is not None:
+        persisted.append(pairs)
     candidate_ids = [
         int(r["target_id"]) for r in pairs.select("target_id").distinct().collect()
     ]

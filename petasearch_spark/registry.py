@@ -34,7 +34,7 @@ from petasearch_spark.operators import (
     text,
 )
 from petasearch_spark.sources import csv_events
-from petasearch_spark.streaming import events_stream, ingest_stream, stateful
+from petasearch_spark.streaming import events_stream, ingest_stream, search_stream, stateful
 from petasearch_spark.streaming.ann_stream import (
     ann_ivf_stream_topk as _ann_ivf_stream_topk,
     ann_stream_topk as _ann_stream_topk,
@@ -265,6 +265,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # the wide->long inverse: native unpivot/stack melt (zero-shuffle
     # projection; the pivot's agg is the only shuffle in the round trip)
     "events_type_unpivot": (events.events_type_unpivot, events.EVENTS_TYPE_UNPIVOT_SQL),
+    # round 10: streaming interactive search — query documents as a
+    # stream, each micro-batch through the SAME pruned cascade as the
+    # batch sharded entry (one code path), idempotent per-batch sink;
+    # union over batches == batch answer, so the oracle is
+    # protein_search's verbatim
+    "protein_search_stream": (search_stream.protein_search_stream, doc_search.PROTEIN_SEARCH_SQL),
 }
 
 
@@ -717,6 +723,14 @@ UNGATED: dict[str, str] = {
         " tests/test_skew_pruning.py; listed in PENDING_FIRST_GATE to take a"
         " gate slot at the round-11 rotation"
     ),
+    "protein_search_stream": (
+        "NEW in round 10 (mid-round): the streaming twin of the interactive"
+        " cascade — per-micro-batch probes through the SAME"
+        " sharded_search_queries core as the batch entry, idempotent"
+        " per-batch sink; shares protein_search's oracle verbatim (union"
+        " over batches == batch answer). Full pytest parity from day one;"
+        " listed in PENDING_FIRST_GATE for the round-11 rotation"
+    ),
 }
 
 #: Queries registered AFTER the current round's rotation settled: they
@@ -726,6 +740,7 @@ UNGATED: dict[str, str] = {
 #: the no-never-gated invariant.
 PENDING_FIRST_GATE: dict[str, int] = {
     "protein_search_sharded": 10,
+    "protein_search_stream": 10,
 }
 
 #: The round whose driver artifact does NOT exist yet. Bumped as part

@@ -86,21 +86,28 @@ def main() -> None:
     out["ctas_sort_nodes"] = plan.count("Sort ")
     sys.stderr.write(plan[:4000] + "\n")
 
-    # --- 2a. as shipped: agg at 256 shuffle partitions -> bucketed write
-    t0 = time.time()
-    write_kmer_index_bucketed(build_kmer_index(seqs), "r10_fusion_a", NUM_BUCKETS)
-    out["as_shipped_s"] = round(time.time() - t0, 1)
-    out["as_shipped_layout"] = bucket_file_stats(spark, "r10_fusion_a")
+    # --- 2. interleaved A/B/A/B timings (the burst-class host drifts on
+    # the scale of one run — back-to-back single timings are not an A/B,
+    # BASELINE.md round-8/9 era notes)
+    def variant_a():
+        write_kmer_index_bucketed(build_kmer_index(seqs), "r10_fusion_a", NUM_BUCKETS)
 
-    # --- 2b. fused/aligned: repartition the agg output to the bucket
-    # hash before writing (task == bucket -> exactly one file per bucket)
-    t0 = time.time()
-    write_kmer_index_bucketed(
-        build_kmer_index(seqs).repartition(NUM_BUCKETS, "kmer"),
-        "r10_fusion_b",
-        NUM_BUCKETS,
-    )
-    out["aligned_s"] = round(time.time() - t0, 1)
+    def variant_b():
+        # explicit repartition to the bucket hash before the write
+        # (task == bucket -> exactly one file per bucket, at the cost of
+        # a second 192M-row exchange and 32-wide final-stage parallelism)
+        write_kmer_index_bucketed(
+            build_kmer_index(seqs).repartition(NUM_BUCKETS, "kmer"),
+            "r10_fusion_b",
+            NUM_BUCKETS,
+        )
+
+    for run in range(2):
+        for name, fn in (("as_shipped", variant_a), ("aligned", variant_b)):
+            t0 = time.time()
+            fn()
+            out.setdefault(f"{name}_s", []).append(round(time.time() - t0, 1))
+    out["as_shipped_layout"] = bucket_file_stats(spark, "r10_fusion_a")
     out["aligned_layout"] = bucket_file_stats(spark, "r10_fusion_b")
 
     # value identity between the two layouts

@@ -315,6 +315,29 @@ def test_sharded_prefilter_equals_plain_on_constructed(spark, twin_dirs):
         assert plain, f"seed{seed}: vacuous"
 
 
+def test_stream_search_equals_plain_on_constructed(spark, twin_dirs):
+    """protein_search_stream (round 10) unions per-micro-batch runs of
+    the SAME sharded_search_queries core over a staged 2-file document
+    stream; each query document lands in exactly one batch and carries
+    no cross-query state, so the union must equal protein_search on the
+    adversarial corpora too (where batches split the query set at an
+    arbitrary content boundary)."""
+    for seed in SEARCH_SEEDS:
+        d = twin_dirs[seed]
+        spark.catalog.clearCache()
+        plain = sorted(
+            tuple(r) for r in REGISTRY["protein_search"][0](spark, d).collect()
+        )
+        spark.catalog.clearCache()
+        streamed = sorted(
+            tuple(r)
+            for r in REGISTRY["protein_search_stream"][0](spark, d).collect()
+        )
+        assert streamed == plain, f"seed{seed}: stream/batch search drift"
+        assert plain, f"seed{seed}: vacuous"
+        spark.catalog.clearCache()
+
+
 def test_sharded_search_equals_plain_on_constructed(spark, twin_dirs):
     """protein_search_sharded (round 10) is DEFINED to produce
     protein_search's output through the interactive layout — pruned
@@ -343,6 +366,7 @@ def test_sharded_search_equals_plain_on_constructed(spark, twin_dirs):
 #: parametrizations above; test_every_registry_core_is_fuzzed uses it
 CONSTRUCTED_TWIN_OPS = {
     "protein_search_sharded",
+    "protein_search_stream",
     "protein_mask_stats",
     "protein_mask_tantan",
     "protein_expand_prefilter",
