@@ -274,3 +274,45 @@ def test_sharded_search_end_to_end_matches_batch_and_prunes_fetch(spark):
     want = [tuple(r) for r in protein_search(spark, sf).collect()]
     assert got == want and len(got) > 0
     spark.catalog.clearCache()
+
+
+def test_sharded_layout_publish_is_race_free(spark, tmp_path, monkeypatch):
+    """ADVICE r9: the old staging overwrote a shared path in place (a
+    reader racing the rewrite could pair new shards with old meta).
+    Pins the new protocol: (a) a missing in-directory meta sidecar fails
+    LOUDLY (mid-write reader), never a silent mis-prune; (b) a rebuild
+    while a complete layout is published discards its own copy and
+    leaves the published inode untouched; (c) no pid-tmp debris
+    survives either way."""
+    import glob
+
+    import pytest as _pytest
+
+    from petasearch_spark.operators import doc_search
+    from petasearch_spark.operators.kmer_index import read_sequence_store_meta
+
+    # (a) loud failure on missing sidecar
+    bare = tmp_path / "no_meta_store"
+    bare.mkdir()
+    with _pytest.raises(Exception) as exc:
+        read_sequence_store_meta(spark, str(bare))
+    assert "PATH_NOT_FOUND" in str(exc.value) or "_ps_meta" in str(exc.value)
+
+    # route the content-keyed root into the test tmpdir
+    root = str(tmp_path / "layout_root")
+    monkeypatch.setattr(doc_search, "_sharded_index_path", lambda sf: root)
+    sf = "/root/testdata/sf0.001"
+
+    published = doc_search._ensure_sharded_layout(spark, sf)
+    assert published == root
+    ino_before = os.stat(root).st_ino
+    idx_files_before = sorted(glob.glob(os.path.join(root, "index", "**", "*.parquet"), recursive=True))
+
+    # (b) explicit rebuild against a live layout: full write happens in a
+    # pid sibling, rename loses, published dir untouched
+    doc_search.protein_prefilter_sharded_build(spark, sf)
+    assert os.stat(root).st_ino == ino_before
+    assert sorted(glob.glob(os.path.join(root, "index", "**", "*.parquet"), recursive=True)) == idx_files_before
+
+    # (c) no .build debris from the losing rename
+    assert glob.glob(root + ".build*") == []
