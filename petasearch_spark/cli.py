@@ -296,11 +296,32 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("target_fasta")
     p.add_argument("index_dir")
     p.add_argument("--k", type=int, default=9)
+    p.add_argument(
+        "--alphabet", choices=("amino", "nucl"), default="amino",
+        help="residue alphabet (the reference branches on dbtype)",
+    )
+    p.add_argument(
+        "--layout", choices=("range", "sharded"), default="range",
+        help="range = kmer-range-partitioned index (large-batch scans);"
+        " sharded = the INTERACTIVE layout (kmer-sharded index + sequence"
+        " store) — searchindex then prunes every scan to the query and"
+        " needs no target_fasta",
+    )
+    p.add_argument(
+        "--num-shards", type=int, default=256,
+        help="directory-shard count for --layout sharded (size so one"
+        " shard ~ one storage block at your corpus scale)",
+    )
 
     p = sub.add_parser("searchindex", help="E3: search against a persisted index")
     p.add_argument("query_fasta")
     p.add_argument("index_dir")
-    p.add_argument("target_fasta")
+    p.add_argument(
+        "target_fasta", nargs="?", default=None,
+        help="target sequences (FASTA/parquet) — required for a range"
+        " index; a sharded layout carries its own sequence store and"
+        " ignores this",
+    )
     p.add_argument("out_dir")
     _add_search_args(p)
 
@@ -378,11 +399,28 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "createindex":
-        from petasearch_spark.operators.kmer_index import build_kmer_index, write_kmer_index
+        from petasearch_spark.functions.kmer import AMINO_ALPHABET
+        from petasearch_spark.operators.kmer_index import (
+            build_kmer_index,
+            write_kmer_index,
+            write_sharded_layout,
+        )
 
+        if args.alphabet == "nucl":
+            from petasearch_spark.functions.scoring import NUCL_ALPHABET
+
+            alpha = NUCL_ALPHABET
+        else:
+            alpha = AMINO_ALPHABET
         seqs = load_target(spark, args.target_fasta)
-        write_kmer_index(build_kmer_index(seqs, k=args.k), args.index_dir)
-        print(json.dumps({"index": args.index_dir, "k": args.k}))
+        if args.layout == "sharded":
+            write_sharded_layout(
+                seqs, args.index_dir, num_shards=args.num_shards, k=args.k,
+                alphabet=alpha,
+            )
+        else:
+            write_kmer_index(build_kmer_index(seqs, k=args.k, alphabet=alpha), args.index_dir)
+        print(json.dumps({"index": args.index_dir, "k": args.k, "layout": args.layout}))
         return 0
 
     from petasearch_spark.plans.search import search, search_multi_target
@@ -392,12 +430,29 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "easy-search":
         res = search(queries, load_target(spark, args.target_fasta), **_search_kwargs(args))
     elif args.cmd == "searchindex":
-        res = search(
-            queries,
-            load_target(spark, args.target_fasta),
-            target_index=spark.read.parquet(args.index_dir),
-            **_search_kwargs(args),
-        )
+        from petasearch_spark.operators.kmer_index import is_sharded_layout
+
+        if is_sharded_layout(args.index_dir):
+            # interactive layout: index scan AND sequence fetch pruned to
+            # the query; e-values from the store's corpus-total sidecar
+            from petasearch_spark.plans.search import search_sharded_layout
+
+            res = search_sharded_layout(queries, args.index_dir, **_search_kwargs(args))
+        else:
+            if args.target_fasta is None:
+                print(
+                    "searchindex: target_fasta is required for a range-layout"
+                    " index (only a sharded layout carries its own sequence"
+                    " store)",
+                    file=sys.stderr,
+                )
+                return 2
+            res = search(
+                queries,
+                load_target(spark, args.target_fasta),
+                target_index=spark.read.parquet(args.index_dir),
+                **_search_kwargs(args),
+            )
     else:  # search (E2)
         from petasearch_spark.sources.targetlist import load_target_sets
 

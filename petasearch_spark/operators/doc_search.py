@@ -473,29 +473,14 @@ SHARDED_NUM_SHARDS = 256
 
 
 def _build_sharded_layout(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
-    """Write BOTH halves of the interactive layout under ``out_dir``:
-    the kmer-sharded index (``index/``) and the seq_id-sharded sequence
-    store (``seqs/``, round 10 — carries db_residues for e-value parity
-    with the batch path). One derived-sequences pass feeds both."""
-    from petasearch_spark.operators.kmer_index import (
-        build_kmer_index,
-        write_kmer_index_sharded,
-        write_sequence_store_sharded,
-    )
+    """Write the interactive layout (kmer_index.write_sharded_layout)
+    over the derived-sequences corpus."""
+    from petasearch_spark.operators.kmer_index import write_sharded_layout
 
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
-    seqs = derived_sequences(docs).drop("source").persist()
-    try:
-        write_kmer_index_sharded(
-            build_kmer_index(seqs),
-            os.path.join(out_dir, "index"),
-            num_shards=SHARDED_NUM_SHARDS,
-        )
-        write_sequence_store_sharded(
-            seqs, os.path.join(out_dir, "seqs"), num_shards=SHARDED_NUM_SHARDS
-        )
-    finally:
-        seqs.unpersist()
+    write_sharded_layout(
+        derived_sequences(docs).drop("source"), out_dir, num_shards=SHARDED_NUM_SHARDS
+    )
 
 
 def _ensure_sharded_layout(spark: SparkSession, sf_dir: str) -> str:
@@ -654,31 +639,15 @@ def sharded_search_queries(
     (streaming/search_stream.py) run, so the two paths cannot drift.
     ``persisted`` follows the streaming flat-cache contract: every frame
     this call persists is appended there for per-batch release."""
-    from petasearch_spark.operators.align import align_pairs
-    from petasearch_spark.operators.kmer_index import (
-        extract_query_kmers,
-        read_sequence_store_meta,
-        read_sequence_store_pruned,
-    )
+    from petasearch_spark.plans.search import search_sharded_layout
 
     if root is None:
         root = _ensure_sharded_layout(spark, sf_dir)
-    qk = extract_query_kmers(queries)
-    # persisted so the candidate-id collect below and the align lineage
-    # share one prefilter computation (and qk inside shares one extract)
-    pairs = _sharded_pruned_pairs(spark, root, qk, persisted=persisted).persist()
-    if persisted is not None:
-        persisted.append(pairs)
-    candidate_ids = [
-        int(r["target_id"]) for r in pairs.select("target_id").distinct().collect()
-    ]
-    store = os.path.join(root, "seqs")
-    targets = read_sequence_store_pruned(spark, store, candidate_ids)
-    db_residues = int(read_sequence_store_meta(spark, store)["db_residues"]) or 1
-    res = align_pairs(pairs, queries, targets, db_residues=db_residues)
-    return res.orderBy(
-        "query_id", "evalue", F.desc("bits"), "tlen", "target_id"
-    ).select(
+    # default knobs = protein_search's (exact mode, no mask, full Gotoh)
+    # so the registry twin shares its golden oracle; the CLI reaches the
+    # full knob surface through search_sharded_layout directly
+    res = search_sharded_layout(queries, root, persisted=persisted)
+    return res.select(
         "query_id", "target_id", "query_accession", "target_accession",
         "raw", "alnlen", "nident", "mismatch", "gapopen",
         "qstart", "qend", "qlen", "tstart", "tend", "tlen",

@@ -261,6 +261,39 @@ def write_sequence_store_sharded(seqs: DataFrame, path: str, num_shards: int = 2
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_ps_meta")
 
 
+def write_sharded_layout(
+    seqs: DataFrame, root: str, num_shards: int = 256, k: int = DEFAULT_K,
+    alphabet: str = AMINO_ALPHABET,
+) -> None:
+    """Write BOTH halves of the interactive layout under ``root``: the
+    kmer-sharded index (``index/``) and the seq_id-sharded sequence
+    store (``seqs/``, round 10 — carries db_residues for e-value parity
+    with the full-scan path). One pass over ``seqs`` feeds both; pair
+    with a publish-by-rename staging (streaming.stateful.staged_cache)
+    when the root is shared."""
+    seqs = seqs.persist()
+    try:
+        write_kmer_index_sharded(
+            build_kmer_index(seqs, k=k, alphabet=alphabet),
+            f"{root}/index",
+            num_shards=num_shards,
+        )
+        write_sequence_store_sharded(seqs, f"{root}/seqs", num_shards=num_shards)
+    finally:
+        seqs.unpersist()
+
+
+def is_sharded_layout(path: str) -> bool:
+    """True iff ``path`` holds the interactive layout (both datasets'
+    in-directory sidecars present — a half-published dir is NOT a
+    layout; the staging protocol prevents one existing)."""
+    import os
+
+    return os.path.isdir(os.path.join(path, "index", "_ps_meta")) and os.path.isdir(
+        os.path.join(path, "seqs", "_ps_meta")
+    )
+
+
 def read_sequence_store_meta(spark, path: str) -> dict:
     """The sequence store's sidecar as a plain dict (num_shards,
     db_residues, schema_json). A missing sidecar means the store is

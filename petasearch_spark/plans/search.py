@@ -79,6 +79,44 @@ def build_query_kmers(
     return qk
 
 
+def _alphabet_params(alphabet: str):
+    """The reference's dbtype branch (comparekmertables.cpp:129-143) —
+    amino (BLOSUM62, 11/1 gaps) or nucleotide (+2/-3 match/mismatch,
+    ACGT codes, N invalid) — shared by the full-scan and sharded-layout
+    cascades so a mode can never drift between them."""
+    if alphabet == "nucl":
+        from petasearch_spark.functions.scoring import (
+            KA_NUCL_GAPPED,
+            KA_NUCL_UNGAPPED,
+            NUCL_ALPHABET,
+            NUCL_MATRIX,
+        )
+
+        return NUCL_ALPHABET, NUCL_MATRIX, KA_NUCL_UNGAPPED, KA_NUCL_GAPPED
+    from petasearch_spark.functions.kmer import AMINO_ALPHABET
+    from petasearch_spark.functions.scoring import BLOSUM62, KA_GAPPED_11_1, KA_UNGAPPED
+
+    return AMINO_ALPHABET, BLOSUM62, KA_UNGAPPED, KA_GAPPED_11_1
+
+
+def _rank_and_order(alignments: DataFrame, max_seqs: int | None) -> DataFrame:
+    """O6 global ordering, with the optional per-query top-k engine
+    extra (absent in the reference, blockalign.cpp:411-414) applied over
+    the same ordering."""
+    if max_seqs is not None:
+        w = Window.partitionBy("query_id").orderBy(
+            "evalue", F.desc("bits"), "tlen", "target_id"
+        )
+        alignments = (
+            alignments.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_seqs)
+            .drop("_rk")
+        )
+    return alignments.orderBy(
+        "query_id", "evalue", F.desc("bits"), "tlen", "target_id"
+    )
+
+
 def search(
     queries: DataFrame,
     targets: DataFrame,
@@ -95,6 +133,7 @@ def search(
     max_seqs: int | None = None,
     xdrop: int | None = None,
     query_kmers: DataFrame | None = None,
+    db_residues: int | None = None,
 ) -> DataFrame:
     """queries/targets: sequences(seq_id, accession, header, sequence).
 
@@ -112,25 +151,7 @@ def search(
     O6 ordering (matcherResultsSort, blockalign.cpp:534-550) made *global*
     instead of per-thread (SURVEY §2.6 notes ours is strictly better).
     """
-    # alphabet mode: the reference's dbtype branch
-    # (comparekmertables.cpp:129-143) — amino (BLOSUM62, 11/1 gaps) or
-    # nucleotide (+2/-3 match/mismatch, ACGT codes, N invalid).
-    if alphabet == "nucl":
-        from petasearch_spark.functions.scoring import (
-            KA_NUCL_GAPPED,
-            KA_NUCL_UNGAPPED,
-            NUCL_ALPHABET,
-            NUCL_MATRIX,
-        )
-
-        alpha, matrix = NUCL_ALPHABET, NUCL_MATRIX
-        ka_u, ka_g = KA_NUCL_UNGAPPED, KA_NUCL_GAPPED
-    else:
-        from petasearch_spark.functions.kmer import AMINO_ALPHABET
-        from petasearch_spark.functions.scoring import BLOSUM62, KA_GAPPED_11_1, KA_UNGAPPED
-
-        alpha, matrix = AMINO_ALPHABET, BLOSUM62
-        ka_u, ka_g = KA_UNGAPPED, KA_GAPPED_11_1
+    alpha, matrix, ka_u, ka_g = _alphabet_params(alphabet)
 
     if target_index is None:
         target_index = build_kmer_index(targets, k=k, alphabet=alpha)
@@ -151,23 +172,72 @@ def search(
     alignments = align_pairs(
         pairs, queries, targets, k=k, max_evalue=max_evalue,
         alphabet=alpha, matrix=matrix, ka_ungapped=ka_u, ka_gapped=ka_g,
-        xdrop=xdrop,
+        xdrop=xdrop, db_residues=db_residues,
     )
-    if max_seqs is not None:
-        # per-query top-k — ABSENT in the reference (every passing hit is
-        # emitted, blockalign.cpp:411-414); offered as an engine feature
-        # (SURVEY §2.6). Window rank over the O6 ordering.
-        w = Window.partitionBy("query_id").orderBy(
-            "evalue", F.desc("bits"), "tlen", "target_id"
-        )
-        alignments = (
-            alignments.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= max_seqs)
-            .drop("_rk")
-        )
-    return alignments.orderBy(
-        "query_id", "evalue", F.desc("bits"), "tlen", "target_id"
+    return _rank_and_order(alignments, max_seqs)
+
+
+def search_sharded_layout(
+    queries: DataFrame,
+    layout_root: str,
+    k: int = DEFAULT_K,
+    req_kmer_matches: int = DEFAULT_REQ_KMER_MATCHES,
+    max_evalue: float = DEFAULT_EVALUE,
+    expand_similar: bool = False,
+    kmer_threshold: int | None = None,
+    kmer_max_per_pos: int | None = None,
+    mask: bool = False,
+    compo_bias: bool = False,
+    alphabet: str = "amino",
+    max_seqs: int | None = None,
+    xdrop: int | None = None,
+    persisted: list | None = None,
+) -> DataFrame:
+    """The full cascade against an on-disk SHARDED interactive layout
+    (``<root>/index`` kmer shards + ``<root>/seqs`` sequence store,
+    round 10): every corpus-sized input is pruned to the query — the
+    index scan by the query's k-mer shards, the J4 sequence fetch by the
+    prefilter's candidate ids, and the e-value normalization reads the
+    store sidecar's corpus-total ``db_residues`` instead of scanning
+    anything. Semantics and output are ``search()``'s exactly (same
+    knobs, same ordering); only the I/O shape differs — 1M-scale record
+    in BASELINE.md round 10. Every frame this call persists goes to
+    ``persisted`` when given (the streaming flat-cache contract);
+    otherwise release is the caller's clearCache, the search()
+    convention."""
+    import os
+
+    from petasearch_spark.operators.kmer_index import (
+        read_kmer_index_pruned,
+        read_sequence_store_meta,
+        read_sequence_store_pruned,
     )
+
+    spark = queries.sparkSession
+    alpha, matrix, ka_u, ka_g = _alphabet_params(alphabet)
+    qk = build_query_kmers(
+        queries, k=k, expand_similar=expand_similar,
+        kmer_threshold=kmer_threshold, kmer_max_per_pos=kmer_max_per_pos,
+        mask=mask, compo_bias=compo_bias, alphabet=alphabet,
+    ).persist()
+    if persisted is not None:
+        persisted.append(qk)
+    idx = read_kmer_index_pruned(spark, os.path.join(layout_root, "index"), qk)
+    pairs = prefilter(qk, idx, req_kmer_matches=req_kmer_matches).persist()
+    if persisted is not None:
+        persisted.append(pairs)
+    candidate_ids = [
+        int(r["target_id"]) for r in pairs.select("target_id").distinct().collect()
+    ]
+    store = os.path.join(layout_root, "seqs")
+    targets = read_sequence_store_pruned(spark, store, candidate_ids)
+    db_residues = int(read_sequence_store_meta(spark, store)["db_residues"]) or 1
+    alignments = align_pairs(
+        pairs, queries, targets, k=k, max_evalue=max_evalue,
+        alphabet=alpha, matrix=matrix, ka_ungapped=ka_u, ka_gapped=ka_g,
+        xdrop=xdrop, db_residues=db_residues,
+    )
+    return _rank_and_order(alignments, max_seqs)
 
 
 def search_multi_target(

@@ -307,3 +307,50 @@ def test_cli_createdb_paired(spark, tmp_path):
         (0, 0, 1), (1, 0, 2), (2, 1, 1), (3, 1, 2),
     ]
     assert rows[1]["accession"] == "a/2"
+
+
+def test_cli_sharded_index_search(spark, tmp_path):
+    """Round-10 interactive CLI: `createindex --layout sharded` writes
+    the index + sequence store; `searchindex` then needs NO target_fasta
+    (the store carries the sequences and the sidecar carries
+    db_residues) and must produce byte-identical m8 to the range-layout
+    path under the SAME knobs — including the reference-default
+    expansion+masking, which exercises the full knob surface through
+    search_sharded_layout."""
+    import random
+
+    from petasearch_spark.cli import main
+
+    rng = random.Random(7)
+    aa = "ACDEFGHIKLMNPQRSTVWY"
+    tf = tmp_path / "t.fa"
+    tf.write_text(
+        "".join(
+            f">t{i} d\n" + "".join(rng.choice(aa) for _ in range(80)) + "\n"
+            for i in range(40)
+        )
+    )
+    qf = tmp_path / "q.fa"
+    qf.write_text(">q0 x\n" + tf.read_text().splitlines()[1] + "\n")
+
+    def m8_bytes(out_dir):
+        return "".join(
+            sorted(
+                open(p).read()
+                for p in glob.glob(os.path.join(str(out_dir), "part-*"))
+            )
+        )
+
+    assert main(["createindex", str(tf), str(tmp_path / "idx_s"),
+                 "--layout", "sharded", "--num-shards", "16"]) == 0
+    assert main(["searchindex", str(qf), str(tmp_path / "idx_s"),
+                 str(tmp_path / "m8_s")]) == 0
+    assert main(["createindex", str(tf), str(tmp_path / "idx_r")]) == 0
+    assert main(["searchindex", str(qf), str(tmp_path / "idx_r"), str(tf),
+                 str(tmp_path / "m8_r")]) == 0
+    got, want = m8_bytes(tmp_path / "m8_s"), m8_bytes(tmp_path / "m8_r")
+    assert got == want and got.startswith("q0\tt0\t1.0")
+
+    # a RANGE index without target_fasta is a loud usage error, not a scan
+    assert main(["searchindex", str(qf), str(tmp_path / "idx_r"),
+                 str(tmp_path / "m8_x")]) == 2
