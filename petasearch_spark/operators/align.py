@@ -554,6 +554,7 @@ def align_pairs(
     ka_ungapped=KA_UNGAPPED,
     ka_gapped=KA_GAPPED_11_1,
     xdrop: int | None = None,
+    kernel_parts: int | None = None,
 ) -> DataFrame:
     """prefilter_pairs(target_id, query_id, kmer, pos) + sequence tables ->
     alignments (FIXTURES.md §1 schema, 1-based coords, query-keyed).
@@ -562,6 +563,14 @@ def align_pairs(
     fetch sequences (query side broadcast — it is the small side in the
     reference's design too, comparekmertables.cpp:387-391), then a
     mapInPandas over independent rows. No other shuffle.
+
+    ``kernel_parts``: upper bound on USEFUL kernel width known to the
+    caller (the kernel stage partitions by target_id, so at most
+    |distinct targets| tasks carry rows). The interactive sharded path
+    passes its candidate count: a 2-candidate probe then runs 2 kernel
+    tasks instead of 2x-parallelism mostly-empty ones, while large
+    batches saturate to the default — never narrower than the data,
+    never wider than the cluster.
     """
     if db_residues is None:
         db_residues = targets.agg(F.sum(F.length("sequence"))).collect()[0][0] or 1
@@ -589,6 +598,8 @@ def align_pairs(
     # batch padding tight AND same-target rows adjacent, so the per-batch
     # encode/k-mer-position cache below hits without growing unboundedly.
     n_parts = 2 * max(1, prefilter_pairs.sparkSession.sparkContext.defaultParallelism)
+    if kernel_parts is not None:
+        n_parts = min(n_parts, max(1, kernel_parts))
     rows = (
         grouped.join(F.broadcast(q), "query_id")
         .join(t, "target_id")

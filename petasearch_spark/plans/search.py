@@ -236,6 +236,10 @@ def search_sharded_layout(
         pairs, queries, targets, k=k, max_evalue=max_evalue,
         alphabet=alpha, matrix=matrix, ka_ungapped=ka_u, ka_gapped=ka_g,
         xdrop=xdrop, db_residues=db_residues,
+        # the kernel partitions by target_id, so |candidates| bounds its
+        # useful width — interactive probes skip the mostly-empty wide
+        # stage; large batches saturate to the default (align_pairs doc)
+        kernel_parts=len(candidate_ids),
     )
     return _rank_and_order(alignments, max_seqs)
 

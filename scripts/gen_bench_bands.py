@@ -6,7 +6,16 @@ driver, the contract test, and the next judge can diff mechanically
 
 Usage:
     python scripts/gen_bench_bands.py sample1.json [sample2.json ...] \
-        [--drop sampleN.json:kM ...] [--centers-only]
+        [--drop sampleN.json:kM ...] [--centers-only] [--era-normalize]
+
+``--era-normalize`` divides every value in a sample by that sample's
+own recorded ``era`` field before banding (samples without the field,
+or with era <= 1, pass through raw). Round-10 use: no genuinely quiet
+window appeared in rounds 8-10 (the calmest sustained era was ~1.35),
+so the round-9/10 samples are folded at their quiet-equivalent levels —
+sound because each sample's era was computed against the round-7 QUIET
+centers, so the division maps observations back onto that scale, and a
+single key's real cost change cannot bend the median-of-~125 era.
 
 ``--drop`` excludes a single known-defective observation — e.g.
 BENCH_r05.json's k44=9.81 s was the diagnosed gopher-persist leak
@@ -57,21 +66,26 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import bench  # noqa: E402
 
 
-def load_sample(path: str) -> dict:
+def load_sample(path: str, era_normalize: bool = False) -> dict:
     with open(path) as f:
         raw = json.load(f)
-    if "queries" in raw:
-        return raw
-    m = re.search(r'\{"metric".*\}', raw.get("tail", ""))
-    if not m:
-        raise SystemExit(f"{path}: neither a bench line nor a driver wrapper")
-    return json.loads(m.group(0))
+    if "queries" not in raw:
+        m = re.search(r'\{"metric".*\}', raw.get("tail", ""))
+        if not m:
+            raise SystemExit(f"{path}: neither a bench line nor a driver wrapper")
+        raw = json.loads(m.group(0))
+    era = raw.get("era") or 1.0
+    if era_normalize and era > 1.0:
+        raw = dict(raw)
+        raw["queries"] = {k: round(v / era, 3) for k, v in raw["queries"].items()}
+    return raw
 
 
 def main(argv: list[str]) -> None:
     paths: list[str] = []
     drops: set[tuple[str, str]] = set()
     centers_only = False
+    era_normalize = False
     it = iter(argv)
     for a in it:
         if a == "--drop":
@@ -85,11 +99,13 @@ def main(argv: list[str]) -> None:
             drops.add((os.path.basename(sample), key))
         elif a == "--centers-only":
             centers_only = True
+        elif a == "--era-normalize":
+            era_normalize = True
         else:
             paths.append(a)
     if not paths:
         raise SystemExit(__doc__)
-    samples = {p: load_sample(p)["queries"] for p in paths}
+    samples = {p: load_sample(p, era_normalize)["queries"] for p in paths}
     for p in samples:
         for sample, key in drops:
             if os.path.basename(p) == sample:
@@ -114,6 +130,7 @@ def main(argv: list[str]) -> None:
         "samples": {os.path.basename(p): round(sum(s.values()), 2) for p, s in samples.items()},
         "dropped": sorted(f"{s}:{k}" for s, k in drops),
         "regen": "python scripts/gen_bench_bands.py <quiet sample jsons>",
+        "era_normalize": era_normalize,
         "centers": "per-key quiet median — denominator of bench.era_coefficient",
     }
     if centers_only:
