@@ -67,7 +67,9 @@ def interactive_search(spark, root: str, queries, db_residues: int):
     ).persist()
     ids = [int(r["target_id"]) for r in pairs.select("target_id").distinct().collect()]
     targets = read_sequence_store_pruned(spark, os.path.join(root, "seqs"), ids)
-    res = align_pairs(pairs, queries, targets, db_residues=db_residues)
+    res = align_pairs(
+        pairs, queries, targets, db_residues=db_residues, kernel_parts=len(ids)
+    )
     rows = res.select("query_id", "target_id", "nident", "alnlen").collect()
     qk.unpersist()
     pairs.unpersist()
@@ -77,7 +79,13 @@ def interactive_search(spark, root: str, queries, db_residues: int):
 def main() -> None:
     n_seqs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     q_stride = int(sys.argv[2]) if len(sys.argv) > 2 else 62_500  # 16 queries at 1M
-    spark = get_spark("round10_interactive_smoke", shuffle_partitions=64)
+    # the layout build's J2 shuffle carries ~200 kmer rows/seq: keep map
+    # combine output per task in memory at 10M (same sizing note as the
+    # round-9 10M smoke); local AQE coalesces down, never splits up
+    spark = get_spark(
+        "round10_interactive_smoke",
+        shuffle_partitions=256 if n_seqs >= 5_000_000 else 64,
+    )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     out: dict[str, object] = {"n_seqs": n_seqs, "q_stride": q_stride, "num_shards": NUM_SHARDS}
 
@@ -130,22 +138,29 @@ def main() -> None:
         out["index_shard_frac_b1"] = round(out["b1_index_shards"] / NUM_SHARDS, 4)
         out["seq_shard_frac_b16"] = round(out["b16_seq_shards"] / NUM_SHARDS, 4)
 
-        # --- value equality vs the full-scan cascade on the 16-query batch
-        queries = all_q.filter(F.col("seq_id") < 16 * q_stride)
-        seqs2 = synth(spark, n_seqs, q_stride)
-        t0 = time.time()
-        full = (
-            search(queries, seqs2)
-            .select("query_id", "target_id", "nident", "alnlen")
-            .collect()
-        )
-        out["fullscan_e2e_s"] = round(time.time() - t0, 2)
-        rows, _ = interactive_search(spark, root, queries, total_res)
-        assert sorted(map(tuple, rows)) == sorted(map(tuple, full)), (
-            "pruned cascade drifted from full-scan search"
-        )
-        out["equality"] = "exact"
-        out["speedup_vs_fullscan_b16"] = round(out["fullscan_e2e_s"] / out["b16_e2e_s"], 2)
+        # --- value equality vs the full-scan cascade on the 16-query
+        # batch (skipped above 2M: the fullscan side would rebuild the
+        # whole in-memory index — equality is proven at 1M and by the
+        # registry oracle at the test SFs; the big-corpus run's planted
+        # self-hit/homolog assertions above stay on)
+        if n_seqs <= 2_000_000:
+            queries = all_q.filter(F.col("seq_id") < 16 * q_stride)
+            seqs2 = synth(spark, n_seqs, q_stride)
+            t0 = time.time()
+            full = (
+                search(queries, seqs2)
+                .select("query_id", "target_id", "nident", "alnlen")
+                .collect()
+            )
+            out["fullscan_e2e_s"] = round(time.time() - t0, 2)
+            rows, _ = interactive_search(spark, root, queries, total_res)
+            assert sorted(map(tuple, rows)) == sorted(map(tuple, full)), (
+                "pruned cascade drifted from full-scan search"
+            )
+            out["equality"] = "exact"
+            out["speedup_vs_fullscan_b16"] = round(
+                out["fullscan_e2e_s"] / out["b16_e2e_s"], 2
+            )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
