@@ -142,6 +142,26 @@ VALID_KMER_RE = "^[ACDEFGHIKLMNPQRSTVWY]{9}$"
 VALID_KMER_SQL = "regexp_matches(kmer, '^[ACDEFGHIKLMNPQRSTVWY]{9}$')"
 
 
+#: the integer-stable projection every search-family registry entry and
+#: the streaming sink share (the float bits/evalue/fident columns are
+#: deterministic but bulky; driver hashes pin the integers) — ONE copy,
+#: round-10 review finding: three hand-kept lists had already grown
+SEARCH_INT_COLS = (
+    "query_id", "target_id", "query_accession", "target_accession",
+    "raw", "alnlen", "nident", "mismatch", "gapopen",
+    "qstart", "qend", "qlen", "tstart", "tend", "tlen",
+)
+
+#: the same contract as a DDL string — the streaming sink's typed-empty
+#: frame and explicit sink-read schema (streaming/search_stream.py)
+SEARCH_INT_SCHEMA = (
+    "query_id long, target_id long, query_accession string,"
+    " target_accession string, raw int, alnlen int, nident int,"
+    " mismatch int, gapopen int, qstart int, qend int, qlen int,"
+    " tstart int, tend int, tlen int"
+)
+
+
 def derived_sequences(docs: DataFrame) -> DataFrame:
     """documents -> sequences(seq_id, accession, header, sequence)."""
     seq = F.regexp_replace(F.translate(F.col("text"), _FROM, _TO), "[^A-Z]", "")
@@ -506,27 +526,17 @@ def protein_prefilter_sharded_build(spark: SparkSession, sf_dir: str) -> DataFra
     sharded = I/O proportional to the QUERY for small/interactive ones
     (the reference's own headline use-case — a few proteins against a
     huge SRA index, README.md:1-3). As a bench entry (k125) this ALWAYS
-    performs the full write — into a pid-unique sibling, published by
-    rename only if no complete layout is live (discarded otherwise), so
-    the timing stays honest and concurrent readers never see a torn
-    overwrite (ADVICE r9)."""
-    import shutil
+    performs the full write — staged_cache(force_build=True): built in a
+    pid-unique sibling, published by rename only if no complete layout
+    is live (discarded otherwise), so the timing stays honest and
+    concurrent readers never see a torn overwrite (ADVICE r9)."""
+    from petasearch_spark.streaming.stateful import staged_cache
 
-    root = _sharded_index_path(sf_dir)
-    tmp = f"{root}.build{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    try:
-        _build_sharded_layout(spark, sf_dir, tmp)
-        os.rename(tmp, root)
-    except OSError:
-        # rename onto an existing dir fails: a complete layout is already
-        # published (same content fingerprint) — keep it, drop ours
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.isdir(root):
-            raise
-    except BaseException:
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise
+    root = staged_cache(
+        _sharded_index_path(sf_dir),
+        lambda tmp: _build_sharded_layout(spark, sf_dir, tmp),
+        force_build=True,
+    )
     return spark.createDataFrame([(root,)], "path string")
 
 
@@ -647,11 +657,7 @@ def sharded_search_queries(
     # so the registry twin shares its golden oracle; the CLI reaches the
     # full knob surface through search_sharded_layout directly
     res = search_sharded_layout(queries, root, persisted=persisted)
-    return res.select(
-        "query_id", "target_id", "query_accession", "target_accession",
-        "raw", "alnlen", "nident", "mismatch", "gapopen",
-        "qstart", "qend", "qlen", "tstart", "tend", "tlen",
-    )
+    return res.select(*SEARCH_INT_COLS)
 
 
 def protein_search_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -916,11 +922,7 @@ def protein_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = seqs.filter(F.col("seq_id") % 20 == 0)
     res = search(queries, seqs)
     # drop the self-hit-dominated float columns that are stable but bulky
-    return res.select(
-        "query_id", "target_id", "query_accession", "target_accession",
-        "raw", "alnlen", "nident", "mismatch", "gapopen",
-        "qstart", "qend", "qlen", "tstart", "tend", "tlen",
-    )
+    return res.select(*SEARCH_INT_COLS)
 
 
 PROTEIN_SEARCH_SQL = f"""
@@ -954,11 +956,7 @@ def protein_search_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
     seqs = derived_sequences(docs).drop("source").persist()
     queries = seqs.filter(F.col("seq_id") % 20 == 0)
     res = search(queries, seqs, mask=True, xdrop=DEFAULT_XDROP)
-    return res.select(
-        "query_id", "target_id", "query_accession", "target_accession",
-        "raw", "alnlen", "nident", "mismatch", "gapopen",
-        "qstart", "qend", "qlen", "tstart", "tend", "tlen",
-    )
+    return res.select(*SEARCH_INT_COLS)
 
 
 PROTEIN_SEARCH_MASKED_SQL = f"""
@@ -1059,11 +1057,7 @@ def protein_search_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     seqs = derived_sequences(docs).drop("source").persist()
     queries = seqs.filter(F.col("seq_id") % 100 == 0)
     res = search(queries, seqs, expand_similar=True)
-    return res.select(
-        "query_id", "target_id", "query_accession", "target_accession",
-        "raw", "alnlen", "nident", "mismatch", "gapopen",
-        "qstart", "qend", "qlen", "tstart", "tend", "tlen",
-    )
+    return res.select(*SEARCH_INT_COLS)
 
 
 PROTEIN_SEARCH_EXPANDED_SQL = f"""
@@ -1119,11 +1113,7 @@ def protein_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     seqs = derived_sequences(docs).drop("source").persist()
     queries = seqs.filter(F.col("seq_id") % 20 == 0)
     res = search(queries, seqs, target_index=spark.read.parquet(path))
-    return res.select(
-        "query_id", "target_id", "query_accession", "target_accession",
-        "raw", "alnlen", "nident", "mismatch", "gapopen",
-        "qstart", "qend", "qlen", "tstart", "tend", "tlen",
-    )
+    return res.select(*SEARCH_INT_COLS)
 
 
 def protein_search_multi_target(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1145,11 +1135,7 @@ def protein_search_multi_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = seqs.filter(F.col("seq_id") % 100 == 0)
     targets = [seqs.filter(F.col("seq_id") % 3 == i) for i in range(3)]
     res = search_multi_target(queries, targets, expand_similar=True)
-    return res.select(
-        "query_id", "target_id", "query_accession", "target_accession",
-        "raw", "alnlen", "nident", "mismatch", "gapopen",
-        "qstart", "qend", "qlen", "tstart", "tend", "tlen",
-    )
+    return res.select(*SEARCH_INT_COLS)
 
 
 def protein_search_multi_target_maxseqs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1167,8 +1153,4 @@ def protein_search_multi_target_maxseqs(spark: SparkSession, sf_dir: str) -> Dat
     queries = seqs.filter(F.col("seq_id") % 100 == 0)
     targets = [seqs.filter(F.col("seq_id") % 3 == i) for i in range(3)]
     res = search_multi_target(queries, targets, expand_similar=True, max_seqs=5)
-    return res.select(
-        "query_id", "target_id", "query_accession", "target_accession",
-        "raw", "alnlen", "nident", "mismatch", "gapopen",
-        "qstart", "qend", "qlen", "tstart", "tend", "tlen",
-    )
+    return res.select(*SEARCH_INT_COLS)

@@ -167,7 +167,13 @@ def write_kmer_index(index: DataFrame, path: str, num_ranges: int = 32) -> None:
     )
 
 
-def write_kmer_index_sharded(index: DataFrame, path: str, num_shards: int = 1024) -> None:
+def write_kmer_index_sharded(
+    index: DataFrame,
+    path: str,
+    num_shards: int = 1024,
+    k: int | None = None,
+    alphabet: str | None = None,
+) -> None:
     """Persist the index SHARDED by a kmer-derived directory partition
     column (``kshard = kmer % num_shards``) — the INTERACTIVE-probe
     layout (round 9): a small query batch touches only the shards its
@@ -196,12 +202,30 @@ def write_kmer_index_sharded(index: DataFrame, path: str, num_shards: int = 1024
         .partitionBy("kshard")
         .parquet(path)
     )
+    # k/alphabet travel with the index (round-10 review finding: a probe
+    # built with different parameters would join on incompatible kmer
+    # codes and return EMPTY results with exit 0 — record them so the
+    # reader can refuse loudly instead)
     index.sparkSession.createDataFrame(
-        [(int(num_shards),)], "num_shards int"
+        [(int(num_shards), k, alphabet)],
+        "num_shards int, k int, alphabet string",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_ps_meta")
 
 
-def read_kmer_index_pruned(spark, path: str, query_kmers: DataFrame) -> DataFrame:
+def read_kmer_index_meta(spark, path: str) -> dict:
+    """The sharded index's sidecar as a plain dict (num_shards, and —
+    for layouts written since round 10 — the k and alphabet the index
+    was built with; None on older layouts)."""
+    row = spark.read.parquet(path + "/_ps_meta").head()
+    d = row.asDict()
+    d.setdefault("k", None)
+    d.setdefault("alphabet", None)
+    return d
+
+
+def read_kmer_index_pruned(
+    spark, path: str, query_kmers: DataFrame, meta: dict | None = None
+) -> DataFrame:
     """Read the sharded index PRUNED to the shards the given query
     k-mers hash to: static partition pruning via an IN filter on the
     directory partition column — the executed scan's PartitionCount
@@ -209,8 +233,12 @@ def read_kmer_index_pruned(spark, path: str, query_kmers: DataFrame) -> DataFram
     tests/test_skew_pruning.py). The driver-side collect is bounded by
     min(num_shards, distinct query k-mers) integers (the interactive
     case this layout serves is a handful of queries), never by corpus
-    size. Returns the standard index schema (kmer, seq_id, seq_len)."""
-    num_shards = int(spark.read.parquet(path + "/_ps_meta").head()["num_shards"])
+    size. Returns the standard index schema (kmer, seq_id, seq_len).
+    ``meta``: pass a read_kmer_index_meta result to skip the sidecar
+    re-read (the cascade reads it once for parameter validation)."""
+    if meta is None:
+        meta = read_kmer_index_meta(spark, path)
+    num_shards = int(meta["num_shards"])
     shards = [
         int(r["s"])
         for r in query_kmers.select(
@@ -277,6 +305,8 @@ def write_sharded_layout(
             build_kmer_index(seqs, k=k, alphabet=alphabet),
             f"{root}/index",
             num_shards=num_shards,
+            k=k,
+            alphabet=alphabet,
         )
         write_sequence_store_sharded(seqs, f"{root}/seqs", num_shards=num_shards)
     finally:
@@ -303,7 +333,9 @@ def read_sequence_store_meta(spark, path: str) -> dict:
     return {k: row[k] for k in ("num_shards", "db_residues", "schema_json")}
 
 
-def read_sequence_store_pruned(spark, path: str, seq_ids: list[int]) -> DataFrame:
+def read_sequence_store_pruned(
+    spark, path: str, seq_ids: list[int], meta: dict | None = None
+) -> DataFrame:
     """Read the sharded sequence store pruned to the given candidate ids:
     an INSET partition filter on ``sshard`` prunes directories and the
     pushed ``seq_id IN`` filter prunes row groups within them, so fetch
@@ -313,10 +345,13 @@ def read_sequence_store_pruned(spark, path: str, seq_ids: list[int]) -> DataFram
     interactive case this layout serves — mirroring
     read_kmer_index_pruned's bounded shard-list collect. The explicit
     schema (from the sidecar) keeps the empty-corpus law: 0 rows, never
-    an AnalysisException on an empty partitioned dataset."""
+    an AnalysisException on an empty partitioned dataset. ``meta``:
+    pass a read_sequence_store_meta result to skip the sidecar re-read
+    (the cascade already holds it for db_residues)."""
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    meta = read_sequence_store_meta(spark, path)
+    if meta is None:
+        meta = read_sequence_store_meta(spark, path)
     num_shards = int(meta["num_shards"])
     ids = sorted({int(i) for i in seq_ids})
     shards = sorted({i % num_shards for i in ids})

@@ -208,6 +208,7 @@ def search_sharded_layout(
     import os
 
     from petasearch_spark.operators.kmer_index import (
+        read_kmer_index_meta,
         read_kmer_index_pruned,
         read_sequence_store_meta,
         read_sequence_store_pruned,
@@ -215,6 +216,24 @@ def search_sharded_layout(
 
     spark = queries.sparkSession
     alpha, matrix, ka_u, ka_g = _alphabet_params(alphabet)
+    # ONE sidecar read per dataset per probe (round-10 review finding):
+    # the index meta also validates build parameters — a probe with a
+    # different k or alphabet would join on incompatible kmer codes and
+    # return EMPTY results with exit 0, so refuse loudly instead
+    # (layouts written before round 10 carry no k/alphabet: no check)
+    idx_path = os.path.join(layout_root, "index")
+    idx_meta = read_kmer_index_meta(spark, idx_path)
+    if idx_meta["k"] is not None and int(idx_meta["k"]) != k:
+        raise ValueError(
+            f"sharded layout at {layout_root} was built with k={idx_meta['k']}"
+            f" but the probe asked k={k} — rebuild the layout or match --k"
+        )
+    if idx_meta["alphabet"] is not None and idx_meta["alphabet"] != alpha:
+        raise ValueError(
+            f"sharded layout at {layout_root} was built with alphabet"
+            f" {idx_meta['alphabet']!r} but the probe asked {alpha!r} —"
+            f" rebuild the layout or match --alphabet"
+        )
     qk = build_query_kmers(
         queries, k=k, expand_similar=expand_similar,
         kmer_threshold=kmer_threshold, kmer_max_per_pos=kmer_max_per_pos,
@@ -222,7 +241,7 @@ def search_sharded_layout(
     ).persist()
     if persisted is not None:
         persisted.append(qk)
-    idx = read_kmer_index_pruned(spark, os.path.join(layout_root, "index"), qk)
+    idx = read_kmer_index_pruned(spark, idx_path, qk, meta=idx_meta)
     pairs = prefilter(qk, idx, req_kmer_matches=req_kmer_matches).persist()
     if persisted is not None:
         persisted.append(pairs)
@@ -230,8 +249,9 @@ def search_sharded_layout(
         int(r["target_id"]) for r in pairs.select("target_id").distinct().collect()
     ]
     store = os.path.join(layout_root, "seqs")
-    targets = read_sequence_store_pruned(spark, store, candidate_ids)
-    db_residues = int(read_sequence_store_meta(spark, store)["db_residues"]) or 1
+    store_meta = read_sequence_store_meta(spark, store)
+    targets = read_sequence_store_pruned(spark, store, candidate_ids, meta=store_meta)
+    db_residues = int(store_meta["db_residues"]) or 1
     alignments = align_pairs(
         pairs, queries, targets, k=k, max_evalue=max_evalue,
         alphabet=alpha, matrix=matrix, ka_ungapped=ka_u, ka_gapped=ka_g,

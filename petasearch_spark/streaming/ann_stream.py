@@ -157,19 +157,27 @@ def make_probe_batch_writer(
     return run_batch
 
 
-def read_probe_sink(spark: SparkSession, sink: str) -> DataFrame:
+def read_probe_sink(
+    spark: SparkSession,
+    sink: str,
+    schema: str = RESULT_SCHEMA,
+    order_by: tuple[str, ...] = ("query_id", "rk"),
+) -> DataFrame:
     """Combined result over the per-batch subdirs — a typed empty frame
     when the stream produced nothing (a parquet dir with no part files
-    cannot infer a schema)."""
+    cannot infer a schema). ``schema``/``order_by`` default to the ANN
+    probes' contract; other foreachBatch probes (the search stream)
+    pass theirs."""
     has_parts = os.path.isdir(sink) and any(
         f.endswith(".parquet") for _root, _dirs, fs in os.walk(sink) for f in fs
     )
     if not has_parts:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return spark.createDataFrame([], schema)
     return (
-        spark.read.option("recursiveFileLookup", "true")
+        spark.read.schema(schema)
+        .option("recursiveFileLookup", "true")
         .parquet(sink)
-        .orderBy("query_id", "rk")
+        .orderBy(*order_by)
     )
 
 

@@ -37,17 +37,13 @@ from pyspark.sql import functions as F
 from petasearch_spark.streaming.ann_stream import (
     _sweep_dead_sinks,
     make_probe_batch_writer,
+    read_probe_sink,
 )
 from petasearch_spark.streaming.stateful import _stage_two_files
 
-#: protein_search's output schema — the typed empty frame when the
-#: stream produced no sink files (no query docs in the corpus)
-SEARCH_RESULT_SCHEMA = (
-    "query_id long, target_id long, query_accession string,"
-    " target_accession string, raw int, alnlen int, nident int,"
-    " mismatch int, gapopen int, qstart int, qend int, qlen int,"
-    " tstart int, tend int, tlen int"
-)
+#: protein_search's output contract — ONE copy, shared with the batch
+#: registry entries (round-10 review finding: three hand-kept lists)
+from petasearch_spark.operators.doc_search import SEARCH_INT_SCHEMA as SEARCH_RESULT_SCHEMA
 
 
 def protein_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,14 +99,6 @@ def protein_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
 
-    has_parts = os.path.isdir(sink) and any(
-        f.endswith(".parquet") for _r, _d, fs in os.walk(sink) for f in fs
-    )
-    if not has_parts:
-        return spark.createDataFrame([], SEARCH_RESULT_SCHEMA)
-    return (
-        spark.read.schema(SEARCH_RESULT_SCHEMA)
-        .option("recursiveFileLookup", "true")
-        .parquet(sink)
-        .orderBy("query_id", "target_id")
+    return read_probe_sink(
+        spark, sink, schema=SEARCH_RESULT_SCHEMA, order_by=("query_id", "target_id")
     )

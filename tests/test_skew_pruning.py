@@ -316,3 +316,25 @@ def test_sharded_layout_publish_is_race_free(spark, tmp_path, monkeypatch):
 
     # (c) no .build debris from the losing rename
     assert glob.glob(root + ".build*") == []
+
+
+def test_sharded_layout_refuses_mismatched_probe_params(spark, tmp_path):
+    """Round-10 review finding: a probe with a different k or alphabet
+    than the layout was built with would join on incompatible kmer
+    codes and return EMPTY results with exit 0. The sidecar now records
+    build parameters and the cascade refuses loudly."""
+    import pytest as _pytest
+
+    from petasearch_spark.functions.kmer import AMINO_ALPHABET
+    from petasearch_spark.operators.kmer_index import write_sharded_layout
+    from petasearch_spark.plans.search import search_sharded_layout
+    from petasearch_spark.sources.fasta import sequences_from_records
+
+    seqs = sequences_from_records(spark, [("s0", "ACDEFGHIKLMNPQRSTVWY" * 2)])
+    root = str(tmp_path / "k7_layout")
+    write_sharded_layout(seqs, root, num_shards=4, k=7, alphabet=AMINO_ALPHABET)
+
+    with _pytest.raises(ValueError, match="k=7"):
+        search_sharded_layout(seqs, root)  # default probe k=9
+    # matching parameters pass (and still find the self-hit)
+    assert search_sharded_layout(seqs, root, k=7).count() > 0
