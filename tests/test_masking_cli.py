@@ -354,3 +354,50 @@ def test_cli_sharded_index_search(spark, tmp_path):
     # a RANGE index without target_fasta is a loud usage error, not a scan
     assert main(["searchindex", str(qf), str(tmp_path / "idx_r"),
                  str(tmp_path / "m8_x")]) == 2
+
+
+def test_cli_sharded_index_search_nucl(spark, tmp_path):
+    """The interactive layout in DNA mode: built AND probed with
+    --alphabet nucl, byte-identical m8 to the range path; probing the
+    nucl layout with the default amino alphabet is refused loudly
+    (the sidecar validation), not an empty result."""
+    import random
+
+    from petasearch_spark.cli import main
+
+    rng = random.Random(12)
+    tf = tmp_path / "t.fa"
+    tf.write_text(
+        "".join(
+            f">t{i}\n" + "".join(rng.choice("ACGT") for _ in range(60)) + "\n"
+            for i in range(30)
+        )
+    )
+    qf = tmp_path / "q.fa"
+    qf.write_text(">q0\n" + tf.read_text().splitlines()[1] + "\n")
+
+    def m8(out_dir):
+        return "".join(
+            sorted(open(p).read() for p in glob.glob(os.path.join(str(out_dir), "part-*")))
+        )
+
+    assert main(["createindex", str(tf), str(tmp_path / "idx_s"),
+                 "--layout", "sharded", "--num-shards", "8",
+                 "--alphabet", "nucl"]) == 0
+    assert main(["searchindex", str(qf), str(tmp_path / "idx_s"),
+                 str(tmp_path / "m8_s"), "--alphabet", "nucl",
+                 "--mask", "0"]) == 0
+    assert main(["createindex", str(tf), str(tmp_path / "idx_r"),
+                 "--alphabet", "nucl"]) == 0
+    assert main(["searchindex", str(qf), str(tmp_path / "idx_r"), str(tf),
+                 str(tmp_path / "m8_r"), "--alphabet", "nucl",
+                 "--mask", "0"]) == 0
+    got, want = m8(tmp_path / "m8_s"), m8(tmp_path / "m8_r")
+    assert got == want and got.startswith("q0\tt0\t1.0")
+
+    # amino probe against the nucl layout: loud refusal, not empty m8
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alphabet"):
+        main(["searchindex", str(qf), str(tmp_path / "idx_s"),
+              str(tmp_path / "m8_x"), "--mask", "0"])
