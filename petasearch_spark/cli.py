@@ -313,6 +313,29 @@ def main(argv: list[str] | None = None) -> int:
         " shard ~ one storage block at your corpus scale)",
     )
 
+    p = sub.add_parser(
+        "appendindex",
+        help="fold NEW sequences into a sharded layout as a delta"
+        " generation — cost ∝ the delta, never the corpus; probes see"
+        " the grown corpus immediately (exact J2 re-resolution)",
+    )
+    p.add_argument("delta_fasta", help="newly-arrived sequences (FASTA/FASTQ/parquet)")
+    p.add_argument("index_dir", help="a --layout sharded createindex dir")
+    p.add_argument(
+        "--id-offset", default="auto",
+        help="added to the delta's seq_ids so they cannot collide with"
+        " stored generations; 'auto' (default) = next free id from the"
+        " store sidecars, an integer pins it explicitly, 0 disables",
+    )
+
+    p = sub.add_parser(
+        "compactindex",
+        help="fold a sharded layout's delta generations back into one"
+        " base (bounds probe read amplification; skips re-extraction —"
+        " the stored per-generation indexes merge by J2 rule)",
+    )
+    p.add_argument("index_dir")
+
     p = sub.add_parser("searchindex", help="E3: search against a persisted index")
     p.add_argument("query_fasta")
     p.add_argument("index_dir")
@@ -421,6 +444,51 @@ def main(argv: list[str] | None = None) -> int:
         else:
             write_kmer_index(build_kmer_index(seqs, k=args.k, alphabet=alpha), args.index_dir)
         print(json.dumps({"index": args.index_dir, "k": args.k, "layout": args.layout}))
+        return 0
+
+    if args.cmd == "appendindex":
+        from pyspark.sql import functions as F
+
+        from petasearch_spark.operators.kmer_index import (
+            append_sharded_layout,
+            is_sharded_layout,
+            layout_next_seq_id,
+        )
+
+        if not is_sharded_layout(args.index_dir):
+            print(
+                "appendindex: only a sharded layout grows by delta"
+                " generations (rebuild range indexes with createindex)",
+                file=sys.stderr,
+            )
+            return 2
+        delta = load_target(spark, args.delta_fasta)
+        offset = (
+            layout_next_seq_id(spark, args.index_dir)
+            if args.id_offset == "auto"
+            else int(args.id_offset)
+        )
+        if offset:
+            delta = delta.withColumn("seq_id", F.col("seq_id") + F.lit(offset))
+        gen = append_sharded_layout(spark, args.index_dir, delta)
+        print(
+            json.dumps(
+                {"index": args.index_dir, "generation": gen, "id_offset": offset}
+            )
+        )
+        return 0
+
+    if args.cmd == "compactindex":
+        from petasearch_spark.operators.kmer_index import (
+            compact_sharded_layout,
+            is_sharded_layout,
+        )
+
+        if not is_sharded_layout(args.index_dir):
+            print("compactindex: not a sharded layout", file=sys.stderr)
+            return 2
+        folded = compact_sharded_layout(spark, args.index_dir)
+        print(json.dumps({"index": args.index_dir, "folded_generations": folded}))
         return 0
 
     from petasearch_spark.plans.search import search, search_multi_target

@@ -551,15 +551,15 @@ def _sharded_pruned_pairs(
     convention) — or, when ``persisted`` is given (the streaming probe's
     flat-cache contract, streaming/ann_stream.py), tracked there for
     per-batch release."""
-    from petasearch_spark.operators.kmer_index import read_kmer_index_pruned
+    from petasearch_spark.operators.kmer_index import read_layout_index_pruned
     from petasearch_spark.operators.prefilter import prefilter
 
     qk = qk.persist()
     if persisted is not None:
         persisted.append(qk)
-    return prefilter(
-        qk, read_kmer_index_pruned(spark, os.path.join(root, "index"), qk)
-    )
+    # generation-aware (append_sharded_layout deltas fold in at probe
+    # time); with no deltas this is exactly the old single-scan plan
+    return prefilter(qk, read_layout_index_pruned(spark, root, qk))
 
 
 def protein_prefilter_sharded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,6 +675,68 @@ def protein_search_sharded_probe1(spark: SparkSession, sf_dir: str) -> DataFrame
     latency shape (bench-only entry; the full-batch twin above carries
     the oracle)."""
     return _sharded_search(spark, sf_dir, F.col("seq_id") == 0)
+
+
+#: the delta twin's corpus split: base = seq_id % 5 != 4 (~80%), one
+#: appended generation carries the rest — together exactly the full
+#: corpus, so the probe must reproduce protein_search verbatim
+_DELTA_SPLIT_MOD, _DELTA_SPLIT_REM = 5, 4
+
+
+def _sharded_delta_root(sf_dir: str) -> str:
+    """Content-keyed staging root for the GROWN layout (base + one
+    appended delta generation) — its own key, so the no-delta layout the
+    other sharded entries share is never mutated."""
+    import tempfile
+
+    from petasearch_spark.streaming.stateful import source_fingerprint
+
+    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"), "sharded-delta-v1")
+    return os.path.join(tempfile.gettempdir(), f"ps_sharded_delta_{fp}")
+
+
+def _build_sharded_delta_layout(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """base layout over ~80% of the corpus, then ONE append folds in the
+    remaining ~20% as a delta generation — the grown-corpus lifecycle
+    (write -> append) exercised end to end at build time."""
+    from petasearch_spark.operators.kmer_index import (
+        append_sharded_layout,
+        write_sharded_layout,
+    )
+
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source")
+    arrived = F.col("seq_id") % _DELTA_SPLIT_MOD == _DELTA_SPLIT_REM
+    write_sharded_layout(
+        seqs.filter(~arrived), out_dir, num_shards=SHARDED_NUM_SHARDS
+    )
+    append_sharded_layout(spark, out_dir, seqs.filter(arrived))
+
+
+def protein_search_sharded_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cascade against a layout GROWN BY APPEND (round 10): the
+    base holds ~80% of the corpus, the rest arrives later as one
+    append_sharded_layout delta generation — the incremental-ingest
+    story the reference lacks entirely (createkmertable is batch-only,
+    /root/reference/src/sra/createkmertable.cpp; at 100 TB the corpus
+    grows daily and a full rebuild per delta is the cost this path
+    removes). The probe re-resolves the J2 representative over the
+    pruned union of generations (exact by packed-max associativity) and
+    sums the generations' db_residues sidecars for the e-value, so the
+    result is protein_search's VERBATIM — same query set, same golden
+    oracle; any append-path drift (missed generation, wrong
+    representative, residue miscount) breaks the driver's value hash."""
+    from petasearch_spark.streaming.stateful import staged_cache
+
+    root = staged_cache(
+        _sharded_delta_root(sf_dir),
+        lambda tmp: _build_sharded_delta_layout(spark, sf_dir, tmp),
+    )
+    docs = load_table(spark, "documents", sf_dir, widen_scan=True)
+    seqs = derived_sequences(docs).drop("source")
+    return sharded_search_queries(
+        spark, sf_dir, seqs.filter(F.col("seq_id") % 20 == 0), root=root
+    )
 
 
 #: committed golden parquets (regenerate: python scripts/gen_goldens.py)

@@ -224,7 +224,11 @@ def read_kmer_index_meta(spark, path: str) -> dict:
 
 
 def read_kmer_index_pruned(
-    spark, path: str, query_kmers: DataFrame, meta: dict | None = None
+    spark,
+    path: str,
+    query_kmers: DataFrame,
+    meta: dict | None = None,
+    shards: list[int] | None = None,
 ) -> DataFrame:
     """Read the sharded index PRUNED to the shards the given query
     k-mers hash to: static partition pruning via an IN filter on the
@@ -235,18 +239,15 @@ def read_kmer_index_pruned(
     case this layout serves is a handful of queries), never by corpus
     size. Returns the standard index schema (kmer, seq_id, seq_len).
     ``meta``: pass a read_kmer_index_meta result to skip the sidecar
-    re-read (the cascade reads it once for parameter validation)."""
+    re-read (the cascade reads it once for parameter validation).
+    ``shards``: pass a precomputed query_shard_list to skip the collect
+    — a multi-generation probe derives the list ONCE and prunes every
+    generation with it (all generations share the modulus)."""
     if meta is None:
         meta = read_kmer_index_meta(spark, path)
     num_shards = int(meta["num_shards"])
-    shards = [
-        int(r["s"])
-        for r in query_kmers.select(
-            F.pmod(F.col("kmer"), F.lit(num_shards)).cast("int").alias("s")
-        )
-        .distinct()
-        .collect()
-    ]
+    if shards is None:
+        shards = query_shard_list(query_kmers, num_shards)
     # explicit schema: an EMPTY corpus writes a partitioned dataset with
     # no part files at all (just _SUCCESS), and schema inference fails on
     # it — the empty-input law is "0 rows", never an AnalysisException
@@ -256,6 +257,20 @@ def read_kmer_index_pruned(
         .filter(F.col("kshard").isin(shards))
         .select("kmer", "seq_id", "seq_len")
     )
+
+
+def query_shard_list(query_kmers: DataFrame, num_shards: int) -> list[int]:
+    """The distinct ``kmer % num_shards`` values of a query-k-mer frame
+    — the partition-prune driver list (bounded by min(num_shards,
+    distinct query k-mers))."""
+    return [
+        int(r["s"])
+        for r in query_kmers.select(
+            F.pmod(F.col("kmer"), F.lit(num_shards)).cast("int").alias("s")
+        )
+        .distinct()
+        .collect()
+    ]
 
 
 def write_sequence_store_sharded(seqs: DataFrame, path: str, num_shards: int = 256) -> None:
@@ -271,9 +286,15 @@ def write_sequence_store_sharded(seqs: DataFrame, path: str, num_shards: int = 2
     ``db_residues`` — the CORPUS-total residue count the e-value
     normalization needs (reference keeps it in the DB header); computing
     it at query time from a pruned fetch would skew e-values, and from
-    the full store would defeat the prune."""
+    the full store would defeat the prune. ``max_seq_id`` (round 10)
+    rides along so an APPEND can auto-offset fresh ids in O(generations)
+    sidecar reads instead of an O(corpus) max-scan."""
     spark = seqs.sparkSession
-    db_residues = int(seqs.agg(F.sum(F.length("sequence"))).collect()[0][0] or 0)
+    agg = seqs.agg(
+        F.sum(F.length("sequence")).alias("r"), F.max("seq_id").alias("m")
+    ).collect()[0]
+    db_residues = int(agg["r"] or 0)
+    max_seq_id = int(agg["m"]) if agg["m"] is not None else -1
     (
         seqs.withColumn("sshard", F.pmod(F.col("seq_id"), F.lit(num_shards)).cast("int"))
         .repartition(F.col("sshard"))
@@ -284,8 +305,8 @@ def write_sequence_store_sharded(seqs: DataFrame, path: str, num_shards: int = 2
         .parquet(path)
     )
     spark.createDataFrame(
-        [(int(num_shards), db_residues, seqs.schema.json())],
-        "num_shards int, db_residues long, schema_json string",
+        [(int(num_shards), db_residues, max_seq_id, seqs.schema.json())],
+        "num_shards int, db_residues long, max_seq_id long, schema_json string",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_ps_meta")
 
 
@@ -326,11 +347,16 @@ def is_sharded_layout(path: str) -> bool:
 
 def read_sequence_store_meta(spark, path: str) -> dict:
     """The sequence store's sidecar as a plain dict (num_shards,
-    db_residues, schema_json). A missing sidecar means the store is
-    mid-write or absent — loud AnalysisException, never a silent
-    mis-prune."""
+    db_residues, schema_json, and — for stores written since the delta
+    path landed — max_seq_id, None on older stores). A missing sidecar
+    means the store is mid-write or absent — loud AnalysisException,
+    never a silent mis-prune."""
     row = spark.read.parquet(path + "/_ps_meta").head()
-    return {k: row[k] for k in ("num_shards", "db_residues", "schema_json")}
+    d = row.asDict()
+    d.setdefault("max_seq_id", None)
+    return {
+        k: d[k] for k in ("num_shards", "db_residues", "schema_json", "max_seq_id")
+    }
 
 
 def read_sequence_store_pruned(
@@ -348,17 +374,13 @@ def read_sequence_store_pruned(
     an AnalysisException on an empty partitioned dataset. ``meta``:
     pass a read_sequence_store_meta result to skip the sidecar re-read
     (the cascade already holds it for db_residues)."""
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
     if meta is None:
         meta = read_sequence_store_meta(spark, path)
     num_shards = int(meta["num_shards"])
     ids = sorted({int(i) for i in seq_ids})
     shards = sorted({i % num_shards for i in ids})
-    schema = StructType.fromJson(json.loads(meta["schema_json"]))
-    schema = StructType(list(schema.fields) + [StructField("sshard", IntegerType())])
     return (
-        spark.read.schema(schema)
+        spark.read.schema(_store_read_schema(meta["schema_json"]))
         .parquet(path)
         .filter(F.col("sshard").isin(shards) & F.col("seq_id").isin(ids))
         .drop("sshard")
@@ -481,3 +503,388 @@ def merge_kmer_index_delta(
     )
     write_kmer_index_bucketed(merged, out_table, num_buckets=num_buckets)
     return delta_sequences.sparkSession.table(out_table)
+
+
+# --- delta generations for the SHARDED interactive layout (round 10) ---
+#
+# merge_kmer_index_delta above serves the BUCKETED layout (large-batch
+# steady state); the INTERACTIVE layout needs its own append story: at
+# 100 TB the corpus grows continuously (the reference's SRA universe
+# gains runs daily) and re-running write_sharded_layout costs a full
+# corpus pass — extraction alone is ~90% of build cost. The LSM shape
+# fixes that: an append writes a NEW GENERATION (a mini sharded layout,
+# cost proportional to the DELTA), probes read base + generations with
+# the J2 rule re-resolved over the pruned union (exact, because the
+# packed (seq_len, -seq_id) representative max is associative — the max
+# of per-generation maxima IS the global max), and a compaction folds
+# generations back into one base when read amplification accumulates.
+# The reference has no incremental path at all (createkmertable is
+# batch-only, /root/reference/src/sra/createkmertable.cpp).
+
+#: published delta generations: root/delta_NNNNN (rename-claimed, so a
+#: matching dir is complete by construction); pid-unique build staging
+#: lives at root/.delta_build<pid>, invisible to this pattern
+_DELTA_NAME_FMT = "delta_{:05d}"
+
+
+def _delta_generation_dirs(root: str) -> list[str]:
+    import os
+    import re
+
+    pat = re.compile(r"^delta_(\d{5})$")
+    return [
+        os.path.join(root, n) for n in sorted(os.listdir(root)) if pat.match(n)
+    ]
+
+
+def _recover_layout_swap(root: str) -> None:
+    """Crash recovery for compact_sharded_layout's two-rename swap (the
+    recluster_ivf_index protocol, operators/ivf.py): a kill between the
+    renames leaves the live layout only at ``{root}.old<pid>`` — restore
+    the newest dead-pid one when ``root`` is missing; reap dead-pid
+    ``.compact``/``.old`` debris either way."""
+    import glob
+    import os
+    import shutil
+
+    def _dead(pid_str: str) -> bool:
+        if not pid_str.isdigit() or int(pid_str) == os.getpid():
+            return False
+        try:
+            os.kill(int(pid_str), 0)
+            return False
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            return False
+
+    olds = [d for d in glob.glob(f"{root}.old*") if _dead(d.rsplit(".old", 1)[-1])]
+    if not os.path.exists(root) and olds:
+        os.rename(max(olds, key=os.path.getmtime), root)
+        olds = [d for d in olds if os.path.exists(d)]
+    for d in olds + [
+        d for d in glob.glob(f"{root}.compact*") if _dead(d.rsplit(".compact", 1)[-1])
+    ]:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def list_layout_generations(root: str) -> list[str]:
+    """All live generations of a sharded layout, fold order: the base
+    (``root`` itself) first, then each published ``delta_NNNNN``. Every
+    entry holds the same two datasets (``index/`` + ``seqs/``) with the
+    same modulus/k/alphabet (append_sharded_layout enforces at write
+    time). Runs swap-crash recovery first, mirroring probe_ivf_index."""
+    _recover_layout_swap(root)
+    return [root] + _delta_generation_dirs(root)
+
+
+def resolve_j2(index: DataFrame) -> DataFrame:
+    """Re-derive the ONE-representative rule (J2: longest sequence, ties
+    to smallest id) over a UNION of per-generation index rows. Exact by
+    associativity: each generation's row is already the argmax of the
+    packed ``seq_len << 40 | (2^40-1 - seq_id)`` key over ITS sequences
+    (build_kmer_index), and max-of-maxima is the global max, so the
+    resolved union is byte-identical to a full rebuild's index. Inputs
+    come from stored indexes whose ranges build_kmer_index already
+    enforced, so no re-validation here. On a probe path the union is
+    pruned first — the groupBy is bounded by query k-mers x generations,
+    never by the corpus."""
+    packed = F.col("seq_len").cast("long") * F.lit(1 << _REP_ID_BITS) + (
+        F.lit(_REP_ID_MASK) - F.col("seq_id")
+    )
+    return (
+        index.select("kmer", packed.alias("p"))
+        .groupBy("kmer")
+        .agg(F.max("p").alias("p"))
+        .select(
+            "kmer",
+            (F.lit(_REP_ID_MASK) - F.col("p").bitwiseAND(F.lit(_REP_ID_MASK))).alias("seq_id"),
+            F.shiftright("p", _REP_ID_BITS).cast("int").alias("seq_len"),
+        )
+    )
+
+
+def read_layout_index_pruned(
+    spark,
+    root: str,
+    query_kmers: DataFrame,
+    idx_meta: dict | None = None,
+    gens: list[str] | None = None,
+) -> DataFrame:
+    """GENERATION-AWARE pruned index read: the shard list is derived
+    ONCE from the query k-mers and prunes every generation's scan; the
+    pruned union is J2-re-resolved (resolve_j2 — exact by associativity)
+    so downstream sees exactly the index a full rebuild would produce.
+    With no deltas this IS read_kmer_index_pruned — same plan, zero new
+    nodes (the no-delta probe's pinned plan shape is unchanged). Each
+    delta generation's sidecar is checked against the base's
+    modulus/k/alphabet — a hand-placed or torn generation fails loudly
+    instead of silently mis-pruning."""
+    import os
+
+    if gens is None:
+        gens = list_layout_generations(root)
+    if idx_meta is None:
+        idx_meta = read_kmer_index_meta(spark, os.path.join(root, "index"))
+    if len(gens) == 1:
+        return read_kmer_index_pruned(
+            spark, os.path.join(root, "index"), query_kmers, meta=idx_meta
+        )
+    shards = query_shard_list(query_kmers, int(idx_meta["num_shards"]))
+    union = None
+    for gen in gens:
+        gmeta = idx_meta
+        if gen != root:
+            gmeta = read_kmer_index_meta(spark, os.path.join(gen, "index"))
+            for field in ("num_shards", "k", "alphabet"):
+                if gmeta[field] != idx_meta[field]:
+                    raise ValueError(
+                        f"sharded layout generation {gen} has {field}="
+                        f"{gmeta[field]!r} but the base has {idx_meta[field]!r}"
+                        " — the layout is corrupt (append_sharded_layout can"
+                        " never write this); rebuild it"
+                    )
+        part = read_kmer_index_pruned(
+            spark, os.path.join(gen, "index"), query_kmers, meta=gmeta, shards=shards
+        )
+        union = part if union is None else union.unionAll(part)
+    return resolve_j2(union)
+
+
+def read_layout_store_pruned(
+    spark, root: str, seq_ids: list[int], gens: list[str] | None = None
+) -> tuple[DataFrame, int]:
+    """GENERATION-AWARE pruned sequence fetch: unions each generation's
+    pruned store read (ids are globally unique — append enforces) and
+    returns it with the CORPUS-total residue count (the sum of the
+    generation sidecars' db_residues), which is what the e-value
+    normalization needs — identical to a full rebuild's sidecar by
+    construction."""
+    import os
+
+    if gens is None:
+        gens = list_layout_generations(root)
+    union = None
+    db_residues = 0
+    for gen in gens:
+        store = os.path.join(gen, "seqs")
+        meta = read_sequence_store_meta(spark, store)
+        db_residues += int(meta["db_residues"])
+        part = read_sequence_store_pruned(spark, store, seq_ids, meta=meta)
+        union = part if union is None else union.unionAll(part)
+    return union, db_residues
+
+
+#: above this many distinct delta seq_ids the append's id-disjointness
+#: check switches from a driver-bounded pruned read to a distributed
+#: semi-join (one pass over the stored sequence ids — still cheaper
+#: than the delta's own index build at that size)
+_DISJOINT_COLLECT_CAP = 100_000
+
+
+def _check_ids_disjoint(spark, gens: list[str], new_seqs: DataFrame) -> None:
+    import os
+
+    ids = [
+        int(r["seq_id"])
+        for r in new_seqs.select("seq_id")
+        .distinct()
+        .limit(_DISJOINT_COLLECT_CAP + 1)
+        .collect()
+    ]
+    if len(ids) <= _DISJOINT_COLLECT_CAP:
+        for gen in gens:
+            clash = (
+                read_sequence_store_pruned(spark, os.path.join(gen, "seqs"), ids)
+                .select("seq_id")
+                .take(1)
+            )
+            if clash:
+                raise ValueError(
+                    f"append_sharded_layout: seq_id {clash[0]['seq_id']} already"
+                    f" exists in generation {gen} — delta sequence ids must be"
+                    " NEW (the layout's fetch side unions generations without"
+                    " collision resolution; re-id the delta before appending)"
+                )
+    else:
+        existing = None
+        for gen in gens:
+            meta = read_sequence_store_meta(spark, os.path.join(gen, "seqs"))
+            part = (
+                spark.read.schema(_store_read_schema(meta["schema_json"]))
+                .parquet(os.path.join(gen, "seqs"))
+                .select("seq_id")
+            )
+            existing = part if existing is None else existing.unionAll(part)
+        clash = new_seqs.join(existing, "seq_id", "left_semi").select("seq_id").take(1)
+        if clash:
+            raise ValueError(
+                f"append_sharded_layout: seq_id {clash[0]['seq_id']} already"
+                " exists in the layout — delta sequence ids must be NEW"
+            )
+
+
+def append_sharded_layout(spark, root: str, new_seqs: DataFrame) -> str | None:
+    """Fold newly-arrived sequences into a published sharded layout as a
+    NEW GENERATION — cost proportional to the DELTA (its own extraction
+    + groupBy + two sharded writes), never the corpus. The generation is
+    a complete mini layout (``index/`` + ``seqs/``) written with the
+    BASE's modulus/k/alphabet (read from its sidecars, so a drifted
+    append is impossible), built in a pid-unique ``.delta_build`` dir
+    inside the root and claimed by atomic rename to the next
+    ``delta_NNNNN`` slot — a probe can never observe a half-written
+    generation, and two concurrent appenders claim distinct slots (the
+    rename loser retries on the next number). Returns the published
+    generation path, or None for an empty delta (no generation written).
+
+    Sequence ids must be NEW (checked, driver-bounded for interactive
+    deltas / distributed above _DISJOINT_COLLECT_CAP): the fetch side
+    unions generations without collision resolution, and the e-value's
+    ``db_residues`` is the sum of generation sidecars — a replaced id
+    would double-count."""
+    import os
+    import shutil
+
+    gens = list_layout_generations(root)
+    idx_meta = read_kmer_index_meta(spark, os.path.join(root, "index"))
+    store_meta = read_sequence_store_meta(spark, os.path.join(root, "seqs"))
+    if idx_meta["k"] is None or idx_meta["alphabet"] is None:
+        raise ValueError(
+            f"append_sharded_layout: layout at {root} predates the k/alphabet"
+            " sidecar fields — rebuild it (write_sharded_layout) before"
+            " appending, or the delta's k-mer codes could silently diverge"
+        )
+    new_seqs = new_seqs.persist()
+    try:
+        if not new_seqs.take(1):
+            return None
+        _check_ids_disjoint(spark, gens, new_seqs)
+        tmp = os.path.join(root, f".delta_build{os.getpid()}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            write_kmer_index_sharded(
+                build_kmer_index(
+                    new_seqs, k=int(idx_meta["k"]), alphabet=idx_meta["alphabet"]
+                ),
+                os.path.join(tmp, "index"),
+                num_shards=int(idx_meta["num_shards"]),
+                k=int(idx_meta["k"]),
+                alphabet=idx_meta["alphabet"],
+            )
+            write_sequence_store_sharded(
+                new_seqs,
+                os.path.join(tmp, "seqs"),
+                num_shards=int(store_meta["num_shards"]),
+            )
+            n = len(gens)  # base is generation 0; first delta slot is 1
+            while True:
+                target = os.path.join(root, _DELTA_NAME_FMT.format(n))
+                try:
+                    os.rename(tmp, target)
+                    return target
+                except OSError:
+                    if not os.path.isdir(target):
+                        raise  # not a slot collision — surface it
+                    n += 1  # concurrent appender claimed this slot
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+    finally:
+        new_seqs.unpersist()
+
+
+def layout_next_seq_id(spark, root: str) -> int:
+    """The smallest seq_id guaranteed fresh across ALL generations —
+    max(sidecar max_seq_id) + 1, O(generations) tiny reads. Falls back
+    to a column-pruned max-scan for stores written before the sidecar
+    carried max_seq_id (one pass, parquet statistics do most of it)."""
+    import os
+
+    best = -1
+    for gen in list_layout_generations(root):
+        store = os.path.join(gen, "seqs")
+        meta = read_sequence_store_meta(spark, store)
+        if meta["max_seq_id"] is not None:
+            best = max(best, int(meta["max_seq_id"]))
+        else:
+            m = (
+                spark.read.schema(_store_read_schema(meta["schema_json"]))
+                .parquet(store)
+                .agg(F.max("seq_id"))
+                .collect()[0][0]
+            )
+            best = max(best, int(m) if m is not None else -1)
+    return best + 1
+
+
+def compact_sharded_layout(spark, root: str) -> int:
+    """Fold all delta generations back into ONE base — the maintenance
+    job that bounds probe read amplification (each generation adds one
+    pruned scan per probe). Much cheaper than a rebuild: the index side
+    unions the STORED per-generation indexes and re-resolves J2 (one
+    groupBy over ~|distinct k-mers| rows — skipping extraction, which
+    dominates build cost), the fetch side is a plain union (ids are
+    disjoint by append's check), and db_residues re-derives from the
+    union (equal to the sidecar sum by construction). The new layout is
+    built in a pid-unique sibling and swapped in with two renames
+    (recluster_ivf_index's protocol; readers recover via
+    list_layout_generations -> _recover_layout_swap). Returns the number
+    of generations folded (0 = no deltas, nothing to do)."""
+    import os
+    import shutil
+
+    gens = list_layout_generations(root)
+    if len(gens) == 1:
+        return 0
+    idx_meta = read_kmer_index_meta(spark, os.path.join(root, "index"))
+    store_meta = read_sequence_store_meta(spark, os.path.join(root, "seqs"))
+    schema = "kmer long, seq_id long, seq_len int, kshard int"
+    idx_union = None
+    seqs_union = None
+    for gen in gens:
+        part = (
+            spark.read.schema(schema)
+            .parquet(os.path.join(gen, "index"))
+            .select("kmer", "seq_id", "seq_len")
+        )
+        idx_union = part if idx_union is None else idx_union.unionAll(part)
+        smeta = read_sequence_store_meta(spark, os.path.join(gen, "seqs"))
+        seq_part = (
+            spark.read.schema(_store_read_schema(smeta["schema_json"]))
+            .parquet(os.path.join(gen, "seqs"))
+            .drop("sshard")
+        )
+        seqs_union = seq_part if seqs_union is None else seqs_union.unionAll(seq_part)
+    tmp = f"{root}.compact{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        write_kmer_index_sharded(
+            resolve_j2(idx_union),
+            os.path.join(tmp, "index"),
+            num_shards=int(idx_meta["num_shards"]),
+            k=int(idx_meta["k"]) if idx_meta["k"] is not None else None,
+            alphabet=idx_meta["alphabet"],
+        )
+        write_sequence_store_sharded(
+            seqs_union, os.path.join(tmp, "seqs"),
+            num_shards=int(store_meta["num_shards"]),
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    old = f"{root}.old{os.getpid()}"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(root, old)
+    os.rename(tmp, root)
+    shutil.rmtree(old, ignore_errors=True)
+    return len(gens) - 1
+
+
+def _store_read_schema(schema_json: str):
+    """Sequence-store schema (sidecar JSON) + the sshard partition column
+    — the read schema compact/fetch paths share (empty-dataset law: an
+    explicit schema, never inference)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    base = StructType.fromJson(json.loads(schema_json))
+    return StructType(list(base.fields) + [StructField("sshard", IntegerType())])

@@ -208,13 +208,17 @@ def search_sharded_layout(
     import os
 
     from petasearch_spark.operators.kmer_index import (
+        list_layout_generations,
         read_kmer_index_meta,
-        read_kmer_index_pruned,
-        read_sequence_store_meta,
-        read_sequence_store_pruned,
+        read_layout_index_pruned,
+        read_layout_store_pruned,
     )
 
     spark = queries.sparkSession
+    # delta generations (append_sharded_layout): base first, fold order —
+    # probes resolve the J2 rule over the pruned union, so a grown layout
+    # answers exactly like a full rebuild (tests/test_sharded_delta.py)
+    gens = list_layout_generations(layout_root)
     alpha, matrix, ka_u, ka_g = _alphabet_params(alphabet)
     # ONE sidecar read per dataset per probe (round-10 review finding):
     # the index meta also validates build parameters — a probe with a
@@ -241,17 +245,17 @@ def search_sharded_layout(
     ).persist()
     if persisted is not None:
         persisted.append(qk)
-    idx = read_kmer_index_pruned(spark, idx_path, qk, meta=idx_meta)
+    idx = read_layout_index_pruned(spark, layout_root, qk, idx_meta=idx_meta, gens=gens)
     pairs = prefilter(qk, idx, req_kmer_matches=req_kmer_matches).persist()
     if persisted is not None:
         persisted.append(pairs)
     candidate_ids = [
         int(r["target_id"]) for r in pairs.select("target_id").distinct().collect()
     ]
-    store = os.path.join(layout_root, "seqs")
-    store_meta = read_sequence_store_meta(spark, store)
-    targets = read_sequence_store_pruned(spark, store, candidate_ids, meta=store_meta)
-    db_residues = int(store_meta["db_residues"]) or 1
+    targets, db_residues = read_layout_store_pruned(
+        spark, layout_root, candidate_ids, gens=gens
+    )
+    db_residues = db_residues or 1
     alignments = align_pairs(
         pairs, queries, targets, k=k, max_evalue=max_evalue,
         alphabet=alpha, matrix=matrix, ka_ungapped=ka_u, ka_gapped=ka_g,

@@ -102,6 +102,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # same output as protein_search, so it shares the regression golden;
     # any pruning bug (missed shard, torn meta) breaks the value hash
     "protein_search_sharded": (doc_search.protein_search_sharded, doc_search.PROTEIN_SEARCH_SQL),
+    # the cascade against a layout GROWN BY APPEND (LSM delta
+    # generations, round 10): base = 80% of the corpus, the rest folded
+    # in via append_sharded_layout; probe re-resolves J2 over the pruned
+    # union and sums sidecar db_residues — output must be
+    # protein_search's verbatim, so it shares the regression golden
+    "protein_search_sharded_delta": (doc_search.protein_search_sharded_delta, doc_search.PROTEIN_SEARCH_SQL),
     "protein_search_expanded": (doc_search.protein_search_expanded, doc_search.PROTEIN_SEARCH_EXPANDED_SQL),
     # the full cascade under the reference's DEFAULT --mask 1: tantan ->
     # F1 suppression -> extract -> align, pinned by a regression golden
@@ -731,6 +737,16 @@ UNGATED: dict[str, str] = {
         " over batches == batch answer). Full pytest parity from day one;"
         " listed in PENDING_FIRST_GATE for the round-11 rotation"
     ),
+    "protein_search_sharded_delta": (
+        "NEW in round 10 (mid-round): the cascade against a layout grown"
+        " by append_sharded_layout (LSM delta generations — the"
+        " incremental-ingest path the batch-only reference lacks); probe"
+        " re-resolves J2 over the pruned union of generations and sums"
+        " sidecar db_residues, so it shares protein_search's golden oracle"
+        " verbatim. Full pytest parity + append/compact law tests"
+        " (tests/test_sharded_delta.py) from day one; listed in"
+        " PENDING_FIRST_GATE for the round-11 rotation"
+    ),
 }
 
 #: Queries registered AFTER the current round's rotation settled: they
@@ -741,6 +757,7 @@ UNGATED: dict[str, str] = {
 PENDING_FIRST_GATE: dict[str, int] = {
     "protein_search_sharded": 10,
     "protein_search_stream": 10,
+    "protein_search_sharded_delta": 10,
 }
 
 #: The round whose driver artifact does NOT exist yet. Bumped as part

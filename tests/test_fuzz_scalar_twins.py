@@ -361,11 +361,35 @@ def test_sharded_search_equals_plain_on_constructed(spark, twin_dirs):
         spark.catalog.clearCache()
 
 
+def test_delta_search_equals_plain_on_constructed(spark, twin_dirs):
+    """protein_search_sharded_delta (round 10) answers through a layout
+    GROWN BY APPEND (80% base + 20% delta generation); the J2
+    re-resolution over the pruned union and the summed db_residues must
+    reproduce protein_search on the adversarial corpora too — where the
+    base/delta split lands hot k-mers, ties, and empty shards on BOTH
+    sides of the generation boundary."""
+    for seed in SEARCH_SEEDS:
+        d = twin_dirs[seed]
+        spark.catalog.clearCache()
+        plain = sorted(
+            tuple(r) for r in REGISTRY["protein_search"][0](spark, d).collect()
+        )
+        spark.catalog.clearCache()
+        grown = sorted(
+            tuple(r)
+            for r in REGISTRY["protein_search_sharded_delta"][0](spark, d).collect()
+        )
+        assert grown == plain, f"seed{seed}: delta/plain search drift"
+        assert plain, f"seed{seed}: vacuous"
+        spark.catalog.clearCache()
+
+
 #: every core this module exercises on constructed frames (the golden-
 #: keyed ops test_fuzz_parity excludes) — keep in sync with the
 #: parametrizations above; test_every_registry_core_is_fuzzed uses it
 CONSTRUCTED_TWIN_OPS = {
     "protein_search_sharded",
+    "protein_search_sharded_delta",
     "protein_search_stream",
     "protein_mask_stats",
     "protein_mask_tantan",

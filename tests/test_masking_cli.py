@@ -401,3 +401,75 @@ def test_cli_sharded_index_search_nucl(spark, tmp_path):
     with _pytest.raises(ValueError, match="alphabet"):
         main(["searchindex", str(qf), str(tmp_path / "idx_s"),
               str(tmp_path / "m8_x"), "--mask", "0"])
+
+
+def test_cli_append_and_compact_index(spark, tmp_path):
+    """The grown-corpus CLI lifecycle: createindex on an initial corpus,
+    appendindex folds a later arrival in as a delta generation (auto
+    id-offset from the store sidecars — FASTA seq_ids restart at 0, so
+    un-offset they'd collide), searchindex immediately sees the grown
+    corpus, and the m8 is byte-identical to an index built over the
+    union in one shot; compactindex folds the generations and the
+    answer is unchanged."""
+    import json as _json
+    import random
+
+    from petasearch_spark.cli import main
+    from petasearch_spark.operators.kmer_index import list_layout_generations
+
+    rng = random.Random(23)
+    aa = "ACDEFGHIKLMNPQRSTVWY"
+
+    def fasta(path, tag, n):
+        path.write_text(
+            "".join(
+                f">{tag}{i} d\n" + "".join(rng.choice(aa) for _ in range(80)) + "\n"
+                for i in range(n)
+            )
+        )
+
+    base_fa, delta_fa = tmp_path / "base.fa", tmp_path / "delta.fa"
+    fasta(base_fa, "b", 25)
+    fasta(delta_fa, "n", 15)
+    union_fa = tmp_path / "union.fa"
+    union_fa.write_text(base_fa.read_text() + delta_fa.read_text())
+    # query = one base target + one DELTA target: hits on the second
+    # prove the probe reads the appended generation
+    qf = tmp_path / "q.fa"
+    qf.write_text(
+        ">q0 x\n" + base_fa.read_text().splitlines()[1] + "\n"
+        ">q1 y\n" + delta_fa.read_text().splitlines()[1] + "\n"
+    )
+
+    def m8(out_dir):
+        return "".join(
+            sorted(open(p).read() for p in glob.glob(os.path.join(str(out_dir), "part-*")))
+        )
+
+    grown = tmp_path / "idx_grown"
+    assert main(["createindex", str(base_fa), str(grown),
+                 "--layout", "sharded", "--num-shards", "16"]) == 0
+    assert main(["appendindex", str(delta_fa), str(grown)]) == 0
+    assert len(list_layout_generations(str(grown))) == 2
+    assert main(["searchindex", str(qf), str(grown), str(tmp_path / "m8_g")]) == 0
+
+    rebuilt = tmp_path / "idx_union"
+    assert main(["createindex", str(union_fa), str(rebuilt),
+                 "--layout", "sharded", "--num-shards", "16"]) == 0
+    assert main(["searchindex", str(qf), str(rebuilt), str(tmp_path / "m8_u")]) == 0
+    got, want = m8(tmp_path / "m8_g"), m8(tmp_path / "m8_u")
+    # target names differ only through accession (b*/n*), which both
+    # paths carry in the store — compare verbatim
+    assert got == want
+    assert "q0\tb0\t1.0" in got and "q1\tn0\t1.0" in got
+
+    # compaction: one generation left, same answer
+    assert main(["compactindex", str(grown)]) == 0
+    assert len(list_layout_generations(str(grown))) == 1
+    assert main(["searchindex", str(qf), str(grown), str(tmp_path / "m8_c")]) == 0
+    assert m8(tmp_path / "m8_c") == want
+
+    # appending to a RANGE index is a loud usage error
+    rng_idx = tmp_path / "idx_range"
+    assert main(["createindex", str(base_fa), str(rng_idx)]) == 0
+    assert main(["appendindex", str(delta_fa), str(rng_idx)]) == 2

@@ -1,0 +1,255 @@
+"""Delta generations for the sharded interactive layout (round 10):
+append_sharded_layout / list_layout_generations / resolve_j2 /
+compact_sharded_layout laws.
+
+The core claim under test: a layout GROWN BY APPEND answers every probe
+byte-identically to a layout REBUILT from the full corpus — the J2
+representative re-resolution over the pruned union is exact (packed-max
+associativity), the fetch union is collision-free (append enforces new
+seq_ids), and the e-value's db_residues is the sum of the generation
+sidecars. The registered twin (protein_search_sharded_delta) rides
+protein_search's golden oracle in test_oracle_parity; this file pins the
+operator-level laws the oracle can't isolate (collision direction, slot
+claiming, crash recovery, refusal paths)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from petasearch_spark.operators.kmer_index import (
+    append_sharded_layout,
+    build_kmer_index,
+    compact_sharded_layout,
+    list_layout_generations,
+    read_kmer_index_meta,
+    read_layout_index_pruned,
+    read_sequence_store_meta,
+    resolve_j2,
+    write_sharded_layout,
+)
+
+# a 4-letter alphabet at k=5 makes cross-generation k-mer collisions
+# common at tiny corpus sizes (20^9 would make them astronomically rare)
+_ALPHA, _K = "ACGT", 5
+
+
+def _seqs(spark, rows):
+    return spark.createDataFrame(rows, "seq_id long, sequence string")
+
+
+def _rand_rows(seed, ids, n=60):
+    import random
+
+    rng = random.Random(seed)
+    return [(i, "".join(rng.choice(_ALPHA) for _ in range(n))) for i in ids]
+
+
+def _probe_all(spark, root, probe_seqs, only_probe_kmers=False):
+    """Prefilter-style pruned index read for ALL the probe's k-mers,
+    through the generation-aware reader. By default returns every index
+    row in the probed SHARDS (the reader's raw contract — the stronger
+    equality check); ``only_probe_kmers`` restricts to the probe's own
+    k-mers (what a prefilter join would consume)."""
+    from petasearch_spark.operators.kmer_index import extract_query_kmers
+
+    qk = extract_query_kmers(probe_seqs, k=_K, alphabet=_ALPHA)
+    idx = read_layout_index_pruned(spark, root, qk)
+    if only_probe_kmers:
+        idx = idx.join(qk.select("kmer").distinct(), "kmer", "left_semi")
+    return idx
+
+
+def test_append_probe_equals_full_rebuild(spark, tmp_path):
+    """The flagship law: grown layout == rebuilt layout, row for row,
+    over a probe that touches every k-mer of the union corpus (so every
+    cross-generation collision must resolve identically)."""
+    base_rows = _rand_rows(1, range(0, 12))
+    delta_rows = _rand_rows(2, range(100, 108))
+    grown = str(tmp_path / "grown")
+    rebuilt = str(tmp_path / "rebuilt")
+    write_sharded_layout(_seqs(spark, base_rows), grown, num_shards=16, k=_K, alphabet=_ALPHA)
+    gen = append_sharded_layout(spark, grown, _seqs(spark, delta_rows))
+    assert gen == os.path.join(grown, "delta_00001")
+    write_sharded_layout(
+        _seqs(spark, base_rows + delta_rows), rebuilt, num_shards=16, k=_K, alphabet=_ALPHA
+    )
+    probe = _seqs(spark, base_rows + delta_rows)
+    got = sorted(map(tuple, _probe_all(spark, grown, probe).collect()))
+    want = sorted(map(tuple, _probe_all(spark, rebuilt, probe).collect()))
+    assert got == want and len(got) > 0
+    # residue accounting: generation sidecars sum to the rebuilt total
+    g_res = sum(
+        int(read_sequence_store_meta(spark, os.path.join(g, "seqs"))["db_residues"])
+        for g in list_layout_generations(grown)
+    )
+    r_res = int(
+        read_sequence_store_meta(spark, os.path.join(rebuilt, "seqs"))["db_residues"]
+    )
+    assert g_res == r_res > 0
+
+
+def test_j2_collision_rules_across_generations(spark, tmp_path):
+    """The representative flips to the delta ONLY when it is strictly
+    better under (seq_len DESC, seq_id ASC): longer delta wins; equal
+    length resolves to the smaller id (the base here); shorter delta
+    never displaces the base (reference createkmertable one-entry rule,
+    /root/reference/src/sra/createkmertable.cpp:179-190)."""
+    core = "ACGTA"  # shared k-mer (k=5)
+    root = str(tmp_path / "root")
+    base = [(1, core + "GG")]  # len 7
+    write_sharded_layout(_seqs(spark, base), root, num_shards=8, k=_K, alphabet=_ALPHA)
+    # longer delta sequence containing the same k-mer -> delta wins
+    append_sharded_layout(spark, root, _seqs(spark, [(50, core + "GGTT")]))  # len 9
+    # equal-length delta with larger id -> base (smaller id) keeps it...
+    # against the CURRENT winner (seq 50, len 9)
+    append_sharded_layout(spark, root, _seqs(spark, [(60, core + "CCAA")]))  # len 9, id 60
+    # shorter delta -> never wins
+    append_sharded_layout(spark, root, _seqs(spark, [(70, core + "C")]))  # len 6
+    probe = _seqs(spark, [(0, core)])
+    rows = {
+        r["kmer"]: (r["seq_id"], r["seq_len"])
+        for r in _probe_all(spark, root, probe, only_probe_kmers=True).collect()
+    }
+    assert len(rows) == 1
+    (rep_id, rep_len) = next(iter(rows.values()))
+    assert (rep_id, rep_len) == (50, 9)
+    # and the same corpus built in one shot agrees
+    rebuilt = str(tmp_path / "rebuilt")
+    write_sharded_layout(
+        _seqs(spark, base + [(50, core + "GGTT"), (60, core + "CCAA"), (70, core + "C")]),
+        rebuilt, num_shards=8, k=_K, alphabet=_ALPHA,
+    )
+    want = {
+        r["kmer"]: (r["seq_id"], r["seq_len"])
+        for r in _probe_all(spark, rebuilt, probe, only_probe_kmers=True).collect()
+    }
+    assert want == rows
+
+
+def test_resolve_j2_is_exact_on_union(spark):
+    """resolve_j2 over per-part indexes == build_kmer_index over the
+    union — the associativity argument as an executable property."""
+    a = _seqs(spark, _rand_rows(7, range(0, 10)))
+    b = _seqs(spark, _rand_rows(8, range(10, 20)))
+    both = _seqs(spark, _rand_rows(7, range(0, 10)) + _rand_rows(8, range(10, 20)))
+    merged = resolve_j2(
+        build_kmer_index(a, k=_K, alphabet=_ALPHA).unionAll(
+            build_kmer_index(b, k=_K, alphabet=_ALPHA)
+        )
+    )
+    want = build_kmer_index(both, k=_K, alphabet=_ALPHA)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_append_claims_next_slot_and_empty_is_noop(spark, tmp_path):
+    root = str(tmp_path / "root")
+    write_sharded_layout(_seqs(spark, _rand_rows(3, range(4))), root, num_shards=8, k=_K, alphabet=_ALPHA)
+    g1 = append_sharded_layout(spark, root, _seqs(spark, _rand_rows(4, range(10, 14))))
+    g2 = append_sharded_layout(spark, root, _seqs(spark, _rand_rows(5, range(20, 24))))
+    assert [os.path.basename(g) for g in (g1, g2)] == ["delta_00001", "delta_00002"]
+    assert list_layout_generations(root) == [root, g1, g2]
+    # empty delta: no generation written, None returned
+    assert append_sharded_layout(spark, root, _seqs(spark, []).filter("seq_id > 0")) is None
+    assert list_layout_generations(root) == [root, g1, g2]
+    # no .delta_build staging debris either way
+    assert not [n for n in os.listdir(root) if n.startswith(".delta_build")]
+
+
+def test_append_refuses_duplicate_seq_ids(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "root")
+    write_sharded_layout(_seqs(spark, _rand_rows(9, range(6))), root, num_shards=8, k=_K, alphabet=_ALPHA)
+    append_sharded_layout(spark, root, _seqs(spark, _rand_rows(10, range(10, 13))))
+    # collision with the BASE (driver-bounded pruned-read path)
+    with pytest.raises(ValueError, match="already exists"):
+        append_sharded_layout(spark, root, _seqs(spark, _rand_rows(11, [3, 99])))
+    # collision with an earlier DELTA generation
+    with pytest.raises(ValueError, match="already exists"):
+        append_sharded_layout(spark, root, _seqs(spark, _rand_rows(12, [11])))
+    # distributed path (cap forced to 1): same refusal law
+    import petasearch_spark.operators.kmer_index as ki
+
+    monkeypatch.setattr(ki, "_DISJOINT_COLLECT_CAP", 1)
+    with pytest.raises(ValueError, match="already exists"):
+        append_sharded_layout(spark, root, _seqs(spark, _rand_rows(13, [200, 201, 3])))
+    # a failed append leaves no generation and no staging debris
+    assert [os.path.basename(g) for g in list_layout_generations(root)[1:]] == ["delta_00001"]
+    assert not [n for n in os.listdir(root) if n.startswith(".delta_build")]
+
+
+def test_append_refuses_metaless_legacy_layout(spark, tmp_path):
+    """A layout whose sidecar predates the k/alphabet fields can't
+    validate the delta's k-mer codes — refuse loudly (the same
+    silent-empty-join failure mode as the probe-param check)."""
+    root = str(tmp_path / "root")
+    write_sharded_layout(_seqs(spark, _rand_rows(14, range(4))), root, num_shards=8, k=_K, alphabet=_ALPHA)
+    # simulate the legacy sidecar: num_shards only
+    meta_dir = os.path.join(root, "index", "_ps_meta")
+    import shutil
+
+    shutil.rmtree(meta_dir)
+    spark.createDataFrame([(8,)], "num_shards int").coalesce(1).write.parquet(meta_dir)
+    with pytest.raises(ValueError, match="k/alphabet"):
+        append_sharded_layout(spark, root, _seqs(spark, _rand_rows(15, [30])))
+
+
+def test_compaction_folds_and_preserves_answers(spark, tmp_path):
+    root = str(tmp_path / "root")
+    all_rows = _rand_rows(16, range(8)) + _rand_rows(17, range(10, 16)) + _rand_rows(18, range(20, 25))
+    write_sharded_layout(_seqs(spark, all_rows[:8]), root, num_shards=8, k=_K, alphabet=_ALPHA)
+    append_sharded_layout(spark, root, _seqs(spark, all_rows[8:14]))
+    append_sharded_layout(spark, root, _seqs(spark, all_rows[14:]))
+    probe = _seqs(spark, all_rows)
+    before = sorted(map(tuple, _probe_all(spark, root, probe).collect()))
+    res_before = sum(
+        int(read_sequence_store_meta(spark, os.path.join(g, "seqs"))["db_residues"])
+        for g in list_layout_generations(root)
+    )
+    assert compact_sharded_layout(spark, root) == 2
+    assert list_layout_generations(root) == [root]
+    after = sorted(map(tuple, _probe_all(spark, root, probe).collect()))
+    assert after == before
+    # db_residues re-derives to the same corpus total; k/alphabet survive
+    smeta = read_sequence_store_meta(spark, os.path.join(root, "seqs"))
+    imeta = read_kmer_index_meta(spark, os.path.join(root, "index"))
+    assert int(smeta["db_residues"]) == res_before
+    assert (int(imeta["k"]), imeta["alphabet"]) == (_K, _ALPHA)
+    # idempotent: nothing left to fold
+    assert compact_sharded_layout(spark, root) == 0
+    # no swap debris
+    parent = os.path.dirname(root)
+    assert not [n for n in os.listdir(parent) if ".compact" in n or ".old" in n]
+
+
+def test_swap_crash_recovery_restores_layout(spark, tmp_path):
+    """A kill between compaction's two renames leaves the layout only at
+    root.old<pid>; the next reader (list_layout_generations) restores
+    it — the recluster_ivf_index recovery protocol."""
+    root = str(tmp_path / "root")
+    write_sharded_layout(_seqs(spark, _rand_rows(19, range(5))), root, num_shards=8, k=_K, alphabet=_ALPHA)
+    dead_pid = 2_000_000_000  # far beyond pid_max: os.kill -> no such process
+    os.rename(root, f"{root}.old{dead_pid}")
+    assert list_layout_generations(root) == [root]
+    assert os.path.isdir(os.path.join(root, "index"))
+    assert not os.path.exists(f"{root}.old{dead_pid}")
+
+
+def test_probe_refuses_corrupt_generation(spark, tmp_path):
+    """A generation whose modulus drifted from the base (hand-placed or
+    torn — append can never write one) must fail LOUDLY, never
+    silently mis-prune."""
+    root = str(tmp_path / "root")
+    write_sharded_layout(_seqs(spark, _rand_rows(20, range(5))), root, num_shards=8, k=_K, alphabet=_ALPHA)
+    gen = append_sharded_layout(spark, root, _seqs(spark, _rand_rows(21, [40, 41])))
+    # corrupt the generation's sidecar modulus
+    import shutil
+
+    meta_dir = os.path.join(gen, "index", "_ps_meta")
+    shutil.rmtree(meta_dir)
+    spark.createDataFrame(
+        [(16, _K, _ALPHA)], "num_shards int, k int, alphabet string"
+    ).coalesce(1).write.parquet(meta_dir)
+    with pytest.raises(ValueError, match="corrupt"):
+        _probe_all(spark, root, _seqs(spark, _rand_rows(20, range(2)))).collect()
