@@ -691,7 +691,8 @@ def _sharded_delta_root(sf_dir: str) -> str:
 
     from petasearch_spark.streaming.stateful import source_fingerprint
 
-    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"), "sharded-delta-v1")
+    # v2: delta generations auto-size their fanout (mixed-moduli layout)
+    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"), "sharded-delta-v2")
     return os.path.join(tempfile.gettempdir(), f"ps_sharded_delta_{fp}")
 
 

@@ -616,10 +616,14 @@ def read_layout_index_pruned(
     pruned union is J2-re-resolved (resolve_j2 — exact by associativity)
     so downstream sees exactly the index a full rebuild would produce.
     With no deltas this IS read_kmer_index_pruned — same plan, zero new
-    nodes (the no-delta probe's pinned plan shape is unchanged). Each
-    delta generation's sidecar is checked against the base's
-    modulus/k/alphabet — a hand-placed or torn generation fails loudly
-    instead of silently mis-pruning."""
+    nodes (the no-delta probe's pinned plan shape is unchanged).
+    Generations may carry DIFFERENT moduli (append auto-sizes a small
+    delta's fanout to the delta, the LSM L0 shape — a 5k-seq arrival
+    must not pay the base's 4096-directory write); the prune list is
+    derived once per DISTINCT modulus, never per generation. Each delta
+    generation's k/alphabet is checked against the base's — a
+    hand-placed generation with drifted k-mer codes fails loudly
+    instead of returning silently-wrong joins."""
     import os
 
     if gens is None:
@@ -630,22 +634,30 @@ def read_layout_index_pruned(
         return read_kmer_index_pruned(
             spark, os.path.join(root, "index"), query_kmers, meta=idx_meta
         )
-    shards = query_shard_list(query_kmers, int(idx_meta["num_shards"]))
+    metas = [idx_meta] + [
+        read_kmer_index_meta(spark, os.path.join(g, "index")) for g in gens[1:]
+    ]
+    for gen, gmeta in zip(gens[1:], metas[1:]):
+        for field in ("k", "alphabet"):
+            if gmeta[field] != idx_meta[field]:
+                raise ValueError(
+                    f"sharded layout generation {gen} has {field}="
+                    f"{gmeta[field]!r} but the base has {idx_meta[field]!r}"
+                    " — the layout is corrupt (append_sharded_layout can"
+                    " never write this); rebuild it"
+                )
+    shards_by_mod = {
+        int(m["num_shards"]): query_shard_list(query_kmers, int(m["num_shards"]))
+        for m in {int(m["num_shards"]): m for m in metas}.values()
+    }
     union = None
-    for gen in gens:
-        gmeta = idx_meta
-        if gen != root:
-            gmeta = read_kmer_index_meta(spark, os.path.join(gen, "index"))
-            for field in ("num_shards", "k", "alphabet"):
-                if gmeta[field] != idx_meta[field]:
-                    raise ValueError(
-                        f"sharded layout generation {gen} has {field}="
-                        f"{gmeta[field]!r} but the base has {idx_meta[field]!r}"
-                        " — the layout is corrupt (append_sharded_layout can"
-                        " never write this); rebuild it"
-                    )
+    for gen, gmeta in zip(gens, metas):
         part = read_kmer_index_pruned(
-            spark, os.path.join(gen, "index"), query_kmers, meta=gmeta, shards=shards
+            spark,
+            os.path.join(gen, "index"),
+            query_kmers,
+            meta=gmeta,
+            shards=shards_by_mod[int(gmeta["num_shards"])],
         )
         union = part if union is None else union.unionAll(part)
     return resolve_j2(union)
@@ -677,9 +689,13 @@ def read_layout_store_pruned(
 
 #: above this many distinct delta seq_ids the append's id-disjointness
 #: check switches from a driver-bounded pruned read to a distributed
-#: semi-join (one pass over the stored sequence ids — still cheaper
-#: than the delta's own index build at that size)
-_DISJOINT_COLLECT_CAP = 100_000
+#: semi-join (one column-pruned pass over the stored sequence ids —
+#: cheaper than the delta's own index build at that size). Keep this
+#: SMALL: the pruned path materializes the ids as an `isin` literal
+#: list, and a round-10 1M measurement showed a 100k-literal filter
+#: costing more in plan handling than the entire delta index build;
+#: 2k literals is interactive-append scale and planning-free.
+_DISJOINT_COLLECT_CAP = 2_000
 
 
 def _check_ids_disjoint(spark, gens: list[str], new_seqs: DataFrame) -> None:
@@ -724,18 +740,38 @@ def _check_ids_disjoint(spark, gens: list[str], new_seqs: DataFrame) -> None:
             )
 
 
-def append_sharded_layout(spark, root: str, new_seqs: DataFrame) -> str | None:
+#: generation fanout auto-sizing (the LSM L0 shape): a delta's shard
+#: count tracks the DELTA's size — one directory per ~this many k-mer
+#: rows (≈ residues) / stored sequences, capped at the base's modulus
+#: (a generation never needs finer sharding than the base; round-10
+#: measurement: a 5k-seq delta written at the base's 4096-way fanout
+#: cost ~140 s of pure directory overhead, auto-sized it is seconds).
+#: Readers handle mixed moduli natively (read_layout_index_pruned
+#: derives one prune list per distinct modulus), and compaction folds
+#: everything back to the base fanout.
+_DELTA_KMER_ROWS_PER_SHARD = 50_000
+_DELTA_SEQS_PER_SHARD = 250
+
+
+def append_sharded_layout(
+    spark,
+    root: str,
+    new_seqs: DataFrame,
+    num_shards: int | None = None,
+) -> str | None:
     """Fold newly-arrived sequences into a published sharded layout as a
     NEW GENERATION — cost proportional to the DELTA (its own extraction
-    + groupBy + two sharded writes), never the corpus. The generation is
-    a complete mini layout (``index/`` + ``seqs/``) written with the
-    BASE's modulus/k/alphabet (read from its sidecars, so a drifted
-    append is impossible), built in a pid-unique ``.delta_build`` dir
-    inside the root and claimed by atomic rename to the next
-    ``delta_NNNNN`` slot — a probe can never observe a half-written
-    generation, and two concurrent appenders claim distinct slots (the
-    rename loser retries on the next number). Returns the published
-    generation path, or None for an empty delta (no generation written).
+    + groupBy + two sharded writes whose fanout is auto-sized to the
+    delta), never the corpus. The generation is a complete mini layout
+    (``index/`` + ``seqs/``) written with the BASE's k/alphabet (read
+    from its sidecar, so a drifted append is impossible), built in a
+    pid-unique ``.delta_build`` dir inside the root and claimed by
+    atomic rename to the next ``delta_NNNNN`` slot — a probe can never
+    observe a half-written generation, and two concurrent appenders
+    claim distinct slots (the rename loser retries on the next number).
+    Returns the published generation path, or None for an empty delta
+    (no generation written). ``num_shards`` overrides the auto-sizing
+    for both datasets (e.g. a bulk daily delta sized like a base).
 
     Sequence ids must be NEW (checked, driver-bounded for interactive
     deltas / distributed above _DISJOINT_COLLECT_CAP): the fetch side
@@ -756,8 +792,22 @@ def append_sharded_layout(spark, root: str, new_seqs: DataFrame) -> str | None:
         )
     new_seqs = new_seqs.persist()
     try:
-        if not new_seqs.take(1):
+        stats = new_seqs.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.length("sequence")).alias("r")
+        ).collect()[0]
+        if not stats["n"]:
             return None
+        if num_shards is None:
+            idx_shards = min(
+                int(idx_meta["num_shards"]),
+                int(stats["r"] or 0) // _DELTA_KMER_ROWS_PER_SHARD + 1,
+            )
+            seq_shards = min(
+                int(store_meta["num_shards"]),
+                int(stats["n"]) // _DELTA_SEQS_PER_SHARD + 1,
+            )
+        else:
+            idx_shards = seq_shards = int(num_shards)
         _check_ids_disjoint(spark, gens, new_seqs)
         tmp = os.path.join(root, f".delta_build{os.getpid()}")
         shutil.rmtree(tmp, ignore_errors=True)
@@ -767,14 +817,14 @@ def append_sharded_layout(spark, root: str, new_seqs: DataFrame) -> str | None:
                     new_seqs, k=int(idx_meta["k"]), alphabet=idx_meta["alphabet"]
                 ),
                 os.path.join(tmp, "index"),
-                num_shards=int(idx_meta["num_shards"]),
+                num_shards=idx_shards,
                 k=int(idx_meta["k"]),
                 alphabet=idx_meta["alphabet"],
             )
             write_sequence_store_sharded(
                 new_seqs,
                 os.path.join(tmp, "seqs"),
-                num_shards=int(store_meta["num_shards"]),
+                num_shards=seq_shards,
             )
             n = len(gens)  # base is generation 0; first delta slot is 1
             while True:

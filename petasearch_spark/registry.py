@@ -34,7 +34,13 @@ from petasearch_spark.operators import (
     text,
 )
 from petasearch_spark.sources import csv_events
-from petasearch_spark.streaming import events_stream, ingest_stream, search_stream, stateful
+from petasearch_spark.streaming import (
+    events_stream,
+    index_ingest_stream,
+    ingest_stream,
+    search_stream,
+    stateful,
+)
 from petasearch_spark.streaming.ann_stream import (
     ann_ivf_stream_topk as _ann_ivf_stream_topk,
     ann_stream_topk as _ann_stream_topk,
@@ -108,6 +114,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # union and sums sidecar db_residues — output must be
     # protein_search's verbatim, so it shares the regression golden
     "protein_search_sharded_delta": (doc_search.protein_search_sharded_delta, doc_search.PROTEIN_SEARCH_SQL),
+    # the STREAMED form of the same growth: target arrivals folded in
+    # per micro-batch (foreachBatch append, replay-safe by the atomic
+    # generation claim); probed after the drain it must also reproduce
+    # protein_search verbatim
+    "protein_index_stream_append": (index_ingest_stream.protein_index_stream_append, doc_search.PROTEIN_SEARCH_SQL),
     "protein_search_expanded": (doc_search.protein_search_expanded, doc_search.PROTEIN_SEARCH_EXPANDED_SQL),
     # the full cascade under the reference's DEFAULT --mask 1: tantan ->
     # F1 suppression -> extract -> align, pinned by a regression golden
@@ -747,6 +758,15 @@ UNGATED: dict[str, str] = {
         " (tests/test_sharded_delta.py) from day one; listed in"
         " PENDING_FIRST_GATE for the round-11 rotation"
     ),
+    "protein_index_stream_append": (
+        "NEW in round 10 (mid-round): the STREAMED form of layout growth"
+        " — target arrivals folded in per micro-batch via foreachBatch"
+        " append (replay-safe: the atomic generation claim makes the"
+        " id-disjointness check a replay detector); probed after the"
+        " drain it shares protein_search's golden oracle verbatim. Full"
+        " pytest parity + the exactly-once replay pin from day one;"
+        " listed in PENDING_FIRST_GATE for the round-11 rotation"
+    ),
 }
 
 #: Queries registered AFTER the current round's rotation settled: they
@@ -758,6 +778,7 @@ PENDING_FIRST_GATE: dict[str, int] = {
     "protein_search_sharded": 10,
     "protein_search_stream": 10,
     "protein_search_sharded_delta": 10,
+    "protein_index_stream_append": 10,
 }
 
 #: The round whose driver artifact does NOT exist yet. Bumped as part

@@ -193,6 +193,7 @@ def test_bench_bands_cover_every_key_and_flag_regressions():
         "protein_search_sharded_probe1",
         "protein_search_stream",
         "protein_search_sharded_delta",
+        "protein_index_stream_append",
     )}
     assert missing <= allowed_missing, f"unbanded keys beyond the post-quiet-regen additions: {missing - allowed_missing}"
     assert set(bands) <= set(bench.BENCH_KEYS.values())

@@ -384,12 +384,36 @@ def test_delta_search_equals_plain_on_constructed(spark, twin_dirs):
         spark.catalog.clearCache()
 
 
+def test_ingest_stream_search_equals_plain_on_constructed(spark, twin_dirs):
+    """protein_index_stream_append (round 10) grows the layout by
+    STREAMED per-micro-batch appends (foreachBatch over a real 2-file
+    staged stream) and must still reproduce protein_search on the
+    adversarial corpora — batch boundaries land at arbitrary content
+    splits, so generations carry arbitrary slices of the hot/tie/empty
+    k-mer structure."""
+    for seed in SEARCH_SEEDS:
+        d = twin_dirs[seed]
+        spark.catalog.clearCache()
+        plain = sorted(
+            tuple(r) for r in REGISTRY["protein_search"][0](spark, d).collect()
+        )
+        spark.catalog.clearCache()
+        grown = sorted(
+            tuple(r)
+            for r in REGISTRY["protein_index_stream_append"][0](spark, d).collect()
+        )
+        assert grown == plain, f"seed{seed}: ingest-stream/plain search drift"
+        assert plain, f"seed{seed}: vacuous"
+        spark.catalog.clearCache()
+
+
 #: every core this module exercises on constructed frames (the golden-
 #: keyed ops test_fuzz_parity excludes) — keep in sync with the
 #: parametrizations above; test_every_registry_core_is_fuzzed uses it
 CONSTRUCTED_TWIN_OPS = {
     "protein_search_sharded",
     "protein_search_sharded_delta",
+    "protein_index_stream_append",
     "protein_search_stream",
     "protein_mask_stats",
     "protein_mask_tantan",

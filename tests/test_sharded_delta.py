@@ -236,20 +236,92 @@ def test_swap_crash_recovery_restores_layout(spark, tmp_path):
     assert not os.path.exists(f"{root}.old{dead_pid}")
 
 
+def test_stream_fold_batch_replay_is_exactly_once(spark, tmp_path):
+    """The streaming ingest's exactly-once law: a micro-batch REPLAYED
+    after a crash (the append's rename landed, the checkpoint commit
+    didn't) is skipped — append is all-or-nothing, so any surviving id
+    means the whole batch's generation is live. A genuinely new batch
+    still appends, and a genuine (non-replay) error still raises."""
+    from petasearch_spark.streaming.index_ingest_stream import fold_batch_into_layout
+
+    root = str(tmp_path / "root")
+    write_sharded_layout(_seqs(spark, _rand_rows(40, range(6))), root, num_shards=8, k=_K, alphabet=_ALPHA)
+    batch = _seqs(spark, _rand_rows(41, range(10, 14)))
+    g1 = fold_batch_into_layout(spark, root, batch)
+    assert g1 is not None
+    before = list_layout_generations(root)
+    # replay: same batch again -> skip, layout untouched
+    assert fold_batch_into_layout(spark, root, batch) is None
+    assert list_layout_generations(root) == before
+    # a new batch still appends
+    assert fold_batch_into_layout(spark, root, _seqs(spark, _rand_rows(42, [50, 51]))) is not None
+    # a genuine error (legacy metaless layout) propagates, not skipped
+    legacy = str(tmp_path / "legacy")
+    write_sharded_layout(_seqs(spark, _rand_rows(43, range(3))), legacy, num_shards=8, k=_K, alphabet=_ALPHA)
+    import shutil
+
+    meta_dir = os.path.join(legacy, "index", "_ps_meta")
+    shutil.rmtree(meta_dir)
+    spark.createDataFrame([(8,)], "num_shards int").coalesce(1).write.parquet(meta_dir)
+    with pytest.raises(ValueError, match="k/alphabet"):
+        fold_batch_into_layout(spark, legacy, _seqs(spark, _rand_rows(44, [60])))
+
+
 def test_probe_refuses_corrupt_generation(spark, tmp_path):
-    """A generation whose modulus drifted from the base (hand-placed or
-    torn — append can never write one) must fail LOUDLY, never
-    silently mis-prune."""
+    """A generation whose k drifted from the base (hand-placed — append
+    can never write one) would join on incompatible k-mer codes; it
+    must fail LOUDLY, never return silently-wrong rows. A DIFFERENT
+    modulus is legal (append auto-sizes small generations) — only
+    k/alphabet are identity."""
     root = str(tmp_path / "root")
     write_sharded_layout(_seqs(spark, _rand_rows(20, range(5))), root, num_shards=8, k=_K, alphabet=_ALPHA)
     gen = append_sharded_layout(spark, root, _seqs(spark, _rand_rows(21, [40, 41])))
-    # corrupt the generation's sidecar modulus
+    # corrupt the generation's sidecar k
     import shutil
 
     meta_dir = os.path.join(gen, "index", "_ps_meta")
     shutil.rmtree(meta_dir)
     spark.createDataFrame(
-        [(16, _K, _ALPHA)], "num_shards int, k int, alphabet string"
+        [(1, _K + 2, _ALPHA)], "num_shards int, k int, alphabet string"
     ).coalesce(1).write.parquet(meta_dir)
     with pytest.raises(ValueError, match="corrupt"):
         _probe_all(spark, root, _seqs(spark, _rand_rows(20, range(2)))).collect()
+
+
+def test_append_auto_sizes_generation_fanout(spark, tmp_path):
+    """A tiny delta must not inherit the base's directory fanout (the
+    measured failure: a 5k-seq delta at 4096 base shards paid ~140 s of
+    pure directory overhead): its generation is written with O(delta)
+    shards, probes handle the mixed moduli (one prune list per distinct
+    modulus), and answers still match a full rebuild."""
+    base_rows = _rand_rows(30, range(0, 12))
+    delta_rows = _rand_rows(31, range(100, 103))
+    grown = str(tmp_path / "grown")
+    write_sharded_layout(_seqs(spark, base_rows), grown, num_shards=64, k=_K, alphabet=_ALPHA)
+    gen = append_sharded_layout(spark, grown, _seqs(spark, delta_rows))
+    # 3 sequences x 60 residues -> 1 shard on both datasets
+    assert (
+        int(read_kmer_index_meta(spark, os.path.join(gen, "index"))["num_shards"]) == 1
+    )
+    assert (
+        int(read_sequence_store_meta(spark, os.path.join(gen, "seqs"))["num_shards"]) == 1
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    write_sharded_layout(
+        _seqs(spark, base_rows + delta_rows), rebuilt, num_shards=64, k=_K, alphabet=_ALPHA
+    )
+    probe = _seqs(spark, base_rows + delta_rows)
+    got = sorted(
+        map(tuple, _probe_all(spark, grown, probe, only_probe_kmers=True).collect())
+    )
+    want = sorted(
+        map(tuple, _probe_all(spark, rebuilt, probe, only_probe_kmers=True).collect())
+    )
+    assert got == want and len(got) > 0
+    # an explicit override wins
+    gen2 = append_sharded_layout(
+        spark, grown, _seqs(spark, _rand_rows(32, [200, 201])), num_shards=4
+    )
+    assert (
+        int(read_kmer_index_meta(spark, os.path.join(gen2, "index"))["num_shards"]) == 4
+    )
