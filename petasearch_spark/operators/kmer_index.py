@@ -531,10 +531,17 @@ def _delta_generation_dirs(root: str) -> list[str]:
     import os
     import re
 
-    pat = re.compile(r"^delta_(\d{5})$")
-    return [
-        os.path.join(root, n) for n in sorted(os.listdir(root)) if pat.match(n)
-    ]
+    # \d{5,}: zero-padding stops at 99999 but generations keep going —
+    # an exact-width pattern would make generation 100000 invisible to
+    # every reader while append kept returning success (round-10
+    # review); numeric sort, since lexicographic breaks at mixed widths
+    pat = re.compile(r"^delta_(\d{5,})$")
+    found = []
+    for n in os.listdir(root):
+        m = pat.match(n)
+        if m:
+            found.append((int(m.group(1)), n))
+    return [os.path.join(root, n) for _, n in sorted(found)]
 
 
 def _recover_layout_swap(root: str) -> None:
@@ -542,7 +549,13 @@ def _recover_layout_swap(root: str) -> None:
     recluster_ivf_index protocol, operators/ivf.py): a kill between the
     renames leaves the live layout only at ``{root}.old<pid>`` — restore
     the newest dead-pid one when ``root`` is missing; reap dead-pid
-    ``.compact``/``.old`` debris either way."""
+    ``.compact``/``.old`` swap debris and dead-pid ``.delta_build``
+    staging inside the root (a SIGKILLed append's half-written dir is
+    invisible to readers but would otherwise leak forever — round-10
+    review) either way. Every filesystem step tolerates losing a race
+    to a concurrent recoverer: two probes may both see the missing root
+    and restore — the rename loser re-checks instead of crashing the
+    read path."""
     import glob
     import os
     import shutil
@@ -558,14 +571,28 @@ def _recover_layout_swap(root: str) -> None:
         except PermissionError:
             return False
 
+    def _mtime(d: str) -> float:
+        try:
+            return os.path.getmtime(d)
+        except OSError:
+            return 0.0  # reaped by a concurrent sweeper mid-listing
+
     olds = [d for d in glob.glob(f"{root}.old*") if _dead(d.rsplit(".old", 1)[-1])]
     if not os.path.exists(root) and olds:
-        os.rename(max(olds, key=os.path.getmtime), root)
+        try:
+            os.rename(max(olds, key=_mtime), root)
+        except OSError:
+            if not os.path.isdir(root):
+                raise  # lost the race but nobody restored — real failure
         olds = [d for d in olds if os.path.exists(d)]
     for d in olds + [
         d for d in glob.glob(f"{root}.compact*") if _dead(d.rsplit(".compact", 1)[-1])
     ]:
         shutil.rmtree(d, ignore_errors=True)
+    if os.path.isdir(root):
+        for d in glob.glob(os.path.join(root, ".delta_build*")):
+            if _dead(d.rsplit(".delta_build", 1)[-1]):
+                shutil.rmtree(d, ignore_errors=True)
 
 
 def list_layout_generations(root: str) -> list[str]:
@@ -586,9 +613,11 @@ def resolve_j2(index: DataFrame) -> DataFrame:
     (build_kmer_index), and max-of-maxima is the global max, so the
     resolved union is byte-identical to a full rebuild's index. Inputs
     come from stored indexes whose ranges build_kmer_index already
-    enforced, so no re-validation here. On a probe path the union is
-    pruned first — the groupBy is bounded by query k-mers x generations,
-    never by the corpus."""
+    enforced, so no re-validation here. The bound on this groupBy is
+    whatever the CALLER feeds it: read_layout_index_pruned semi-joins
+    the pruned union down to the query's k-mers first (query k-mers x
+    generations); compaction feeds the full stored indexes (~|distinct
+    k-mers| — still no re-extraction)."""
     packed = F.col("seq_len").cast("long") * F.lit(1 << _REP_ID_BITS) + (
         F.lit(_REP_ID_MASK) - F.col("seq_id")
     )
@@ -647,8 +676,8 @@ def read_layout_index_pruned(
                     " never write this); rebuild it"
                 )
     shards_by_mod = {
-        int(m["num_shards"]): query_shard_list(query_kmers, int(m["num_shards"]))
-        for m in {int(m["num_shards"]): m for m in metas}.values()
+        mod: query_shard_list(query_kmers, mod)
+        for mod in {int(m["num_shards"]) for m in metas}
     }
     union = None
     for gen, gmeta in zip(gens, metas):
@@ -660,6 +689,13 @@ def read_layout_index_pruned(
             shards=shards_by_mod[int(gmeta["num_shards"])],
         )
         union = part if union is None else union.unionAll(part)
+    # narrow to the query's own k-mers BEFORE re-resolving: the probed
+    # shards hold ~|shard| rows each (corpus-proportional), and without
+    # this the multi-generation groupBy shuffles all of them; the only
+    # consumer is the prefilter's kmer equi-join, which drops non-query
+    # k-mers anyway, so the semi-join keeps the resolution input bounded
+    # by query k-mers x generations (round-10 review)
+    union = union.join(query_kmers.select("kmer").distinct(), "kmer", "left_semi")
     return resolve_j2(union)
 
 
@@ -774,12 +810,17 @@ def append_sharded_layout(
     for both datasets (e.g. a bulk daily delta sized like a base).
 
     Sequence ids must be NEW (checked, driver-bounded for interactive
-    deltas / distributed above _DISJOINT_COLLECT_CAP): the fetch side
-    unions generations without collision resolution, and the e-value's
-    ``db_residues`` is the sum of generation sidecars — a replaced id
-    would double-count."""
+    deltas / distributed above _DISJOINT_COLLECT_CAP; re-checked after
+    publish against generations claimed concurrently — two racing
+    appenders with colliding ids resolve deterministically, the lower
+    slot survives and the higher aborts loudly, removing its own
+    generation): the fetch side unions generations without collision
+    resolution, and the e-value's ``db_residues`` is the sum of
+    generation sidecars — a replaced id would double-count."""
     import os
     import shutil
+
+    from pyspark.sql.types import StructType
 
     gens = list_layout_generations(root)
     idx_meta = read_kmer_index_meta(spark, os.path.join(root, "index"))
@@ -790,7 +831,20 @@ def append_sharded_layout(
             " sidecar fields — rebuild it (write_sharded_layout) before"
             " appending, or the delta's k-mer codes could silently diverge"
         )
-    new_seqs = new_seqs.persist()
+    # fetch-side reads union generations POSITIONALLY under the base's
+    # column names — a delta frame with the same columns in a different
+    # order would serve accession strings as sequences with exit 0
+    # (round-10 review): align the order here, refuse a different SET
+    base_cols = [
+        f.name for f in StructType.fromJson(json.loads(store_meta["schema_json"])).fields
+    ]
+    if set(new_seqs.columns) != set(base_cols):
+        raise ValueError(
+            f"append_sharded_layout: delta columns {sorted(new_seqs.columns)}"
+            f" != the layout's store columns {sorted(base_cols)} — the fetch"
+            " union has no column resolution; align the delta's schema"
+        )
+    new_seqs = new_seqs.select(*base_cols).persist()
     try:
         stats = new_seqs.agg(
             F.count(F.lit(1)).alias("n"), F.sum(F.length("sequence")).alias("r")
@@ -826,16 +880,39 @@ def append_sharded_layout(
                 os.path.join(tmp, "seqs"),
                 num_shards=seq_shards,
             )
-            n = len(gens)  # base is generation 0; first delta slot is 1
+            nums = [int(os.path.basename(g).split("_", 1)[1]) for g in gens[1:]]
+            n = (max(nums) + 1) if nums else 1  # gap-safe next slot
             while True:
                 target = os.path.join(root, _DELTA_NAME_FMT.format(n))
                 try:
                     os.rename(tmp, target)
-                    return target
+                    break
                 except OSError:
                     if not os.path.isdir(target):
                         raise  # not a slot collision — surface it
                     n += 1  # concurrent appender claimed this slot
+            # the disjointness check above is check-then-publish: a rival
+            # appender may have published between the check and our claim
+            # (round-10 review). Re-check against generations we did not
+            # see before claiming; on a clash the HIGHER slot aborts (we
+            # only inspect lower slots — the rival inspecting US sees a
+            # lower slot and keeps), so exactly one survives,
+            # deterministically, with no lock
+            known = set(gens)
+            rivals = [
+                g
+                for g in _delta_generation_dirs(root)
+                if g not in known
+                and g != target
+                and int(os.path.basename(g).split("_", 1)[1]) < n
+            ]
+            for g in rivals:
+                try:
+                    _check_ids_disjoint(spark, [g], new_seqs)
+                except ValueError:
+                    shutil.rmtree(target, ignore_errors=True)
+                    raise
+            return target
         except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
@@ -878,8 +955,15 @@ def compact_sharded_layout(spark, root: str) -> int:
     union (equal to the sidecar sum by construction). The new layout is
     built in a pid-unique sibling and swapped in with two renames
     (recluster_ivf_index's protocol; readers recover via
-    list_layout_generations -> _recover_layout_swap). Returns the number
-    of generations folded (0 = no deltas, nothing to do)."""
+    list_layout_generations -> _recover_layout_swap). Generations
+    published by concurrent appenders WHILE the fold ran are not lost
+    (round-10 review: the old root's rmtree used to take them with it):
+    the root rename carries them into the ``.old`` sibling, and they
+    are ADOPTED into the new root — re-claimed under fresh slot numbers
+    — before the sibling is deleted. An appender racing the brief
+    root-missing swap window itself fails loudly on its claim rename
+    (ENOENT), never silently. Returns the number of generations folded
+    (0 = no deltas, nothing to do)."""
     import os
     import shutil
 
@@ -926,6 +1010,25 @@ def compact_sharded_layout(spark, root: str) -> int:
     shutil.rmtree(old, ignore_errors=True)
     os.rename(root, old)
     os.rename(tmp, root)
+    # adopt generations that landed AFTER our snapshot — they rode into
+    # `old` with the first rename and would be silently destroyed by the
+    # cleanup below (round-10 review). Their ids are disjoint from the
+    # folded base by append's own check, so a plain re-claim is exact.
+    folded = {os.path.basename(g) for g in gens}
+    n = 1
+    for g in _delta_generation_dirs(old):
+        if os.path.basename(g) in folded:
+            continue
+        while True:
+            slot = os.path.join(root, _DELTA_NAME_FMT.format(n))
+            try:
+                os.rename(g, slot)
+                break
+            except OSError:
+                if not os.path.isdir(slot):
+                    raise
+                n += 1
+        n += 1
     shutil.rmtree(old, ignore_errors=True)
     return len(gens) - 1
 

@@ -236,6 +236,137 @@ def test_swap_crash_recovery_restores_layout(spark, tmp_path):
     assert not os.path.exists(f"{root}.old{dead_pid}")
 
 
+def test_append_reorders_columns_and_refuses_schema_drift(spark, tmp_path):
+    """The fetch side unions generations positionally under the base's
+    column names (round-10 review): a delta frame with the same columns
+    in a DIFFERENT order must be re-ordered at append time (or
+    accession strings would silently serve as sequences), and a
+    different column SET refuses loudly."""
+    from petasearch_spark.operators.kmer_index import read_layout_store_pruned
+
+    root = str(tmp_path / "root")
+    write_sharded_layout(_seqs(spark, _rand_rows(50, range(4))), root, num_shards=8, k=_K, alphabet=_ALPHA)
+    delta_rows = _rand_rows(51, [90, 91])
+    # same columns, reversed order
+    reordered = _seqs(spark, delta_rows).select("sequence", "seq_id")
+    append_sharded_layout(spark, root, reordered)
+    fetched, _res = read_layout_store_pruned(spark, root, [90, 91])
+    got = {r["seq_id"]: r["sequence"] for r in fetched.collect()}
+    assert got == dict(delta_rows)
+    # different column set: loud refusal
+    with pytest.raises(ValueError, match="store columns"):
+        append_sharded_layout(
+            spark,
+            root,
+            spark.createDataFrame([(95, "ACGT", "x")], "seq_id long, sequence string, extra string"),
+        )
+
+
+def test_generation_numbering_survives_width_overflow(spark, tmp_path):
+    """Generation 100000 no longer fits the 5-digit zero-padding; the
+    listing pattern and ordering must still see it (round-10 review:
+    an exact-width regex made it invisible while append kept returning
+    success) and the next claim continues past it."""
+    root = str(tmp_path / "root")
+    write_sharded_layout(_seqs(spark, _rand_rows(52, range(4))), root, num_shards=8, k=_K, alphabet=_ALPHA)
+    g1 = append_sharded_layout(spark, root, _seqs(spark, _rand_rows(53, [70, 71])))
+    g2 = append_sharded_layout(spark, root, _seqs(spark, _rand_rows(54, [80, 81])))
+    wide = os.path.join(root, "delta_100000")
+    os.rename(g2, wide)
+    gens = list_layout_generations(root)
+    assert gens == [root, g1, wide]  # numeric order, wide name visible
+    g3 = append_sharded_layout(spark, root, _seqs(spark, _rand_rows(55, [85])))
+    assert os.path.basename(g3) == "delta_100001"
+    # and a probe still folds the wide generation's rows
+    probe = _seqs(spark, _rand_rows(54, [80]))
+    got = _probe_all(spark, root, probe, only_probe_kmers=True).collect()
+    assert any(r["seq_id"] in (80, 81) for r in got)
+
+
+def test_compaction_adopts_concurrently_published_generation(spark, tmp_path, monkeypatch):
+    """Round-10 review: a generation published WHILE compaction folded
+    its snapshot used to be silently destroyed by the old root's
+    cleanup. It must instead be adopted into the new root, and probes
+    must keep seeing its sequences."""
+    import petasearch_spark.operators.kmer_index as ki
+
+    root = str(tmp_path / "root")
+    write_sharded_layout(_seqs(spark, _rand_rows(60, range(6))), root, num_shards=8, k=_K, alphabet=_ALPHA)
+    append_sharded_layout(spark, root, _seqs(spark, _rand_rows(61, [30, 31])))
+    late_rows = _rand_rows(62, [40, 41])
+
+    real_write = ki.write_sequence_store_sharded
+    state = {"fired": False}
+
+    def write_and_race(seqs, path, num_shards=256):
+        real_write(seqs, path, num_shards=num_shards)
+        # after compaction finishes building its sibling's store (the
+        # last fold step before the swap), a rival appender publishes —
+        # exactly the window whose data the old cleanup destroyed
+        if ".compact" in path and not state["fired"]:
+            state["fired"] = True
+            monkeypatch.setattr(ki, "write_sequence_store_sharded", real_write)
+            append_sharded_layout(spark, root, _seqs(spark, late_rows))
+
+    monkeypatch.setattr(ki, "write_sequence_store_sharded", write_and_race)
+    assert compact_sharded_layout(spark, root) == 1
+    assert state["fired"]
+    gens = list_layout_generations(root)
+    assert len(gens) == 2  # compacted base + the adopted late generation
+    fetched, _res = ki.read_layout_store_pruned(spark, root, [40, 41])
+    assert {r["seq_id"] for r in fetched.collect()} == {40, 41}
+    # no swap debris
+    parent = os.path.dirname(root)
+    assert not [n for n in os.listdir(parent) if ".compact" in n or ".old" in n]
+
+
+def test_append_rival_collision_higher_slot_aborts(spark, tmp_path, monkeypatch):
+    """The disjointness check is check-then-publish; a rival appender
+    publishing colliding ids between OUR check and OUR claim must be
+    detected post-publish, and the HIGHER slot aborts (removing its own
+    generation) so exactly one survives (round-10 review)."""
+    import petasearch_spark.operators.kmer_index as ki
+
+    root = str(tmp_path / "root")
+    write_sharded_layout(_seqs(spark, _rand_rows(63, range(5))), root, num_shards=8, k=_K, alphabet=_ALPHA)
+    rival_rows = _rand_rows(64, [50, 51])
+
+    real_check = ki._check_ids_disjoint
+    state = {"fired": False}
+
+    def check_then_rival(sp, gens, new_seqs):
+        real_check(sp, gens, new_seqs)
+        if not state["fired"]:
+            state["fired"] = True
+            # rival publishes the SAME ids right after our check passes
+            monkeypatch.setattr(ki, "_check_ids_disjoint", real_check)
+            append_sharded_layout(spark, root, _seqs(spark, rival_rows))
+
+    monkeypatch.setattr(ki, "_check_ids_disjoint", check_then_rival)
+    with pytest.raises(ValueError, match="already exists"):
+        append_sharded_layout(spark, root, _seqs(spark, _rand_rows(65, [51, 52])))
+    gens = list_layout_generations(root)
+    assert [os.path.basename(g) for g in gens[1:]] == ["delta_00001"]  # rival kept
+    fetched, _res = ki.read_layout_store_pruned(spark, root, [50, 51, 52])
+    assert {r["seq_id"] for r in fetched.collect()} == {50, 51}
+
+
+def test_dead_pid_delta_build_debris_is_swept(spark, tmp_path):
+    """A SIGKILLed append's half-written .delta_build<pid> staging used
+    to leak forever (invisible to readers, never reaped). The recovery
+    sweep now removes dead-pid staging on any listing."""
+    root = str(tmp_path / "root")
+    write_sharded_layout(_seqs(spark, _rand_rows(66, range(3))), root, num_shards=8, k=_K, alphabet=_ALPHA)
+    debris = os.path.join(root, ".delta_build2000000000")
+    os.makedirs(os.path.join(debris, "index"))
+    live = os.path.join(root, f".delta_build{os.getpid()}")
+    os.makedirs(live)  # own-pid staging must NOT be swept
+    assert list_layout_generations(root) == [root]
+    assert not os.path.exists(debris)
+    assert os.path.isdir(live)
+    os.rmdir(live)
+
+
 def test_stream_fold_batch_replay_is_exactly_once(spark, tmp_path):
     """The streaming ingest's exactly-once law: a micro-batch REPLAYED
     after a crash (the append's rename landed, the checkpoint commit
