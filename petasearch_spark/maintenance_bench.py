@@ -31,6 +31,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from petasearch_spark.functions.localframe import literal_df
 from petasearch_spark.session import cut_lineage
 
 from petasearch_spark.sources.tables import load_table
@@ -87,8 +88,8 @@ def ivf_maint_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_ivf_index(emb, path, cent_rows, extra_cols=("label",))
     st = _state(sf_dir)
     st["ivf_path"], st["ivf_cent"] = path, cent_rows
-    return spark.createDataFrame(
-        [(len(cent_rows), emb.count())], "n_centroids int, n_vectors long"
+    return literal_df(
+        spark, [(len(cent_rows), emb.count())], "n_centroids int, n_vectors long"
     )
 
 
@@ -100,8 +101,8 @@ def ivf_maint_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = _state(sf_dir)
     new_cent = recluster_ivf_index(spark, st["ivf_path"])
     st["ivf_new_cent"] = new_cent
-    return spark.createDataFrame(
-        [(int(c),) for c, _ in new_cent], "cent_id long"
+    return literal_df(
+        spark, [(int(c),) for c, _ in new_cent], "cent_id long"
     )
 
 
@@ -165,7 +166,8 @@ def curate_cold_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     report = json.loads(buf.getvalue().strip().splitlines()[-1])
     st = _state(sf_dir)
     st["curate_out"], st["curate_report"] = out_dir, report
-    return spark.createDataFrame(
+    return literal_df(
+        spark,
         [(report["n_staged"], report["n_kept"], report["n_packs"])],
         "n_staged long, n_kept long, n_packs long",
     )
@@ -189,8 +191,8 @@ def curate_resume_noop(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert resumed == ["staging", "funnel", "curated", "packs"], resumed
     assert report == st["curate_report"], "resume no-op changed accounting values"
     shutil.rmtree(st.pop("curate_out"), ignore_errors=True)
-    return spark.createDataFrame(
-        [(len(resumed), report["n_kept"])], "n_resumed_stages int, n_kept long"
+    return literal_df(
+        spark, [(len(resumed), report["n_kept"])], "n_resumed_stages int, n_kept long"
     )
 
 
@@ -222,7 +224,7 @@ def staging_cache_cold(spark: SparkSession, sf_dir: str) -> DataFrame:
     claimed = staged_cache(root, build)
     _state(sf_dir)["staging_root"] = claimed
     n = spark.read.text(os.path.join(claimed, "docs.jsonl")).count()
-    return spark.createDataFrame([(n,)], "n_lines long")
+    return literal_df(spark, [(n,)], "n_lines long")
 
 
 def staging_cache_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,7 +242,7 @@ def staging_cache_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leave the published dir for future warm runs on this machine; the
     # key is content-fingerprinted so regenerated testdata strands it at
     # most STAGING_TTL_DAYS (the sweep contract)
-    return spark.createDataFrame([(1,)], "cache_hit int")
+    return literal_df(spark, [(1,)], "cache_hit int")
 
 
 def index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,7 +274,7 @@ def index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_kmer_index_bucketed(build_kmer_index(base_seqs), base_t)
     merged = merge_kmer_index_delta(base_t, delta_seqs, out_t, delta_table=delta_t)
     n = merged.count()
-    out = spark.createDataFrame([(n,)], "merged_kmers long")
+    out = literal_df(spark, [(n,)], "merged_kmers long")
     for t in (base_t, delta_t, out_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from petasearch_spark.functions.localframe import literal_df
+
 from petasearch_spark.operators.quality import WINDOW_MAX_STARTS
 from petasearch_spark.operators.portable import TOKENS_SQL, tokens
 from petasearch_spark.sources.tables import load_table
@@ -111,8 +113,10 @@ def _score_postings(
     # the plan constructible)
     avgdl = (total_tokens / n_docs) if n_docs else 1.0
 
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, ts in queries.items() for t in ts], "query_id string, term string"
+    qterms = literal_df(
+        spark,
+        [(qid, t) for qid, ts in queries.items() for t in ts],
+        "query_id string, term string",
     )
     dft = (
         posting.join(F.broadcast(qterms.select("term").distinct()), "term")

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from petasearch_spark.functions.localframe import literal_df
+
 from petasearch_spark.operators.portable import (
     TOKENS_SQL,
     hash64,
@@ -885,8 +887,8 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % SEM_EVAL_MOD == 0) & (F.col("vec_id") < SEM_EVAL_CAP)
     ).collect()
     if not ev_rows:
-        return spark.createDataFrame(
-            [], "vec_id long, n_eval_hits long, max_cos double"
+        return literal_df(
+            spark, [], "vec_id long, n_eval_hits long, max_cos double"
         )
     E = np.array([list(r["v"]) for r in ev_rows], dtype=np.float64)
     en = np.sqrt(_seq_norm2(E))

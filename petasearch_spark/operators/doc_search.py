@@ -19,6 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from petasearch_spark.functions.localframe import literal_df
 from petasearch_spark.operators.portable import shingles_sql, tokens, word_shingles
 from petasearch_spark.sources.tables import load_table
 
@@ -431,8 +432,8 @@ def protein_prefilter_bucketed_build(spark: SparkSession, sf_dir: str) -> DataFr
     write_query_kmers_bucketed(extract_query_kmers(queries), "ps_bench_qk_b")
     # the writes above are eager; return a trivial catalog listing so the
     # bench's noop sink has something to drain without recomputation
-    return spark.createDataFrame(
-        [("ps_bench_index_b",), ("ps_bench_qk_b",)], "table_name string"
+    return literal_df(
+        spark, [("ps_bench_index_b",), ("ps_bench_qk_b",)], "table_name string"
     )
 
 
@@ -537,7 +538,7 @@ def protein_prefilter_sharded_build(spark: SparkSession, sf_dir: str) -> DataFra
         lambda tmp: _build_sharded_layout(spark, sf_dir, tmp),
         force_build=True,
     )
-    return spark.createDataFrame([(root,)], "path string")
+    return literal_df(spark, [(root,)], "path string")
 
 
 def _sharded_pruned_pairs(
@@ -1156,7 +1157,7 @@ def protein_search_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     seqs = derived_sequences(docs).drop("source")
     write_kmer_index(build_kmer_index(seqs), _search_index_path(sf_dir))
-    return spark.createDataFrame([(_search_index_path(sf_dir),)], "index_path string")
+    return literal_df(spark, [(_search_index_path(sf_dir),)], "index_path string")
 
 
 def protein_search_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from petasearch_spark.functions.localframe import literal_df
+
 from petasearch_spark.sources.tables import load_table
 
 SESSION_GAP_SECONDS = 1800
@@ -458,8 +460,8 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i, FUNNEL_STEPS[i], ns[i], _rate(ns[i], ns[i - 1]) if i > 0 and ns[i - 1] else None)
         for i in range(3)
     ]
-    return spark.createDataFrame(
-        rows, "step int, event_type string, n_users bigint, conv_rate double"
+    return literal_df(
+        spark, rows, "step int, event_type string, n_users bigint, conv_rate double"
     ).orderBy("step")
 
 

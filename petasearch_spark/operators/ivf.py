@@ -22,6 +22,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from petasearch_spark.functions.localframe import literal_df
+
 from petasearch_spark.session import cut_lineage
 
 from petasearch_spark.operators.similarity import (
@@ -195,7 +197,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if k_eff == 0 or q_probe == 0:
         # degenerate corpus (empty, or no codebook/query vectors): the
         # honest answer is no neighbors, not a crash on a 0-d reshape
-        return spark.createDataFrame([], "query_id long, neighbor_id long, approx_dot double, rk int")
+        return literal_df(spark, [], "query_id long, neighbor_id long, approx_dot double, rk int")
     # codebooks[m]: (k_eff, PQ_SUB) — subvector m of the first vectors.
     # A sub-PQ_K corpus trains on the codewords that EXIST, exactly like
     # the SQL oracle's enumeration (round-5 audit: the old < PQ_K guard
@@ -903,8 +905,10 @@ def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame, centroid
         # cheap happy-path stat; see merge_ivf_index_delta — a probe
         # must not fail inside recluster's swap window (round-5 ADVICE)
         _recover_recluster_swap(path)
-    cent = spark.createDataFrame(
-        [(int(c), list(map(float, v))) for c, v in centroids], "cent_id long, cv array<double>"
+    cent = literal_df(
+        spark,
+        [(int(c), list(map(float, v))) for c, v in centroids],
+        "cent_id long, cv array<double>",
     )
     qprobe = (
         queries.crossJoin(F.broadcast(cent))
@@ -965,8 +969,8 @@ def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "v").collect()
     ]
     if not cent_rows:
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cos double, rk int"
+        return literal_df(
+            spark, [], "query_id long, neighbor_id long, cos double, rk int"
         )
     # labeled-index cache: keyed on source content + quantizer size +
     # the payload schema marker, same invalidation law as the streaming

@@ -36,8 +36,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from petasearch_spark.functions.kmer import AMINO_ALPHABET, extract_kmers  # noqa: F401 (column-expr twin)
+from petasearch_spark.functions.localframe import literal_df
 
 DEFAULT_K = 9  # workflow default, /root/reference/src/workflow/petasearch.cpp:12
+
+
+def _write_parts(spark, num_shards: int) -> int:
+    """Task count for a sharded directory-partitioned write: enough tasks
+    that the per-directory file-open/commit latency stays parallel (one
+    task otherwise writes every shard's file sequentially once AQE
+    coalesces the tiny exchange), never more than one task per shard,
+    scaled from the session's parallelism — not a local constant."""
+    return max(1, min(int(num_shards), spark.sparkContext.defaultParallelism))
 
 
 def extract_kmers_arrow(
@@ -195,7 +205,17 @@ def write_kmer_index_sharded(
         index.withColumn(
             "kshard", F.pmod(F.col("kmer"), F.lit(num_shards)).cast("int")
         )
-        .repartition(F.col("kshard"))
+        # EXPLICIT partition count (round-10 optimization): a bare
+        # repartition(col) lets AQE coalesce the tiny-SF exchange to ONE
+        # partition, and the single task then opens/writes all num_shards
+        # zstd files sequentially (~5 s of the measured build cost at
+        # sf0.1). Pinning the count to the cluster's parallelism keeps
+        # the file-open latency parallel at any scale: each task writes
+        # ~num_shards/n directories (guide §2.2/§6 — the write fanout
+        # should track the cluster, not the optimizer's byte estimate).
+        .repartition(
+            _write_parts(index.sparkSession, num_shards), F.col("kshard")
+        )
         .sortWithinPartitions("kmer")
         .write.mode("overwrite")
         .option("compression", "zstd")
@@ -205,8 +225,10 @@ def write_kmer_index_sharded(
     # k/alphabet travel with the index (round-10 review finding: a probe
     # built with different parameters would join on incompatible kmer
     # codes and return EMPTY results with exit 0 — record them so the
-    # reader can refuse loudly instead)
-    index.sparkSession.createDataFrame(
+    # reader can refuse loudly instead). literal_df: a Python-RDD-backed
+    # 1-row sidecar costs ~5 s per write (guide §4; measured round 10).
+    literal_df(
+        index.sparkSession,
         [(int(num_shards), k, alphabet)],
         "num_shards int, k int, alphabet string",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_ps_meta")
@@ -289,22 +311,35 @@ def write_sequence_store_sharded(seqs: DataFrame, path: str, num_shards: int = 2
     the full store would defeat the prune. ``max_seq_id`` (round 10)
     rides along so an APPEND can auto-offset fresh ids in O(generations)
     sidecar reads instead of an O(corpus) max-scan."""
+    from pyspark.sql import Observation
+
     spark = seqs.sparkSession
-    agg = seqs.agg(
-        F.sum(F.length("sequence")).alias("r"), F.max("seq_id").alias("m")
-    ).collect()[0]
-    db_residues = int(agg["r"] or 0)
-    max_seq_id = int(agg["m"]) if agg["m"] is not None else -1
+    # db_residues/max_seq_id ride the WRITE itself via observe (round-10
+    # optimization, guide §1/§5: the separate .agg().collect() was one
+    # more full pass over seqs — observed metrics are collected from the
+    # same tasks that write the store, exactly-once per successful task)
+    obs = Observation("ps_store_stats")
+    observed = seqs.observe(
+        obs,
+        F.sum(F.length("sequence")).alias("r"),
+        F.max("seq_id").alias("m"),
+    )
     (
-        seqs.withColumn("sshard", F.pmod(F.col("seq_id"), F.lit(num_shards)).cast("int"))
-        .repartition(F.col("sshard"))
+        observed.withColumn("sshard", F.pmod(F.col("seq_id"), F.lit(num_shards)).cast("int"))
+        # explicit count: see write_kmer_index_sharded (AQE would
+        # serialize the num_shards-directory write into one task)
+        .repartition(_write_parts(spark, num_shards), F.col("sshard"))
         .sortWithinPartitions("seq_id")
         .write.mode("overwrite")
         .option("compression", "zstd")
         .partitionBy("sshard")
         .parquet(path)
     )
-    spark.createDataFrame(
+    stats = obs.get
+    db_residues = int(stats["r"] or 0)
+    max_seq_id = int(stats["m"]) if stats["m"] is not None else -1
+    literal_df(
+        spark,
         [(int(num_shards), db_residues, max_seq_id, seqs.schema.json())],
         "num_shards int, db_residues long, max_seq_id long, schema_json string",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_ps_meta")

@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from petasearch_spark.functions.localframe import literal_df
+
 from petasearch_spark.operators.portable import TOKENS_SQL, hash64_sql, tokens
 from petasearch_spark.operators.quality import WINDOW_MAX_STARTS, _windows
 from petasearch_spark.sources.tables import load_table
@@ -190,8 +192,8 @@ def lang_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     cls_rows = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("nd")).collect()
     classes = sorted(r["lang"] for r in cls_rows)
     if not classes:
-        return spark.createDataFrame(
-            [], "lang string, pred_lang string, n_docs bigint, mean_score double"
+        return literal_df(
+            spark, [], "lang string, pred_lang string, n_docs bigint, mean_score double"
         )
     n_docs_total = sum(int(r["nd"]) for r in cls_rows)
     prior = {r["lang"]: int(r["nd"]) for r in cls_rows}

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from petasearch_spark.functions.localframe import literal_df
+
 from petasearch_spark.session import cut_lineage
 
 from petasearch_spark.operators.portable import (
@@ -639,8 +641,8 @@ def _train_bpe_core(
 def train_bpe(spark: SparkSession, docs: DataFrame, n_merges: int) -> DataFrame:
     """The trainer core over any docs(text) frame — see bpe_train_merges."""
     rules, _ = _train_bpe_core(spark, docs, n_merges, keep_vocab=False)
-    return spark.createDataFrame(
-        rules, "step int, lhs string, rhs string, merged string, pair_count long"
+    return literal_df(
+        spark, rules, "step int, lhs string, rhs string, merged string, pair_count long"
     ).orderBy("step")
 
 
@@ -681,7 +683,7 @@ def bpe_fertility(
         rows = out.collect()
     finally:
         vocab.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return literal_df(spark, [tuple(r) for r in rows], out.schema)
 
 
 def bpe_encode_corpus(

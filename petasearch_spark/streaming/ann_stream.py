@@ -28,6 +28,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from petasearch_spark.functions.localframe import literal_df
+
 from petasearch_spark.operators.similarity import N_QUERIES, _as_double, cosine_topk
 from petasearch_spark.sources.tables import load_table
 from petasearch_spark.streaming.stateful import (
@@ -172,7 +174,7 @@ def read_probe_sink(
         f.endswith(".parquet") for _root, _dirs, fs in os.walk(sink) for f in fs
     )
     if not has_parts:
-        return spark.createDataFrame([], schema)
+        return literal_df(spark, [], schema)
     return (
         spark.read.schema(schema)
         .option("recursiveFileLookup", "true")
@@ -191,7 +193,7 @@ def ann_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not emb.filter(F.col("vec_id") < N_QUERIES).take(1):
         # no query vectors: skip staging + the whole streaming machinery
         # (the empty-table sweep otherwise pays a full stream startup)
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return literal_df(spark, [], RESULT_SCHEMA)
     staged = _stage_queries(spark, emb, sf_dir)
     fp = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     # the SAME core as the batch operator — stream/batch cannot drift
@@ -231,7 +233,7 @@ def ann_ivf_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not cent_rows:
         # empty corpus: no quantizer can exist and write_ivf_index would
         # produce a fileless parquet dir — typed empty answer instead
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return literal_df(spark, [], RESULT_SCHEMA)
     # the materialized index depends on the quantizer size: a changed
     # N_CENTROIDS must rebuild it, or probes would prune against bucket
     # directories written by a DIFFERENT quantizer (round-4 review

@@ -46,6 +46,8 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from petasearch_spark.functions.localframe import literal_df
+
 
 def curate_stream(spark: SparkSession, input_dir: str, out_dir: str) -> dict:
     """Process NEW dump files from ``input_dir``, then (re)curate.
@@ -89,7 +91,8 @@ def curate_stream(spark: SparkSession, input_dir: str, out_dir: str) -> dict:
             ).option("compression", "zstd").parquet(
                 os.path.join(bronze_docs, f"batch={int(batch_id)}")
             )
-            spark.createDataFrame(
+            literal_df(
+                spark,
                 [(int(batch_id), int(acct["n_lines"] or 0), int(acct["n_bad"] or 0))],
                 "batch_id long, n_lines long, n_quarantined long",
             ).coalesce(1).write.mode("overwrite").parquet(

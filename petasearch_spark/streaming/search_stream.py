@@ -34,6 +34,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from petasearch_spark.functions.localframe import literal_df
+
 from petasearch_spark.streaming.ann_stream import (
     _sweep_dead_sinks,
     make_probe_batch_writer,
@@ -72,7 +74,7 @@ def protein_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not queries.take(1):
             # a batch with no query documents: skip the cascade (its
             # empty-input path is correct but pays full plan machinery)
-            return spark.createDataFrame([], SEARCH_RESULT_SCHEMA)
+            return literal_df(spark, [], SEARCH_RESULT_SCHEMA)
         return sharded_search_queries(
             spark, sf_dir, queries, root=root, persisted=persisted
         )
