@@ -572,8 +572,25 @@ def align_pairs(
     batches saturate to the default — never narrower than the data,
     never wider than the cluster.
     """
-    if db_residues is None:
-        db_residues = targets.agg(F.sum(F.length("sequence"))).collect()[0][0] or 1
+    # db_residues (the Karlin-Altschul search-space total) defaults to a
+    # LAZY broadcast 1-row aggregate instead of an eager .collect()
+    # (round-10 optimization, guide §5/§2.6): the collect was a blocking
+    # driver job before the main query even launched — and
+    # search_multi_target paid it once per target set, serially. As a
+    # broadcast column it computes inside the same job, overlapped with
+    # every other stage; the 1-row crossJoin is the package's documented
+    # BroadcastNestedLoopJoin pattern (tests/test_plan_antipatterns.py).
+    # greatest(coalesce(sum,1),1) == the old `collect()[0][0] or 1`.
+    lazy_dbr = db_residues is None
+    if lazy_dbr:
+        dbr_frame = targets.agg(
+            F.greatest(
+                F.coalesce(
+                    F.sum(F.length("sequence")), F.lit(1).cast("long")
+                ),
+                F.lit(1).cast("long"),
+            ).alias("_dbr")
+        )
 
     grouped = prefilter_pairs.groupBy("query_id", "target_id").agg(
         F.collect_list("kmer").alias("kmers"),
@@ -600,10 +617,13 @@ def align_pairs(
     n_parts = 2 * max(1, prefilter_pairs.sparkSession.sparkContext.defaultParallelism)
     if kernel_parts is not None:
         n_parts = min(n_parts, max(1, kernel_parts))
+    rows = grouped.join(F.broadcast(q), "query_id").join(t, "target_id")
+    if lazy_dbr:
+        # ride the 8-byte corpus total into every kernel row (constant
+        # within a batch; read back in run() below)
+        rows = rows.crossJoin(F.broadcast(dbr_frame))
     rows = (
-        grouped.join(F.broadcast(q), "query_id")
-        .join(t, "target_id")
-        .repartition(n_parts, "target_id")
+        rows.repartition(n_parts, "target_id")
         .sortWithinPartitions(F.length("tseq"), "target_id")
     )
 
@@ -617,6 +637,12 @@ def align_pairs(
             "nident", "qstart", "qend", "qlen", "tstart", "tend", "tlen", "backtrace",
         ]
         for pdf in batches:
+            # the lazily-attached corpus total is constant per batch
+            dbr = (
+                db_residues
+                if not lazy_dbr
+                else (int(pdf["_dbr"].iloc[0]) if len(pdf) else 1)
+            )
             # Per-BATCH caches: same-target rows arrive adjacent (the
             # repartition/sort above), so a batch-lifetime cache captures
             # almost all reuse while executor memory stays bounded by the
@@ -636,7 +662,7 @@ def align_pairs(
                 if qc is None:
                     qc = qcache[r.query_id] = _encode(r.qseq, alphabet)
                 anchor = find_anchor_diag(
-                    qc, cached[0], cached[1], r.kmers, r.qpositions, db_residues, max_evalue,
+                    qc, cached[0], cached[1], r.kmers, r.qpositions, dbr, max_evalue,
                     matrix=matrix, ka_ungapped=ka_ungapped,
                 )
                 if anchor is not None:
@@ -660,7 +686,7 @@ def align_pairs(
                     xdrop=xdrop,
                 )
                 for (r, qc, tc, _), res in zip(chunk, results):
-                    res = _finalize(res, len(qc), db_residues, max_evalue, ka=ka_gapped)
+                    res = _finalize(res, len(qc), dbr, max_evalue, ka=ka_gapped)
                     if res is None:
                         continue
                     out.append(

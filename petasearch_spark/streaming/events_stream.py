@@ -88,6 +88,76 @@ ORDER BY hour, event_type
 JOIN_WINDOW_S = 21600  # 6 h: errors following a purchase by the same user
 
 
+def _stage_join_halves(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events split at the median timestamp into a 2-file stream
+    dir, content-cached like every other stream fixture (round-10
+    optimization; the old inline staging re-ran 3 full scans + an exact
+    percentile on EVERY run: one scan for the median, one filtered
+    coalesce(1) write per half — ~4.5 s warm at sf0.1).
+
+    * ONE pass writes both halves: a ``half`` column + repartition(2,
+      "half") + partitionBy — each half hashes wholly into one task, so
+      each directory gets exactly one file (guide §2.3/§6).
+    * the split point uses approx_percentile: the streaming result is
+      INVARIANT to where the time split lands (any by-time split keeps
+      the watermark from dropping rows — a purchase evicted after batch
+      0 has p_ts + 6 h < wm < mid, and batch-1 errors all sit above mid,
+      so no droppable purchase can match), and the exact percentile
+      buffered every value in one aggregation state (guide §5).
+    * file mtimes are pinned half0-older: FileStreamSource orders files
+      by modification time, and the one-pass write would otherwise leave
+      the batch order to sub-second write timing. Batch order does not
+      change the RESULT (the watermark argument above is symmetric), but
+      a deterministic order keeps every run's per-batch progress
+      comparable.
+    NULL-ts rows match neither half — exactly the old filters' behavior
+    (they cannot join: every join condition on a NULL ts is NULL)."""
+    import time as _time
+
+    from petasearch_spark.streaming.stateful import source_fingerprint, staged_cache
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = source_fingerprint(src, "pe-midsplit")
+    root = os.path.join(tempfile.gettempdir(), f"ps_stage_pejoin_{key}")
+
+    def build(tmp: str) -> None:
+        from petasearch_spark.sources.tables import normalize_events_ts
+
+        flat = os.path.join(tmp, "flat")
+        os.makedirs(flat)
+        batch = normalize_events_ts(spark.read.parquet(src)).filter(
+            F.col("ts").isNotNull()
+        )
+        mid = batch.agg(
+            F.expr("approx_percentile(unix_micros(ts), 0.5)")
+        ).collect()[0][0]
+        halves = os.path.join(tmp, "halves")
+        (
+            batch.withColumn(
+                "half", (F.unix_micros("ts") > F.lit(mid)).cast("int")
+            )
+            .repartition(2, "half")
+            .write.mode("overwrite")
+            .partitionBy("half")
+            .parquet(halves)
+        )
+        n = 0
+        t0 = _time.time()
+        for i in range(2):
+            hdir = os.path.join(halves, f"half={i}")
+            for f in sorted(os.listdir(hdir)) if os.path.isdir(hdir) else []:
+                if f.endswith(".parquet"):
+                    os.utime(os.path.join(hdir, f), (t0 + 10 * i, t0 + 10 * i))
+                    # RELATIVE symlink: survives the tmp -> root rename
+                    os.symlink(
+                        os.path.join("..", "halves", f"half={i}", f),
+                        os.path.join(flat, f"part{n}.parquet"),
+                    )
+                    n += 1
+
+    return os.path.join(staged_cache(root, build), "flat")
+
+
 def events_stream_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream INTERVAL JOIN: purchases joined to the same user's
     errors arriving within {JOIN_WINDOW_S} s — the remaining structured-
@@ -105,31 +175,21 @@ def events_stream_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataF
     matched against errors arriving in batch 1 — cross-batch join state
     is genuinely exercised, and because the split is by time the
     watermark never drops a row, keeping the batch theta-join oracle
-    exact. Inner join, append mode, availableNow.
+    exact. Inner join, append mode, availableNow. The staging itself is
+    content-cached and single-pass since round 10 (_stage_join_halves).
     """
     apply_session_defaults(spark)  # nanosAsLong + UTC for a foreign session
+    flat = _stage_join_halves(spark, sf_dir)
+    # schema from the SOURCE footer (one metadata read, no data scan):
+    # the staged flat dir may legitimately hold zero files (degenerate
+    # all-NULL-ts events) and could not infer a schema then
     from petasearch_spark.sources.tables import normalize_events_ts
 
-    batch = normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
-    mid = batch.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
-    stage = tempfile.mkdtemp(prefix="events_join_stream_")
-    for i, cond in enumerate(
-        (F.unix_micros("ts") <= mid, F.unix_micros("ts") > mid)
-    ):
-        batch.filter(cond).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(stage, f"half{i}")
-        )
-    flat = os.path.join(stage, "flat")
-    os.makedirs(flat)
-    n = 0
-    for i in range(2):  # half0 symlinked first -> older mtime -> batch 0
-        half = os.path.join(stage, f"half{i}")
-        for f in sorted(os.listdir(half)):
-            if f.endswith(".parquet"):
-                os.symlink(os.path.join(half, f), os.path.join(flat, f"part{n}.parquet"))
-                n += 1
+    schema = normalize_events_ts(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ).schema
     stream = (
-        spark.readStream.schema(batch.schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(flat)
     )
