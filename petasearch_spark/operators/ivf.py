@@ -905,8 +905,12 @@ def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame, centroid
         # cheap happy-path stat; see merge_ivf_index_delta — a probe
         # must not fail inside recluster's swap window (round-5 ADVICE)
         _recover_recluster_swap(path)
-    cent = literal_df(
-        spark,
+    # createDataFrame, NOT literal_df: N_CENTROIDS x dim doubles embedded
+    # as literal struct-array expressions bloat Catalyst analysis/codegen
+    # of every probe plan (~2.5x on the filtered probe, round-10 VERDICT
+    # item 2). Vector frames are outside literal_df's scalar-only scope;
+    # a single tiny Python-RDD scan on the broadcast build side is cheap.
+    cent = spark.createDataFrame(
         [(int(c), list(map(float, v))) for c, v in centroids],
         "cent_id long, cv array<double>",
     )

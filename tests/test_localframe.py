@@ -42,6 +42,21 @@ def test_no_python_stage_in_plan(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_out_of_scope_inputs_delegate_to_create_dataframe(spark):
+    """Vector cells and row counts past MAX_LITERAL_ROWS must NOT become
+    giant Catalyst literal trees (k115 round-10 regression): they fall
+    back to createDataFrame, which shows as a Python-RDD scan."""
+    from petasearch_spark.functions.localframe import MAX_LITERAL_ROWS
+
+    vec = literal_df(spark, [(0, [1.0, 2.0])], "cent_id long, cv array<double>")
+    assert "ExistingRDD" in vec._jdf.queryExecution().executedPlan().toString()
+
+    big_rows = [(i, f"t{i}") for i in range(MAX_LITERAL_ROWS + 1)]
+    big = literal_df(spark, big_rows, "id int, s string")
+    assert "ExistingRDD" in big._jdf.queryExecution().executedPlan().toString()
+    assert big.count() == MAX_LITERAL_ROWS + 1
+
+
 def test_typed_null_columns_on_empty(spark):
     df = literal_df(spark, [], "a long, v array<double>")
     assert df.count() == 0
