@@ -135,7 +135,6 @@ def _curate_report(spark, input_path: str, out_dir: str, resume: bool = False) -
         corpus_curation_funnel,
         sequence_packing,
     )
-    from petasearch_spark.operators.portable import tokens
     from petasearch_spark.sources.jsonl import (
         read_jsonl_docs,
         split_malformed,
@@ -248,9 +247,6 @@ def _curate_report(spark, input_path: str, out_dir: str, resume: bool = False) -
         write_documents(kept_docs, curated_docs)
     kept = spark.read.parquet(curated_docs)
     report["n_kept"] = kept.count()
-    report["kept_tokens"] = int(
-        kept.agg(F.sum(F.size(tokens(F.col("text"))).cast("long"))).collect()[0][0] or 0
-    )
 
     packs_path = os.path.join(out_dir, "packs.parquet")
     if not recompute_rest and _stage_done(packs_path):
@@ -258,8 +254,22 @@ def _curate_report(spark, input_path: str, out_dir: str, resume: bool = False) -
     else:
         packs = sequence_packing(spark, curated)
         packs.write.mode("overwrite").option("compression", "zstd").parquet(packs_path)
+    # kept_tokens from the packs artifact, not a second tokenize pass:
+    # every token of every kept doc contributes to exactly ONE pack
+    # (the least/greatest split in pack_token_lengths partitions each
+    # doc's [start, cum) span across pack boundaries without gaps or
+    # overlap), so SUM(fill_tokens) == SUM(n_toks) exactly — pinned by
+    # tests/test_corpus.py. The old form re-tokenized the whole curated
+    # corpus for one number the packing job had already computed
+    # (guide §1.2: don't compute things twice); at 100 TB that second
+    # pass is a full corpus scan.
+    pk = spark.read.parquet(packs_path).agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("fill_tokens").alias("kept_tokens"),
+    ).collect()[0]
+    report["kept_tokens"] = int(pk["kept_tokens"] or 0)
     report["ctx_len"] = CTX_LEN
-    report["n_packs"] = spark.read.parquet(packs_path).count()
+    report["n_packs"] = int(pk["n_packs"] or 0)
     if resume:
         report["resumed_stages"] = resumed
     return report

@@ -527,14 +527,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("nmin"))
             .select(F.col("doc_a").alias("doc_id"), "nmin")
         )
-        labels = (
+        upd = (
             labels.join(neigh, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                # fixpoint probe: did THIS round lower any label?
+                (F.col("nmin") < F.col("label")).alias("_chg"),
             )
         )
-        labels = cut_lineage(labels)
+        upd = cut_lineage(upd)
+        labels = upd.select("doc_id", "label")
+        # early exit on convergence (round 11, guide §2 iterative plans):
+        # min-label propagation is monotone, so a round with zero label
+        # changes is a FIXPOINT — every remaining unrolled round would
+        # recompute the identical frame. The probe is one narrow agg
+        # over the just-checkpointed labels (tiny vs a full propagation
+        # round: join + groupBy + checkpoint). The DuckDB oracle keeps
+        # its full CC_ITERS unroll — iterations past the fixpoint are
+        # no-ops there too, so results are identical by construction
+        # (pinned by the fuzz parity suite).
+        if upd.agg(F.max(F.coalesce(F.col("_chg"), F.lit(False)))).collect()[0][0] is not True:
+            break
     from pyspark.sql import Window
 
     # window count, not a groupBy+self-join: one shuffle, no second branch

@@ -319,17 +319,24 @@ def write_sequence_store_sharded(seqs: DataFrame, path: str, num_shards: int = 2
     # more full pass over seqs — observed metrics are collected from the
     # same tasks that write the store, exactly-once per successful task)
     obs = Observation("ps_store_stats")
-    observed = seqs.observe(
-        obs,
-        F.sum(F.length("sequence")).alias("r"),
-        F.max("seq_id").alias("m"),
-    )
     (
-        observed.withColumn("sshard", F.pmod(F.col("seq_id"), F.lit(num_shards)).cast("int"))
+        seqs.withColumn("sshard", F.pmod(F.col("seq_id"), F.lit(num_shards)).cast("int"))
         # explicit count: see write_kmer_index_sharded (AQE would
         # serialize the num_shards-directory write into one task)
         .repartition(_write_parts(spark, num_shards), F.col("sshard"))
         .sortWithinPartitions("seq_id")
+        # observe ABOVE the exchange boundary, i.e. inside the WRITE's
+        # result stage (round-11, ADVICE r10): accumulator updates are
+        # exactly-once only for result-stage tasks — observed below the
+        # repartition they ride the shuffle-MAP stage, where a fetch-
+        # failure resubmission or speculative duplicate double-counts
+        # the sum and silently inflates the persisted Karlin-Altschul
+        # normalization constant. Same single pass, now retry-exact.
+        .observe(
+            obs,
+            F.sum(F.length("sequence")).alias("r"),
+            F.max("seq_id").alias("m"),
+        )
         .write.mode("overwrite")
         .option("compression", "zstd")
         .partitionBy("sshard")
@@ -357,14 +364,31 @@ def write_sharded_layout(
     when the root is shared."""
     seqs = seqs.persist()
     try:
-        write_kmer_index_sharded(
-            build_kmer_index(seqs, k=k, alphabet=alphabet),
-            f"{root}/index",
-            num_shards=num_shards,
-            k=k,
-            alphabet=alphabet,
-        )
-        write_sequence_store_sharded(seqs, f"{root}/seqs", num_shards=num_shards)
+        # the two writes are INDEPENDENT jobs over the same cached input;
+        # submitted from a 2-thread pool they overlap (guide §2.6 — the
+        # store write's tasks back-fill executors freed by the index
+        # job's shuffle tail instead of waiting for it to drain). Job
+        # descriptions are thread-local, so each stays labelled; the
+        # block cache serves both readers (per-block compute-or-wait).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_idx = pool.submit(
+                write_kmer_index_sharded,
+                build_kmer_index(seqs, k=k, alphabet=alphabet),
+                f"{root}/index",
+                num_shards=num_shards,
+                k=k,
+                alphabet=alphabet,
+            )
+            f_store = pool.submit(
+                write_sequence_store_sharded, seqs, f"{root}/seqs", num_shards=num_shards
+            )
+            # surface BOTH outcomes: result() re-raises the first failure
+            # only after the pool has drained, so no half-running write is
+            # abandoned behind a propagating exception
+            f_idx.result()
+            f_store.result()
     finally:
         seqs.unpersist()
 

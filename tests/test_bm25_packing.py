@@ -113,6 +113,24 @@ class TestPackingConstructed:
             ]
             assert got == _brute_packs(lengths, 64), f"case {case}"
 
+    def test_fill_tokens_sum_to_corpus_tokens(self, spark):
+        """SUM(fill_tokens) == SUM(n_toks) exactly: every token lands in
+        exactly one pack (gapless, non-overlapping least/greatest spans).
+        The curate CLI relies on this to derive kept_tokens from the
+        packs artifact instead of a second corpus tokenize pass
+        (round 11)."""
+        import random
+
+        rng = random.Random(23)
+        lengths = [
+            (i, rng.choice([0, 1, 63, 64, 65, 200])) for i in sorted(rng.sample(range(500), 80))
+        ]
+        df = spark.createDataFrame(lengths, "doc_id long, n_toks long")
+        got = corpus.pack_token_lengths(df, ctx_len=64).agg(
+            {"fill_tokens": "sum"}
+        ).collect()[0][0]
+        assert got == sum(n for _, n in lengths)
+
     def test_sparse_hash_ids_match_brute_force(self, spark):
         """60-bit content-hash doc ids (the curate CLI's JSONL id space):
         the scaled bucket divisor must keep the phase-2 subtotal collect
