@@ -486,10 +486,16 @@ def ungapped_rescore_pairs(
     full alignment path, so a green oracle row certifies those kernels.
     """
 
-    grouped = prefilter_pairs.groupBy("query_id", "target_id").agg(
-        F.collect_list("kmer").alias("kmers"),
-        F.collect_list("pos").alias("qpositions"),
-    )
+    if "kmers" in prefilter_pairs.columns:
+        # pre-grouped input (prefilter.prefilter_grouped, round 11):
+        # lists + HAVING already computed in one aggregation; diags are
+        # sorted() below so list order never reaches the result
+        grouped = prefilter_pairs.select("query_id", "target_id", "kmers", "qpositions")
+    else:
+        grouped = prefilter_pairs.groupBy("query_id", "target_id").agg(
+            F.collect_list("kmer").alias("kmers"),
+            F.collect_list("pos").alias("qpositions"),
+        )
     q = queries.select(F.col("seq_id").alias("query_id"), F.col("sequence").alias("qseq"))
     t = targets.select(F.col("seq_id").alias("target_id"), F.col("sequence").alias("tseq"))
     # explicit repartition: the grouped pair set is small in bytes, so AQE
@@ -592,10 +598,16 @@ def align_pairs(
             ).alias("_dbr")
         )
 
-    grouped = prefilter_pairs.groupBy("query_id", "target_id").agg(
-        F.collect_list("kmer").alias("kmers"),
-        F.collect_list("pos").alias("qpositions"),
-    )
+    if "kmers" in prefilter_pairs.columns:
+        # pre-grouped input (prefilter.prefilter_grouped, round 11): the
+        # HAVING-count and the list collection already happened in ONE
+        # aggregation — no second groupBy, no window sort upstream
+        grouped = prefilter_pairs.select("query_id", "target_id", "kmers", "qpositions")
+    else:
+        grouped = prefilter_pairs.groupBy("query_id", "target_id").agg(
+            F.collect_list("kmer").alias("kmers"),
+            F.collect_list("pos").alias("qpositions"),
+        )
     q = queries.select(
         F.col("seq_id").alias("query_id"),
         F.col("accession").alias("query_accession"),

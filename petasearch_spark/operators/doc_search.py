@@ -372,20 +372,17 @@ def dna_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-only (tests/test_nucleotide.py)."""
     from petasearch_spark.functions.scoring import NUCL_ALPHABET
     from petasearch_spark.operators.kmer_index import build_kmer_index, extract_query_kmers
-    from petasearch_spark.operators.prefilter import prefilter
+    from petasearch_spark.operators.prefilter import prefilter_counts
 
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     seqs = derived_dna(docs).persist()
     queries = seqs.filter(F.col("seq_id") % 20 == 0)
-    pairs = prefilter(
+    # fused count form (round 11): same GROUP BY/HAVING relation as the
+    # oracle, without the member-row window sort + re-count
+    return prefilter_counts(
         extract_query_kmers(queries, alphabet=NUCL_ALPHABET),
         build_kmer_index(seqs, alphabet=NUCL_ALPHABET),
-    )
-    return (
-        pairs.groupBy("query_id", "target_id")
-        .agg(F.count(F.lit(1)).alias("n_matches"))
-        .orderBy("query_id", "target_id")
-    )
+    ).orderBy("query_id", "target_id")
 
 
 DNA_PREFILTER_SQL = f"""
@@ -443,20 +440,19 @@ def protein_prefilter_bucketed_query(spark: SparkSession, sf_dir: str) -> DataFr
     above either scan (tests/test_skew_pruning.py pins that plan
     property). This is the per-query-batch cost the 100 TB deployment
     pays; builds the layout first if missing."""
-    from petasearch_spark.operators.prefilter import prefilter
+    from petasearch_spark.operators.prefilter import prefilter_counts
 
     if not spark.catalog.tableExists("ps_bench_qk_b") or not spark.catalog.tableExists("ps_bench_index_b"):
         protein_prefilter_bucketed_build(spark, sf_dir)
-    pairs = prefilter(
+    # fused count form (round 11): the bucket-local SMJ is unchanged (no
+    # Exchange above either scan — test_skew_pruning pins it); the count
+    # now partial-aggregates in the join stage instead of sorting member
+    # rows through a window and re-counting
+    return prefilter_counts(
         spark.table("ps_bench_qk_b"),
         spark.table("ps_bench_index_b"),
         broadcast_queries=False,  # bucket-local SMJ, not broadcast
-    )
-    return (
-        pairs.groupBy("query_id", "target_id")
-        .agg(F.count(F.lit(1)).alias("n_matches"))
-        .orderBy("query_id", "target_id")
-    )
+    ).orderBy("query_id", "target_id")
 
 
 def protein_prefilter_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -553,14 +549,16 @@ def _sharded_pruned_pairs(
     flat-cache contract, streaming/ann_stream.py), tracked there for
     per-batch release."""
     from petasearch_spark.operators.kmer_index import read_layout_index_pruned
-    from petasearch_spark.operators.prefilter import prefilter
+    from petasearch_spark.operators.prefilter import prefilter_counts
 
     qk = qk.persist()
     if persisted is not None:
         persisted.append(qk)
     # generation-aware (append_sharded_layout deltas fold in at probe
-    # time); with no deltas this is exactly the old single-scan plan
-    return prefilter(qk, read_layout_index_pruned(spark, root, qk))
+    # time); with no deltas this is exactly the old single-scan plan.
+    # Both consumers are count queries, so the fused count form applies
+    # (round 11): no member-row window sort, map-side partial counts.
+    return prefilter_counts(qk, read_layout_index_pruned(spark, root, qk))
 
 
 def protein_prefilter_sharded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,12 +573,7 @@ def protein_prefilter_sharded_query(spark: SparkSession, sf_dir: str) -> DataFra
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     seqs = derived_sequences(docs).drop("source")
     qk = extract_query_kmers(seqs.filter(F.col("seq_id") % 20 == 0))
-    pairs = _sharded_pruned_pairs(spark, root, qk)
-    return (
-        pairs.groupBy("query_id", "target_id")
-        .agg(F.count(F.lit(1)).alias("n_matches"))
-        .orderBy("query_id", "target_id")
-    )
+    return _sharded_pruned_pairs(spark, root, qk).orderBy("query_id", "target_id")
 
 
 def protein_prefilter_sharded_probe1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -594,12 +587,7 @@ def protein_prefilter_sharded_probe1(spark: SparkSession, sf_dir: str) -> DataFr
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     seqs = derived_sequences(docs).drop("source")
     qk = extract_query_kmers(seqs.filter(F.col("seq_id") == 0))
-    pairs = _sharded_pruned_pairs(spark, root, qk)
-    return (
-        pairs.groupBy("query_id", "target_id")
-        .agg(F.count(F.lit(1)).alias("n_matches"))
-        .orderBy("query_id", "target_id")
-    )
+    return _sharded_pruned_pairs(spark, root, qk).orderBy("query_id", "target_id")
 
 
 def protein_prefilter_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -763,18 +751,17 @@ def protein_expand_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting includes the reference's duplicate-exact-kmer behavior
     (comparekmertables.cpp:256-275)."""
     from petasearch_spark.operators.kmer_index import build_kmer_index, extract_query_kmers
-    from petasearch_spark.operators.prefilter import prefilter
+    from petasearch_spark.operators.prefilter import prefilter_counts
     from petasearch_spark.operators.similar_kmers import expand_query_kmers
 
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     seqs = derived_sequences(docs).drop("source").persist()
     queries = seqs.filter(F.col("seq_id") % 100 == 0)
     eqk = expand_query_kmers(extract_query_kmers(queries))
-    pairs = prefilter(eqk, build_kmer_index(seqs))
-    return (
-        pairs.groupBy("query_id", "target_id")
-        .agg(F.count(F.lit(1)).alias("n_matches"))
-        .orderBy("query_id", "target_id")
+    # fused count form (round 11): same GROUP BY/HAVING as the oracle,
+    # no member-row window sort + re-count
+    return prefilter_counts(eqk, build_kmer_index(seqs)).orderBy(
+        "query_id", "target_id"
     )
 
 
@@ -838,12 +825,14 @@ def protein_ungapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     in SQL with window prefix sums — no engine code involved."""
     from petasearch_spark.operators.align import ungapped_rescore_pairs
     from petasearch_spark.operators.kmer_index import build_kmer_index, extract_query_kmers
-    from petasearch_spark.operators.prefilter import prefilter
+    from petasearch_spark.operators.prefilter import prefilter_grouped
 
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     seqs = derived_sequences(docs).drop("source").persist()
     queries = seqs.filter(F.col("seq_id") % 20 == 0)
-    pairs = prefilter(extract_query_kmers(queries), build_kmer_index(seqs))
+    # fused grouped form (round 11): the rescore kernel consumes per-pair
+    # k-mer lists and sorts diagonals internally — no window sort upstream
+    pairs = prefilter_grouped(extract_query_kmers(queries), build_kmer_index(seqs))
     return ungapped_rescore_pairs(pairs, queries, seqs).orderBy("query_id", "target_id")
 
 
@@ -1046,7 +1035,7 @@ def protein_prefilter_biased(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of the numpy cumsum/einsum kernel. Queries every 100th
     doc, reusing the expansion golden's k-mer universe."""
     from petasearch_spark.operators.kmer_index import build_kmer_index, extract_query_kmers
-    from petasearch_spark.operators.prefilter import prefilter
+    from petasearch_spark.operators.prefilter import prefilter_counts
     from petasearch_spark.operators.similar_kmers import (
         composition_bias_kmer,
         expand_query_kmers,
@@ -1058,11 +1047,9 @@ def protein_prefilter_biased(spark: SparkSession, sf_dir: str) -> DataFrame:
     eqk = expand_query_kmers(
         extract_query_kmers(queries), bias=composition_bias_kmer(queries)
     )
-    pairs = prefilter(eqk, build_kmer_index(seqs))
-    return (
-        pairs.groupBy("query_id", "target_id")
-        .agg(F.count(F.lit(1)).alias("n_matches"))
-        .orderBy("query_id", "target_id")
+    # fused count form (round 11) — see protein_expand_prefilter
+    return prefilter_counts(eqk, build_kmer_index(seqs)).orderBy(
+        "query_id", "target_id"
     )
 
 

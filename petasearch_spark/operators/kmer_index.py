@@ -27,6 +27,7 @@ only from repeated k-mers, which this very aggregation collapses.
 from __future__ import annotations
 
 import json
+import os
 from typing import Iterator
 
 import numpy as np
@@ -234,14 +235,46 @@ def write_kmer_index_sharded(
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_ps_meta")
 
 
+#: in-process sidecar meta cache (round 11): every probe (and, in the
+#: streaming twins, every MICRO-BATCH) re-read each generation's tiny
+#: _ps_meta parquet as a full Spark job — pure per-probe machinery.
+#: Published sidecars are immutable (layouts publish by rename and
+#: appends claim fresh generation dirs), so caching on the sidecar's
+#: CONTENT identity (file names + sizes + mtime_ns, the staged_cache
+#: fingerprint convention) is exact: a rebuilt/compacted layout gets a
+#: new key, a missing sidecar still fails loudly through the uncached
+#: Spark read.
+_META_CACHE: dict[tuple, dict] = {}
+
+
+def _sidecar_cache_key(path: str) -> tuple | None:
+    d = path + "/_ps_meta"
+    try:
+        names = sorted(os.listdir(d))
+        if not names:
+            return None
+        key: list = [os.path.abspath(d)]
+        for n in names:
+            st = os.stat(os.path.join(d, n))
+            key.append((n, st.st_size, st.st_mtime_ns))
+        return tuple(key)
+    except OSError:
+        return None  # absent/unreadable: let the Spark read raise loudly
+
+
 def read_kmer_index_meta(spark, path: str) -> dict:
     """The sharded index's sidecar as a plain dict (num_shards, and —
     for layouts written since round 10 — the k and alphabet the index
     was built with; None on older layouts)."""
+    ck = _sidecar_cache_key(path)
+    if ck is not None and ck in _META_CACHE:
+        return dict(_META_CACHE[ck])
     row = spark.read.parquet(path + "/_ps_meta").head()
     d = row.asDict()
     d.setdefault("k", None)
     d.setdefault("alphabet", None)
+    if ck is not None:
+        _META_CACHE[ck] = dict(d)
     return d
 
 
@@ -409,13 +442,20 @@ def read_sequence_store_meta(spark, path: str) -> dict:
     db_residues, schema_json, and — for stores written since the delta
     path landed — max_seq_id, None on older stores). A missing sidecar
     means the store is mid-write or absent — loud AnalysisException,
-    never a silent mis-prune."""
+    never a silent mis-prune. Cached in-process on the sidecar's content
+    identity (see _META_CACHE)."""
+    ck = _sidecar_cache_key(path)
+    if ck is not None and ck in _META_CACHE:
+        return dict(_META_CACHE[ck])
     row = spark.read.parquet(path + "/_ps_meta").head()
     d = row.asDict()
     d.setdefault("max_seq_id", None)
-    return {
+    out = {
         k: d[k] for k in ("num_shards", "db_residues", "schema_json", "max_seq_id")
     }
+    if ck is not None:
+        _META_CACHE[ck] = dict(out)
+    return out
 
 
 def read_sequence_store_pruned(

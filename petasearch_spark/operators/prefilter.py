@@ -58,6 +58,75 @@ def prefilter(
     )
 
 
+def prefilter_grouped(
+    query_kmers: DataFrame,
+    target_index: DataFrame,
+    req_kmer_matches: int = DEFAULT_REQ_KMER_MATCHES,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Fused prefilter + per-pair match collection for the ALIGN cascade
+    (round 11, guide §2.3/§2.4): ``prefilter()`` keeps member rows via a
+    count window — which SORTS every joined k-mer match row by
+    (query_id, target_id) inside one exchange — and the aligner then
+    immediately re-groups those same rows into per-pair k-mer lists.
+    When the consumer is the aligner, one hash aggregation does both:
+    collect the lists AND count the matches, filter on the count after.
+    The window sort over the cascade's most voluminous intermediate
+    disappears, and partial (map-side) aggregation collapses match rows
+    to one row per pair per map partition BEFORE the shuffle.
+
+    Result-identical to prefilter()+groupBy by construction: the same
+    (query, target) groups survive (same strict > threshold over the
+    same join), and the kernels sort diagonals internally
+    (align.find_anchor_diag / ungapped_rescore_pairs), so collect_list
+    order — nondeterministic in BOTH forms — never reaches a result.
+    Standalone prefilter QUERIES (protein_prefilter etc.) keep the
+    member-row window form: their output rows are the oracle contract.
+
+    -> grouped_pairs(query_id, target_id, kmers, qpositions)"""
+    q = F.broadcast(query_kmers) if broadcast_queries else query_kmers
+    joined = q.join(target_index, "kmer", "inner").select(
+        F.col("seq_id").alias("target_id"), "query_id", "kmer", "pos"
+    )
+    return (
+        joined.groupBy("query_id", "target_id")
+        .agg(
+            F.collect_list("kmer").alias("kmers"),
+            F.collect_list("pos").alias("qpositions"),
+            F.count(F.lit(1)).alias("match_cnt"),
+        )
+        .filter(F.col("match_cnt") > req_kmer_matches)
+        .drop("match_cnt")
+    )
+
+
+def prefilter_counts(
+    query_kmers: DataFrame,
+    target_index: DataFrame,
+    req_kmer_matches: int = DEFAULT_REQ_KMER_MATCHES,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Fused prefilter + pair-count for consumers that only need
+    ``(query_id, target_id, n_matches)`` (round 11, guide §2.3): the
+    ``prefilter()`` member-row form sorts every joined match row inside
+    its count window, and those consumers then immediately re-count the
+    same groups. One COUNT aggregation with the HAVING applied after is
+    the same relation — identical to the SQL oracles' GROUP BY/HAVING —
+    with partial (map-side) aggregation collapsing match rows to an
+    8-byte count per pair per map partition before the shuffle, and no
+    sort anywhere. Member-row consumers (the aligner's diagonals, the
+    funnel's row counters) keep prefilter()/prefilter_grouped."""
+    q = F.broadcast(query_kmers) if broadcast_queries else query_kmers
+    joined = q.join(target_index, "kmer", "inner").select(
+        "query_id", F.col("seq_id").alias("target_id")
+    )
+    return (
+        joined.groupBy("query_id", "target_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .filter(F.col("n_matches") > req_kmer_matches)
+    )
+
+
 def prefilter_pair_counts(prefilter_pairs: DataFrame) -> DataFrame:
     """A4-style funnel stat: surviving (query,target) pairs + match counts."""
     return prefilter_pairs.groupBy("query_id", "target_id").agg(F.count(F.lit(1)).alias("n_kmer_matches"))

@@ -225,21 +225,20 @@ def profile_vs_profile_prefilter(spark, sf_dir: str) -> DataFrame:
     recomputes both consensus sets and the prefilter entirely in SQL."""
     from pyspark.sql import functions as F
 
-    from petasearch_spark.operators.doc_search import REQ_MATCHES, derived_sequences
+    from petasearch_spark.operators.doc_search import derived_sequences
     from petasearch_spark.operators.kmer_index import build_kmer_index, extract_query_kmers
-    from petasearch_spark.operators.prefilter import prefilter
+    from petasearch_spark.operators.prefilter import prefilter_counts
     from petasearch_spark.sources.tables import load_table
 
     docs = load_table(spark, "documents", sf_dir, widen_scan=True)
     seqs = derived_sequences(docs).drop("source").filter(F.length("sequence") > 0).persist()
     tcons = profile_consensus(derived_profiles(seqs)).persist()
     qcons = tcons.filter(F.col("seq_id") % PROFILE_QUERY_MOD == 0)
-    pairs = prefilter(extract_query_kmers(qcons), build_kmer_index(tcons))
-    return (
-        pairs.groupBy("query_id", "target_id")
-        .agg(F.count(F.lit(1)).alias("n_matches"))
-        .orderBy("query_id", "target_id")
-    )
+    # fused count form (round 11): same GROUP BY/HAVING as the oracle,
+    # no member-row window sort + re-count
+    return prefilter_counts(
+        extract_query_kmers(qcons), build_kmer_index(tcons)
+    ).orderBy("query_id", "target_id")
 
 
 def _alpha_cte() -> str:

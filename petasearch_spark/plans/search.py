@@ -23,7 +23,11 @@ from petasearch_spark.operators.kmer_index import (
     build_kmer_index,
     extract_query_kmers,
 )
-from petasearch_spark.operators.prefilter import DEFAULT_REQ_KMER_MATCHES, prefilter
+from petasearch_spark.operators.prefilter import (
+    DEFAULT_REQ_KMER_MATCHES,
+    prefilter,
+    prefilter_grouped,
+)
 
 
 def build_query_kmers(
@@ -165,7 +169,11 @@ def search(
         kmer_threshold=kmer_threshold, kmer_max_per_pos=kmer_max_per_pos,
         mask=mask, compo_bias=compo_bias, alphabet=alphabet,
     )
-    pairs = prefilter(qk, target_index, req_kmer_matches=req_kmer_matches)
+    # fused prefilter+collection (round 11): the aligner consumes per-pair
+    # k-mer LISTS, so the HAVING count and the list collection run as ONE
+    # aggregation — the member-row count window (a full sort of every
+    # joined match row) disappears from the cascade
+    pairs = prefilter_grouped(qk, target_index, req_kmer_matches=req_kmer_matches)
     # xdrop=None (default) keeps full banded Gotoh — the engine's written
     # divergence decision (operators/align.py DEFAULT_XDROP note); pass
     # align.DEFAULT_XDROP for the reference's frontier termination.
@@ -246,7 +254,9 @@ def search_sharded_layout(
     if persisted is not None:
         persisted.append(qk)
     idx = read_layout_index_pruned(spark, layout_root, qk, idx_meta=idx_meta, gens=gens)
-    pairs = prefilter(qk, idx, req_kmer_matches=req_kmer_matches).persist()
+    # fused form (see search()): grouped pairs also make the candidate-id
+    # collect below cheaper — one row per pair instead of per match row
+    pairs = prefilter_grouped(qk, idx, req_kmer_matches=req_kmer_matches).persist()
     if persisted is not None:
         persisted.append(pairs)
     candidate_ids = [

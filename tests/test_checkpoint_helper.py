@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import json
 import os
+
+import pytest
 import subprocess
 import sys
 
@@ -64,6 +66,7 @@ def test_local_fallback_cuts_lineage(spark):
     assert spark.sparkContext.getCheckpointDir() is None
 
 
+@pytest.mark.slow  # ~70 s: full dedup_clusters twice (local vs durable checkpoint)
 def test_durable_checkpoint_identical_results(spark, tmp_path):
     ckdir = str(tmp_path / "ck")
     baseline = {op: _norm(REGISTRY[op][0](spark, SF_DIR).collect()) for op in OPS}

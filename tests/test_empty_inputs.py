@@ -48,6 +48,7 @@ def empty_sf_dir(spark):
     return tmp
 
 
+@pytest.mark.slow  # ~150 s: every registered query against empty tables
 def test_every_registered_query_survives_empty_tables(spark, empty_sf_dir):
     failures = []
     for name, (fn, _) in REGISTRY.items():

@@ -37,6 +37,9 @@ import random
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+# round 11: whole-module slow tier — see pyproject [tool.pytest.ini_options]
+pytestmark = pytest.mark.slow
+
 
 from petasearch_spark.registry import REGISTRY
 

@@ -34,6 +34,9 @@ import random
 
 import pyarrow.parquet as pq
 import pytest
+# round 11: whole-module slow tier — see pyproject [tool.pytest.ini_options]
+pytestmark = pytest.mark.slow
+
 
 from petasearch_spark.functions.kmer import AMINO_ALPHABET
 from petasearch_spark.operators.doc_search import REQ_MATCHES

@@ -11,6 +11,9 @@ import os
 
 import duckdb
 import pytest
+# round 11: whole-module slow tier — see pyproject [tool.pytest.ini_options]
+pytestmark = pytest.mark.slow
+
 
 from petasearch_spark.registry import REGISTRY, UNGATED
 from petasearch_spark.sources.tables import TABLES

@@ -265,9 +265,14 @@ def test_sharded_search_end_to_end_matches_batch_and_prunes_fetch(spark):
     # MapInPandas text still appearing deeper in the string is the
     # cached relation's build plan, printed but not re-executed); the
     # prefilter pairs are likewise served from cache to both the
-    # candidate-id collect and the align lineage
+    # candidate-id collect and the align lineage — since round 11 in the
+    # GROUPED form (prefilter_grouped: per-pair k-mer lists, the fused
+    # aggregation that replaced the member-row count window)
     assert re.search(r"InMemoryTableScan \[query_id#\d+L?, kmer#\d+L?, pos#\d+\]", plan), plan[:3000]
-    assert re.search(r"InMemoryTableScan \[target_id#\d+L?, query_id#\d+L?, kmer#\d+L?, pos#\d+", plan), plan[:3000]
+    assert re.search(
+        r"InMemoryTableScan \[query_id#\d+L?, target_id#\d+L?, kmers#\d+, qpositions#\d+",
+        plan,
+    ), plan[:3000]
 
     got = [tuple(r) for r in sharded.collect()]
     spark.catalog.clearCache()
