@@ -237,30 +237,59 @@ def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> None:
         q.awaitTermination()
 
 
-def user_totals_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-    """The user-totals state transition — module-level so the
-    kill/recover e2e (tests/test_stream_recovery.py) drives the SAME
-    transition the registry operator runs, under its own source /
-    durable checkpoint / poisoned sink."""
+def user_totals_precount(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STATELESS map-side combine for the user-totals stream (round 11 —
+    the cm_stream/quantiles precount pattern applied to the third
+    stateful twin, guide §2.3): per Arrow batch, collapse raw
+    ``(user_id, value)`` rows to one ``(user_id, n, cents)`` partial per
+    user, so the state operator's shuffle carries |users| rows per
+    partition instead of |events|. The per-ROW arithmetic is verbatim
+    the old transition's — isfinite mask (NULL arrives as NaN through
+    Arrow; ±Inf excluded like the SQL twin's isfinite), then
+    ``np.floor(v*100 + 0.5)`` per value BEFORE summing (floor of the
+    same float ops is cross-engine exact for all signs; summing first
+    would change the rounding) — so partial-fold totals are bit-equal
+    to row-fold totals."""
     import numpy as np
 
+    for pdf in batches:
+        v = pdf["value"].to_numpy()
+        ok = np.isfinite(v)
+        cents = np.zeros(len(v), dtype="int64")
+        cents[ok] = np.floor(v[ok] * 100 + 0.5).astype("int64")
+        g = (
+            pd.DataFrame(
+                {"user_id": pdf["user_id"], "n": ok.astype("int64"), "cents": cents}
+            )
+            .groupby("user_id", sort=False, dropna=False)
+            .sum()
+            .reset_index()
+        )
+        u = g["user_id"]
+        if u.dtype.kind == "f":
+            # a NULL user_id (a legal group — the SQL twin groups it)
+            # upcasts the int64 key to float64 with NaN in pandas; map
+            # back to None/int so Arrow emits a typed NULL long, exactly
+            # the key tuple the old per-row path produced. The frame is
+            # |users|-sized, so the Python loop is trivial.
+            import math
+
+            g["user_id"] = [None if math.isnan(x) else int(x) for x in u]
+        yield g
+
+
+def user_totals_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """The user-totals state transition over PRE-COUNTED partials
+    (see :func:`user_totals_precount`) — integer partial sums add
+    associatively, so the running (n, cents) state is exact and
+    order-independent exactly as the old per-row fold was. Module-level
+    so the kill/recover e2e (tests/test_stream_recovery.py) drives the
+    SAME composed operator the registry runs, under its own source /
+    durable checkpoint / poisoned sink."""
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
-        v = pdf["value"].to_numpy()
-        # NULL values arrive as NaN through Arrow and crashed the
-        # int() conversion (round-5 audit); +-Inf crashed it too
-        # (round-7 fuzz, the nonfinite seeds). Exclude the row from
-        # count AND sum like the SQL twin's isfinite filter — this
-        # operator's documented rule counts only rows carrying a
-        # usable measure
-        ok = np.isfinite(v)
-        n += int(ok.sum())
-        # np.floor, NOT astype-truncation: the SQL twin's floor()
-        # rounds toward -inf, truncation toward zero — identical on
-        # the fixture's positive amounts but divergent on any
-        # negative (refund) value; floor of the SAME float ops is
-        # cross-engine exact for all signs (round-5 audit)
-        cents += int(np.floor(v[ok] * 100 + 0.5).sum())
+        n += int(pdf["n"].sum())
+        cents += int(pdf["cents"].sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
@@ -269,8 +298,10 @@ def user_totals_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
 
 def user_totals_stream(stream: DataFrame) -> DataFrame:
     """groupBy(user_id).applyInPandasWithState over a (user_id, value)
-    stream — the stateful core of :func:`events_stream_user_totals`."""
-    return stream.groupBy("user_id").applyInPandasWithState(
+    stream — the stateful core of :func:`events_stream_user_totals`,
+    with the stateless per-batch precount in front (round 11)."""
+    pre = stream.mapInPandas(user_totals_precount, schema="user_id long, n long, cents long")
+    return pre.groupBy("user_id").applyInPandasWithState(
         user_totals_update,
         outputStructType="user_id long, n_events long, total_value double",
         stateStructType="n long, cents long",
