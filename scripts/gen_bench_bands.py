@@ -17,6 +17,15 @@ sound because each sample's era was computed against the round-7 QUIET
 centers, so the division maps observations back onto that scale, and a
 single key's real cost change cannot bend the median-of-~125 era.
 
+``--merge-missing`` keeps every committed band and center VERBATIM and
+adds entries only for keys absent from the committed file — used when
+bench keys appended since the last full regen finally have quiet(-
+equivalent) samples (round-11: k131/k132 landed mid-round-10, so the
+r10 regen's sample set predates them; refitting all 131 existing keys
+from post-optimization samples would silently rescale the era
+denominator across rounds, which only a deliberate full regen should
+do).
+
 ``--drop`` excludes a single known-defective observation — e.g.
 BENCH_r05.json's k44=9.81 s was the diagnosed gopher-persist leak
 (fixed round 6), and folding a confirmed defect into a band would
@@ -86,6 +95,7 @@ def main(argv: list[str]) -> None:
     drops: set[tuple[str, str]] = set()
     centers_only = False
     era_normalize = False
+    merge_missing = False
     it = iter(argv)
     for a in it:
         if a == "--drop":
@@ -99,6 +109,8 @@ def main(argv: list[str]) -> None:
             drops.add((os.path.basename(sample), key))
         elif a == "--centers-only":
             centers_only = True
+        elif a == "--merge-missing":
+            merge_missing = True
         elif a == "--era-normalize":
             era_normalize = True
         else:
@@ -133,7 +145,21 @@ def main(argv: list[str]) -> None:
         "era_normalize": era_normalize,
         "centers": "per-key quiet median — denominator of bench.era_coefficient",
     }
-    if centers_only:
+    if merge_missing:
+        with open(out) as f:
+            committed = json.load(f)
+        added = sorted(set(bands) - set(committed["bands"]))
+        for k in added:
+            committed["bands"][k] = bands[k]
+            committed["centers"][k] = centers[k]
+        committed["_meta"]["merged_missing"] = {
+            "keys": added,
+            "samples": meta["samples"],
+            "era_normalize": era_normalize,
+        }
+        doc = committed
+        bands = committed["bands"]
+    elif centers_only:
         with open(out) as f:
             committed = json.load(f)
         committed["centers"] = centers
