@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from petasearch_spark.functions.ordering import sort_via_exchange
+
 from petasearch_spark.functions.localframe import literal_df
 
 from petasearch_spark.operators.portable import (
@@ -919,10 +921,13 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % SEM_EVAL_MOD != 0) | (F.col("vec_id") >= SEM_EVAL_CAP)
     )
     scored = train.select("vec_id", hits(F.col("v")).alias("h"))
-    return (
+    # sort_via_exchange: the whole pipeline is narrow (scan -> BLAS kernel),
+    # so a bare orderBy re-runs corpus scan + kernel for RangePartitioner
+    # sampling (functions/ordering.py)
+    return sort_via_exchange(
         scored.filter(F.col("h.n_eval_hits") > 0)
-        .select("vec_id", F.col("h.n_eval_hits").alias("n_eval_hits"), F.col("h.max_cos").alias("max_cos"))
-        .orderBy("vec_id")
+        .select("vec_id", F.col("h.n_eval_hits").alias("n_eval_hits"), F.col("h.max_cos").alias("max_cos")),
+        "vec_id",
     )
 
 

@@ -823,6 +823,7 @@ def protein_ungapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical integers (diagonal derivation, proximity gate, per-
     diagonal max-subarray with first-argmax/argmin endpoints) from scratch
     in SQL with window prefix sums — no engine code involved."""
+    from petasearch_spark.functions.ordering import sort_via_exchange
     from petasearch_spark.operators.align import ungapped_rescore_pairs
     from petasearch_spark.operators.kmer_index import build_kmer_index, extract_query_kmers
     from petasearch_spark.operators.prefilter import prefilter_grouped
@@ -831,9 +832,13 @@ def protein_ungapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     seqs = derived_sequences(docs).drop("source").persist()
     queries = seqs.filter(F.col("seq_id") % 20 == 0)
     # fused grouped form (round 11): the rescore kernel consumes per-pair
-    # k-mer lists and sorts diagonals internally — no window sort upstream
+    # k-mer lists and sorts diagonals internally — no window sort upstream;
+    # sort_via_exchange: the rescore kernel must not re-run for the final
+    # sort's RangePartitioner sampling (functions/ordering.py)
     pairs = prefilter_grouped(extract_query_kmers(queries), build_kmer_index(seqs))
-    return ungapped_rescore_pairs(pairs, queries, seqs).orderBy("query_id", "target_id")
+    return sort_via_exchange(
+        ungapped_rescore_pairs(pairs, queries, seqs), "query_id", "target_id"
+    )
 
 
 PROTEIN_UNGAPPED_SQL = f"""

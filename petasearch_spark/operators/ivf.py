@@ -22,6 +22,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from petasearch_spark.functions.ordering import sort_via_exchange
+
 from petasearch_spark.functions.localframe import literal_df
 
 from petasearch_spark.session import cut_lineage
@@ -768,10 +770,12 @@ def semdedup_frame(
         out["dup_of"] = out["dup_of"].astype("object").where(out["dup_of"] >= 0, None)
         return out
 
-    return (
+    # sort_via_exchange: the O(n²/K) cluster_pass kernel must not re-run
+    # for the final sort's RangePartitioner sampling (functions/ordering.py)
+    return sort_via_exchange(
         assign.groupBy("cent_id")
-        .applyInPandas(cluster_pass, schema="vec_id long, cent_id long, dup_of long, keep int")
-        .orderBy("vec_id")
+        .applyInPandas(cluster_pass, schema="vec_id long, cent_id long, dup_of long, keep int"),
+        "vec_id",
     )
 
 

@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from petasearch_spark.functions.ordering import sort_via_exchange
+
 MAX_PERIOD = 4
 MIN_REPEAT = 8  # run length (in matched positions) to call a tandem repeat
 WINDOW = 12
@@ -127,10 +129,12 @@ def protein_mask_stats(spark, sf_dir: str) -> DataFrame:
     seqs = derived_sequences(load_table(spark, "documents", sf_dir, widen_scan=True))
     masked = mask_sequences(seqs, method="heuristic")
     n_x = F.length("sequence") - F.length(F.regexp_replace("sequence", "X", ""))
-    return (
+    # sort_via_exchange: the masking kernel (and the corpus scan under it)
+    # must not re-run for RangePartitioner sampling (functions/ordering.py)
+    return sort_via_exchange(
         masked.select("seq_id", F.length("sequence").cast("int").alias("seq_len"), n_x.cast("int").alias("n_masked"))
-        .filter(F.col("n_masked") > 0)
-        .orderBy("seq_id")
+        .filter(F.col("n_masked") > 0),
+        "seq_id",
     )
 
 
@@ -147,10 +151,12 @@ def protein_mask_tantan(spark, sf_dir: str) -> DataFrame:
     seqs = derived_sequences(load_table(spark, "documents", sf_dir, widen_scan=True))
     masked = mask_sequences(seqs, method="tantan")
     n_x = F.length("sequence") - F.length(F.regexp_replace("sequence", "X", ""))
-    return (
+    # sort_via_exchange: the masking kernel (and the corpus scan under it)
+    # must not re-run for RangePartitioner sampling (functions/ordering.py)
+    return sort_via_exchange(
         masked.select("seq_id", F.length("sequence").cast("int").alias("seq_len"), n_x.cast("int").alias("n_masked"))
-        .filter(F.col("n_masked") > 0)
-        .orderBy("seq_id")
+        .filter(F.col("n_masked") > 0),
+        "seq_id",
     )
 
 

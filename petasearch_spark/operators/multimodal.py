@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from petasearch_spark.functions.ordering import sort_via_exchange
+
 from petasearch_spark.sources.tables import load_table
 
 # metadata per kind (doc_id % 3): 0=image, 1=audio, 2=video
@@ -176,8 +178,11 @@ def image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return imgs.mapInPandas(run, "media_id long, mean_px double, min_px int, max_px int").orderBy(
-        "media_id"
+    # sort_via_exchange: a bare orderBy re-runs the decode kernel (and the
+    # payload scan under it) for RangePartitioner sampling (functions/ordering.py)
+    return sort_via_exchange(
+        imgs.mapInPandas(run, "media_id long, mean_px double, min_px int, max_px int"),
+        "media_id",
     )
 
 
@@ -213,8 +218,9 @@ def image_resize(spark: SparkSession, sf_dir: str, factor: int = 4) -> DataFrame
                 {"media_id": out_ids, "width": w, "height": h, "thumb_mean": out_mean}
             )
 
-    return imgs.mapInPandas(run, "media_id long, width int, height int, thumb_mean double").orderBy(
-        "media_id"
+    return sort_via_exchange(
+        imgs.mapInPandas(run, "media_id long, width int, height int, thumb_mean double"),
+        "media_id",
     )
 
 
@@ -248,7 +254,9 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 peak.append(int(np.abs(wave).max()))
             yield pd.DataFrame({"media_id": ids, "rms": rms, "peak": peak})
 
-    return auds.mapInPandas(run, "media_id long, rms double, peak int").orderBy("media_id")
+    return sort_via_exchange(
+        auds.mapInPandas(run, "media_id long, rms double, peak int"), "media_id"
+    )
 
 
 AUDIO_FEATURES_SQL = f"""
@@ -286,8 +294,9 @@ def video_frame_sample(spark: SparkSession, sf_dir: str, every: int = FRAME_EVER
                     fmean.append(_round6(float(frames[i].mean())))
             yield pd.DataFrame({"media_id": ids, "frame_idx": fidx, "frame_mean": fmean})
 
-    return vids.mapInPandas(run, "media_id long, frame_idx int, frame_mean double").orderBy(
-        "media_id", "frame_idx"
+    return sort_via_exchange(
+        vids.mapInPandas(run, "media_id long, frame_idx int, frame_mean double"),
+        "media_id", "frame_idx",
     )
 
 

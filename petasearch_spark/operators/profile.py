@@ -169,6 +169,7 @@ def profile_search_consensus(spark, sf_dir: str) -> DataFrame:
     consensus AND the stats entirely in SQL — no committed golden."""
     from pyspark.sql import functions as F
 
+    from petasearch_spark.functions.ordering import sort_via_exchange
     from petasearch_spark.operators.doc_search import REQ_MATCHES, derived_sequences
     from petasearch_spark.operators.kmer_index import build_kmer_index, extract_query_kmers
     from petasearch_spark.sources.tables import load_table
@@ -212,7 +213,11 @@ def profile_search_consensus(spark, sf_dir: str) -> DataFrame:
             F.coalesce("n_kmer_matches", F.lit(0)).cast("long").alias("n_kmer_matches"),
             F.coalesce("n_hit_targets", F.lit(0)).cast("long").alias("n_hit_targets"),
         )
-        .orderBy("query_id")
+        # sort_via_exchange: the PSSM+consensus kernels sit on the sort's
+        # mainline (the stats/orig sides are broadcasts), so a bare orderBy
+        # re-runs them for RangePartitioner sampling (functions/ordering.py);
+        # query_id is unique per row — the sort is a total order
+        .transform(lambda d: sort_via_exchange(d, "query_id"))
     )
 
 

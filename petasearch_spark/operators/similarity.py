@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from petasearch_spark.functions.ordering import sort_via_exchange
+
 from petasearch_spark.sources.tables import load_table
 
 TOPK = 5
@@ -495,12 +497,15 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    return (
+    # sort_via_exchange: the exact-cosine verify kernel sits above the last
+    # join exchange — don't re-run it for RangePartitioner sampling
+    # (functions/ordering.py)
+    return sort_via_exchange(
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .select("id_a", "id_b", cosine_pair_udf(F.col("va"), F.col("vb")).alias("cos"))
-        .filter(F.col("cos") >= NEARDUP_COS)
-        .orderBy("id_a", "id_b")
+        .filter(F.col("cos") >= NEARDUP_COS),
+        "id_a", "id_b",
     )
 
 

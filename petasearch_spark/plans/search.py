@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from petasearch_spark.functions.ordering import sort_via_exchange
 from petasearch_spark.operators.align import DEFAULT_EVALUE, align_pairs
 from petasearch_spark.operators.kmer_index import (
     DEFAULT_K,
@@ -116,8 +117,18 @@ def _rank_and_order(alignments: DataFrame, max_seqs: int | None) -> DataFrame:
             .filter(F.col("_rk") <= max_seqs)
             .drop("_rk")
         )
-    return alignments.orderBy(
-        "query_id", "evalue", F.desc("bits"), "tlen", "target_id"
+        # the window's hash exchange already decouples the final sort's
+        # RangePartitioner sampling from the kernel — plain orderBy is fine
+        return alignments.orderBy(
+            "query_id", "evalue", F.desc("bits"), "tlen", "target_id"
+        )
+    # no window: a bare orderBy here would put the range exchange DIRECTLY
+    # above the alignment kernel, and the RangePartitioner sampling job
+    # re-executes the kernel (round 11, functions/ordering.py) — sort via
+    # an interposed hash exchange instead. The O6 spec is a total order
+    # (target_id is unique per query), so the result is bit-identical.
+    return sort_via_exchange(
+        alignments, "query_id", "evalue", F.desc("bits"), "tlen", "target_id"
     )
 
 
@@ -138,8 +149,16 @@ def search(
     xdrop: int | None = None,
     query_kmers: DataFrame | None = None,
     db_residues: int | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """queries/targets: sequences(seq_id, accession, header, sequence).
+
+    ``ordered=False`` skips the final O6 sort (and per-call ``max_seqs``)
+    and returns the raw alignments — for callers that rank the UNION of
+    several searches themselves (search_multi_target with a global
+    max_seqs): each branch's sort would be discarded by the global
+    window anyway, and its range exchange re-executes the branch's
+    alignment kernel for RangePartitioner sampling (functions/ordering.py).
 
     ``expand_similar=True`` turns on T2 similar-k-mer expansion (the
     reference's default sensitivity mode, --exact-kmer-matching 0);
@@ -182,6 +201,8 @@ def search(
         alphabet=alpha, matrix=matrix, ka_ungapped=ka_u, ka_gapped=ka_g,
         xdrop=xdrop, db_residues=db_residues,
     )
+    if not ordered:
+        return alignments
     return _rank_and_order(alignments, max_seqs)
 
 
@@ -310,7 +331,16 @@ def search_multi_target(
     qk = build_query_kmers(
         queries, **{kw: kwargs[kw] for kw in qk_keys if kw in kwargs}
     ).persist()
-    results = [search(queries, t, query_kmers=qk, **kwargs) for t in target_sets]
+    # with a global max_seqs the per-branch O6 sorts are pure waste: the
+    # global window re-ranks the union under the SAME total order (target
+    # sets are disjoint, so target_id stays unique per query), and each
+    # branch sort's range exchange re-executes that branch's alignment
+    # kernel for RangePartitioner sampling (functions/ordering.py) —
+    # return the branches unordered and rank once
+    results = [
+        search(queries, t, query_kmers=qk, ordered=(max_seqs is None), **kwargs)
+        for t in target_sets
+    ]
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)

@@ -35,3 +35,132 @@ def test_no_plan_antipatterns(spark, name):
         f"{name}: row-at-a-time Python UDF in the executed plan — use an"
         " Arrow-batched kernel (mapInPandas / pandas_udf)"
     )
+
+
+# ---- round-11: global sorts above Python kernels ---------------------------
+#
+# A global orderBy plans as Sort <- Exchange(rangepartitioning), and building
+# the RangePartitioner runs a SEPARATE sampling job over the exchange's child
+# RDD (RangePartitioner.sketch). That job re-executes everything above the
+# last materialized boundary — a mapInPandas kernel directly under the final
+# sort runs TWICE per query. functions/ordering.sort_via_exchange interposes
+# a hash exchange so the sampling job reads a shuffle instead.
+
+PY_NODES = ("MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+            "FlatMapGroupsInPandas", "MapInArrow")
+#: boundaries the sampling job does NOT recompute through: a materialized
+#: shuffle, a broadcast (built once, reused), a populated cache
+CUT_NODES = ("Exchange", "BroadcastExchange", "InMemoryTableScan")
+
+
+def _kernels_resampled_by_sort(formatted_plan: str) -> list[str]:
+    """Python-kernel nodes reachable from an Exchange(rangepartitioning)
+    without crossing a shuffle/broadcast/cache boundary — i.e. kernels the
+    sort's RangePartitioner sampling job would re-execute."""
+    import re
+
+    lines = formatted_plan.splitlines()
+    range_ids = set()
+    cur_id = None
+    for ln in lines:
+        m = re.match(r"\((\d+)\) Exchange\b", ln)
+        if m:
+            cur_id = int(m.group(1))
+        elif ln.startswith("("):
+            cur_id = None
+        if cur_id is not None and "rangepartitioning" in ln:
+            range_ids.add(cur_id)
+    # tree section: (indent_depth, node_name, node_id)
+    tree = []
+    for ln in lines:
+        m = re.search(r"^([+\-:|\s]*)(\w+)[^(]*\((\d+)\)\s*$", ln)
+        if m:
+            tree.append((len(m.group(1)), m.group(2), int(m.group(3))))
+        elif tree and ln.strip() == "":
+            break
+    hits = []
+    for i, (ind, name, nid) in enumerate(tree):
+        if nid not in range_ids:
+            continue
+        pruned_below: int | None = None
+        for j in range(i + 1, len(tree)):
+            ind2, name2, nid2 = tree[j]
+            if ind2 <= ind:
+                break  # left the range exchange's subtree
+            if pruned_below is not None:
+                if ind2 > pruned_below:
+                    continue  # inside a pruned (materialized) subtree
+                pruned_below = None
+            if name2 in CUT_NODES:
+                pruned_below = ind2
+                continue
+            if name2 in PY_NODES:
+                hits.append(f"{name2} ({nid2}) under range Exchange ({nid})")
+    return hits
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_kernel_resampled_by_global_sort(spark, name):
+    df = REGISTRY[name][0](spark, SF_DIR)
+    hits = _kernels_resampled_by_sort(_formatted(df))
+    assert not hits, (
+        f"{name}: the final sort's RangePartitioner sampling job re-executes"
+        f" a Python kernel: {hits} — sort via functions.ordering."
+        "sort_via_exchange so the sampling reads a shuffle instead"
+    )
+
+
+def test_sort_above_kernel_runs_kernel_once(spark, tmp_path):
+    """Behavioral pin for functions/ordering.sort_via_exchange: a bare
+    orderBy above a mapInPandas kernel executes the kernel's batches
+    TWICE (RangePartitioner sampling + real shuffle write); the helper's
+    interposed hash exchange restores exactly-once. Local mode shares the
+    filesystem, so the kernel counts its own executions in a mark file."""
+    from petasearch_spark.functions.ordering import sort_via_exchange
+
+    mark = str(tmp_path / "kernel_marks.txt")
+
+    def kernel(batches):
+        for pdf in batches:
+            with open(mark, "a") as f:
+                f.write(f"{len(pdf)}\n")
+            yield pdf
+
+    def n_marks() -> int:
+        try:
+            with open(mark) as f:
+                return sum(1 for _ in f)
+        except OSError:
+            return 0
+
+    df = spark.range(0, 10_000).selectExpr("id", "id % 7 as g")
+    base = df.repartition(4, "g").mapInPandas(kernel, schema="id long, g long")
+
+    base.write.format("noop").mode("overwrite").save()
+    once = n_marks()
+    assert once > 0
+
+    import os
+
+    os.remove(mark)
+    bare = base.orderBy("g", "id")
+    bare.write.format("noop").mode("overwrite").save()
+    assert n_marks() == 2 * once, "bare orderBy no longer doubles the kernel"
+
+    os.remove(mark)
+    fixed = sort_via_exchange(base, "g", "id")
+    fixed.write.format("noop").mode("overwrite").save()
+    assert n_marks() == once, "sort_via_exchange must run the kernel once"
+
+    # and the helper is result-identical to the bare sort
+    assert [tuple(r) for r in fixed.collect()] == [tuple(r) for r in bare.collect()]
