@@ -965,20 +965,32 @@ def append_sharded_layout(
         tmp = os.path.join(root, f".delta_build{os.getpid()}")
         shutil.rmtree(tmp, ignore_errors=True)
         try:
-            write_kmer_index_sharded(
-                build_kmer_index(
-                    new_seqs, k=int(idx_meta["k"]), alphabet=idx_meta["alphabet"]
-                ),
-                os.path.join(tmp, "index"),
-                num_shards=idx_shards,
-                k=int(idx_meta["k"]),
-                alphabet=idx_meta["alphabet"],
-            )
-            write_sequence_store_sharded(
-                new_seqs,
-                os.path.join(tmp, "seqs"),
-                num_shards=seq_shards,
-            )
+            # same §2.6 overlap as write_sharded_layout: the generation's
+            # index and store writes are independent jobs over the cached
+            # delta — the store write back-fills the index job's tail
+            # instead of waiting behind it (the pool context drains both
+            # before any exception propagates to the rmtree below)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_idx = pool.submit(
+                    write_kmer_index_sharded,
+                    build_kmer_index(
+                        new_seqs, k=int(idx_meta["k"]), alphabet=idx_meta["alphabet"]
+                    ),
+                    os.path.join(tmp, "index"),
+                    num_shards=idx_shards,
+                    k=int(idx_meta["k"]),
+                    alphabet=idx_meta["alphabet"],
+                )
+                f_store = pool.submit(
+                    write_sequence_store_sharded,
+                    new_seqs,
+                    os.path.join(tmp, "seqs"),
+                    num_shards=seq_shards,
+                )
+                f_idx.result()
+                f_store.result()
             nums = [int(os.path.basename(g).split("_", 1)[1]) for g in gens[1:]]
             n = (max(nums) + 1) if nums else 1  # gap-safe next slot
             while True:
