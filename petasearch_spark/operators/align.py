@@ -561,6 +561,8 @@ def align_pairs(
     ka_gapped=KA_GAPPED_11_1,
     xdrop: int | None = None,
     kernel_parts: int | None = None,
+    db_residues_col: str | None = None,
+    set_col: str | None = None,
 ) -> DataFrame:
     """prefilter_pairs(target_id, query_id, kmer, pos) + sequence tables ->
     alignments (FIXTURES.md §1 schema, 1-based coords, query-keyed).
@@ -577,7 +579,16 @@ def align_pairs(
     tasks instead of 2x-parallelism mostly-empty ones, while large
     batches saturate to the default — never narrower than the data,
     never wider than the cluster.
-    """
+
+    ``db_residues_col``/``set_col`` (round 11, the fused multi-target
+    cascade): when one kernel stage aligns pairs from SEVERAL target
+    DBs, the Karlin-Altschul total differs per DB — ``db_residues_col``
+    names a per-row BIGINT column (pre-attached by the caller, e.g. a
+    broadcast join of per-set sums) read per pair instead of the
+    batch-constant scalar, and ``set_col`` names the DB tag so the
+    target-sequence fetch joins on (target_id, set) — two sets may
+    legitimately carry the same target_id. Requires pre-grouped input
+    (prefilter_grouped)."""
     # db_residues (the Karlin-Altschul search-space total) defaults to a
     # LAZY broadcast 1-row aggregate instead of an eager .collect()
     # (round-10 optimization, guide §5/§2.6): the collect was a blocking
@@ -587,7 +598,7 @@ def align_pairs(
     # every other stage; the 1-row crossJoin is the package's documented
     # BroadcastNestedLoopJoin pattern (tests/test_plan_antipatterns.py).
     # greatest(coalesce(sum,1),1) == the old `collect()[0][0] or 1`.
-    lazy_dbr = db_residues is None
+    lazy_dbr = db_residues is None and db_residues_col is None
     if lazy_dbr:
         dbr_frame = targets.agg(
             F.greatest(
@@ -598,12 +609,20 @@ def align_pairs(
             ).alias("_dbr")
         )
 
+    extra_cols = [c for c in (set_col, db_residues_col) if c]
     if "kmers" in prefilter_pairs.columns:
         # pre-grouped input (prefilter.prefilter_grouped, round 11): the
         # HAVING-count and the list collection already happened in ONE
         # aggregation — no second groupBy, no window sort upstream
-        grouped = prefilter_pairs.select("query_id", "target_id", "kmers", "qpositions")
+        grouped = prefilter_pairs.select(
+            "query_id", "target_id", "kmers", "qpositions", *extra_cols
+        )
     else:
+        if extra_cols:
+            raise ValueError(
+                "align_pairs: db_residues_col/set_col require pre-grouped"
+                " input (prefilter_grouped with matching extra_keys)"
+            )
         grouped = prefilter_pairs.groupBy("query_id", "target_id").agg(
             F.collect_list("kmer").alias("kmers"),
             F.collect_list("pos").alias("qpositions"),
@@ -617,6 +636,7 @@ def align_pairs(
         F.col("seq_id").alias("target_id"),
         F.col("accession").alias("target_accession"),
         F.col("sequence").alias("tseq"),
+        *([set_col] if set_col else []),
     )
     # Kernel rows are tiny relative to the cluster — AQE would coalesce the
     # post-join stage into very few tasks and serialize the Python kernel.
@@ -629,7 +649,8 @@ def align_pairs(
     n_parts = 2 * max(1, prefilter_pairs.sparkSession.sparkContext.defaultParallelism)
     if kernel_parts is not None:
         n_parts = min(n_parts, max(1, kernel_parts))
-    rows = grouped.join(F.broadcast(q), "query_id").join(t, "target_id")
+    t_keys = ["target_id"] + ([set_col] if set_col else [])
+    rows = grouped.join(F.broadcast(q), "query_id").join(t, t_keys)
     if lazy_dbr:
         # ride the 8-byte corpus total into every kernel row (constant
         # within a batch; read back in run() below)
@@ -649,36 +670,45 @@ def align_pairs(
             "nident", "qstart", "qend", "qlen", "tstart", "tend", "tlen", "backtrace",
         ]
         for pdf in batches:
-            # the lazily-attached corpus total is constant per batch
+            # the lazily-attached corpus total is constant per batch; with
+            # db_residues_col it varies per ROW (per target DB) instead
             dbr = (
                 db_residues
-                if not lazy_dbr
-                else (int(pdf["_dbr"].iloc[0]) if len(pdf) else 1)
+                if db_residues is not None
+                else (int(pdf["_dbr"].iloc[0]) if lazy_dbr and len(pdf) else 1)
             )
             # Per-BATCH caches: same-target rows arrive adjacent (the
             # repartition/sort above), so a batch-lifetime cache captures
             # almost all reuse while executor memory stays bounded by the
             # Arrow batch size — not by the partition's total distinct
             # sequences (the round-1 ADVICE unbounded-growth finding).
-            tcache: dict[int, tuple] = {}
+            # Cache key includes the set tag when present: two sets may
+            # carry the same target_id over different sequences.
+            tcache: dict = {}
             qcache: dict[int, np.ndarray] = {}
+            # itertuples renames underscore-prefixed columns (_set -> _N),
+            # so the per-row set/dbr values come from positional arrays
+            sets_arr = pdf[set_col].to_numpy() if set_col else None
+            dbr_arr = pdf[db_residues_col].to_numpy() if db_residues_col else None
             # stage 1 (cheap, per pair): J3 diagonals + F5 + F6 anchor
-            todo = []  # (row, qc, tc, anchor)
-            for r in pdf.itertuples(index=False):
-                cached = tcache.get(r.target_id)
+            todo = []  # (row, qc, tc, anchor, dbr)
+            for j, r in enumerate(pdf.itertuples(index=False)):
+                tkey = (r.target_id, sets_arr[j]) if set_col else r.target_id
+                cached = tcache.get(tkey)
                 if cached is None:
                     tc = _encode(r.tseq, alphabet)
                     cached = (tc, _kmer_positions(tc, k, len(alphabet)))
-                    tcache[r.target_id] = cached
+                    tcache[tkey] = cached
                 qc = qcache.get(r.query_id)
                 if qc is None:
                     qc = qcache[r.query_id] = _encode(r.qseq, alphabet)
+                dbr_r = int(dbr_arr[j]) if dbr_arr is not None else dbr
                 anchor = find_anchor_diag(
-                    qc, cached[0], cached[1], r.kmers, r.qpositions, dbr, max_evalue,
+                    qc, cached[0], cached[1], r.kmers, r.qpositions, dbr_r, max_evalue,
                     matrix=matrix, ka_ungapped=ka_ungapped,
                 )
                 if anchor is not None:
-                    todo.append((r, qc, cached[0], anchor))
+                    todo.append((r, qc, cached[0], anchor, dbr_r))
             # stage 2: gapped alignment, vectorized across pairs
             out = []
             lo = 0
@@ -697,8 +727,8 @@ def align_pairs(
                     band=band, gap_open=gap_open, gap_extend=gap_extend, matrix=matrix,
                     xdrop=xdrop,
                 )
-                for (r, qc, tc, _), res in zip(chunk, results):
-                    res = _finalize(res, len(qc), dbr, max_evalue, ka=ka_gapped)
+                for (r, qc, tc, _, dbr_r), res in zip(chunk, results):
+                    res = _finalize(res, len(qc), dbr_r, max_evalue, ka=ka_gapped)
                     if res is None:
                         continue
                     out.append(

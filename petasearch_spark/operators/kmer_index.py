@@ -136,7 +136,19 @@ def build_kmer_index(
     budget: seq_id < 2^40 (1.1e12 sequences), seq_len < 2^23 residues
     — both enforced with raise_error so an out-of-range corpus fails
     loudly instead of corrupting representatives."""
-    kmers = extract_kmers_arrow(sequences, k=k, alphabet=alphabet)
+    return aggregate_kmer_index(extract_kmers_arrow(sequences, k=k, alphabet=alphabet))
+
+
+def aggregate_kmer_index(
+    kmers: DataFrame, extra_keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """The J2 packed-max aggregation over an already-extracted
+    ``(seq_id, seq_len, kmer[, ...])`` frame — factored out of
+    :func:`build_kmer_index` (round 11) so the fused multi-target cascade
+    can aggregate ONE unioned extraction pass per-DB: with
+    ``extra_keys=("_set",)`` the representative is resolved within each
+    target DB (groupBy(kmer, _set)), which is exactly N per-set
+    ``build_kmer_index`` calls in one exchange."""
     packed = F.when(
         (F.col("seq_id") < 0)
         | (F.col("seq_id") > _REP_ID_MASK)
@@ -155,11 +167,12 @@ def build_kmer_index(
         + (F.lit(_REP_ID_MASK) - F.col("seq_id"))
     )
     return (
-        kmers.select("kmer", packed.alias("p"))
-        .groupBy("kmer")
+        kmers.select("kmer", *extra_keys, packed.alias("p"))
+        .groupBy("kmer", *extra_keys)
         .agg(F.max("p").alias("p"))
         .select(
             "kmer",
+            *extra_keys,
             (F.lit(_REP_ID_MASK) - F.col("p").bitwiseAND(F.lit(_REP_ID_MASK))).alias("seq_id"),
             F.shiftright("p", _REP_ID_BITS).cast("int").alias("seq_len"),
         )

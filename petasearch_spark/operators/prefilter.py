@@ -63,6 +63,7 @@ def prefilter_grouped(
     target_index: DataFrame,
     req_kmer_matches: int = DEFAULT_REQ_KMER_MATCHES,
     broadcast_queries: bool = True,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Fused prefilter + per-pair match collection for the ALIGN cascade
     (round 11, guide §2.3/§2.4): ``prefilter()`` keeps member rows via a
@@ -83,13 +84,18 @@ def prefilter_grouped(
     Standalone prefilter QUERIES (protein_prefilter etc.) keep the
     member-row window form: their output rows are the oracle contract.
 
-    -> grouped_pairs(query_id, target_id, kmers, qpositions)"""
+    ``extra_keys`` (round 11, fused multi-target): additional grouping
+    columns carried on the TARGET INDEX side (e.g. the per-DB ``_set``
+    tag from ``build_kmer_index(..., extra_keys=...)``) — a pair then
+    means (query, target, DB), exactly the per-DB prefilter relation.
+
+    -> grouped_pairs(query_id, target_id, [*extra_keys,] kmers, qpositions)"""
     q = F.broadcast(query_kmers) if broadcast_queries else query_kmers
     joined = q.join(target_index, "kmer", "inner").select(
-        F.col("seq_id").alias("target_id"), "query_id", "kmer", "pos"
+        F.col("seq_id").alias("target_id"), "query_id", "kmer", "pos", *extra_keys
     )
     return (
-        joined.groupBy("query_id", "target_id")
+        joined.groupBy("query_id", "target_id", *extra_keys)
         .agg(
             F.collect_list("kmer").alias("kmers"),
             F.collect_list("pos").alias("qpositions"),

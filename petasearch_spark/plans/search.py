@@ -307,54 +307,86 @@ def search_multi_target(
     """J5: search each target set, UNION ALL the results (§2.7) — the
     reference's per-DB shell-job fan-out + cat (petasearch.sh:42-65).
 
-    The query-side k-mer table (extraction + optional masking/expansion —
-    the expensive, target-independent half of the probe) is built ONCE and
-    persisted, so each target set's prefilter reads the cached table
-    (InMemoryTableScan in every branch — pinned by
-    tests/test_search_e2e.py) instead of re-deriving it N times the way
-    the reference's N independent comparekmertables processes do. The
-    persist block is released by the caller's clearCache (bench) or
-    session teardown.
+    FUSED plan (round 11, guide §2.4): where the reference runs one
+    process per target DB and round 10 ran one cascade lineage per DB
+    (N index aggregations, N prefilter joins, N kernel stages, N
+    1-row db_residues cross joins), the per-DB relations here are ONE
+    plan keyed by a ``_set`` tag:
+
+    * the query-side k-mer table is built ONCE and persisted (as before
+      — pinned by tests/test_search_e2e.py);
+    * per-set extraction unions into ONE J2 aggregation grouped by
+      (kmer, _set) — exactly N per-set ``build_kmer_index`` relations
+      in one exchange (operators.kmer_index.aggregate_kmer_index);
+    * ONE prefilter join + grouped aggregation keyed by
+      (query, target, _set) — the per-DB HAVING relation verbatim;
+    * ONE alignment kernel stage; the Karlin-Altschul ``db_residues``
+      differs per DB, so each per-set total rides the rows as a
+      broadcast-joined column (align_pairs ``db_residues_col``) and the
+      target fetch joins on (target_id, _set) — overlapping sets stay
+      legal. E-values are bit-identical to the per-DB runs: same sums,
+      same per-pair arithmetic.
+
+    Result parity with N independent ``search`` calls is pinned by
+    tests/test_search_e2e.py::test_multi_target_equals_per_target_union.
+    Output ordering is the O6 global order (round 11: the old
+    union-of-sorted-branches concatenation order was an artifact of the
+    branch plans; sorting once is both cheaper and the stronger
+    contract).
 
     ``max_seqs`` here is GLOBAL: the per-query top-k runs ONCE over the
     UNION of all target sets (round-6; what a user of the flag means —
-    "my k best hits anywhere"), not within each set. Capping inside each
-    ``search`` call would return up to ``len(target_sets) * max_seqs``
-    rows per query and, worse, a weak hit from a sparse DB would survive
-    while a stronger hit ranked (max_seqs+1)-th in a dense DB was
-    dropped. The window shuffle is keyed by query_id over
-    already-aligned rows — the cheapest point to rank, after every
-    per-set funnel has pruned."""
+    "my k best hits anywhere"), not within each set. Capping per set
+    would return up to ``len(target_sets) * max_seqs`` rows per query
+    and, worse, a weak hit from a sparse DB would survive while a
+    stronger hit ranked (max_seqs+1)-th in a dense DB was dropped."""
+    from petasearch_spark.operators.kmer_index import (
+        aggregate_kmer_index,
+        extract_kmers_arrow,
+    )
+
     max_seqs = kwargs.pop("max_seqs", None)
+    k = kwargs.get("k", DEFAULT_K)
+    req = kwargs.get("req_kmer_matches", DEFAULT_REQ_KMER_MATCHES)
+    max_evalue = kwargs.get("max_evalue", DEFAULT_EVALUE)
+    alphabet = kwargs.get("alphabet", "amino")
+    xdrop = kwargs.get("xdrop")
+    db_residues = kwargs.get("db_residues")
+    alpha, matrix, ka_u, ka_g = _alphabet_params(alphabet)
     qk_keys = ("k", "expand_similar", "kmer_threshold", "kmer_max_per_pos",
                "mask", "compo_bias", "alphabet")
     qk = build_query_kmers(
         queries, **{kw: kwargs[kw] for kw in qk_keys if kw in kwargs}
     ).persist()
-    # with a global max_seqs the per-branch O6 sorts are pure waste: the
-    # global window re-ranks the union under the SAME total order (target
-    # sets are disjoint, so target_id stays unique per query), and each
-    # branch sort's range exchange re-executes that branch's alignment
-    # kernel for RangePartitioner sampling (functions/ordering.py) —
-    # return the branches unordered and rank once
-    results = [
-        search(queries, t, query_kmers=qk, ordered=(max_seqs is None), **kwargs)
-        for t in target_sets
-    ]
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    if max_seqs is not None:
-        w = Window.partitionBy("query_id").orderBy(
-            "evalue", F.desc("bits"), "tlen", "target_id"
+    # project early (§2.3) — only the columns the cascade touches ride
+    # the tagged union
+    tagged = None
+    tagged_kmers = None
+    for i, t in enumerate(target_sets):
+        ti = t.select("seq_id", "accession", "sequence").withColumn("_set", F.lit(i))
+        ki = extract_kmers_arrow(t, k=k, alphabet=alpha).withColumn("_set", F.lit(i))
+        tagged = ti if tagged is None else tagged.unionByName(ti)
+        tagged_kmers = ki if tagged_kmers is None else tagged_kmers.unionByName(ki)
+    idx = aggregate_kmer_index(tagged_kmers, extra_keys=("_set",))
+    pairs = prefilter_grouped(qk, idx, req_kmer_matches=req, extra_keys=("_set",))
+    if db_residues is not None:
+        pairs = pairs.withColumn("_dbr", F.lit(int(db_residues)).cast("long"))
+    else:
+        # per-set Karlin-Altschul totals — same greatest(coalesce(sum,1),1)
+        # law as align_pairs' lazy single-DB aggregate, one tiny broadcast
+        dbrs = tagged.groupBy("_set").agg(
+            F.greatest(
+                F.coalesce(F.sum(F.length("sequence")), F.lit(1).cast("long")),
+                F.lit(1).cast("long"),
+            ).alias("_dbr")
         )
-        out = (
-            out.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= max_seqs)
-            .drop("_rk")
-            .orderBy("query_id", "evalue", F.desc("bits"), "tlen", "target_id")
-        )
-    return out
+        pairs = pairs.join(F.broadcast(dbrs), "_set")
+    alignments = align_pairs(
+        pairs, queries, tagged, k=k, max_evalue=max_evalue,
+        alphabet=alpha, matrix=matrix, ka_ungapped=ka_u, ka_gapped=ka_g,
+        xdrop=xdrop, db_residues_col="_dbr", set_col="_set",
+    )
+    return _rank_and_order(alignments, max_seqs)
 
 
 def funnel_report(

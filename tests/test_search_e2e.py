@@ -109,9 +109,13 @@ def test_multi_target_equals_per_target_union(spark):
 
 
 def test_multi_target_query_kmers_computed_once(spark):
-    """Every target branch of the J5 plan must probe the CACHED query
-    k-mer table (InMemoryTableScan), not re-derive it — the scale claim
-    behind the shared-qk design (bench entry search_multi_target)."""
+    """The J5 plan must probe the CACHED query k-mer table
+    (InMemoryRelation), not re-derive it per target DB — the scale claim
+    behind the shared-qk design (bench entry search_multi_target).
+    Round 11 fused the N per-DB cascades into ONE plan, so the cached
+    table appears once (probed by the single fused prefilter join) and
+    the plan carries exactly ONE prefilter aggregation and ONE kernel —
+    N MapInPandas alignment stages would mean the fusion regressed."""
     from petasearch_spark.operators.doc_search import derived_sequences
     from petasearch_spark.sources.tables import load_table
 
@@ -122,7 +126,16 @@ def test_multi_target_query_kmers_computed_once(spark):
     res = search_multi_target(q, targets)
     plan = res._jdf.queryExecution().optimizedPlan().toString()
     n_cached = plan.count("InMemoryRelation")
-    assert n_cached >= 3, f"expected the 3 target branches to scan the cached qk table, saw {n_cached}"
+    assert n_cached >= 1, f"expected the fused prefilter to scan the cached qk table, saw {n_cached}"
+    phys = res._jdf.queryExecution().executedPlan().toString()
+    # the ALIGNMENT kernel must have fused to exactly one stage (its
+    # MapInPandas node is the one emitting the align schema's backtrace
+    # column); per-set EXTRACTION kernels remain — they are narrow unioned
+    # maps over disjoint inputs, one corpus pass total
+    align_nodes = [
+        ln for ln in phys.splitlines() if "MapInPandas" in ln and "backtrace" in ln
+    ]
+    assert len(align_nodes) == 1, f"expected ONE fused alignment kernel, saw {len(align_nodes)}"
 
 
 def test_prebuilt_index_search_equals_inline(spark):
