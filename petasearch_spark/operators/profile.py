@@ -181,7 +181,11 @@ def profile_search_consensus(spark, sf_dir: str) -> DataFrame:
     qprof = derived_profiles(
         seqs.filter((F.col("seq_id") % PROFILE_QUERY_MOD == 0) & (F.length("sequence") > 0))
     )
-    cons = profile_consensus(qprof)
+    # persist: the consensus frame feeds BOTH the output mainline and the
+    # k-mer stats branch — unpersisted, the PSSM+argmax kernels run once
+    # per subtree (2x structurally; round 11). Released by the caller's
+    # clearCache, the package convention.
+    cons = profile_consensus(qprof).persist()
     # raw k-mer match join (pre-HAVING) so per-query totals carry signal
     # even where no pair passes; n_hit_targets applies the strict-> HAVING
     matches = (

@@ -179,14 +179,22 @@ def test_decontaminate_bloom_probe_side_has_no_shuffle(spark):
 
 def test_decontaminate_semantic_single_narrow_pass(spark):
     """The semantic decontamination claim: the eval matrix rides inside
-    the kernel closure, so there is NO join and NO Exchange below the
-    final sort — one corpus scan feeding the Arrow eval, then the global
-    orderBy exchange only."""
+    the kernel closure, so there is NO join and no Exchange below the
+    final-sort pair — one corpus scan feeding the Arrow eval, then only
+    the sort_via_exchange hash+range pair of the global orderBy (round
+    11: the hash exchange keeps the RangePartitioner sampling job from
+    re-running the kernel — functions/ordering.py)."""
     plan = plan_of(spark, "decontaminate_semantic")
     assert "Join" not in plan, plan
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
-    # the only exchange is the rangepartitioning of the final orderBy
-    assert all("rangepartitioning" in ln for ln in exchanges), plan
+    # exactly the final-sort pair: one hash exchange on the sort key
+    # feeding one rangepartitioning — nothing else shuffles
+    assert sum("rangepartitioning" in ln for ln in exchanges) == 1, plan
+    assert sum("hashpartitioning(vec_id" in ln for ln in exchanges) == 1, plan
+    assert all(
+        "rangepartitioning" in ln or "hashpartitioning(vec_id" in ln
+        for ln in exchanges
+    ), plan
     # the corpus scan reads only (vec_id, embedding)
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert schemas and all(
